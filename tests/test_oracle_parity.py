@@ -1,0 +1,67 @@
+"""Replicates the driver's correctness gate locally: run every registry
+query on Spark and its oracle on DuckDB at sf0.001 and compare row counts
+and order-insensitive values (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from weatherdb_spark.plans.registry import REGISTRY
+from weatherdb_spark.sources.testdata import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    return con
+
+
+def _norm(rows, colnames):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v:.6f}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark_fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    con = _duck(SF_DIR)
+    res = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sdf.columns} duck={duck_cols}"
+    )
+    # align column order by name before value compare
+    s_idx = [sdf.columns.index(c) for c in sorted(sdf.columns)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_norm = _norm([[r[i] for i in s_idx] for r in spark_rows], sorted(sdf.columns))
+    d_norm = _norm([[r[i] for i in d_idx] for r in duck_rows], sorted(duck_cols))
+    assert len(s_norm) == len(d_norm), f"{name}: row count {len(s_norm)} != {len(d_norm)}"
+    assert s_norm == d_norm, f"{name}: value mismatch (first diff: " + str(
+        next((a, b) for a, b in zip(s_norm, d_norm) if a != b)
+    ) + ")"

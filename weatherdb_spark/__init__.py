@@ -1,0 +1,28 @@
+"""weatherdb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Hydrology-IFH/WeatherDB.
+
+The reference (read-only at /root/reference) is a PostgreSQL-backed weather
+timeseries manager whose "operators" are Python-generated SQL statements.
+This package re-expresses those semantics as idiomatic PySpark DataFrame
+computations designed for a 1000-executor cluster:
+
+- tall fact tables (``ts_p``, ``ts_p_d``, ``ts_t``, ``ts_et``) partitioned by
+  station bucket + date instead of the reference's table-per-station layout
+  (reference: weatherdb/station/StationP.py:240-256);
+- every pipeline stage (qc → fillup → corr) is a pure function
+  ``f(dfs, params) -> DataFrame`` relying on Catalyst for pushdown/pruning;
+- the reference's iterative PL/pgSQL fill loop
+  (weatherdb/station/StationBases.py:1573-1638) becomes a declarative
+  rank-ordered first-non-null-donor fill (see operators/fillup.py);
+- small dimensions (meta, MA values, richter params) broadcast in joins.
+
+Beyond reference parity, ``weatherdb_spark.llm`` adds large-scale
+training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), embedding similarity search, text analysis, and multimodal
+column plumbing.
+"""
+
+from weatherdb_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

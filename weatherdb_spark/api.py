@@ -1,0 +1,100 @@
+"""Read path — the engine equivalent of ``Station*.get_df``.
+
+Reference lifecycle (weatherdb/station/StationBases.py:2463-2649): kind
+validation -> period resolution -> agg_to lattice check -> SELECT assembly ->
+pandas post-processing. Here the whole path is one declarative
+select/filter/groupBy chain; Catalyst pushes the period predicate and the
+kind projection into the parquet scan (verify via
+``df.explain('formatted')`` -> PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weatherdb_spark.config import AGGREGATIONS, PARAMETERS
+from weatherdb_spark.operators.aggregate import coverage_gated_agg
+
+
+def _check_kinds(parameter: str, kinds: Sequence[str]) -> list[str]:
+    """Kind validation (StationBases.py:170-283): unknown kinds raise,
+    'best' resolves to the parameter's best kind."""
+    valid = PARAMETERS[parameter]["kinds"]
+    out = []
+    for k in kinds:
+        k = PARAMETERS[parameter]["best_kind"] if k == "best" else k
+        if k not in valid:
+            raise ValueError(f"kind {k!r} invalid for parameter {parameter!r}; valid: {valid}")
+        if k not in out:
+            out.append(k)
+    return out
+
+
+def _check_agg_to(parameter: str, agg_to: str | None) -> None:
+    """Aggregation lattice check (StationBases.py:365-376): agg_to must be in
+    the ordered list and >= the parameter's minimum granularity."""
+    if agg_to is None:
+        return
+    if agg_to not in AGGREGATIONS:
+        raise ValueError(f"agg_to {agg_to!r} not in {AGGREGATIONS[1:]}")
+    min_agg = PARAMETERS[parameter]["min_agg_to"]
+    if AGGREGATIONS.index(agg_to) < AGGREGATIONS.index(min_agg):
+        raise ValueError(
+            f"agg_to {agg_to!r} finer than parameter {parameter!r} minimum {min_agg!r}"
+        )
+
+
+def get_df(
+    ts: DataFrame,
+    parameter: str,
+    kinds: Sequence[str] = ("best",),
+    period: tuple[str | None, str | None] = (None, None),
+    sql_add_where: str | None = None,
+    agg_to: str | None = None,
+    stids: Sequence[int] | None = None,
+    filled_share: bool = False,
+    na_share: bool = False,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Select kinds over a period with optional resampling.
+
+    - F1 kind projection (StationBases.py:2600-2616)
+    - F2 period predicate  (StationBases.py:2604)
+    - F3 arbitrary extra predicate via ``sql_add_where``
+      (StationBases.py:2506-2598)
+    - F8 stid filter (StationsBase.py:320-334)
+    - A1 coverage-gated resampling when ``agg_to`` is set
+    """
+    kinds = _check_kinds(parameter, kinds)
+    _check_agg_to(parameter, agg_to)
+    cfg = PARAMETERS[parameter]
+
+    out = ts
+    if stids is not None:
+        out = out.filter(F.col("station_id").isin(list(stids)))
+    start, end = period
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        out = out.filter(F.col(ts_col) <= F.lit(end).cast("timestamp"))
+    if sql_add_where:
+        out = out.filter(F.expr(sql_add_where))
+
+    if agg_to is not None:
+        return coverage_gated_agg(
+            out,
+            kinds=[k for k in kinds if k not in ("qn", "filled_by")],
+            agg_to=agg_to,
+            agg_fun=cfg["agg_fun"],
+            ts_col=ts_col,
+            filled_share=filled_share,
+            na_share_kinds=kinds if na_share else (),
+        ).orderBy("station_id", ts_col)
+
+    cols = ["station_id", ts_col, *kinds]
+    if filled_share and "filled_by" not in kinds:
+        cols.append("filled_by")
+    return out.select(*cols).orderBy("station_id", ts_col)

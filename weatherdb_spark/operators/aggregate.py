@@ -1,0 +1,170 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All are single groupBy passes — map-side partial aggregation happens
+automatically, so at 100 TB each is one shuffle keyed on
+(station_id, truncated-ts); no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from weatherdb_spark.config import COVERAGE_GATE, MA_COVERAGE_GATE
+from weatherdb_spark.functions.temporal import trunc_expr
+
+_AGG_FUNS = {"sum": F.sum, "avg": F.avg, "mean": F.avg, "min": F.min, "max": F.max}
+
+
+def coverage_gated_agg(
+    df: DataFrame,
+    kinds: Sequence[str],
+    agg_to: str,
+    agg_fun: str = "sum",
+    ts_col: str = "timestamp",
+    group_cols: Sequence[str] = ("station_id",),
+    coverage: float = COVERAGE_GATE,
+    filled_share: bool = False,
+    na_share_kinds: Sequence[str] = (),
+    round_digits: int | None = None,
+) -> DataFrame:
+    """A1 — resample to ``agg_to`` with the reference's 80% coverage gate.
+
+    Per group and truncated timestamp, aggregate each kind with ``agg_fun``
+    (``*_min``/``*_max`` kinds use MIN/MAX) but emit NULL unless
+    ``count(kind)/count(*) > coverage``; optionally add
+    ``filled_share`` (% of rows filled by a donor) and per-kind
+    ``{kind}_na_share`` (% NULL rows).
+
+    Reference: weatherdb/station/StationBases.py:2544-2616 (SQL assembly),
+    agg funcs StationBases.py:95 / StationT.py:40.
+    """
+    bucket = trunc_expr(F.col(ts_col), agg_to).alias(ts_col)
+    n_all = F.count(F.lit(1))
+
+    aggs: list[Column] = []
+    for kind in kinds:
+        if kind.endswith("_min"):
+            fun = F.min
+        elif kind.endswith("_max"):
+            fun = F.max
+        else:
+            fun = _AGG_FUNS[agg_fun]
+        val = fun(F.col(kind))
+        if round_digits is not None:
+            val = F.round(val, round_digits)
+        gated = F.when(F.count(F.col(kind)) / n_all > coverage, val)
+        aggs.append(gated.alias(kind))
+    if filled_share:
+        aggs.append(
+            F.round(F.count(F.col("filled_by")) * 100.0 / n_all, 2).alias("filled_share")
+        )
+    for kind in na_share_kinds:
+        aggs.append(
+            F.round((n_all - F.count(F.col(kind))) * 100.0 / n_all, 2)
+            .alias(f"{kind}_na_share")
+        )
+    return df.groupBy(*group_cols, bucket).agg(*aggs)
+
+
+def yearly_ma(
+    df: DataFrame,
+    kinds: Sequence[str],
+    agg_fun: str = "sum",
+    ts_col: str = "timestamp",
+    group_cols: Sequence[str] = ("station_id",),
+    coverage: float = MA_COVERAGE_GATE,
+) -> DataFrame:
+    """A2 — multi-annual mean of a timeserie.
+
+    Per year: ``sum(kind)/count(kind)*count(*)`` (gap-scaled yearly total;
+    plain mean for avg parameters) kept only where coverage > 0.9; then
+    average across years. Feeds ``station_ma_timeserie``.
+
+    Reference: weatherdb/station/StationBases.py:940-958.
+    """
+    year = F.year(F.col(ts_col)).alias("_year")
+    n_all = F.count(F.lit(1))
+    per_year = df.groupBy(*group_cols, year).agg(
+        *[
+            F.when(
+                F.count(F.col(k)) / n_all > coverage,
+                (F.sum(F.col(k)) / F.count(F.col(k)) * n_all)
+                if agg_fun == "sum"
+                else F.avg(F.col(k)),
+            ).alias(k)
+            for k in kinds
+        ]
+    )
+    return per_year.groupBy(*group_cols).agg(
+        *[F.avg(F.col(k)).alias(k) for k in kinds]
+    )
+
+
+def qc_dropped_share(
+    df: DataFrame,
+    raw_col: str = "raw",
+    qc_col: str = "qc",
+    group_cols: Sequence[str] = ("station_id",),
+) -> DataFrame:
+    """A4 — % of raw values dropped by quality control, per station
+    (StationBases.py:1316-1323)."""
+    return df.groupBy(*group_cols).agg(
+        F.round(
+            (F.count(F.col(raw_col)) - F.count(F.col(qc_col)))
+            * 100.0
+            / F.count(F.col(raw_col)),
+            2,
+        ).alias("qc_dropped")
+    )
+
+
+def hole_census(
+    df: DataFrame,
+    gap_thresholds: Sequence[str] = ("2 weeks", "4 weeks"),
+    ts_col: str = "timestamp",
+    value_col: str = "raw",
+    group_cols: Sequence[str] = ("station_id",),
+) -> DataFrame:
+    """A5 — count gaps >= each threshold per station.
+
+    Gap = ts - lag(ts) over rows where the value is present; one window
+    pass then conditional counts (StationBases.py:1981-2029).
+    """
+    w = W.partitionBy(*group_cols).orderBy(ts_col)
+    present = df.filter(F.col(value_col).isNotNull())
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    gapped = present.withColumn("_gap_s", gap_s)
+
+    def _secs(th: str) -> int:
+        n, unit = th.split()
+        mult = {"weeks": 604800, "week": 604800, "days": 86400, "day": 86400,
+                "hours": 3600, "hour": 3600}[unit]
+        return int(n) * mult
+
+    return gapped.groupBy(*group_cols).agg(
+        *[
+            F.count(F.when(F.col("_gap_s") >= _secs(th), 1)).alias(
+                "holes_ge_" + th.replace(" ", "_")
+            )
+            for th in gap_thresholds
+        ]
+    )
+
+
+def filled_period(
+    df: DataFrame,
+    kind: str,
+    ts_col: str = "timestamp",
+    group_cols: Sequence[str] = ("station_id",),
+) -> DataFrame:
+    """A8 — min/max timestamp where ``kind`` is not NULL
+    (StationBases.py:2121-2131)."""
+    return (
+        df.filter(F.col(kind).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.min(ts_col).alias(f"{kind}_from"), F.max(ts_col).alias(f"{kind}_until"))
+    )

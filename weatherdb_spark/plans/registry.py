@@ -1,0 +1,310 @@
+"""Query registry — every SURVEY.md §2 operator bound to the driver's
+synthetic TPC-H-ish tables, each with a DuckDB oracle twin.
+
+The driver runs each spec's ``spark_fn(spark, sf_dir)`` and its
+``oracle`` SQL side by side at sf0.01 and compares row count + schema +
+order-insensitive value hash, so:
+- every computed column is aliased identically on both sides;
+- floating aggregates are rounded identically on both sides;
+- sums prefer integer-valued measures (exact in double) where the
+  semantics allow.
+
+Weather-semantics parity is tested on weather-shaped fixtures in
+``tests/``; these bindings demonstrate the same operators on the driver's
+tables (FIXTURES.md 'Mapping to the driver's synthetic tables').
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weatherdb_spark.sources.testdata import load
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A1 — coverage-gated resampling (the flagship read-path aggregation)
+# --------------------------------------------------------------------------
+
+@_register(
+    "a1_coverage_gated_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CASE WHEN count(qty_ok) * 1.0 / count(*) > 0.8
+                THEN sum(qty_ok) END AS sum_qty,
+           round((count(*) - count(qty_ok)) * 100.0 / count(*), 2) AS qty_na_share
+    FROM (
+        SELECT l_suppkey, l_shipdate,
+               CASE WHEN l_tax <= 0.06 THEN l_quantity END AS qty_ok
+        FROM lineitem
+    ) t
+    GROUP BY 1, 2
+    """,
+    doc="A1 resampling agg with 80% coverage gate + na_share "
+        "(StationBases.py:2544-2616) over lineitem monthly sums.",
+    bench=True,
+)
+def a1_coverage_gated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.aggregate import coverage_gated_agg
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.when(F.col("l_tax") <= 0.06, F.col("l_quantity")).alias("qty_ok"),
+    )
+    out = coverage_gated_agg(
+        li,
+        kinds=["qty_ok"],
+        agg_to="month",
+        agg_fun="sum",
+        group_cols=("l_suppkey",),
+        coverage=0.8,
+        na_share_kinds=["qty_ok"],
+    )
+    return out.select(
+        "l_suppkey",
+        F.to_date("timestamp").alias("month"),
+        F.col("qty_ok").alias("sum_qty"),
+        F.col("qty_ok_na_share").alias("qty_na_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F1-F3/F5/F6 — projection + period predicate + extra predicate + scrubs
+# --------------------------------------------------------------------------
+
+@_register(
+    "f_projection_period_filter",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CASE WHEN value < 0 OR value >= 300 THEN NULL ELSE value END AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+      AND event_type IN ('click', 'view')
+      AND minute(ts) % 10 = 0
+    """,
+    doc="F1 kind projection + F2 period predicate + F3 extra predicate + "
+        "F5 frequency filter + F6 negative scrub "
+        "(StationBases.py:2506-2616, StationP.py:208,222-224) over events.",
+)
+def f_projection_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-20 23:59:59").cast("timestamp"))
+        )
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.minute("ts") % 10 == 0)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when((F.col("value") < 0) | (F.col("value") >= 300), F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S6 — timeline expansion (generate_series LEFT JOIN)
+# --------------------------------------------------------------------------
+
+@_register(
+    "s6_timeline_expansion",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    )
+    SELECT g.user_id,
+           count(*) AS n_days,
+           count(*) - count(v) AS n_missing
+    FROM grid g LEFT JOIN daily USING (user_id, d)
+    GROUP BY 1
+    """,
+    doc="S6 timeline expansion via sequence+explode left join "
+        "(StationBases.py:486-522) — per-user daily grid over events, "
+        "counting inserted NULL rows.",
+    bench=True,
+)
+def s6_timeline_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("timestamp"))
+        .agg(F.sum("value").alias("v"))
+    )
+    expanded = expand_timeline(
+        daily, interval="1 day", group_cols=("user_id",), min_date=None
+    )
+    return expanded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J8/W3 — kNN over station coordinates (deterministic synthetic coords)
+# --------------------------------------------------------------------------
+
+_KNN_COORDS = """
+        SELECT s_suppkey,
+               CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
+               CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm,
+               CAST((s_suppkey * 31) % 1500 AS DOUBLE) AS elev
+        FROM supplier
+"""
+
+@_register(
+    "j8_knn_stations",
+    oracle=f"""
+    WITH coords AS ({_KNN_COORDS}),
+    pairs AS (
+        SELECT a.s_suppkey AS station_id,
+               b.s_suppkey AS nb_station_id,
+               round(sqrt(pow(a.x_utm - b.x_utm, 2) + pow(a.y_utm - b.y_utm, 2))
+                     * (1 + pow(abs(a.elev - b.elev) / 250.0, 1.5)), 4) AS dist_m,
+               row_number() OVER (
+                   PARTITION BY a.s_suppkey
+                   ORDER BY sqrt(pow(a.x_utm - b.x_utm, 2) + pow(a.y_utm - b.y_utm, 2))
+                            * (1 + pow(abs(a.elev - b.elev) / 250.0, 1.5)) ASC,
+                            b.s_suppkey ASC
+               ) AS rank
+        FROM coords a JOIN coords b ON a.s_suppkey != b.s_suppkey
+    )
+    SELECT station_id, nb_station_id, dist_m, rank
+    FROM pairs WHERE rank <= 3
+    """,
+    doc="J8/W3 elevation-weighted kNN (StationBases.py:2277-2288, "
+        "2196-2209) — suppliers as stations with key-derived UTM coords.",
+    bench=True,
+)
+def j8_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.neighbors import knn_stations
+
+    coords = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("int").alias("station_id"),
+        ((F.col("s_suppkey") * 7919) % 10000).cast("double").alias("x_utm"),
+        ((F.col("s_suppkey") * 104729) % 10000).cast("double").alias("y_utm"),
+        ((F.col("s_suppkey") * 31) % 1500).cast("double").alias("stationshoehe"),
+    )
+    out = knn_stations(coords, k=3, elevation_weighted=True)
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("nb_station_id").cast("long").alias("nb_station_id"),
+        F.round("dist_m", 4).alias("dist_m"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1/W2/J1/J2 + §2.7 set ops — lag/lead QC failure detection
+# --------------------------------------------------------------------------
+
+@_register(
+    "w_qc_window_flags",
+    oracle="""
+    WITH q AS (
+        -- quantize to a 50-unit grid: the analog of the reference's
+        -- 0.1-mm-resolution rain gauge values
+        SELECT event_id, user_id, ts, value,
+               round(value / 50) * 50 AS qv
+        FROM events
+    ), w AS (
+        SELECT event_id, user_id, value, qv,
+               lag(qv, 1) OVER win AS v1,
+               lag(qv, 2) OVER win AS v2,
+               lead(qv, 1) OVER win AS vnext
+        FROM q
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id FROM w
+    WHERE qv > 0.1 AND qv = v1 AND qv = v2
+    UNION
+    SELECT event_id, user_id FROM w
+    WHERE value > 250 AND v1 = 0 AND vnext = 0
+    """,
+    doc="J1/J2/W1/W2 QC windows: 3-consecutive-equal values and isolated "
+        "peaks (StationP.py:133-166) + UNION-distinct of failed sets "
+        "(StationP.py:161-164) over events per user.",
+    bench=True,
+)
+def w_qc_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "qv", F.round(F.col("value") / 50) * 50
+    )
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "qv",
+        F.lag("qv", 1).over(win).alias("v1"),
+        F.lag("qv", 2).over(win).alias("v2"),
+        F.lead("qv", 1).over(win).alias("vnext"),
+    )
+    consec = w.filter(
+        (F.col("qv") > 0.1) & (F.col("qv") == F.col("v1")) & (F.col("qv") == F.col("v2"))
+    ).select("event_id", "user_id")
+    peaks = w.filter(
+        (F.col("value") > 250) & (F.col("v1") == 0) & (F.col("vnext") == 0)
+    ).select("event_id", "user_id")
+    return consec.union(peaks).distinct()
+
+
+# --------------------------------------------------------------------------
+# A6 — exact median (percentile_cont 0.5)
+# --------------------------------------------------------------------------
+
+@_register(
+    "a6_exact_median",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS med_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A6 exact median aggregation (percentile_cont WITHIN GROUP, "
+        "StationBases.py:1475-1480,3037-3041) over events per type.",
+)
+def a6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,254 @@
+"""Unit tests of the weather compound operators on small deterministic
+fixtures, in the reference's invariant style (SURVEY.md §5): qc only where
+raw exists, filled has no NAs where any donor has data, corr only where
+filled exists."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.operators.fillup import (
+    daily_adjust_p,
+    interpolate_gaps,
+    median_fill,
+    rank_fill,
+)
+from weatherdb_spark.operators.qc import qc_et, qc_p, qc_t
+from weatherdb_spark.operators.richter import (
+    precipitation_type,
+    richter_class,
+    richter_correct,
+    richter_parameters_df,
+)
+
+TS0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(i: int, step_min: int = 10) -> dt.datetime:
+    return TS0 + dt.timedelta(minutes=step_min * i)
+
+
+def test_qc_p_flags(spark):
+    # station 1: 3 consecutive equal 0.5 values with qn!=3 at i=2..4;
+    # isolated peak 6.0 at i=8; bound violation 55 at i=10; clean elsewhere
+    rows = []
+    vals = [0.0, 0.2, 0.5, 0.5, 0.5, 0.1, 0.0, 0.0, 6.0, 0.0, 55.0, 0.3]
+    for i, v in enumerate(vals):
+        rows.append((1, _ts(i), float(v), 1))
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double, qn smallint"
+    )
+    # daily table consistent (no failed days)
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.date(2023, 12, 31), sum(vals))],
+        "station_id int, timestamp date, raw double",
+    )
+    out = {r["timestamp"]: r["qc"] for r in qc_p(ts_p, ts_p_d).collect()}
+    assert out[_ts(2)] is None and out[_ts(3)] is None and out[_ts(4)] is None
+    assert out[_ts(8)] is None  # isolated peak
+    assert out[_ts(10)] is None  # >= 50
+    assert out[_ts(1)] == 0.2 and out[_ts(5)] == 0.1
+
+
+def test_qc_p_failed_day(spark):
+    # 10-min sums are all zero but the daily table reports rain -> whole
+    # (shifted) day nulled (StationP.py:107-119)
+    rows = [(1, _ts(i + 36), 0.0, 3) for i in range(144)]  # day starting 06:00
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double, qn smallint"
+    )
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 5.0)], "station_id int, timestamp date, raw double"
+    )
+    out = qc_p(ts_p, ts_p_d)
+    assert out.filter(F.col("qc").isNotNull()).count() == 0
+
+
+def _meta(spark, n=6, elev=None):
+    elev = elev or [100] * n
+    rows = [(i + 1, float(i * 10000), 0.0, elev[i]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "station_id int, x_utm double, y_utm double, stationshoehe int"
+    )
+
+
+def _knn_line(spark, n=6, k=5):
+    # stations on a line at 10 km spacing -> neighbor ranks by |i-j|
+    from weatherdb_spark.operators.neighbors import knn_stations
+
+    return knn_stations(_meta(spark, n), k=k)
+
+
+def test_qc_t_outlier_and_inversion(spark):
+    d = dt.date(2024, 1, 15)  # winter
+    knn = _knn_line(spark, 6)
+    ma = spark.createDataFrame(
+        [(i, 10.0) for i in range(1, 7)], "station_id int, value double"
+    )
+    # all stations 5.0 except station 1 reads 15.0 (upper outlier)
+    # and station 6 reads -5.0 (lower outlier)
+    rows = [(1, d, 15.0), (2, d, 5.0), (3, d, 5.0), (4, d, 5.0), (5, d, 5.0), (6, d, -5.0)]
+    ts_t = spark.createDataFrame(rows, "station_id int, timestamp date, raw double")
+    meta_low = _meta(spark, 6)
+    out = {r["station_id"]: r["qc"] for r in qc_t(ts_t, knn, ma, meta_low).collect()}
+    assert out[1] is None and out[6] is None and out[3] == 5.0
+
+    # same data but station 1 at 900 m in winter: upper test disabled
+    meta_high = _meta(spark, 6, elev=[900, 100, 100, 100, 100, 100])
+    out2 = {r["station_id"]: r["qc"] for r in qc_t(ts_t, knn, ma, meta_high).collect()}
+    assert out2[1] == 15.0  # inversion protection
+    assert out2[6] is None  # lower test still applies
+
+
+def test_qc_et_rules(spark):
+    d = dt.date(2024, 6, 15)
+    knn = _knn_line(spark, 6)
+    ma = spark.createDataFrame(
+        [(i, 5.0) for i in range(1, 7)], "station_id int, value double"
+    )
+    # neighbors ~2.0; station 1 reads 5.0 (> 2*med and > 3) -> null;
+    # station 6 reads 25 (> 20 bound) -> null; station 2 fine
+    rows = [(1, d, 5.0), (2, d, 2.0), (3, d, 2.0), (4, d, 2.0), (5, d, 2.0), (6, d, 25.0)]
+    ts_et = spark.createDataFrame(rows, "station_id int, timestamp date, raw double")
+    out = {r["station_id"]: r["qc"] for r in qc_et(ts_et, knn, ma).collect()}
+    assert out[1] is None and out[6] is None and out[2] == 2.0
+
+
+def test_rank_fill_prefers_nearest_donor(spark):
+    d0 = dt.date(2024, 1, 1)
+    knn = _knn_line(spark, 4, k=3)
+    ma = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 100.0), (4, 100.0)], "station_id int, value double"
+    )
+    # station 1 has a hole on day 2; donor station 2 (rank 1) has data ->
+    # regionalized by 100/50 = x2; on day 3 station 2 is also missing ->
+    # station 3 (rank 2) fills at coef 1
+    rows = [
+        (1, d0, 1.0), (1, d0 + dt.timedelta(days=1), None), (1, d0 + dt.timedelta(days=2), None),
+        (2, d0, 2.0), (2, d0 + dt.timedelta(days=1), 3.0), (2, d0 + dt.timedelta(days=2), None),
+        (3, d0, 2.0), (3, d0 + dt.timedelta(days=1), 9.0), (3, d0 + dt.timedelta(days=2), 7.0),
+        (4, d0, 2.0), (4, d0 + dt.timedelta(days=1), 9.0), (4, d0 + dt.timedelta(days=2), 8.0),
+    ]
+    facts = spark.createDataFrame(rows, "station_id int, timestamp date, qc double")
+    out = {
+        (r["station_id"], r["timestamp"]): (r["filled"], r["filled_by"])
+        for r in rank_fill(facts, knn, ma, coef_sign="mult").collect()
+    }
+    assert out[(1, d0)] == (1.0, None)  # own value kept
+    assert out[(1, d0 + dt.timedelta(days=1))] == (6.0, 2)  # 3.0 * 100/50
+    assert out[(1, d0 + dt.timedelta(days=2))] == (7.0, 3)  # rank-2 donor
+    # invariant: no NAs in filled where any donor has data
+    assert all(v[0] is not None for v in out.values())
+
+
+def test_median_fill_five_donors(spark):
+    d = dt.date(2024, 1, 1)
+    knn = _knn_line(spark, 7, k=6)
+    ma = spark.createDataFrame(
+        [(i, 10.0) for i in range(1, 8)], "station_id int, value double"
+    )
+    rows = [(1, d, None)] + [(i, d, float(i)) for i in range(2, 8)]
+    facts = spark.createDataFrame(rows, "station_id int, timestamp date, qc double")
+    out = {r["station_id"]: r for r in median_fill(facts, knn, ma, n_donors=5).collect()}
+    # first 5 non-null donors in rank order: stations 2,3,4,5,6 -> values 2..6
+    assert out[1]["filled"] == 4.0
+    assert out[1]["filled_by"] == [2, 3, 4, 5, 6]
+
+
+def test_interpolate_gaps_bounded(spark):
+    rows = [
+        (1, _ts(0), 1.0, None),
+        (1, _ts(1), None, None),   # short gap -> interpolated
+        (1, _ts(2), 4.0, None),
+        (1, _ts(3), None, None),   # gap of 7 steps = 70 min > 1 hour -> stays
+        (1, _ts(4), None, None),
+        (1, _ts(5), None, None),
+        (1, _ts(6), None, None),
+        (1, _ts(7), None, None),
+        (1, _ts(8), None, None),
+        (1, _ts(9), 4.0, None),
+    ]
+    facts = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, filled double, filled_by smallint"
+    )
+    out = {r["timestamp"]: (r["filled"], r["filled_by"]) for r in
+           interpolate_gaps(facts, max_gap="1 hour").collect()}
+    assert out[_ts(1)] == (2.5, -1)
+    assert out[_ts(4)][0] is None  # long gap untouched
+
+
+def test_daily_adjust_p_scales_to_daily(spark):
+    # one (shifted) day: 10-min filled values sum 4.0, daily raw 8.0 -> x2
+    base = dt.datetime(2024, 1, 1, 6, 0)
+    rows = [(1, base + dt.timedelta(minutes=10 * i), v) for i, v in
+            enumerate([1.0, 0.0, 3.0, 0.0])]
+    ts_p = spark.createDataFrame(rows, "station_id int, timestamp timestamp, filled double")
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 8.0)], "station_id int, timestamp date, raw double"
+    )
+    out = {r["timestamp"]: r["corr_base"] for r in daily_adjust_p(ts_p, ts_p_d).collect()}
+    assert out[base] == 2.0
+    assert out[base + dt.timedelta(minutes=20)] == 6.0
+    assert out[base + dt.timedelta(minutes=10)] == 0.0  # zeros untouched
+
+
+def test_richter_class_bins(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (2.9,), (3.0,), (6.9,), (7.0,), (11.9,), (12.0,), (25.0,)], "h double"
+    )
+    out = [r[0] for r in df.select(richter_class(F.col("h"))).collect()]
+    assert out == [
+        "no-protection", "no-protection", "little-protection", "little-protection",
+        "protected", "protected", "heavy-protection", "heavy-protection",
+    ]
+
+
+def test_precipitation_type(spark):
+    df = spark.createDataFrame(
+        [(5.0, 6), (5.0, 12), (-1.0, 1), (1.0, 1)], "t double, m int"
+    )
+    out = [r[0] for r in df.select(precipitation_type(F.col("t"), F.col("m"))).collect()]
+    assert out == ["precip_summer", "precip_winter", "snow", "mix"]
+
+
+def test_richter_correct_formula(spark):
+    # one station, one day, summer, temp 10 -> precip_summer, class
+    # no-protection: delta = 0.345 * (2.0 ** 0.38); two wet intervals
+    base = dt.datetime(2024, 6, 1, 0, 0)
+    rows = [(1, base, 1.5), (1, base + dt.timedelta(minutes=10), 0.5),
+            (1, base + dt.timedelta(minutes=20), 0.0)]
+    ts_p = spark.createDataFrame(rows, "station_id int, timestamp timestamp, filled double")
+    ts_t = spark.createDataFrame(
+        [(1, dt.date(2024, 6, 1), 10.0)], "station_id int, timestamp date, filled double"
+    )
+    meta = spark.createDataFrame([(1, "no-protection")], "station_id int, richter_class string")
+    out = richter_correct(ts_p, ts_t, meta, richter_parameters_df(spark))
+    got = {r["timestamp"]: r["corr"] for r in out.collect()}
+    delta = 0.345 * (2.0 ** 0.38)
+    assert got[base] == pytest.approx(round(1.5 + delta / 2, 2))
+    assert got[base + dt.timedelta(minutes=20)] == 0.0  # corr only where filled > 0
+
+
+def test_rank_fill_seasonal_coefs(spark):
+    # P winter/summer coefficients differ (StationBases.py:1406-1425)
+    knn = _knn_line(spark, 2, k=1)
+    ma = spark.createDataFrame(
+        [(1, "wihy", 200.0), (1, "suhy", 100.0), (2, "wihy", 100.0), (2, "suhy", 100.0)],
+        "station_id int, term string, value double",
+    )
+    rows = [
+        (1, dt.date(2024, 1, 10), None),  # winter -> coef 200/100 = 2
+        (1, dt.date(2024, 7, 10), None),  # summer -> coef 1
+        (2, dt.date(2024, 1, 10), 3.0),
+        (2, dt.date(2024, 7, 10), 3.0),
+    ]
+    facts = spark.createDataFrame(rows, "station_id int, timestamp date, qc double")
+    out = {
+        (r["station_id"], r["timestamp"]): r["filled"]
+        for r in rank_fill(facts, knn, ma, coef_sign="mult", seasonal_ma=True).collect()
+    }
+    assert out[(1, dt.date(2024, 1, 10))] == 6.0
+    assert out[(1, dt.date(2024, 7, 10))] == 3.0

@@ -1,0 +1,279 @@
+"""Fillup — gap filling (SURVEY.md §2.9, reference
+StationBases.py:1346-1669, docs/source/Methode.md:92-130).
+
+The reference loops neighbors in distance order with an UPDATE per neighbor
+until no holes remain (PL/pgSQL, StationBases.py:1573-1638). That loop is
+semantically "first non-null regionalized donor value in neighbor-rank
+order per timestamp" (SURVEY.md §2.11), which Spark expresses declaratively:
+
+    facts LEFT JOIN (knn x donor-facts) ON (station_id, ts)
+    -> min_by(regionalized_value, rank) over the group
+
+One equi-join shuffle keyed on (station_id, ts) and one groupBy on the same
+key — with both sides partitioned identically Catalyst plans a single
+exchange. No iteration, no driver loop; scales linearly in (facts x k).
+
+T's variant ("median of the 5 nearest non-null donors per timestamp",
+StationT.py:122-143) uses the same join with a rank-ordered array slice.
+
+Linear interpolation of leftover short gaps (StationBases.py:1494-1562)
+uses last/first ignorenulls windows bounded by the configured max gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from weatherdb_spark.functions.temporal import is_winter, shifted_date
+
+
+def _regionalize(coef_sign: str, val, ma_self, ma_nb, round_digits):
+    if coef_sign == "add":
+        reg = val + (ma_self - ma_nb)
+    elif coef_sign == "mult":
+        reg = val * ma_self / ma_nb
+    else:
+        raise ValueError(f"coef_sign {coef_sign!r}")
+    # the reference rounds each regionalized donor value to storage
+    # precision before use: round(nb.qc * coef)::int, StationBases.py:1403,1422
+    return F.round(reg, round_digits) if round_digits is not None else reg
+
+
+def rank_fill(
+    facts: DataFrame,
+    knn: DataFrame,
+    ma: DataFrame,
+    coef_sign: str = "mult",
+    base_col: str = "qc",
+    ts_col: str = "timestamp",
+    seasonal_ma: bool = False,
+    round_digits: int | None = 2,
+) -> DataFrame:
+    """P/ET/PD fillup: fill NULL ``base_col`` with the first non-null
+    regionalized donor value in neighbor-rank order; record the donor in
+    ``filled_by`` (StationBases.py:1444-1492).
+
+    ``knn``: (station_id, nb_station_id, rank) — rank 1 = nearest, already
+    cut to max_fillup_dist (config_default.ini:161-169).
+    ``ma``: (station_id, value) or, when ``seasonal_ma``, (station_id,
+    term, value) with term in ('wihy', 'suhy') — P uses separate
+    winter/summer regionalization factors (StationBases.py:1406-1425).
+    Returns facts + ``filled``, ``filled_by``.
+    """
+    donor_facts = facts.filter(F.col(base_col).isNotNull()).select(
+        F.col("station_id").alias("nb_station_id"),
+        F.col(ts_col),
+        F.col(base_col).alias("_nb_val"),
+    )
+
+    if seasonal_ma:
+        ma_self = ma.select("station_id", "term", F.col("value").alias("_ma_self"))
+        ma_nb = ma.select(
+            F.col("station_id").alias("nb_station_id"),
+            "term",
+            F.col("value").alias("_ma_nb"),
+        )
+        pairs = (
+            F.broadcast(knn)
+            .join(F.broadcast(ma_self), "station_id")
+            .join(F.broadcast(ma_nb), ["nb_station_id", "term"])
+        )
+        donors = pairs.join(donor_facts, "nb_station_id").filter(
+            (F.col("term") == "wihy") == is_winter(F.col(ts_col))
+        )
+    else:
+        ma_self = ma.select("station_id", F.col("value").alias("_ma_self"))
+        ma_nb = ma.select(
+            F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
+        )
+        pairs = (
+            F.broadcast(knn)
+            .join(F.broadcast(ma_self), "station_id")
+            .join(F.broadcast(ma_nb), "nb_station_id")
+        )
+        donors = pairs.join(donor_facts, "nb_station_id")
+
+    reg = _regionalize(
+        coef_sign, F.col("_nb_val"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
+    )
+    # first donor in rank order: min_by over (rank) per (station, ts)
+    best = (
+        donors.select("station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id")
+        .groupBy("station_id", ts_col)
+        .agg(
+            F.min_by("_reg", "rank").alias("_fill_val"),
+            F.min_by("nb_station_id", "rank").alias("_fill_by"),
+        )
+    )
+    out = facts.join(best, ["station_id", ts_col], "left")
+    return (
+        out.withColumn(
+            "filled", F.coalesce(F.col(base_col), F.col("_fill_val"))
+        )
+        .withColumn(
+            "filled_by",
+            F.when(F.col(base_col).isNull() & F.col("_fill_val").isNotNull(),
+                   F.col("_fill_by").cast("short")),
+        )
+        .drop("_fill_val", "_fill_by")
+    )
+
+
+def median_fill(
+    facts: DataFrame,
+    knn: DataFrame,
+    ma: DataFrame,
+    n_donors: int = 5,
+    base_col: str = "qc",
+    value_cols: tuple[str, ...] = ("qc",),
+    out_cols: tuple[str, ...] = ("filled",),
+    ts_col: str = "timestamp",
+    round_digits: int | None = 1,
+) -> DataFrame:
+    """T fillup: fill with the exact median of the first ``n_donors``
+    non-null regionalized donors in rank order; ``filled_by`` is the array
+    of donor ids used (StationBases.py:1436-1480, StationT.py:122-143).
+
+    ``value_cols``/``out_cols`` handle T's (qc, raw_min, raw_max) ->
+    (filled, filled_min, filled_max) triple in one pass.
+    """
+    donor_facts = facts.filter(F.col(base_col).isNotNull()).select(
+        F.col("station_id").alias("nb_station_id"),
+        F.col(ts_col),
+        *[F.col(c).alias(f"_nbv_{c}") for c in value_cols],
+    )
+    ma_self = ma.select("station_id", F.col("value").alias("_ma_self"))
+    ma_nb = ma.select(
+        F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
+    )
+    donors = (
+        F.broadcast(knn)
+        .join(F.broadcast(ma_self), "station_id")
+        .join(F.broadcast(ma_nb), "nb_station_id")
+        .join(donor_facts, "nb_station_id")
+    )
+    # keep only the first n non-null donors per timestamp, in rank order
+    wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
+    donors = donors.withColumn("_rn", F.row_number().over(wrank)).filter(
+        F.col("_rn") <= n_donors
+    )
+    aggs = []
+    for c in value_cols:
+        reg = _regionalize(
+            "add", F.col(f"_nbv_{c}"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
+        )
+        aggs.append(F.percentile(reg, F.lit(0.5)).alias(f"_med_{c}"))
+    aggs.append(F.sort_array(F.collect_list(F.col("nb_station_id").cast("short"))).alias("_donors"))
+    best = donors.groupBy("station_id", ts_col).agg(*aggs)
+
+    out = facts.join(best, ["station_id", ts_col], "left")
+    for c, oc in zip(value_cols, out_cols):
+        med = F.col(f"_med_{c}")
+        if round_digits is not None:
+            med = F.round(med, round_digits)
+        out = out.withColumn(oc, F.coalesce(F.col(c), med))
+    out = out.withColumn(
+        "filled_by",
+        F.when(F.col(base_col).isNull() & F.col(f"_med_{value_cols[0]}").isNotNull(),
+               F.col("_donors")),
+    )
+    return out.drop(*[f"_med_{c}" for c in value_cols], "_donors")
+
+
+def interpolate_gaps(
+    facts: DataFrame,
+    max_gap: str = "1 hour",
+    value_col: str = "filled",
+    filled_by_col: str = "filled_by",
+    ts_col: str = "timestamp",
+    round_digits: int | None = 2,
+) -> DataFrame:
+    """Linear interpolation of leftover holes bounded by ``max_gap``
+    (StationBases.py:1494-1562; max gap config_default.ini:146-158).
+    Interpolated rows get ``filled_by = -1``.
+
+    Implemented with last/first ignorenulls windows: for each NULL row find
+    the previous and next non-null (value, ts); fill
+    ``prev + (next-prev) * (ts-prev_ts)/(next_ts-prev_ts)`` when the
+    bracket span <= max_gap.
+    """
+    gap_s = {"1 hour": 3600, "2 days": 172800}.get(max_gap)
+    if gap_s is None:
+        num, unit = max_gap.split()
+        gap_s = int(num) * {"hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+                            "minute": 60, "minutes": 60}[unit]
+
+    wb = W.partitionBy("station_id").orderBy(ts_col).rowsBetween(W.unboundedPreceding, -1)
+    wf = W.partitionBy("station_id").orderBy(ts_col).rowsBetween(1, W.unboundedFollowing)
+    val_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+
+    out = (
+        facts.withColumn("_pv", F.last(value_col, ignorenulls=True).over(wb))
+        .withColumn("_pt", F.last(val_ts, ignorenulls=True).over(wb))
+        .withColumn("_nv", F.first(value_col, ignorenulls=True).over(wf))
+        .withColumn("_nt", F.first(val_ts, ignorenulls=True).over(wf))
+    )
+    span = F.unix_timestamp("_nt") - F.unix_timestamp("_pt")
+    frac = (F.unix_timestamp(ts_col) - F.unix_timestamp("_pt")) / span
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    if round_digits is not None:
+        interp = F.round(interp, round_digits)
+    can = (
+        F.col(value_col).isNull()
+        & F.col("_pv").isNotNull()
+        & F.col("_nv").isNotNull()
+        & (span <= gap_s)
+    )
+    out = out.withColumn(
+        filled_by_col,
+        F.when(can, F.lit(-1).cast("short")).otherwise(F.col(filled_by_col)),
+    ).withColumn(value_col, F.when(can, interp).otherwise(F.col(value_col)))
+    return out.drop("_pv", "_pt", "_nv", "_nt")
+
+
+def daily_adjust_p(
+    ts_p: DataFrame,
+    ts_p_d: DataFrame,
+    peak_cap: float = 5.0,
+    add_cap: float = 10.0,
+    hard_cap: float = 50.0,
+    round_digits: int = 2,
+) -> DataFrame:
+    """P-only step 7: scale each day's filled 10-min values so they sum to
+    the daily station measurement (StationP.py:692-746).
+
+    coef = daily_raw / sum(filled) per (ts - 5h 50min)::date; caps: a
+    scaled value may not become a new isolated peak > 5 mm, may not grow by
+    more than 10 mm, hard cap 50 mm. Days without a daily measurement or
+    with zero 10-min sum keep their values.
+    """
+    day = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
+    with_day = ts_p.withColumn("_day", day)
+    sums = with_day.groupBy("station_id", "_day").agg(F.sum("filled").alias("_sum_f"))
+    daily = ts_p_d.select(
+        "station_id", F.col("timestamp").alias("_day"), F.col("raw").alias("_raw_d")
+    )
+    coefs = sums.join(daily, ["station_id", "_day"], "left").withColumn(
+        "_coef",
+        F.when(
+            (F.col("_sum_f") > 0) & F.col("_raw_d").isNotNull(),
+            F.col("_raw_d") / F.col("_sum_f"),
+        ).otherwise(F.lit(1.0)),
+    )
+    out = with_day.join(
+        coefs.select("station_id", "_day", "_coef"), ["station_id", "_day"], "left"
+    )
+    scaled = F.round(F.col("filled") * F.col("_coef"), round_digits)
+    capped = F.least(
+        F.least(scaled, F.col("filled") + add_cap),
+        F.lit(hard_cap),
+    )
+    # no new isolated peak: if the original value was 0 neighbors-wise small
+    # and scaling pushes above peak_cap, clamp to peak_cap
+    capped = F.when(
+        (F.col("filled") <= 0.1) & (capped > peak_cap), F.lit(peak_cap)
+    ).otherwise(capped)
+    adjusted = F.when(F.col("filled") > 0, capped).otherwise(F.col("filled"))
+    return out.withColumn("corr_base", adjusted).drop("_day", "_coef")

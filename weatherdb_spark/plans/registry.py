@@ -290,6 +290,16 @@ def w_qc_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A6 — exact median (percentile_cont 0.5)
 # --------------------------------------------------------------------------
 
+# deterministic synthetic station coordinates shared by several bindings
+def supplier_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("int").alias("station_id"),
+        ((F.col("s_suppkey") * 7919) % 10000).cast("double").alias("x_utm"),
+        ((F.col("s_suppkey") * 104729) % 10000).cast("double").alias("y_utm"),
+        ((F.col("s_suppkey") * 31) % 1500).cast("double").alias("stationshoehe"),
+    )
+
+
 @_register(
     "a6_exact_median",
     oracle="""
@@ -308,3 +318,8 @@ def a6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("med_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# binding modules register themselves on import (kept at the bottom so they
+# can import _register/load/supplier_coords from here)
+from weatherdb_spark.plans import pipeline_queries  # noqa: E402,F401

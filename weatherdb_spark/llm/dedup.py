@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take a documents DataFrame (id_col, text_col) and are pure
+DataFrame compositions — no Python UDFs in the hot path. Scale notes per
+operator; the common theme is that candidate generation must avoid the
+O(n^2) cross join: exact dedup is one shuffle on the content hash, MinHash
+LSH shuffles on (band, band-signature), SimHash on hash prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weatherdb_spark.llm.hashing import md5_int64, minhash_perm
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side transform,
+    no UDF). Documents with fewer than n words get an empty array."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(1), n_words - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    shingles = F.when(n_words >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.withColumn(out_col, shingles)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the content hash: one shuffle on md5(text). Returns
+    (id_col, group_size, is_kept) where the smallest id per group is kept."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    groups = h.groupBy("_h").agg(
+        F.min(id_col).alias("_keep"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        h.join(groups, "_h")
+        .select(
+            id_col,
+            "group_size",
+            (F.col(id_col) == F.col("_keep")).alias("is_kept"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode shingles -> self-join on shingle -> count common / union.
+
+    Scale path: the self-join is keyed on the shingle (no cross join), so
+    cost is sum over shingles of df(s)^2 — acceptable after minhash-style
+    prefiltering or when shingle frequencies are capped. For the full LSH
+    pipeline use :func:`minhash_lsh_pairs`.
+    """
+    sh = word_shingles(df, text_col, n).select(
+        F.col(id_col).alias("_id"), F.explode("shingles").alias("_s")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), "_s")
+    common = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: md5-hash each shingle to int64,
+    apply ``num_perm`` universal-hash permutations, take the min of each.
+    One narrow pass — signatures live in an array column."""
+    sh = word_shingles(df, text_col, n)
+    hashes = F.transform(F.col("shingles"), lambda s: md5_int64(s))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h: minhash_perm(h, k)))
+            for k in range(num_perm)
+        ]
+    )
+    return sh.filter(F.size("shingles") > 0).select(
+        F.col(id_col), sig.alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    shingle -> minhash (num_perm) -> band into ``bands`` groups of
+    ``num_perm/bands`` rows -> shuffle on (band, band-signature) -> candidate
+    pairs from same-bucket docs -> exact-Jaccard verify >= threshold.
+
+    With 32 perms / 8 bands / 4 rows: P(candidate | s=0.9) ~ 0.9998,
+    P(candidate | s=0.07) ~ 2e-4 — the candidate set stays near-linear at
+    100 TB while recall at the 0.8+ range is ~1.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.col("signature")[b * rows + r].cast("string")
+                                   for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # adversarial-verify candidates with exact jaccard
+    sh = word_shingles(df, text_col, n).select(
+        F.col(id_col).alias("_id"), F.col("shingles")
+    )
+    verified = (
+        candidates.join(sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("_sa")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("_sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprint per document (token-frequency weighted).
+
+    Each token hashes to int64; bit i of the fingerprint is 1 iff the sum
+    over token occurrences of (2*bit_i(token_hash) - 1) is positive. Pure
+    explode + groupBy — two shuffles, both keyed on doc id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    ).withColumn("_h", md5_int64(F.col("_w")))
+    # bit extraction via shiftright, NOT division — the 60-bit hash exceeds
+    # double's 53-bit integer precision
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("_h"), i) % 2) * 2 - 1
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        [F.when(F.col(f"_b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(bits)],
+        F.lit(0),
+    )
+    return bit_sums.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    prefix_bits: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Scale path: bucket by the fingerprint's top ``prefix_bits`` so the
+    pair join is per-bucket (near-dups share prefixes with high
+    probability); exact hamming check inside the bucket.
+    """
+    fp = simhash(df, bits, id_col, text_col)
+    bucket = F.floor(F.col("simhash") / F.lit(2 ** (bits - prefix_bits)))
+    fp = fp.withColumn("_bucket", bucket)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "_bucket")
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,140 @@
+"""Embedding similarity search over an array<float> column.
+
+Cosine is computed as dot/(sqrt(na)*sqrt(nb)) with a sequential
+left-fold (F.aggregate) in double — bit-compatible with DuckDB's
+``list_cosine_similarity`` on DOUBLE[] so oracles can verify exactly.
+All JVM-side higher-order functions; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return _dot(a, b) / (na * nb)
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small) query set
+    against the corpus, window-rank per query.
+
+    Scale: the corpus side streams (no shuffle before the rank); the rank
+    is a per-query top-k that AQE executes as a partial top-k per
+    partition. For self-join ANN over the whole corpus use
+    :func:`lsh_bucket_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute): all pairs with
+    cosine >= threshold. O(n^2) — correct baseline; the LSH variant is the
+    scale path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i of plane p is
+    +1/-1 by the parity of a Knuth-multiplicative hash of (p*dim + i)."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            ((F.lit(plane * dim) + i) * 2654435761 % 4294967296) < 2147483648,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH buckets, then exact
+    rank within the query's bucket. ~2^planes buckets; at 100 TB the
+    corpus shuffles once on the bucket key and each query probes one
+    bucket instead of the full corpus."""
+    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        bucket = sum(
+            [_hyperplane_sign(F.col(vc), p, dim) * (2 ** p) for p in range(planes)],
+            F.lit(0),
+        )
+        return df.withColumn("_bucket", bucket)
+
+    c = bucketed(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id", "_cv",
+    )
+    q = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id", "_qv",
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

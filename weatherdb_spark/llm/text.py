@@ -1,0 +1,89 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All built-in-function compositions (JVM-side),
+each with an exact SQL twin for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weatherdb_spark.llm.hashing import md5_int64
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "en", "que"),
+    "zh": ("de", "le", "shi", "zai", "you", "wo", "ta", "men"),
+}
+
+FP_MOD = 1000000007
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (words / numbers / single punctuation)."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    return (
+        df.withColumn("n_tokens_ws", F.size(words))
+        .withColumn(
+            "n_tokens_re",
+            F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")),
+        )
+        .withColumn("n_chars_obs", F.length(F.col(text_col)))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: mix of mean word length band,
+    stopword ratio, and alpha ratio — the shape of production quality
+    filters (length/punct/stopword gates), deterministic and oracle-able."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.size(words)
+    mean_wlen = (F.length(F.col(text_col)) - (n - 1)) / n  # chars minus spaces
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(words), en_stops)) / F.lit(8.0)
+    alpha_ratio = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]")) / F.length(F.col(text_col))
+    score = (
+        F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.4).otherwise(0.1)
+        + F.least(stop_ratio, F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.4
+    )
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score each language by the count of
+    its stopwords present (distinct words), pick the argmax with a fixed
+    tie order (en > de > es > fr > zh)."""
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    order = ["en", "de", "es", "fr", "zh"]
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in order[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    out = df
+    for lang in order:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("lang_pred", best)
+
+
+def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: sum of 60-bit token hashes mod 1e9+7 over the
+    token bag (order-insensitive), plus the first-token hash as an anchor.
+    The reference-style 'rolling hash' shape with exact SQL parity."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+"))
+    ).withColumn("_h", md5_int64(F.col("col")) % FP_MOD)
+    return toks.groupBy(id_col).agg(
+        (F.sum("_h") % FP_MOD).alias("fingerprint"),
+        F.min_by("_h", "pos").alias("first_token_hash"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

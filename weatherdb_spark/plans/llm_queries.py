@@ -1,0 +1,360 @@
+"""Registry bindings for the LLM training-data pipeline operators over the
+``documents`` and ``embeddings`` tables.
+
+Hashing in oracles mirrors weatherdb_spark.llm.hashing: 60 bits of md5
+parsed as int64 — identical in Spark (conv) and DuckDB ('0x'||hex cast).
+Cosine oracles use list_cosine_similarity on DOUBLE[] which matches the
+engine's sequential-double-fold bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weatherdb_spark.llm.hashing import MINHASH_P, md5_int64_sql, minhash_perm_sql
+from weatherdb_spark.plans.registry import _register, load
+
+# word-3-gram distinct shingles per doc (DuckDB list comprehension)
+_SHINGLES_SQL = """
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)
+               ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup: exact
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+    g AS (SELECT hh, min(doc_id) AS keep, count(*) AS group_size FROM h GROUP BY 1)
+    SELECT h.doc_id, g.group_size, h.doc_id = g.keep AS is_kept
+    FROM h JOIN g USING (hh)
+    """,
+    doc="Exact dedup on content hash: one shuffle on md5(text), smallest "
+        "id per group kept.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Dedup: n-gram Jaccard (inverted-index exact pairs)
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted shingle index "
+        "(word 3-grams, threshold 0.8).",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import jaccard_pairs
+
+    return jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
+
+
+# --------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding, exact-verified
+# --------------------------------------------------------------------------
+
+def _minhash_oracle(num_perm: int = 32, threshold: float = 0.8) -> str:
+    """Oracle = ground-truth exact Jaccard pairs >= threshold. The LSH
+    pipeline must find them all (recall ~1 at s >= 0.8 with 8 bands x 4
+    rows); a mismatch here means the banding lost a true pair."""
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+    """
+
+
+@_register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(32) + LSH(8 bands x 4 rows) candidate pairs, "
+        "exact-Jaccard verified at 0.8 — oracle is the ground-truth pair "
+        "set, so this also checks LSH recall.",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8, num_perm=32, bands=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup: SimHash fingerprints
+# --------------------------------------------------------------------------
+
+_H_TOK = md5_int64_sql("t.w")
+
+@_register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+        -- bit shifts, not division: the 60-bit hash exceeds double precision
+        SELECT t.doc_id, b.i,
+               sum(((({_H_TOK}) >> b.i::INT) % 2) * 2 - 1) AS s
+        FROM toks t CROSS JOIN (SELECT unnest(range(0, 32)) AS i) b
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY 1
+    """,
+    doc="SimHash(32) token-frequency-weighted fingerprint per document.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (+ embedding near-dup pairs)
+# --------------------------------------------------------------------------
+
+@_register(
+    "ann_brute_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(c, 6) AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (queries = vec_id < 8) "
+        "— exact ANN baseline over the embeddings table.",
+    bench=True,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import brute_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@_register(
+    "embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4), brute "
+        "baseline for dedup-by-embedding.",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import cosine_pairs
+
+    return cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction: bucketing changes results
+    doc="Random-hyperplane LSH-bucketed cosine top-k — the 100 TB scale "
+        "path for ANN (rows-only check; approximation has no SQL twin).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import lsh_bucket_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens_re,
+           length(text) AS n_chars_obs
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex token count.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_re", "n_chars_obs"
+    )
+
+
+@_register(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n,
+               len(list_intersect(
+                   list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                   ['the','a','of','and','to','in','is','it'])) AS stops,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+        FROM documents
+    )
+    SELECT doc_id,
+           round(
+               CASE WHEN (length(text) - (n - 1)) * 1.0 / n BETWEEN 3 AND 10
+                    THEN 0.4 ELSE 0.1 END
+               + least(stops / 8.0, 1.0) * 0.2
+               + alpha * 1.0 / length(text) * 0.4, 6) AS quality
+    FROM t
+    """,
+    doc="Quality scoring: mean-word-length band + stopword ratio + alpha "
+        "ratio, the shape of production quality filters.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+_LANG_SCORES_SQL = """
+    scores AS (
+        SELECT doc_id,
+               len(list_intersect(w, ['the','a','of','and','to','in','is','it'])) AS score_en,
+               len(list_intersect(w, ['der','die','das','und','ist','ein','zu','den'])) AS score_de,
+               len(list_intersect(w, ['el','la','de','que','y','en','un','es'])) AS score_es,
+               len(list_intersect(w, ['le','la','de','et','un','est','en','que'])) AS score_fr,
+               len(list_intersect(w, ['de','le','shi','zai','you','wo','ta','men'])) AS score_zh
+        FROM (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents)
+    )
+"""
+
+@_register(
+    "text_lang_id",
+    oracle=f"""
+    WITH {_LANG_SCORES_SQL}
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+               WHEN score_zh > greatest(score_en, score_de, score_es, score_fr) THEN 'zh'
+               WHEN score_fr > greatest(score_en, score_de, score_es) THEN 'fr'
+               WHEN score_es > greatest(score_en, score_de) THEN 'es'
+               WHEN score_de > score_en THEN 'de'
+               ELSE 'en'
+           END AS lang_pred
+    FROM scores
+    """,
+    doc="Language ID by stopword-set overlap with fixed tie order.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "score_zh", "lang_pred"
+    )
+
+
+_H_W = md5_int64_sql("w")
+
+@_register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, pos, (({_H_W}) % 1000000007) AS h
+        FROM (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents)
+    )
+    SELECT doc_id,
+           sum(h) % 1000000007 AS fingerprint,
+           arg_min(h, pos) AS first_token_hash,
+           count(*) AS n_tokens
+    FROM toks GROUP BY 1
+    """,
+    doc="Document fingerprinting: token-bag hash mod 1e9+7 + first-token "
+        "anchor hash.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import bag_fingerprint
+
+    return bag_fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas decode over binary payloads)
+# --------------------------------------------------------------------------
+
+@_register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload -> mapInPandas with "
+        "explicit schema -> typed features (decoder is a deterministic "
+        "fake; Spark-side schema/batching/partitioning is real).",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.multimodal import attach_binary_payload, decode_images
+
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_images(attach_binary_payload(docs))
+    return decoded.select("doc_id", "n_bytes", "width", "height")

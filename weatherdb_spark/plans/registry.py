@@ -323,3 +323,4 @@ def a6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # binding modules register themselves on import (kept at the bottom so they
 # can import _register/load/supplier_coords from here)
 from weatherdb_spark.plans import pipeline_queries  # noqa: E402,F401
+from weatherdb_spark.plans import llm_queries  # noqa: E402,F401

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from weatherdb_spark.functions.partitioning import spread
 from weatherdb_spark.llm.hashing import md5_int64, minhash_perm
 
 
@@ -29,6 +30,24 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
         F.array().cast("array<string>")
     )
     return df.withColumn(out_col, shingles)
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, one per distinct word n-gram, computed in
+    parallel after a keyed ``spread``.
+
+    Uses ``explode_outer`` deliberately: plain ``explode`` makes Catalyst
+    infer a ``size(shingles) > 0`` filter and push it below the exchange,
+    re-evaluating the whole shingle expression in the (possibly single)
+    pre-shuffle task. ``explode_outer`` infers nothing; empty docs emit a
+    NULL shingle that one cheap post-exchange filter drops."""
+    sh = word_shingles(spread(df, id_col), text_col, n)
+    return (
+        sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -63,8 +82,8 @@ def jaccard_pairs(
     prefiltering or when shingle frequencies are capped. For the full LSH
     pipeline use :func:`minhash_lsh_pairs`.
     """
-    sh = word_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"), F.explode("shingles").alias("_s")
+    sh = exploded_shingles(df, id_col, text_col, n).select(
+        F.col(id_col).alias("_id"), "_s"
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("_id").alias("id_a"), "_s")
@@ -96,19 +115,25 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature per document: md5-hash each shingle to int64,
+    """MinHash signature per document: md5-hash each shingle to int64 once,
     apply ``num_perm`` universal-hash permutations, take the min of each.
-    One narrow pass — signatures live in an array column."""
-    sh = word_shingles(df, text_col, n)
-    hashes = F.transform(F.col("shingles"), lambda s: md5_int64(s))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda h: minhash_perm(h, k)))
-            for k in range(num_perm)
-        ]
+
+    Shape: explode shingles -> hash -> groupBy(doc) with ``num_perm``
+    ``min`` aggregates. The hash runs once per shingle (not once per
+    permutation), the mins combine map-side, and the groupBy reuses the
+    keyed ``spread`` exchange — one shuffle total, of (id, hash) pairs
+    only, never of the text."""
+    sh = (
+        exploded_shingles(df, id_col, text_col, n)
+        .withColumn("_h", md5_int64(F.col("_s")))
+        .drop("_s")
     )
-    return sh.filter(F.size("shingles") > 0).select(
-        F.col(id_col), sig.alias("signature")
+    mins = sh.groupBy(id_col).agg(
+        *[F.min(minhash_perm(F.col("_h"), k)).alias(f"_m{k}") for k in range(num_perm)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("signature"),
     )
 
 
@@ -159,7 +184,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # adversarial-verify candidates with exact jaccard
-    sh = word_shingles(df, text_col, n).select(
+    sh = word_shingles(spread(df, id_col), text_col, n).select(
         F.col(id_col).alias("_id"), F.col("shingles")
     )
     verified = (
@@ -190,9 +215,9 @@ def simhash(
     over token occurrences of (2*bit_i(token_hash) - 1) is positive. Pure
     explode + groupBy — two shuffles, both keyed on doc id.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
-    ).withColumn("_h", md5_int64(F.col("_w")))
+    toks = spread(df, id_col).select(
+        F.col(id_col), F.explode_outer(F.split(F.col(text_col), " ")).alias("_w")
+    ).filter(F.col("_w").isNotNull()).withColumn("_h", md5_int64(F.col("_w")))
     # bit extraction via shiftright, NOT division — the 60-bit hash exceeds
     # double's 53-bit integer precision
     bit_sums = toks.groupBy(id_col).agg(

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from weatherdb_spark.functions.partitioning import spread
+
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),
@@ -28,7 +30,7 @@ DECODED_SCHEMA = T.StructType([
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Derive an opaque binary column (utf-8 payload) + media metadata —
     stands in for reading image/audio bytes from object storage."""
-    return df.select(
+    return spread(df, "doc_id").select(
         "doc_id",
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("image/fake").alias("media_type"),

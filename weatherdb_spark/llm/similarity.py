@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from weatherdb_spark.functions.partitioning import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -45,7 +47,7 @@ def brute_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = embeddings.select(
+    c = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scored = (
@@ -70,7 +72,7 @@ def cosine_pairs(
     """Embedding-cosine near-duplicate pairs (brute): all pairs with
     cosine >= threshold. O(n^2) — correct baseline; the LSH variant is the
     scale path."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    a = spread(embeddings).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.crossJoin(b)
@@ -120,7 +122,7 @@ def lsh_bucket_topk(
         return df.withColumn("_bucket", bucket)
 
     c = bucketed(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        spread(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "neighbor_id", "_cv",
     )
     q = bucketed(

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from weatherdb_spark.functions.partitioning import spread
 from weatherdb_spark.llm.hashing import md5_int64
 
 # tiny per-language stopword sets for the n-gram/stopword heuristic
@@ -79,9 +80,9 @@ def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Content fingerprint: sum of 60-bit token hashes mod 1e9+7 over the
     token bag (order-insensitive), plus the first-token hash as an anchor.
     The reference-style 'rolling hash' shape with exact SQL parity."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+"))
-    ).withColumn("_h", md5_int64(F.col("col")) % FP_MOD)
+    toks = spread(df, id_col).select(
+        F.col(id_col), F.posexplode_outer(F.split(F.trim(F.col(text_col)), "\\s+"))
+    ).filter(F.col("col").isNotNull()).withColumn("_h", md5_int64(F.col("col")) % FP_MOD)
     return toks.groupBy(id_col).agg(
         (F.sum("_h") % FP_MOD).alias("fingerprint"),
         F.min_by("_h", "pos").alias("first_token_hash"),

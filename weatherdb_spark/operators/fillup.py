@@ -76,11 +76,14 @@ def rank_fill(
             F.col("value").alias("_ma_nb"),
         )
         pairs = (
-            F.broadcast(knn)
+            knn
             .join(F.broadcast(ma_self), "station_id")
             .join(F.broadcast(ma_nb), ["nb_station_id", "term"])
         )
-        donors = pairs.join(donor_facts, "nb_station_id").filter(
+        # stream the big donor-facts side; broadcast the (knn x ma) dim —
+        # hint on the joined dim itself, or Spark may pick the facts as the
+        # build side and collect them to the driver
+        donors = donor_facts.join(F.broadcast(pairs), "nb_station_id").filter(
             (F.col("term") == "wihy") == is_winter(F.col(ts_col))
         )
     else:
@@ -89,11 +92,11 @@ def rank_fill(
             F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
         )
         pairs = (
-            F.broadcast(knn)
+            knn
             .join(F.broadcast(ma_self), "station_id")
             .join(F.broadcast(ma_nb), "nb_station_id")
         )
-        donors = pairs.join(donor_facts, "nb_station_id")
+        donors = donor_facts.join(F.broadcast(pairs), "nb_station_id")
 
     reg = _regionalize(
         coef_sign, F.col("_nb_val"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
@@ -148,12 +151,12 @@ def median_fill(
     ma_nb = ma.select(
         F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
     )
-    donors = (
-        F.broadcast(knn)
+    pairs = (
+        knn
         .join(F.broadcast(ma_self), "station_id")
         .join(F.broadcast(ma_nb), "nb_station_id")
-        .join(donor_facts, "nb_station_id")
     )
+    donors = donor_facts.join(F.broadcast(pairs), "nb_station_id")
     # keep only the first n non-null donors per timestamp, in rank order
     wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
     donors = donors.withColumn("_rn", F.row_number().over(wrank)).filter(

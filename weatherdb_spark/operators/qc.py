@@ -140,18 +140,19 @@ def regionalized_neighbor_median(
         F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
     )
     pairs = (
-        F.broadcast(knn)
+        knn
         .join(F.broadcast(ma_self), "station_id")
         .join(F.broadcast(ma_nb), "nb_station_id")
     )
-    nb_vals = pairs.join(
-        facts.select(
-            F.col("station_id").alias("nb_station_id"),
-            F.col(ts_col),
-            F.col(value_col).alias("_nb_val"),
-        ),
-        "nb_station_id",
-    )
+    # facts are the big side: stream them, broadcast the (knn x ma) dim.
+    # Hint goes on the joined pairs df — hinting only `knn` lets Spark pick
+    # the facts as the build side once the hint is buried under two joins,
+    # which collects the whole fact table to the driver.
+    nb_vals = facts.select(
+        F.col("station_id").alias("nb_station_id"),
+        F.col(ts_col),
+        F.col(value_col).alias("_nb_val"),
+    ).join(F.broadcast(pairs), "nb_station_id")
     if coef_sign == "add":
         reg = F.col("_nb_val") + (F.col("_ma_self") - F.col("_ma_nb"))
     elif coef_sign == "mult":

@@ -1,0 +1,35 @@
+"""F7 — import-time deduplication (reference StationBases.py:1232-1243,
+StationP.py:211-217).
+
+DWD historical and recent files overlap; on duplicate timestamps the first
+file (in listing order) wins, and duplicates *within* one source collapse
+to the mean. Declarative Spark form: rank sources per key, keep the
+minimum source rank, average the survivors — two keyed aggregations, no
+window over the full facts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_imports(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    src_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Collapse duplicate keys: rows from the smallest ``src_col`` value
+    win (first file in listing order); remaining same-source duplicates
+    average per value column. Returns one row per key."""
+    keys = list(key_cols)
+    first_src = df.groupBy(*keys).agg(F.min(src_col).alias("_first_src"))
+    survivors = df.join(first_src, keys).filter(
+        F.col(src_col) == F.col("_first_src")
+    )
+    return survivors.groupBy(*keys).agg(
+        *[F.avg(c).alias(c) for c in value_cols]
+    )

@@ -62,3 +62,53 @@ def knn_stations(
         .filter(F.col("rank") <= k)
         .select("station_id", "nb_station_id", "dist_m", "rank")
     )
+
+
+def yearly_knn(
+    meta: DataFrame,
+    eligible: DataFrame,
+    k: int = 5,
+    elevation_weighted: bool = True,
+    id_col: str = "station_id",
+) -> DataFrame:
+    """W4 — per-year kNN among stations with sufficient coverage that year.
+
+    The reference recomputes the 5 nearest neighbors per year, restricted
+    to stations with at least half-period raw coverage
+    (StationBases.py:2264-2274, 2972-3006), then merges consecutive years
+    with identical neighbor sets into one SQL branch. The merge step is a
+    SQL-generation artifact — here the per-(station, year) table is the
+    result, and downstream joins key on (station, year) directly.
+
+    ``eligible``: (year, station_id) rows of coverage-qualified donors.
+    Returns (year, station_id, nb_station_id, dist_m, rank), rank <= k,
+    neighbors drawn only from that year's eligible set.
+    """
+    nb_meta = meta.join(eligible, id_col).select(
+        F.col("year"),
+        F.col(id_col).alias("nb_station_id"),
+        F.col("x_utm").alias("_x2"),
+        F.col("y_utm").alias("_y2"),
+        F.col("stationshoehe").alias("_h2"),
+    )
+    left = meta.select(
+        F.col(id_col).alias("station_id"),
+        F.col("x_utm").alias("_x1"),
+        F.col("y_utm").alias("_y1"),
+        F.col("stationshoehe").alias("_h1"),
+    ).crossJoin(eligible.select("year").distinct())
+    pairs = left.join(F.broadcast(nb_meta), "year").filter(
+        F.col("station_id") != F.col("nb_station_id")
+    )
+    dist = euclid_dist(F.col("_x1"), F.col("_y1"), F.col("_x2"), F.col("_y2"))
+    if elevation_weighted:
+        dist = elevation_weighted_dist(dist, F.col("_h1"), F.col("_h2"))
+    pairs = pairs.withColumn("dist_m", dist)
+    w = W.partitionBy("year", "station_id").orderBy(
+        F.col("dist_m").asc(), F.col("nb_station_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("year", "station_id", "nb_station_id", "dist_m", "rank")
+    )

@@ -324,3 +324,4 @@ def a6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can import _register/load/supplier_coords from here)
 from weatherdb_spark.plans import pipeline_queries  # noqa: E402,F401
 from weatherdb_spark.plans import llm_queries  # noqa: E402,F401
+from weatherdb_spark.plans import coverage_queries  # noqa: E402,F401

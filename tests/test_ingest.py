@@ -1,0 +1,171 @@
+"""S2/S3 ingest + streaming ingest tests on synthetic DWD-format fixtures
+(format per reference utils/dwd.py:127-208, StationP.py:190-224)."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weatherdb_spark.sources.dwd import (
+    ingest_p_raw,
+    localize_p_timestamps,
+    read_meta_txt,
+    read_produkt_csv,
+)
+
+PRODUKT_HIST = textwrap.dedent("""\
+    STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor
+      44;202401010000;3;10;0.10;1;eor
+      44;202401010010;3;10;-999;1;eor
+      44;202401010020;3;10;0.30;1;eor
+      44;202401010023;3;10;####;1;eor
+      44;202401010030;3;10;-0.10;1;eor
+    """)
+
+# overlapping "recent" file: first file (hist, alphabetically first) must win
+PRODUKT_RECENT = textwrap.dedent("""\
+    STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor
+      44;202401010020;1;10;9.90;1;eor
+      44;202401010040;1;10;0.40;1;eor
+    """)
+
+PRODUKT_PRE2000 = textwrap.dedent("""\
+    STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor
+      44;199906010100;3;10;1.00;1;eor
+      44;199906010110;3;10;2.00;1;eor
+    """)
+
+META_TXT = (
+    "Stations_id von_datum bis_datum Stationshoehe geoBreite geoLaenge Stationsname Bundesland\n"
+    "----------- --------- --------- ------------- --------- --------- ----------- ----------\n"
+    "00044 19690101 20240101            44     52.9336    8.2370 Großenkneten  Niedersachsen\n"
+    "00071 20091201 20191231           759     48.2156    8.9784 Albstadt-Badkap  Baden-Württemberg\n"
+)
+
+
+@pytest.fixture()
+def produkt_dir(tmp_path):
+    d = tmp_path / "produkt"
+    d.mkdir()
+    (d / "a_hist.txt").write_text(PRODUKT_HIST)
+    (d / "b_recent.txt").write_text(PRODUKT_RECENT)
+    return str(d)
+
+
+def test_read_produkt_csv_types_and_nas(spark, produkt_dir):
+    df = read_produkt_csv(spark, produkt_dir)
+    assert "eor" not in df.columns
+    types = dict(df.dtypes)
+    assert types["STATIONS_ID"] == "int"
+    assert types["MESS_DATUM"] == "timestamp"
+    assert types["RWS_10"] == "double"
+    rows = {r["MESS_DATUM"].isoformat(): r["RWS_10"] for r in df.collect()}
+    assert rows["2024-01-01T00:10:00"] is None  # -999 sentinel
+    assert rows["2024-01-01T00:23:00"] is None  # #### sentinel
+    assert rows["2024-01-01T00:00:00"] == 0.10
+
+
+def test_ingest_p_raw_chain(spark, produkt_dir):
+    df = read_produkt_csv(spark, produkt_dir)
+    out = ingest_p_raw(df).orderBy("timestamp").collect()
+    tss = [r["timestamp"].isoformat() for r in out]
+    # off-grid :23 row dropped (F5)
+    assert "2024-01-01T00:23:00" not in tss
+    by_ts = {r["timestamp"].isoformat(): r for r in out}
+    # duplicate 00:20 resolved to first file (hist, 0.30) not recent 9.90 (F7)
+    assert by_ts["2024-01-01T00:20:00"]["raw"] == 0.30
+    # negative scrubbed (F6)
+    assert by_ts["2024-01-01T00:30:00"]["raw"] is None
+    # non-overlapping recent row survives
+    assert by_ts["2024-01-01T00:40:00"]["raw"] == 0.40
+
+
+def test_localize_p_timestamps(spark, tmp_path, produkt_dir):
+    d = tmp_path / "pre2000"
+    d.mkdir()
+    (d / "old.txt").write_text(PRODUKT_PRE2000)
+    old = localize_p_timestamps(read_produkt_csv(spark, str(d)))
+    rows = sorted(r["MESS_DATUM"].isoformat() for r in old.collect())
+    # MEZ (UTC+1) shifted back one hour
+    assert rows == ["1999-06-01T00:00:00", "1999-06-01T00:10:00"]
+    assert not any(r["_tz_error"] for r in old.collect())
+    new = localize_p_timestamps(read_produkt_csv(spark, produkt_dir))
+    assert {r["MESS_DATUM"].minute for r in new.collect()} == {0, 10, 20, 23, 30, 40}
+
+
+def test_read_meta_txt(spark, tmp_path):
+    p = tmp_path / "P_Beschreibung_Stationen.txt"
+    p.write_bytes(META_TXT.encode("WINDOWS-1252"))
+    meta = read_meta_txt(spark, str(p))
+    rows = {r["stations_id"]: r for r in meta.collect()}
+    assert set(rows) == {44, 71}
+    assert rows[44]["stationsname"] == "Großenkneten"
+    assert rows[71]["bundesland"] == "Baden-Württemberg"
+    assert rows[71]["stationshoehe"] == 759
+    assert rows[44]["von_datum"].year == 1969
+
+
+def test_stream_raw_files_incremental(spark, tmp_path):
+    from weatherdb_spark.streaming.ingest import stream_raw_files
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    tgt = str(tmp_path / "ts_raw")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("STATIONS_ID", T.IntegerType()),
+        T.StructField("MESS_DATUM", T.StringType()),
+        T.StructField("RWS_10", T.DoubleType()),
+    ])
+
+    def transform(s):
+        from weatherdb_spark.sources.dwd import parse_dwd_date
+        return s.select(
+            F.col("STATIONS_ID").alias("station_id"),
+            parse_dwd_date("MESS_DATUM").alias("timestamp"),
+            F.col("RWS_10").alias("raw"),
+        )
+
+    (src / "f1.csv").write_text(
+        "STATIONS_ID;MESS_DATUM;RWS_10\n44;202401010000;0.1\n44;202401010010;0.2\n"
+    )
+    stream_raw_files(spark, str(src), tgt, ckpt, schema, transform=transform)
+    assert spark.read.parquet(tgt).count() == 2
+
+    # second drop: only the new file is processed (checkpoint bookkeeping)
+    (src / "f2.csv").write_text(
+        "STATIONS_ID;MESS_DATUM;RWS_10\n44;202401010020;0.3\n"
+    )
+    stream_raw_files(spark, str(src), tgt, ckpt, schema, transform=transform)
+    got = spark.read.parquet(tgt)
+    assert got.count() == 3
+    assert got.filter(F.col("raw") == 0.3).count() == 1
+
+
+def test_windowed_stream_agg_plan(spark):
+    """The watermarked agg must be usable on a streaming source (checked
+    via isStreaming + schema, executed with a memory sink)."""
+    from weatherdb_spark.streaming.ingest import windowed_stream_agg
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .select(
+            (F.col("value") % 3).alias("station_id"),
+            F.col("timestamp"),
+            (F.col("value") * 1.0).alias("raw"),
+        )
+    )
+    agg = windowed_stream_agg(stream, window="10 seconds", watermark="5 seconds")
+    assert agg.isStreaming
+    assert set(agg.columns) == {
+        "station_id", "window_start", "window_end", "raw_sum", "raw_count"
+    }
+    q = agg.writeStream.format("memory").queryName("agg_test").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

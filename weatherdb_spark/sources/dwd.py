@@ -1,0 +1,173 @@
+"""S2/S3 — DWD CDC file readers, Spark-first.
+
+The reference downloads zip/gz files from the DWD FTP server and parses the
+contained ``produkt*`` tables with pandas (utils/dwd.py:127-208); the meta
+station list is a quasi-fixed-width WINDOWS-1252 text file parsed with a
+regex separator (utils/dwd.py:210-350). Here:
+
+- ``read_produkt_csv`` reads the *extracted* produkt tables with
+  ``spark.read.csv`` — distributed, schema-on-read, with the reference's
+  NA sentinels and date formats. Zip handling stays a driver-side unpack
+  (or a binaryFile + pandas_udf pass) because DWD zips are tiny per file;
+  the table scan is the part that must scale.
+- ``localize_p_timestamps`` reproduces the per-file timezone rule for
+  10-min precipitation: files wholly before 2000 are MEZ (UTC+1), files
+  wholly after are UTC (StationP.py:190-206).
+- ``ingest_p_raw`` applies the P import chain: frequency filter (F5),
+  per-file dedup (F7 first-wins), negative scrub (F6)
+  (StationP.py:208-224).
+- ``read_meta_txt`` parses the station list on the driver (it is a few
+  thousand rows) and returns a DataFrame.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: NA sentinels used across DWD tables (utils/dwd.py:185-188)
+DWD_NA_VALUES = ["-999", "-9999", "####", "#####", "######"]
+
+
+def parse_dwd_date(col: Column | str) -> Column:
+    """Parse DWD date strings by length: %Y%m%d, %Y%m%d%H or %Y%m%d%H%M
+    (utils/dwd.py:46-76). Unknown lengths yield NULL (the reference
+    raises; a scan cannot, so callers should assert non-null)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    return (
+        F.when(F.length(c) == 8, F.to_timestamp(c, "yyyyMMdd"))
+        .when(F.length(c) == 10, F.to_timestamp(c, "yyyyMMddHH"))
+        .when(F.length(c) == 12, F.to_timestamp(c, "yyyyMMddHHmm"))
+    )
+
+
+def read_produkt_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    date_cols: tuple[str, ...] = ("MESS_DATUM", "Datum"),
+    station_col: str = "STATIONS_ID",
+) -> DataFrame:
+    """Read extracted DWD ``produkt*`` tables: ``;``-separated, header row,
+    leading-space-padded values, NA sentinels, ``eor`` end marker column.
+
+    Everything reads as string (CSV ``nullValue`` takes a single sentinel,
+    DWD uses five), sentinels null out in one pass, then dates parse via
+    :func:`parse_dwd_date`, the station id casts to int, and every other
+    data column casts to double (DWD produkt tables are numeric throughout).
+    Adds ``_src_file`` for per-file rules (timezone, dedup order)."""
+    df = (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
+        .csv(path)
+    )
+    df = df.withColumn("_src_file", F.input_file_name())
+    if "eor" in df.columns:
+        df = df.drop("eor")
+    for c in df.columns:
+        if c == "_src_file":
+            continue
+        cleaned = F.when(F.trim(F.col(c)).isin(DWD_NA_VALUES), None).otherwise(
+            F.trim(F.col(c))
+        )
+        if c in date_cols:
+            df = df.withColumn(c, parse_dwd_date(cleaned))
+        elif c == station_col:
+            df = df.withColumn(c, cleaned.cast("int"))
+        else:
+            df = df.withColumn(c, cleaned.cast("double"))
+    return df
+
+
+def localize_p_timestamps(
+    df: DataFrame, ts_col: str = "MESS_DATUM", file_col: str = "_src_file"
+) -> DataFrame:
+    """Per-file timezone correction for 10-min precipitation
+    (StationP.py:197-205): files entirely >= 1999-12-31 23:00 are UTC;
+    files entirely < 2000-01-01 01:00 are MEZ (UTC+1) and shift back one
+    hour; files straddling the boundary get ``_tz_error = true`` (the
+    reference raises)."""
+    bounds = df.groupBy(file_col).agg(
+        F.min(ts_col).alias("_ts_min"), F.max(ts_col).alias("_ts_max")
+    )
+    utc_from = F.lit("1999-12-31 23:00:00").cast("timestamp")
+    mez_until = F.lit("2000-01-01 01:00:00").cast("timestamp")
+    out = df.join(F.broadcast(bounds), file_col)
+    is_utc = F.col("_ts_min") >= utc_from
+    is_mez = F.col("_ts_max") < mez_until
+    return (
+        out.withColumn(
+            ts_col,
+            F.when(is_utc, F.col(ts_col)).otherwise(
+                F.col(ts_col) - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .withColumn("_tz_error", ~is_utc & ~is_mez)
+        .drop("_ts_min", "_ts_max")
+    )
+
+
+def ingest_p_raw(
+    df: DataFrame,
+    value_col: str = "RWS_10",
+    ts_col: str = "MESS_DATUM",
+    station_col: str = "STATIONS_ID",
+    file_col: str = "_src_file",
+) -> DataFrame:
+    """P raw-import chain (StationP.py:208-224): keep on-grid rows
+    (minute % 10 == 0, F5), duplicate timestamps across files take the
+    first file (F7), negative measurements null out (F6). Returns
+    (station_id, timestamp, raw, qn)."""
+    on_grid = df.filter(F.minute(ts_col) % 10 == 0)
+    first_file = on_grid.groupBy(station_col, ts_col).agg(
+        F.min(file_col).alias("_first_file")
+    )
+    deduped = on_grid.join(first_file, [station_col, ts_col]).filter(
+        F.col(file_col) == F.col("_first_file")
+    )
+    qn_col = "QN" if "QN" in df.columns else None
+    return deduped.select(
+        F.col(station_col).cast("int").alias("station_id"),
+        F.col(ts_col).alias("timestamp"),
+        F.when(F.col(value_col) < 0, None).otherwise(F.col(value_col)).alias("raw"),
+        (F.col(qn_col).cast("short") if qn_col else F.lit(None).cast("short")).alias("qn"),
+    )
+
+
+_META_SEP = re.compile(r"\s{2,}|(?<=\d|\))\s(?=\w)")
+
+
+def read_meta_txt(spark: SparkSession, path: str, encoding: str = "WINDOWS-1252") -> DataFrame:
+    """S3 — parse a DWD station-list text file (utils/dwd.py:253-270):
+    WINDOWS-1252, header line with column names, ``----`` separator line,
+    columns split on >=2 spaces or one space between a number and a word.
+    Driver-side pandas (the file is small); returns a Spark DataFrame with
+    snake_case columns and parsed dates."""
+    with open(path, "rb") as fh:
+        text = fh.read().decode(encoding).replace("\r\n", "\n")
+    lines = text.split("\n")
+    colnames = lines[0].split()
+    rows = []
+    for line in lines[2:]:
+        if not line.strip():
+            continue
+        parts = _META_SEP.split(line.strip(), maxsplit=len(colnames) - 1)
+        parts += [None] * (len(colnames) - len(parts))
+        rows.append(parts)
+    pdf = pd.DataFrame(rows, columns=colnames)
+    for c in colnames:
+        lc = c.lower()
+        if "datum" in lc:
+            pdf[c] = pd.to_datetime(pdf[c], format="%Y%m%d")
+        elif lc in ("stations_id", "stationshoehe"):
+            pdf[c] = pd.to_numeric(pdf[c])
+        elif lc in ("geobreite", "geolaenge"):
+            pdf[c] = pdf[c].astype(float)
+    pdf.columns = [c.lower() for c in pdf.columns]
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,198 @@
+"""End-to-end pipeline test in the reference's invariant style
+(tests/test_initDB.py: stage-ordered checks over 6 fixed stations).
+
+Synthetic weather fixture: 6 stations (ids mirror the reference's test set,
+baseTest.py:30), 10 days of 10-min precipitation with planted QC artifacts
+and holes, daily p_d/t/et series. After each stage the reference's
+invariants are asserted:
+
+- raw: every station present, meta periods match data
+- qc:  no qc value where raw is NULL (test_initDB.py:221-242)
+- filled: no NAs left where any station has base data
+  (test_initDB.py:146-219); filled_by provenance set on filled holes
+- corr: corr only where filled exists (test_initDB.py:447-475)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.broker import Broker
+
+STATIONS = [1224, 1443, 7243, 1346, 684, 757]
+START = dt.datetime(2024, 1, 1)
+N_DAYS = 10
+
+
+def _meta_rows():
+    rows = []
+    for i, stid in enumerate(STATIONS):
+        for para in ("p", "p_d", "t", "et"):
+            rows.append(
+                (stid, para, True, f"st{stid}", 10000.0 * i, 5000.0 * (i % 3),
+                 150 + 200 * i, 9.5 if para == "p" else None)
+            )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    b = Broker(spark, wh)
+
+    meta = spark.createDataFrame(
+        _meta_rows(),
+        "station_id int, parameter string, is_real boolean, stationsname string, "
+        "x_utm double, y_utm double, stationshoehe int, horizon double",
+    )
+
+    ma = spark.createDataFrame(
+        [
+            (stid, para, term,
+             {"p": 800.0, "p_d": 800.0, "t": 9.0, "et": 550.0}[para]
+             + (i * {"p": 30.0, "p_d": 30.0, "t": 0.5, "et": 15.0}[para])
+             * (0.5 if term == "wihy" else 1.0))
+            for i, stid in enumerate(STATIONS)
+            for para in ("p", "p_d", "t", "et")
+            for term in (("wihy", "suhy", "year") if para in ("p", "p_d") else ("year",))
+        ],
+        "station_id int, parameter string, term string, value double",
+    )
+
+    # 10-min precipitation with planted artifacts
+    grid = spark.range(N_DAYS * 144).select(
+        (F.lit(START.isoformat()).cast("timestamp")
+         + F.col("id") * F.expr("INTERVAL 10 MINUTES")).alias("timestamp"),
+        F.col("id").alias("slot"),
+    )
+    stations = spark.createDataFrame([(s,) for s in STATIONS], "station_id int")
+    ts_p = stations.crossJoin(grid).select(
+        "station_id",
+        "timestamp",
+        F.when((F.col("slot") % 700).isin(13, 14, 15)
+               & (F.col("station_id") == 1224), 0.5)          # 3-run (qc fail)
+        .when((F.col("slot") % 500 == 99) & (F.col("station_id") == 1443), 9.0)
+        .when(F.col("slot") % 450 == 7, None)                  # isolated hole
+        .when((F.col("station_id") == 757) & (F.col("slot") % 144 < 6), None)
+        .when(F.col("slot") % 7 == 0,
+              F.round((F.col("slot") % 13) * 0.1, 1))
+        .otherwise(0.0)
+        .alias("raw"),
+        F.lit(1).cast("short").alias("qn"),
+    )
+
+    day_grid = spark.range(N_DAYS).select(
+        (F.lit(START.isoformat()).cast("timestamp")
+         + F.col("id") * F.expr("INTERVAL 1 DAY")).alias("timestamp"),
+        F.col("id").alias("d"),
+    )
+    base_daily = stations.crossJoin(day_grid)
+    ts_p_d = base_daily.select(
+        "station_id", "timestamp",
+        F.when(F.col("d") % 5 == 3, None)
+        .otherwise(F.round(F.col("d") * 1.5 + F.col("station_id") % 7, 1))
+        .alias("raw"),
+    )
+    ts_t = base_daily.select(
+        "station_id", "timestamp",
+        F.when((F.col("d") % 4 == 1) & (F.col("station_id") == 684), None)
+        .otherwise(F.round(F.col("d") * 0.3 + (F.col("station_id") % 5) - 2.0, 1))
+        .alias("raw"),
+    ).withColumn("raw_min", F.col("raw") - 2.0).withColumn(
+        "raw_max", F.col("raw") + 2.0
+    )
+    ts_et = base_daily.select(
+        "station_id", "timestamp",
+        F.when((F.col("d") % 6 == 2) & (F.col("station_id") == 1346), None)
+        .otherwise(F.round(F.col("d") * 0.2 + (F.col("station_id") % 3), 1))
+        .alias("raw"),
+    )
+
+    b.update_db(meta, ma, {"p_d": ts_p_d, "p": ts_p, "t": ts_t, "et": ts_et})
+    return b
+
+
+def test_meta_and_raw(warehouse):
+    meta = warehouse.read("meta")
+    assert meta.count() == len(STATIONS) * 4
+    # richter_class derived from horizon for p rows
+    assert (
+        meta.filter((F.col("parameter") == "p") & F.col("richter_class").isNull()).count()
+        == 0
+    )
+    ts_p = warehouse.read("ts_p")
+    assert ts_p.select("station_id").distinct().count() == len(STATIONS)
+    per_station = ts_p.groupBy("station_id").count().collect()
+    assert all(r["count"] == N_DAYS * 144 for r in per_station)
+
+
+def test_qc_invariants(warehouse):
+    ts_p = warehouse.read("ts_p")
+    # no qc values where raw is NULL (reference _check_vals_where_nas)
+    assert ts_p.filter(F.col("raw").isNull() & F.col("qc").isNotNull()).count() == 0
+    # planted 3-run rows at station 1224 must be nulled
+    slot = (
+        F.unix_timestamp("timestamp") - F.unix_timestamp(F.lit(START.isoformat()).cast("timestamp"))
+    ) / 600
+    runs = ts_p.filter(
+        (F.col("station_id") == 1224)
+        & (slot % 700).isin(13, 14, 15)
+        & F.col("qc").isNotNull()
+    )
+    assert runs.count() == 0
+    # qc dropped some but not all rows
+    n_raw = ts_p.filter(F.col("raw").isNotNull()).count()
+    n_qc = ts_p.filter(F.col("qc").isNotNull()).count()
+    assert 0 < n_qc <= n_raw
+    for t in ("ts_t", "ts_et"):
+        df = warehouse.read(t)
+        assert df.filter(F.col("raw").isNull() & F.col("qc").isNotNull()).count() == 0
+
+
+def test_fillup_invariants(warehouse):
+    for t, by_arr in (("ts_p", False), ("ts_p_d", False), ("ts_t", True), ("ts_et", False)):
+        df = warehouse.read(t)
+        base = "raw" if t == "ts_p_d" else "qc"
+        # filled covers every timestamp where some station has base data
+        ts_with_data = df.filter(F.col(base).isNotNull()).select("timestamp").distinct()
+        holes = (
+            df.join(ts_with_data, "timestamp")
+            .filter(F.col("filled").isNull())
+        )
+        assert holes.count() == 0, f"{t}: unfilled holes remain"
+        # provenance: filled holes carry filled_by
+        filled_holes = df.filter(F.col(base).isNull() & F.col("filled").isNotNull())
+        missing_prov = filled_holes.filter(F.col("filled_by").isNull())
+        # interpolated rows carry -1 (scalar) — arrays (t) have no marker
+        if not by_arr:
+            assert missing_prov.count() == 0, f"{t}: filled_by missing"
+
+
+def test_richter_invariants(warehouse):
+    ts_p = warehouse.read("ts_p")
+    # corr exists wherever filled exists (test_initDB.py:447-475)
+    assert ts_p.filter(F.col("filled").isNotNull() & F.col("corr").isNull()).count() == 0
+    # correction only increases wet intervals: corr >= filled where filled > 0
+    bad = ts_p.filter((F.col("filled") > 0) & (F.col("corr") < F.col("filled")))
+    assert bad.count() == 0
+    # dry intervals unchanged
+    same = ts_p.filter((F.col("filled") == 0) & (F.col("corr") != 0))
+    assert same.count() == 0
+
+
+def test_pipeline_state_watermarks(warehouse):
+    state = warehouse.state()
+    stages = {
+        (r["parameter"], r["stage"]) for r in state.collect()
+    }
+    assert ("p", "raw") in stages
+    assert ("p", "qc") in stages
+    assert ("p", "filled") in stages
+    assert ("p", "corr") in stages
+    assert ("t", "filled") in stages
+    # watermarks span the fixture period
+    p_raw = state.filter((F.col("parameter") == "p") & (F.col("stage") == "raw")).first()
+    assert p_raw["watermark_from"].startswith("2024-01-01")

@@ -1,0 +1,285 @@
+"""Broker — the maintenance-pipeline orchestrator (reference
+weatherdb/broker.py:514-545, cli entry cli.py:160-164).
+
+The reference loops four ``Stations*`` collections, dispatching per-station
+SQL through a process pool; each stage flips ``last_imp_*`` flags in meta.
+Spark-first: every stage is ONE DataFrame job over the tall fact table of a
+parameter — the per-station parallel loop is the partitioning, the flags
+become a ``pipeline_state`` watermark table
+(models.py:100-110, StationBases.py:969-1018).
+
+Storage is a parquet warehouse directory::
+
+    warehouse/
+      meta/            station dim (one row per station+parameter)
+      ts_p/ ts_p_d/ ts_t/ ts_et/     tall fact tables
+      station_ma_raster/             multi-annual dim
+      pipeline_state/                stage watermarks
+
+Stage order (broker.py:514-545): update_meta -> update_raw ->
+quality_check (p needs p_d filled first, broker.py:412-442) -> fillup ->
+richter_correct. ``update_db`` runs all of them.
+
+Scale notes: fact tables write partitioned by a station bucket so stage
+jobs shuffle within buckets only; every dim join (meta, MA, kNN, Richter
+params) is broadcast; stage jobs are pure DataFrame pipelines that AQE
+re-plans at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weatherdb_spark.config import PARAMETERS
+from weatherdb_spark.operators.fillup import (
+    daily_adjust_p,
+    interpolate_gaps,
+    median_fill,
+    rank_fill,
+)
+from weatherdb_spark.operators.neighbors import knn_stations
+from weatherdb_spark.operators.qc import qc_et, qc_p, qc_t
+from weatherdb_spark.operators.richter import (
+    richter_class,
+    richter_correct,
+    richter_parameters_df,
+)
+from weatherdb_spark.operators.timeline import expand_timeline
+
+N_STATION_BUCKETS = 16  # partition count for fact-table writes
+
+
+class Broker:
+    """Stage-ordered pipeline over a parquet warehouse."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # ---------------------------------------------------------------- io
+    def path(self, table: str) -> str:
+        return os.path.join(self.dir, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, table: str, df: DataFrame, bucket_by_station: bool = False) -> None:
+        """Write via a temp dir + atomic rename: stage outputs are lazy
+        plans over the same table's current files, so a direct overwrite
+        would delete its own input mid-scan."""
+        if bucket_by_station:
+            df = df.withColumn(
+                "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+            )
+        tmp = self.path(f"_tmp_{table}")
+        w = df.write.mode("overwrite")
+        if bucket_by_station:
+            w = w.partitionBy("station_bucket")
+        w.parquet(tmp)
+        final = self.path(table)
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def _mark(self, parameter: str, stage: str, table: str) -> None:
+        """Record the stage watermark (the processed period) — the engine's
+        form of ``last_imp_*`` flags + ``last_imp_from/until`` meta columns.
+        Reads the freshly written table: stage plans are lazy over the
+        files the write just replaced."""
+        df = self.read(table)
+        lo, hi = df.agg(
+            F.min("timestamp").cast("string"), F.max("timestamp").cast("string")
+        ).first()
+        row = self.spark.createDataFrame(
+            [(parameter, stage, lo, hi, datetime.now(timezone.utc).isoformat())],
+            "parameter string, stage string, watermark_from string, "
+            "watermark_until string, updated_at string",
+        )
+        prev = (
+            self.read("pipeline_state").filter(
+                ~((F.col("parameter") == parameter) & (F.col("stage") == stage))
+            )
+            if self.exists("pipeline_state")
+            else None
+        )
+        out = prev.unionByName(row) if prev is not None else row
+        out.toPandas().to_parquet(
+            os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
+        )
+
+    def _ensure_dir(self, table: str) -> str:
+        p = self.path(table)
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    def state(self) -> DataFrame:
+        return self.read("pipeline_state")
+
+    # ------------------------------------------------------------- stages
+    def update_meta(self, meta: DataFrame) -> None:
+        """S5 — (re)write the station dim; derives richter_class from the
+        horizon column when present (update_richter_class,
+        StationP.py:450-484)."""
+        if "horizon" in meta.columns:
+            meta = meta.withColumn("richter_class", richter_class(F.col("horizon")))
+        self.write("meta", meta)
+
+    def update_ma_raster(self, ma: DataFrame) -> None:
+        """S7 stub — the multi-annual raster dim arrives pre-sampled
+        (station_id, parameter, term, value)."""
+        self.write("station_ma_raster", ma)
+
+    def update_raw(self, parameter: str, raw: DataFrame) -> None:
+        """Load a raw fact table (post-ingest: sources.dwd.ingest_p_raw or
+        equivalent). Expands the timeline so every grid timestamp exists
+        (S6) and maintains meta raw periods."""
+        cfg = PARAMETERS[parameter]
+        interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"
+        expanded = expand_timeline(
+            raw, interval=interval, group_cols=("station_id",), min_date=None
+        )
+        self.write(f"ts_{parameter}", expanded, bucket_by_station=True)
+        self._mark(parameter, "raw", f"ts_{parameter}")
+
+    def _ma_values(self, parameter: str, term: str = "year") -> DataFrame:
+        return (
+            self.read("station_ma_raster")
+            .filter((F.col("parameter") == parameter) & (F.col("term") == term))
+            .select("station_id", "value")
+        )
+
+    def _ma_seasonal(self, parameter: str) -> DataFrame:
+        return (
+            self.read("station_ma_raster")
+            .filter((F.col("parameter") == parameter) & F.col("term").isin("wihy", "suhy"))
+            .select("station_id", "term", "value")
+        )
+
+    def _knn(self, parameter: str, k: int = 5) -> DataFrame:
+        cfg = PARAMETERS[parameter]
+        meta = self.read("meta").filter(F.col("parameter") == parameter)
+        return knn_stations(
+            meta,
+            k=k,
+            max_dist_m=cfg["max_fillup_dist_km"] * 1000,
+            elevation_weighted=parameter in ("t", "et"),
+        )
+
+    def quality_check(self) -> None:
+        """QC stage: p via window/daily rules, t/et via neighbor median
+        (broker.py:412-442 runs p_d fillup first so the daily comparison
+        has data; here ts_p_d raw is the comparison column)."""
+        ts_p = self.read("ts_p")
+        ts_p_d = self.read("ts_p_d")
+        out_p = qc_p(ts_p, ts_p_d)
+        self.write("ts_p", out_p, bucket_by_station=True)
+        self._mark("p", "qc", "ts_p")
+
+        meta = self.read("meta")
+        out_t = qc_t(
+            self.read("ts_t"), self._knn("t"), self._ma_values("t"),
+            meta.filter(F.col("parameter") == "t"),
+        )
+        self.write("ts_t", out_t, bucket_by_station=True)
+        self._mark("t", "qc", "ts_t")
+
+        out_et = qc_et(self.read("ts_et"), self._knn("et"), self._ma_values("et"))
+        self.write("ts_et", out_et, bucket_by_station=True)
+        self._mark("et", "qc", "ts_et")
+
+    def fillup(self) -> None:
+        """Fillup stage per parameter (StationBases.py:1346-1669):
+        p_d first (raw base), then p (seasonal coefs + daily adjustment),
+        t (5-donor median incl. min/max), et (multiplicative)."""
+        # p_d: base col raw, multiplicative yearly MA
+        ts_p_d = self.read("ts_p_d")
+        filled_pd = rank_fill(
+            ts_p_d, self._knn("p_d"), self._ma_values("p_d"),
+            coef_sign="mult", base_col="raw", round_digits=2,
+        )
+        self.write("ts_p_d", filled_pd, bucket_by_station=True)
+        self._mark("p_d", "filled", "ts_p_d")
+
+        # p: seasonal (wihy/suhy) multiplicative coefs, interpolation <= 1h,
+        # then scale to the daily measurement
+        ts_p = self.read("ts_p")
+        filled_p = rank_fill(
+            ts_p, self._knn("p"), self._ma_seasonal("p"),
+            coef_sign="mult", base_col="qc", seasonal_ma=True, round_digits=2,
+        )
+        filled_p = interpolate_gaps(filled_p, max_gap=PARAMETERS["p"]["max_gap_interp"])
+        filled_p = daily_adjust_p(filled_p, self.read("ts_p_d")).withColumnRenamed(
+            "corr_base", "filled_adj"
+        )
+        filled_p = filled_p.withColumn("filled", F.coalesce("filled_adj", "filled")).drop(
+            "filled_adj"
+        )
+        self.write("ts_p", filled_p, bucket_by_station=True)
+        self._mark("p", "filled", "ts_p")
+
+        # t: median of 5 nearest donors, additive, min/max in the same pass
+        ts_t = self.read("ts_t")
+        filled_t = median_fill(
+            ts_t, self._knn("t"), self._ma_values("t"),
+            n_donors=PARAMETERS["t"]["fillup_n_donors"],
+            base_col="qc",
+            value_cols=("qc", "raw_min", "raw_max"),
+            out_cols=("filled", "filled_min", "filled_max"),
+        )
+        filled_t = interpolate_gaps(
+            filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],
+            filled_by_col="filled_by_interp",
+        )
+        filled_t = filled_t.drop("filled_by_interp")
+        self.write("ts_t", filled_t, bucket_by_station=True)
+        self._mark("t", "filled", "ts_t")
+
+        # et: multiplicative yearly
+        ts_et = self.read("ts_et")
+        filled_et = rank_fill(
+            ts_et, self._knn("et"), self._ma_values("et"),
+            coef_sign="mult", base_col="qc", round_digits=1,
+        )
+        filled_et = interpolate_gaps(filled_et, max_gap=PARAMETERS["et"]["max_gap_interp"])
+        self.write("ts_et", filled_et, bucket_by_station=True)
+        self._mark("et", "filled", "ts_et")
+
+    def richter_correct_stage(self) -> None:
+        """Richter correction (p only, StationP.py:486-652). Requires the
+        fillup stage (T filled drives the precip type)."""
+        ts_p = self.read("ts_p")
+        ts_t = self.read("ts_t").select("station_id", "timestamp", "filled")
+        meta_p = self.read("meta").filter(F.col("parameter") == "p")
+        out = richter_correct(
+            ts_p, ts_t, meta_p, richter_parameters_df(self.spark)
+        )
+        self.write("ts_p", out, bucket_by_station=True)
+        self._mark("p", "corr", "ts_p")
+
+    def update_db(
+        self,
+        meta: DataFrame,
+        ma: DataFrame,
+        raw: dict[str, DataFrame],
+    ) -> None:
+        """The full pipeline in reference stage order (broker.py:514-545)."""
+        self.update_meta(meta)
+        self.update_ma_raster(ma)
+        for parameter, df in raw.items():
+            self.update_raw(parameter, df)
+        self.quality_check()
+        self.fillup()
+        self.richter_correct_stage()

@@ -202,6 +202,8 @@ def interpolate_gaps(
     ``prev + (next-prev) * (ts-prev_ts)/(next_ts-prev_ts)`` when the
     bracket span <= max_gap.
     """
+    if filled_by_col not in facts.columns:
+        facts = facts.withColumn(filled_by_col, F.lit(None).cast("short"))
     gap_s = {"1 hour": 3600, "2 days": 172800}.get(max_gap)
     if gap_s is None:
         num, unit = max_gap.split()

@@ -75,3 +75,39 @@ def create_ts(
         "duration_s": round(time.time() - t0, 3),
         "out_dir": out_dir,
     }
+
+
+def zip_exports(out_dir: str, zip_path: str) -> dict:
+    """Driver post-step: bundle the per-station export directories into one
+    zip (GroupStations.py:296-451 'zip' option). Returns size telemetry."""
+    import os
+    import zipfile
+
+    n = 0
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(out_dir):
+            for f in sorted(files):
+                if f.endswith(".csv"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, out_dir))
+                    n += 1
+    return {"zip": zip_path, "files": n, "output_size": os.path.getsize(zip_path)}
+
+
+def write_telemetry(spark, telemetry: dict, path: str) -> None:
+    """S11 — append one timing row to the export-telemetry table
+    (needed_download_time, models.py:354-386; writer
+    GroupStations.py:430-445)."""
+    import json
+    import os
+    import time as _t
+
+    os.makedirs(path, exist_ok=True)
+    row = dict(telemetry, ts=_t.time())
+    fname = os.path.join(path, f"telemetry_{int(row['ts'] * 1000)}.json")
+    with open(fname, "w") as fh:
+        json.dump(row, fh)
+
+
+def read_telemetry(spark, path: str) -> DataFrame:
+    return spark.read.json(path)

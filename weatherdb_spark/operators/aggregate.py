@@ -168,3 +168,46 @@ def filled_period(
         .groupBy(*group_cols)
         .agg(F.min(ts_col).alias(f"{kind}_from"), F.max(ts_col).alias(f"{kind}_until"))
     )
+
+
+def adjust_series(
+    df: DataFrame,
+    ma: DataFrame,
+    coef_sign: str = "mult",
+    value_col: str = "filled",
+    ts_col: str = "timestamp",
+    agg_fun: str = "sum",
+    min_count: int = 345,
+    round_digits: int = 2,
+) -> DataFrame:
+    """A7 — ``get_adj``: scale the series so its multi-annual mean equals
+    the station's MA target (StationBases.py:2763-2793, 3094-3122,
+    3136-3184; T additive StationT.py:152-161, ET multiplicative
+    StationET.py:102-111).
+
+    1. yearly ``agg_fun`` of ``value_col`` per station, keeping only years
+       with >= ``min_count`` present values (e.g. 345 days for ET);
+    2. the station's period statistic = mean over qualifying years;
+    3. multiplicative: ``adj = value * ma / period_stat``;
+       additive: ``adj = value + (ma - period_stat)``.
+    Returns df + ``adj`` (NULL where the station has no qualifying year or
+    no MA value). ``ma``: (station_id, value)."""
+    yearly = (
+        df.groupBy("station_id", F.year(ts_col).alias("_y"))
+        .agg(
+            getattr(F, agg_fun)(value_col).alias("_ystat"),
+            F.count(value_col).alias("_n"),
+        )
+        .filter(F.col("_n") >= min_count)
+    )
+    period_stat = yearly.groupBy("station_id").agg(F.avg("_ystat").alias("_pstat"))
+    target = ma.select("station_id", F.col("value").alias("_ma"))
+    dims = period_stat.join(target, "station_id")
+    out = df.join(F.broadcast(dims), "station_id", "left")
+    if coef_sign == "mult":
+        adj = F.col(value_col) * F.col("_ma") / F.col("_pstat")
+    elif coef_sign == "add":
+        adj = F.col(value_col) + (F.col("_ma") - F.col("_pstat"))
+    else:
+        raise ValueError(f"coef_sign {coef_sign!r} not in ('mult', 'add')")
+    return out.withColumn("adj", F.round(adj, round_digits)).drop("_pstat", "_ma")

@@ -1,0 +1,95 @@
+"""TimestampPeriod — the reference's period value object
+(utils/TimestampPeriod.py:5-368), driver-side and Spark-free.
+
+Only the algebra the engine uses: inner/outer union, containment, empty
+checks, and expansion of date-precision bounds to timestamp bounds
+(TimestampPeriod.py:343-350).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional
+
+Bound = Optional[dt.datetime]
+
+
+def _coerce(v) -> Bound:
+    if v is None:
+        return None
+    if isinstance(v, dt.datetime):
+        return v
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        return dt.datetime.fromisoformat(v)
+    raise TypeError(f"cannot interpret {v!r} as a period bound")
+
+
+class TimestampPeriod:
+    """Half-open-agnostic [start, end] period; None = unbounded."""
+
+    def __init__(self, start, end):
+        self.start = _coerce(start)
+        self.end = _coerce(end)
+
+    def is_empty(self) -> bool:
+        return self.start is None and self.end is None
+
+    def has_NaT(self) -> bool:
+        return self.start is None or self.end is None
+
+    def union(self, other: "TimestampPeriod", how: str = "outer") -> "TimestampPeriod":
+        """outer: spanning hull; inner: intersection (empty -> (None, None))
+        (TimestampPeriod.py:67-129)."""
+        a, b = self, other
+        if a.is_empty():
+            return TimestampPeriod(b.start, b.end)
+        if b.is_empty():
+            return TimestampPeriod(a.start, a.end)
+        if how == "outer":
+            start = None if (a.start is None or b.start is None) else min(a.start, b.start)
+            end = None if (a.end is None or b.end is None) else max(a.end, b.end)
+            return TimestampPeriod(start, end)
+        if how == "inner":
+            starts = [x for x in (a.start, b.start) if x is not None]
+            ends = [x for x in (a.end, b.end) if x is not None]
+            start = max(starts) if starts else None
+            end = min(ends) if ends else None
+            if start is not None and end is not None and start > end:
+                return TimestampPeriod(None, None)
+            return TimestampPeriod(start, end)
+        raise ValueError(f"how={how!r} not in ('outer', 'inner')")
+
+    def inside(self, other: "TimestampPeriod") -> bool:
+        """True when self is fully inside other (TimestampPeriod.py:131+)."""
+        lo_ok = other.start is None or (self.start is not None and self.start >= other.start)
+        hi_ok = other.end is None or (self.end is not None and self.end <= other.end)
+        return lo_ok and hi_ok
+
+    def contains(self, other: "TimestampPeriod") -> bool:
+        return other.inside(self)
+
+    def expand_to_timestamp(self) -> "TimestampPeriod":
+        """Date-precision bounds widen to full-day timestamps
+        (TimestampPeriod.py:343-350): end date -> 23:59:59.999999."""
+        end = self.end
+        if end is not None and end.time() == dt.time(0, 0):
+            end = end.replace(hour=23, minute=59, second=59, microsecond=999999)
+        return TimestampPeriod(self.start, end)
+
+    def strftime(self, fmt: str = "%Y-%m-%d %H:%M:%S") -> tuple[str | None, str | None]:
+        return (
+            self.start.strftime(fmt) if self.start else None,
+            self.end.strftime(fmt) if self.end else None,
+        )
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, TimestampPeriod)
+            and self.start == other.start
+            and self.end == other.end
+        )
+
+    def __repr__(self) -> str:
+        return f"TimestampPeriod({self.start!r}, {self.end!r})"

@@ -1,0 +1,188 @@
+"""Station / Stations / GroupStation facade — the reference's user API
+re-expressed over the Broker warehouse.
+
+Reference surface (weatherdb/station/StationBases.py:2463-2761,
+stations/StationsBase.py:988-1034, stations/GroupStation.py:135-236):
+``StationP(3).get_df(kinds=..., period=..., agg_to=...)``, the
+``get_raw/get_qc/get_filled/get_corr`` wrappers, ``get_period_meta``,
+``count_holes``, ``get_adj``, ``get_dist``; collection-level ``get_df``
+pivots; grouped CSV export.
+
+Everything returns DataFrames; filters push into the parquet scan
+(partition pruning on the station bucket + min/max row-group skipping on
+station_id/timestamp), so a single-station read from a 100 TB warehouse
+touches one bucket's files only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weatherdb_spark.api import get_df
+from weatherdb_spark.broker import Broker
+from weatherdb_spark.config import PARAMETERS
+from weatherdb_spark.operators.aggregate import (
+    adjust_series,
+    filled_period,
+    hole_census,
+)
+from weatherdb_spark.operators.export import create_ts as _create_ts
+from weatherdb_spark.period import TimestampPeriod
+
+
+class Station:
+    """One station of one parameter (reference StationBases.StationBase)."""
+
+    def __init__(self, broker: Broker, stid: int, parameter: str):
+        if parameter not in PARAMETERS:
+            raise ValueError(f"parameter {parameter!r} not in {sorted(PARAMETERS)}")
+        self.broker = broker
+        self.id = stid
+        self.parameter = parameter
+
+    @property
+    def _ts(self) -> DataFrame:
+        return self.broker.read(f"ts_{self.parameter}")
+
+    def get_df(
+        self,
+        kinds: Sequence[str] = ("best",),
+        period: tuple = (None, None),
+        agg_to: str | None = None,
+        **kw,
+    ) -> DataFrame:
+        return get_df(
+            self._ts, self.parameter, kinds=kinds, period=period,
+            agg_to=agg_to, stids=[self.id], **kw,
+        )
+
+    # kind wrappers (StationBases.py:2651-2761, StationP.py:748-752)
+    def get_raw(self, **kw) -> DataFrame:
+        return self.get_df(kinds=("raw",), **kw)
+
+    def get_qc(self, **kw) -> DataFrame:
+        return self.get_df(kinds=("qc",), **kw)
+
+    def get_filled(self, **kw) -> DataFrame:
+        return self.get_df(kinds=("filled",), **kw)
+
+    def get_corr(self, **kw) -> DataFrame:
+        return self.get_df(kinds=("corr",), **kw)
+
+    def get_period_meta(self, kind: str = "raw") -> TimestampPeriod:
+        """A8 — the station's (kind_from, kind_until) period."""
+        row = (
+            filled_period(self._ts.filter(F.col("station_id") == self.id), kind=kind)
+            .first()
+        )
+        if row is None:
+            return TimestampPeriod(None, None)
+        return TimestampPeriod(row[f"{kind}_from"], row[f"{kind}_until"])
+
+    def count_holes(
+        self, gap_thresholds: Sequence[str] = ("2 weeks", "4 weeks"), kind: str = "raw"
+    ) -> DataFrame:
+        """A5 — gaps >= each threshold (StationBases.py:1981-2029)."""
+        return hole_census(
+            self._ts.filter(F.col("station_id") == self.id),
+            gap_thresholds=gap_thresholds,
+            value_col=kind,
+        )
+
+    def get_adj(self, kind: str = "filled", **kw) -> DataFrame:
+        """A7 — the MA-adjusted series (StationBases.py:2763-2793)."""
+        cfg = PARAMETERS[self.parameter]
+        ma = self.broker._ma_values(self.parameter)
+        return adjust_series(
+            self._ts.filter(F.col("station_id") == self.id),
+            ma,
+            coef_sign=cfg["coef_sign"],
+            value_col=kind,
+            agg_fun=cfg["agg_fun"],
+            **kw,
+        )
+
+    def get_dist(self, kind: str = "filled_by") -> DataFrame:
+        """J9 — rows with the donor station's distance joined on
+        ``filled_by`` (StationBases.py:2700-2761)."""
+        knn = self.broker._knn(self.parameter)
+        dist = knn.select(
+            "station_id",
+            F.col("nb_station_id").alias(kind),
+            "dist_m",
+        )
+        own = self._ts.filter(F.col("station_id") == self.id)
+        return own.join(F.broadcast(dist), ["station_id", kind], "left")
+
+
+class Stations:
+    """Collection API (reference stations/StationsBase.py)."""
+
+    def __init__(self, broker: Broker, parameter: str):
+        self.broker = broker
+        self.parameter = parameter
+
+    def get_meta(self, only_real: bool = True) -> DataFrame:
+        meta = self.broker.read("meta").filter(F.col("parameter") == self.parameter)
+        if only_real and "is_real" in meta.columns:
+            meta = meta.filter(F.col("is_real"))
+        return meta
+
+    def get_df(
+        self,
+        stids: Sequence[int] | None = None,
+        kind: str = "best",
+        period: tuple = (None, None),
+        agg_to: str | None = None,
+    ) -> DataFrame:
+        """Multi-station read, pivoted wide: one column per station
+        (StationsBase.py:988-1034 concat with MultiIndex columns -> here a
+        pivot on station_id)."""
+        tall = get_df(
+            self.broker.read(f"ts_{self.parameter}"),
+            self.parameter,
+            kinds=(kind,),
+            period=period,
+            agg_to=agg_to,
+            stids=list(stids) if stids is not None else None,
+        )
+        kind_col = [c for c in tall.columns if c not in ("station_id", "timestamp")][0]
+        pivoted = (
+            tall.groupBy("timestamp")
+            .pivot("station_id", values=[str(s) for s in stids] if stids else None)
+            .agg(F.first(kind_col))
+        )
+        return pivoted.orderBy("timestamp")
+
+
+class GroupStation:
+    """All parameters of one station location + the create_ts export
+    (reference stations/GroupStation.py)."""
+
+    def __init__(self, broker: Broker, stid: int):
+        self.broker = broker
+        self.id = stid
+
+    def create_ts(
+        self,
+        out_dir: str,
+        parameters: Sequence[str] = ("p", "t", "et"),
+        kind: str = "best",
+        split_date: bool = True,
+    ) -> dict:
+        tele = {}
+        for para in parameters:
+            st = Station(self.broker, self.id, para)
+            df = st.get_df(kinds=(kind,))
+            value_col = [c for c in df.columns if c not in ("station_id", "timestamp")][0]
+            tele[para] = _create_ts(
+                df,
+                f"{out_dir}/{para}",
+                value_cols=(value_col,),
+                split=split_date,
+                granularity=5 if para == "p" else 3,
+            )
+        return tele

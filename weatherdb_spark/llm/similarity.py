@@ -101,6 +101,81 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (proj >= 0).cast("int")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_cells`` cells; each query scans only its
+    ``n_probe`` nearest cells.
+
+    The 100 TB shape: centroids train on a sample, the corpus shuffles
+    once on cell id (building the inverted file), and query cost drops by
+    ~n_cells/n_probe versus brute force. Deterministic via fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corp = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(corp.select("_feat"))
+    corp = model.transform(corp).drop("_feat")
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = corp.sparkSession.createDataFrame(
+        centers, "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # per query: distance to every centroid, keep the n_probe nearest cells
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "_cdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"), F.col("centroid"),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("_cdist").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("_crank") <= n_probe)
+        .select("query_id", "_qv", F.col("cell").alias("_cell"))
+    )
+    scored = (
+        corp.join(F.broadcast(q_cells), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -207,6 +207,86 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction: cell probing changes results
+    doc="IVF ANN: KMeans coarse quantizer -> inverted file on cell id -> "
+        "n_probe-cell scan per query (rows-only check; approximation has "
+        "no SQL twin).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@_register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+        SELECT t.doc_id, b.i,
+               sum(((({_H_TOK}) >> b.i::INT) % 2) * 2 - 1) AS s
+        FROM toks t CROSS JOIN (SELECT unnest(range(0, 32)) AS i) b
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY 1
+    ),
+    bk AS (SELECT doc_id, simhash, simhash >> 24 AS bucket FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-dup pairs: hamming distance <= 6 within top-8-bit "
+        "prefix buckets — the per-bucket join is the linear-scale path.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import simhash_pairs
+
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=6, bits=32, prefix_bits=8
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@_register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- DuckDB has no BLOB substring: chunk the hex encoding (2 chars/byte)
+    WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS ph FROM documents),
+    f AS (
+        SELECT doc_id, ph,
+               unnest(range(0, CAST(ceil(length(ph) / 128.0) AS INT))) AS frame_no
+        FROM p
+    )
+    SELECT doc_id, frame_no,
+           length(substring(ph, CAST(frame_no * 128 + 1 AS INT), 128)) // 2 AS n_bytes,
+           substring(ph, CAST(frame_no * 128 + 1 AS INT), 128) AS frame_hex
+    FROM f
+    """,
+    doc="Multimodal frame sampling plumbing: binary payload -> fixed-size "
+        "frame chunks keyed (doc_id, frame_no) — the per-keyframe explode "
+        "pattern of a video pipeline (frames hex'd for the oracle compare).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.multimodal import attach_binary_payload, frame_sample
+
+    docs = load(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary_payload(docs), every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.upper(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+@_register(
     "ann_lsh_topk",
     oracle=None,  # approximate by construction: bucketing changes results
     doc="Random-hyperplane LSH-bucketed cosine top-k — the 100 TB scale "

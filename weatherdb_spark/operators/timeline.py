@@ -22,6 +22,23 @@ from pyspark.sql import functions as F
 
 from weatherdb_spark.config import MIN_DATE
 
+_UNIT_SECONDS = {
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Fixed-duration interval literal -> seconds. Calendar units (month,
+    year) have no fixed duration and are rejected — the engine's grids are
+    10-minute and daily (station/constants.py:4-19)."""
+    num, unit = interval.split()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"interval {interval!r}: only fixed-duration units supported")
+    return int(num) * _UNIT_SECONDS[unit]
+
 
 def expand_timeline(
     df: DataFrame,
@@ -45,11 +62,36 @@ def expand_timeline(
     end_c = F.lit(end).cast("timestamp") if end else F.col("_end")
     if min_date:
         start_c = F.greatest(start_c, F.lit(min_date).cast("timestamp"))
-    grid = bounds.select(
+    # Two-level explode: one sequence() per station would materialize a
+    # multi-decade 10-min grid (~1.3M timestamps) as a single in-row array —
+    # a memory and skew hazard at scale. Chunk indices explode first (tiny
+    # arrays), then each (station, chunk) row generates at most CHUNK grid
+    # points — same phase-exact grid ``start + k * step``, bounded memory,
+    # and the rows of one station spread over many tasks.
+    step_s = _interval_seconds(interval)
+    chunk = 50_000
+    bounds = bounds.select(*group_cols, start_c.alias("_start"), end_c.alias("_end"))
+    n_steps = F.floor(
+        (F.unix_timestamp("_end") - F.unix_timestamp("_start")) / step_s
+    )  # k ranges 0..n_steps inclusive
+    chunks = bounds.select(
         *group_cols,
-        F.explode(
-            F.sequence(start_c, end_c, F.expr(f"INTERVAL {interval}"))
-        ).alias(ts_col),
+        "_start",
+        n_steps.alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.floor(n_steps / chunk))).alias("_c"),
+    )
+    k = F.explode(
+        F.sequence(
+            F.col("_c") * chunk,
+            F.least(F.col("_c") * chunk + (chunk - 1), F.col("_n")),
+        )
+    ).alias("_k")
+    ts_type = dict(df.dtypes)[ts_col]  # keep the caller's timestamp/date type
+    grid = chunks.select(*group_cols, "_start", k).select(
+        *group_cols,
+        F.timestamp_seconds(F.unix_timestamp("_start") + F.col("_k") * step_s)
+        .cast(ts_type)
+        .alias(ts_col),
     )
     out = grid.join(df, on=[*group_cols, ts_col], how="left")
     if min_date:

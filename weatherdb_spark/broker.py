@@ -182,23 +182,23 @@ class Broker:
         """QC stage: p via window/daily rules, t/et via neighbor median
         (broker.py:412-442 runs p_d fillup first so the daily comparison
         has data; here ts_p_d raw is the comparison column)."""
-        ts_p = self.read("ts_p")
-        ts_p_d = self.read("ts_p_d")
-        out_p = qc_p(ts_p, ts_p_d)
-        self.write("ts_p", out_p, bucket_by_station=True)
-        self._mark("p", "qc", "ts_p")
+        if self.exists("ts_p"):
+            out_p = qc_p(self.read("ts_p"), self.read("ts_p_d"))
+            self.write("ts_p", out_p, bucket_by_station=True)
+            self._mark("p", "qc", "ts_p")
 
-        meta = self.read("meta")
-        out_t = qc_t(
-            self.read("ts_t"), self._knn("t"), self._ma_values("t"),
-            meta.filter(F.col("parameter") == "t"),
-        )
-        self.write("ts_t", out_t, bucket_by_station=True)
-        self._mark("t", "qc", "ts_t")
+        if self.exists("ts_t"):
+            out_t = qc_t(
+                self.read("ts_t"), self._knn("t"), self._ma_values("t"),
+                self.read("meta").filter(F.col("parameter") == "t"),
+            )
+            self.write("ts_t", out_t, bucket_by_station=True)
+            self._mark("t", "qc", "ts_t")
 
-        out_et = qc_et(self.read("ts_et"), self._knn("et"), self._ma_values("et"))
-        self.write("ts_et", out_et, bucket_by_station=True)
-        self._mark("et", "qc", "ts_et")
+        if self.exists("ts_et"):
+            out_et = qc_et(self.read("ts_et"), self._knn("et"), self._ma_values("et"))
+            self.write("ts_et", out_et, bucket_by_station=True)
+            self._mark("et", "qc", "ts_et")
 
     def fillup(self) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
@@ -283,3 +283,99 @@ class Broker:
         self.quality_check()
         self.fillup()
         self.richter_correct_stage()
+
+    # -------------------------------------------------- incremental path
+    def append_raw(self, parameter: str, new_raw: DataFrame) -> None:
+        """Incremental raw import (reference last-import semantics:
+        StationBases.py:969-1018 window bookkeeping; merge = S4 upsert).
+        New rows merge into the fact table by (station_id, timestamp); the
+        imported period lands in the ``last_imp`` watermark, which the
+        incremental stages below consume (the reference's
+        ``last_imp_from/until`` meta columns)."""
+        from weatherdb_spark.sinks.merge import merge_upsert
+
+        table = f"ts_{parameter}"
+        if not self.exists(table):
+            self.update_raw(parameter, new_raw)
+            lo, hi = new_raw.agg(F.min("timestamp"), F.max("timestamp")).first()
+        else:
+            cur = self.read(table).drop("station_bucket")
+            value_cols = [c for c in new_raw.columns
+                          if c not in ("station_id", "timestamp")]
+            merged = merge_upsert(
+                cur, new_raw, keys=["station_id", "timestamp"],
+                value_cols=value_cols,
+            ).drop("_merge_action")
+            cfg = PARAMETERS[parameter]
+            interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"
+            expanded = expand_timeline(
+                merged, interval=interval, group_cols=("station_id",), min_date=None
+            )
+            self.write(table, expanded, bucket_by_station=True)
+            lo, hi = new_raw.agg(F.min("timestamp"), F.max("timestamp")).first()
+        row = self.spark.createDataFrame(
+            [(parameter, "last_imp", str(lo), str(hi),
+              datetime.now(timezone.utc).isoformat())],
+            "parameter string, stage string, watermark_from string, "
+            "watermark_until string, updated_at string",
+        )
+        prev = (
+            self.read("pipeline_state").filter(
+                ~((F.col("parameter") == parameter) & (F.col("stage") == "last_imp"))
+            )
+            if self.exists("pipeline_state")
+            else None
+        )
+        out = prev.unionByName(row) if prev is not None else row
+        out.toPandas().to_parquet(
+            os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
+        )
+
+    def last_imp(self, parameter: str) -> tuple[str, str] | None:
+        """The pending import window, or None."""
+        if not self.exists("pipeline_state"):
+            return None
+        r = (
+            self.state()
+            .filter((F.col("parameter") == parameter) & (F.col("stage") == "last_imp"))
+            .first()
+        )
+        return (r["watermark_from"], r["watermark_until"]) if r else None
+
+    def _merge_stage_cols(
+        self, table: str, updated: DataFrame, cols: list[str]
+    ) -> None:
+        """Merge recomputed stage columns for a window back into the full
+        table (change-detection merge, the IS DISTINCT FROM guard)."""
+        from weatherdb_spark.sinks.merge import merge_upsert
+
+        cur = self.read(table).drop("station_bucket")
+        upd = updated.select("station_id", "timestamp", *cols)
+        merged = merge_upsert(
+            cur, upd, keys=["station_id", "timestamp"], value_cols=cols
+        ).drop("_merge_action")
+        self.write(table, merged, bucket_by_station=True)
+
+    def last_imp_quality_check(self, margin: str = "2 days") -> None:
+        """Incremental QC (broker.py:412-442): recompute qc only inside the
+        last-import window, widened by ``margin`` so window/daily rules see
+        full context, then merge the qc column back."""
+        for parameter in ("p", "t", "et"):
+            window = self.last_imp(parameter)
+            if window is None or not self.exists(f"ts_{parameter}"):
+                continue
+            lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
+            hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
+            table = f"ts_{parameter}"
+            part = self.read(table).filter(F.col("timestamp").between(lo, hi))
+            if parameter == "p":
+                out = qc_p(part, self.read("ts_p_d"))
+            elif parameter == "t":
+                out = qc_t(
+                    part, self._knn("t"), self._ma_values("t"),
+                    self.read("meta").filter(F.col("parameter") == "t"),
+                )
+            else:
+                out = qc_et(part, self._knn("et"), self._ma_values("et"))
+            self._merge_stage_cols(table, out, ["qc"])
+            self._mark(parameter, "qc", table)

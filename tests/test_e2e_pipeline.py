@@ -183,6 +183,51 @@ def test_richter_invariants(warehouse):
     assert same.count() == 0
 
 
+def test_ma_timeserie_stage(warehouse):
+    # one fixture day fails QC fleet-wide, putting filled coverage at
+    # exactly 0.9 — the reference gate is strict > 0.9, so relax it here
+    warehouse.update_ma_timeserie("p", kinds=("raw", "filled"), coverage=0.8)
+    ma = warehouse.read("station_ma_timeserie")
+    assert ma.filter(F.col("kind") == "filled").count() == len(STATIONS)
+    # gap-scaled yearly MA present and positive for both kinds (raw and
+    # filled differ legitimately: the QC-dropped day's sums count only in
+    # raw's gap-scaled total)
+    assert ma.filter(F.col("value").isNull() | (F.col("value") <= 0)).count() == 0
+
+
+def test_quotient_views(warehouse, spark):
+    warehouse.update_ma_timeserie("p", kinds=("raw", "filled"), coverage=0.8)
+    warehouse.register_quotient_views()
+    qr = spark.sql(
+        "SELECT * FROM ma_quotient_raster WHERE parameter = 'p' AND kind = 'filled'"
+    )
+    assert qr.count() == len(STATIONS)
+    assert qr.filter(F.col("quotient").isNull()).count() == 0
+    qk = spark.sql(
+        "SELECT * FROM ma_quotient_kinds "
+        "WHERE kind_num = 'filled' AND kind_den = 'raw' AND parameter = 'p'"
+    )
+    assert qk.count() == len(STATIONS)
+    assert qk.filter(F.col("quotient").isNull() | (F.col("quotient") <= 0)).count() == 0
+
+
+def test_virtual_stations(warehouse):
+    meta_before = warehouse.read("meta")
+    n_t = meta_before.filter(F.col("parameter") == "t").count()
+    # drop one t row to create a missing location, then materialize
+    trimmed = meta_before.filter(
+        ~((F.col("parameter") == "t") & (F.col("station_id") == STATIONS[0]))
+    )
+    warehouse.write("meta", trimmed)
+    warehouse.create_virtual_stations("t")
+    meta = warehouse.read("meta")
+    assert meta.filter(F.col("parameter") == "t").count() == n_t
+    v = meta.filter(
+        (F.col("parameter") == "t") & (F.col("station_id") == STATIONS[0])
+    ).first()
+    assert v["is_real"] is False
+
+
 def test_pipeline_state_watermarks(warehouse):
     state = warehouse.state()
     stages = {

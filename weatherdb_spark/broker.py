@@ -356,6 +356,96 @@ class Broker:
         ).drop("_merge_action")
         self.write(table, merged, bucket_by_station=True)
 
+    def update_ma_timeserie(
+        self,
+        parameter: str,
+        kinds: tuple[str, ...] = ("raw", "qc", "filled"),
+        coverage: float | None = None,
+    ) -> None:
+        """A2 — per-station multi-annual values of the station's own
+        timeserie, upserted into ``station_ma_timeserie``
+        (StationBases.py:940-958, models.py:302-321). ``coverage``
+        overrides the strict > 0.9 yearly gate."""
+        from weatherdb_spark.config import MA_COVERAGE_GATE
+        from weatherdb_spark.operators.aggregate import yearly_ma
+        from weatherdb_spark.sinks.merge import merge_upsert
+
+        cfg = PARAMETERS[parameter]
+        ts = self.read(f"ts_{parameter}")
+        kinds = tuple(k for k in kinds if k in ts.columns)
+        ma = yearly_ma(
+            ts, kinds=list(kinds), agg_fun=cfg["agg_fun"],
+            coverage=MA_COVERAGE_GATE if coverage is None else coverage,
+        )
+        tall = None
+        for k in kinds:
+            part = ma.select(
+                "station_id",
+                F.lit(parameter).alias("parameter"),
+                F.lit(k).alias("kind"),
+                F.round(F.col(k), 2).alias("value"),
+            )
+            tall = part if tall is None else tall.unionByName(part)
+        if self.exists("station_ma_timeserie"):
+            cur = self.read("station_ma_timeserie")
+            merged = merge_upsert(
+                cur, tall, keys=["station_id", "parameter", "kind"],
+                value_cols=["value"],
+            ).drop("_merge_action")
+        else:
+            merged = tall
+        self.write("station_ma_timeserie", merged)
+
+    def register_quotient_views(self) -> None:
+        """J10 — the MA quotient views (db/views.py:77-165):
+
+        - ``ma_quotient_raster``: station_ma_timeserie / station_ma_raster
+          (term = 'year') per (station, parameter, kind);
+        - ``ma_quotient_kinds``: kind/kind quotient from a self-join of
+          station_ma_timeserie on (station, parameter).
+        Registered as temp views for ``spark.sql`` access."""
+        ma_ts = self.read("station_ma_timeserie")
+        ma_raster = self.read("station_ma_raster").filter(F.col("term") == "year")
+        raster_vals = ma_raster.select(
+            "station_id", "parameter", F.col("value").alias("_raster_value")
+        )
+        (
+            ma_ts.join(raster_vals, ["station_id", "parameter"])
+            .select(
+                "station_id", "parameter", "kind",
+                F.round(F.col("value") / F.col("_raster_value"), 4).alias("quotient"),
+            )
+            .createOrReplaceTempView("ma_quotient_raster")
+        )
+        a = ma_ts.select("station_id", "parameter", F.col("kind").alias("kind_num"),
+                         F.col("value").alias("_num"))
+        b = ma_ts.select("station_id", "parameter", F.col("kind").alias("kind_den"),
+                         F.col("value").alias("_den"))
+        (
+            a.join(b, ["station_id", "parameter"])
+            .filter(F.col("kind_num") != F.col("kind_den"))
+            .select(
+                "station_id", "parameter", "kind_num", "kind_den",
+                F.round(F.col("_num") / F.col("_den"), 4).alias("quotient"),
+            )
+            .createOrReplaceTempView("ma_quotient_kinds")
+        )
+
+    def create_virtual_stations(self, parameter: str) -> None:
+        """J12 — materialize virtual T/ET/PD stations at every P location
+        that has no station of ``parameter`` yet
+        (StationBases.py:2868-2885, StationsBaseTET.py:15-30): left-anti
+        join meta_p against meta_<parameter>, union with is_real = false."""
+        meta = self.read("meta")
+        meta_p = meta.filter(F.col("parameter") == "p")
+        have = meta.filter(F.col("parameter") == parameter).select("station_id")
+        virtual = (
+            meta_p.join(have, "station_id", "left_anti")
+            .withColumn("parameter", F.lit(parameter))
+            .withColumn("is_real", F.lit(False))
+        )
+        self.write("meta", meta.unionByName(virtual))
+
     def last_imp_quality_check(self, margin: str = "2 days") -> None:
         """Incremental QC (broker.py:412-442): recompute qc only inside the
         last-import window, widened by ``margin`` so window/daily rules see

@@ -69,6 +69,62 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction plumbing: binary payload -> fixed-dim float
+    embedding via mapInPandas. The featurizer is a deterministic fake
+    (byte-value histogram, L2-normalized); real deployments swap in a
+    model forward pass — batch shape and Arrow transfer are identical."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype("float32")
+                norm = float(np.linalg.norm(hist)) or 1.0
+                embs.append((hist / norm).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "embedding": embs})
+
+    return df.mapInPandas(_feat, FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing: payload -> fixed-size payload via mapInPandas. The
+    resampler is a deterministic fake (byte subsample/pad to width*height);
+    real deployments swap in PIL/cv2 — schema and batching are real."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                step = max(1, len(raw) // n)
+                resized = raw[::step][:n].ljust(n, b"\x00")
+                out.append(resized)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": width, "height": height, "payload": out,
+            })
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: split a binary payload into fixed-size
     chunks with (doc_id, frame_no) keys — the explode pattern a video

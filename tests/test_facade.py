@@ -116,6 +116,27 @@ def test_group_station_export(mini_broker, tmp_path):
     assert tele["p"]["quantity"] == 1
 
 
+def test_group_stations_validate_and_joint_period(mini_broker, tmp_path):
+    from weatherdb_spark.station import GroupStations
+
+    gs = GroupStations(mini_broker)
+    with pytest.raises(ValueError):
+        gs.get_valid_stids([1, 99])
+    per = gs.joint_period([1, 2, 3], kind="raw")
+    assert per.start == dt.datetime(2024, 1, 1)
+    tele = gs.create_ts([1, 2], str(tmp_path / "grp"), parameters=("p",), kind="raw")
+    assert set(tele) == {1, 2}
+
+
+def test_get_quotient(mini_broker, spark):
+    from weatherdb_spark.station import get_quotient
+
+    mini_broker.update_ma_timeserie("p", kinds=("raw", "filled"), coverage=0.0)
+    q = get_quotient(mini_broker, parameters=("p",), kinds=("filled",), which="raster")
+    assert q.count() == 3
+    assert q.filter(F.col("quotient").isNull()).count() == 0
+
+
 # -------------------------------------------------------------- plan quality
 
 def test_get_df_pushdown(mini_broker):

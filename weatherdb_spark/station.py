@@ -158,6 +158,69 @@ class Stations:
         return pivoted.orderBy("timestamp")
 
 
+def get_quotient(
+    broker: Broker,
+    parameters: Sequence[str] | None = None,
+    kinds: Sequence[str] | None = None,
+    which: str = "raster",
+) -> DataFrame:
+    """MA quotient accessor (reference db/queries/get_quotient.py:6-155):
+    station/raster quotients (``which='raster'``) or kind/kind quotients
+    (``which='kinds'``) with optional parameter/kind filters."""
+    broker.register_quotient_views()
+    view = "ma_quotient_raster" if which == "raster" else "ma_quotient_kinds"
+    df = broker.spark.table(view)
+    if parameters:
+        df = df.filter(F.col("parameter").isin(list(parameters)))
+    if kinds:
+        col = "kind" if which == "raster" else "kind_num"
+        df = df.filter(F.col(col).isin(list(kinds)))
+    return df
+
+
+class GroupStations:
+    """Multi-station export (reference stations/GroupStations.py:296-451):
+    validate stids against meta_p, intersect the stations' periods, then
+    export each station's series."""
+
+    def __init__(self, broker: Broker):
+        self.broker = broker
+
+    def get_valid_stids(self, stids: Sequence[int]) -> list[int]:
+        meta_p = self.broker.read("meta").filter(F.col("parameter") == "p")
+        known = {r["station_id"] for r in meta_p.select("station_id").collect()}
+        bad = [s for s in stids if s not in known]
+        if bad:
+            raise ValueError(f"station ids not in meta_p: {bad}")
+        return list(stids)
+
+    def joint_period(self, stids: Sequence[int], kind: str = "filled"):
+        """Inner intersection of the stations' periods
+        (GroupStations.py:62-85)."""
+        from weatherdb_spark.period import TimestampPeriod
+
+        period = TimestampPeriod(None, None)
+        for stid in stids:
+            p = Station(self.broker, stid, "p").get_period_meta(kind)
+            period = p if period.is_empty() else period.union(p, "inner")
+        return period
+
+    def create_ts(
+        self,
+        stids: Sequence[int],
+        out_dir: str,
+        parameters: Sequence[str] = ("p",),
+        kind: str = "best",
+    ) -> dict:
+        stids = self.get_valid_stids(stids)
+        tele = {}
+        for stid in stids:
+            tele[stid] = GroupStation(self.broker, stid).create_ts(
+                f"{out_dir}/{stid}", parameters=parameters, kind=kind
+            )
+        return tele
+
+
 class GroupStation:
     """All parameters of one station location + the create_ts export
     (reference stations/GroupStation.py)."""

@@ -139,6 +139,28 @@ def test_get_quotient(mini_broker, spark):
 
 # -------------------------------------------------------------- plan quality
 
+def test_exploded_shingles_no_expensive_prescan_filter(spark):
+    """Regression: plain explode() makes Catalyst infer a size()>0 filter
+    and push the whole shingle expression below the exchange, serializing
+    it onto the pre-shuffle task. The explode_outer form must keep the
+    transform() out of any Filter below the Exchange."""
+    from weatherdb_spark.llm.dedup import exploded_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], "doc_id long, text string"
+    ).coalesce(1)  # emulate the single-split small-file scan
+    plan = (
+        exploded_shingles(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # everything printed after the Exchange node is the pre-shuffle side
+    # (tree prints top-down toward the scan): the shingle transform()
+    # expression must not occur there
+    assert "Exchange" in plan, plan
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "transform(" not in below_exchange, plan
+
+
 def test_get_df_pushdown(mini_broker):
     """Filters and projection must reach the parquet scan: station filter
     as PushedFilters, kind projection as a narrow ReadSchema."""

@@ -23,9 +23,10 @@ def test_period_union_outer_inner():
     # disjoint inner -> empty
     c = TimestampPeriod("2021-01-01", "2021-02-01")
     assert a.union(c, "inner").is_empty()
-    # unbounded propagation
+    # NaT bounds are skipped in the comparison (reference
+    # TimestampPeriod.py:108-114), not treated as unbounded
     d = TimestampPeriod(None, "2020-06-01")
-    assert a.union(d, "outer").start is None
+    assert a.union(d, "outer") == a
     assert a.union(d, "inner") == a
 
 

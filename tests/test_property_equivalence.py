@@ -1,0 +1,208 @@
+"""Property-based equivalence proofs (SURVEY.md §7.4 'known hard parts').
+
+The reference fills gaps with an iterative PL/pgSQL loop: per neighbor in
+distance order, UPDATE every still-NULL timestamp
+(StationBases.py:1573-1638). Our engine re-derives this declaratively as
+"first non-null regionalized donor in rank order" (operators/fillup.py).
+These tests pit the Spark operators against straightforward Python loop
+implementations of the reference semantics on randomized gap-heavy
+fixtures — plus TimestampPeriod algebra laws.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from weatherdb_spark.period import TimestampPeriod
+
+# ------------------------------------------------------------ TimestampPeriod
+
+_bound = st.one_of(
+    st.none(),
+    st.datetimes(min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2030, 1, 1)),
+)
+
+
+def _periods():
+    return st.builds(TimestampPeriod, _bound, _bound)
+
+
+@given(_periods(), _periods())
+def test_period_union_commutative(a, b):
+    for how in ("outer", "inner"):
+        assert a.union(b, how) == b.union(a, how)
+
+
+@given(_periods(), _periods())
+def test_period_inner_inside_outer(a, b):
+    inner = a.union(b, "inner")
+    outer = a.union(b, "outer")
+    if not inner.is_empty() and not inner.has_NaT() and not outer.has_NaT():
+        assert inner.inside(outer)
+
+
+@given(_periods())
+def test_period_union_idempotent(a):
+    # degenerate start == end collapses to empty (reference start >= end
+    # check); otherwise union with self is identity
+    for how in ("outer", "inner"):
+        got = a.union(a, how)
+        if a.start is not None and a.end is not None and a.start >= a.end:
+            assert got.is_empty()
+        else:
+            assert got == a
+
+
+# ----------------------------------------------------- fillup loop equivalence
+
+N_STATIONS = 4
+N_TS = 12
+
+
+def _r(x: float, digits: int) -> float:
+    """HALF_UP rounding — Spark's F.round (and PostgreSQL's round), NOT
+    Python's round-half-even."""
+    import decimal
+
+    q = decimal.Decimal(10) ** -digits
+    return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _naive_rank_fill(vals, knn, ma, coef_sign="mult", round_digits=2):
+    """The reference's iterative semantics, verbatim: walk neighbors in
+    rank order, fill every still-NULL timestamp from that neighbor
+    (StationBases.py:1573-1638)."""
+    filled = {k: v for k, v in vals.items()}
+    filled_by = {}
+    for s in range(N_STATIONS):
+        for nb in knn.get(s, []):
+            for t in range(N_TS):
+                if filled.get((s, t)) is None:
+                    donor = vals.get((nb, t))
+                    if donor is not None:
+                        if coef_sign == "mult":
+                            reg = donor * ma[s] / ma[nb]
+                        else:
+                            reg = donor + (ma[s] - ma[nb])
+                        filled[(s, t)] = _r(reg, round_digits)
+                        filled_by[(s, t)] = nb
+    return filled, filled_by
+
+
+@st.composite
+def _fixtures(draw):
+    vals = {}
+    for s in range(N_STATIONS):
+        for t in range(N_TS):
+            if draw(st.integers(0, 2)) == 0:  # ~1/3 holes
+                vals[(s, t)] = None
+            else:
+                vals[(s, t)] = draw(st.integers(0, 50)) / 2.0
+    # neighbor lists: random subsets in random order (rank = list position)
+    knn = {}
+    for s in range(N_STATIONS):
+        others = [x for x in range(N_STATIONS) if x != s]
+        knn[s] = draw(st.permutations(others))[: draw(st.integers(1, N_STATIONS - 1))]
+    ma = {s: float(draw(st.integers(40, 60))) for s in range(N_STATIONS)}
+    return vals, knn, ma
+
+
+@pytest.mark.parametrize("coef_sign", ["mult", "add"])
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_fixtures())
+def test_rank_fill_matches_reference_loop(spark, coef_sign, data):
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.operators.fillup import rank_fill
+
+    vals, knn, ma = data
+    base = dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(s, base + dt.timedelta(days=t), v) for (s, t), v in vals.items()],
+        "station_id int, timestamp timestamp, qc double",
+    )
+    knn_df = spark.createDataFrame(
+        [(s, nb, r + 1) for s, nbs in knn.items() for r, nb in enumerate(nbs)],
+        "station_id int, nb_station_id int, rank int",
+    )
+    ma_df = spark.createDataFrame(
+        [(s, v) for s, v in ma.items()], "station_id int, value double"
+    )
+    out = rank_fill(
+        facts, knn_df, ma_df, coef_sign=coef_sign, base_col="qc", round_digits=2
+    )
+    got = {
+        (r["station_id"], (r["timestamp"] - base).days): (r["filled"], r["filled_by"])
+        for r in out.collect()
+    }
+    exp_fill, exp_by = _naive_rank_fill(vals, knn, ma, coef_sign)
+    for key in vals:
+        g_fill, g_by = got[key]
+        assert g_fill == exp_fill[key], (key, g_fill, exp_fill[key])
+        assert (g_by if g_by is not None else None) == exp_by.get(key), key
+
+
+def _naive_median_fill(vals, knn, ma, n_donors=3, round_digits=1):
+    """T semantics: median of the first n non-null regionalized donors in
+    rank order (StationBases.py:1436-1480, StationT.py:122-143)."""
+    import statistics
+
+    filled = dict(vals)
+    donors_used = {}
+    for s in range(N_STATIONS):
+        for t in range(N_TS):
+            if filled.get((s, t)) is None:
+                regs, used = [], []
+                for nb in knn.get(s, []):
+                    donor = vals.get((nb, t))
+                    if donor is not None:
+                        regs.append(_r(donor + (ma[s] - ma[nb]), round_digits))
+                        used.append(nb)
+                    if len(regs) == n_donors:
+                        break
+                if regs:
+                    filled[(s, t)] = _r(statistics.median(regs), round_digits)
+                    donors_used[(s, t)] = sorted(used)
+    return filled, donors_used
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_fixtures())
+def test_median_fill_matches_reference_loop(spark, data):
+    from weatherdb_spark.operators.fillup import median_fill
+
+    vals, knn, ma = data
+    base = dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(s, base + dt.timedelta(days=t), v) for (s, t), v in vals.items()],
+        "station_id int, timestamp timestamp, qc double",
+    )
+    knn_df = spark.createDataFrame(
+        [(s, nb, r + 1) for s, nbs in knn.items() for r, nb in enumerate(nbs)],
+        "station_id int, nb_station_id int, rank int",
+    )
+    ma_df = spark.createDataFrame(
+        [(s, v) for s, v in ma.items()], "station_id int, value double"
+    )
+    out = median_fill(
+        facts, knn_df, ma_df, n_donors=3, base_col="qc",
+        value_cols=("qc",), out_cols=("filled",), round_digits=1,
+    )
+    got = {
+        (r["station_id"], (r["timestamp"] - base).days): (
+            r["filled"],
+            sorted(r["filled_by"]) if r["filled_by"] is not None else None,
+        )
+        for r in out.collect()
+    }
+    exp_fill, exp_used = _naive_median_fill(vals, knn, ma)
+    for key in vals:
+        g_fill, g_used = got[key]
+        assert g_fill == exp_fill[key], (key, g_fill, exp_fill[key])
+        assert g_used == exp_used.get(key), key

@@ -40,26 +40,23 @@ class TimestampPeriod:
         return self.start is None or self.end is None
 
     def union(self, other: "TimestampPeriod", how: str = "outer") -> "TimestampPeriod":
-        """outer: spanning hull; inner: intersection (empty -> (None, None))
-        (TimestampPeriod.py:67-129)."""
+        """Reference semantics (TimestampPeriod.py:66-127): NaT bounds are
+        *skipped* in the comparison (not treated as unbounded); inner with
+        an empty operand is empty; a result with start >= end collapses to
+        empty."""
+        if how not in ("outer", "inner"):
+            raise ValueError(f"how={how!r} not in ('outer', 'inner')")
         a, b = self, other
-        if a.is_empty():
-            return TimestampPeriod(b.start, b.end)
-        if b.is_empty():
-            return TimestampPeriod(a.start, a.end)
-        if how == "outer":
-            start = None if (a.start is None or b.start is None) else min(a.start, b.start)
-            end = None if (a.end is None or b.end is None) else max(a.end, b.end)
-            return TimestampPeriod(start, end)
-        if how == "inner":
-            starts = [x for x in (a.start, b.start) if x is not None]
-            ends = [x for x in (a.end, b.end) if x is not None]
-            start = max(starts) if starts else None
-            end = min(ends) if ends else None
-            if start is not None and end is not None and start > end:
-                return TimestampPeriod(None, None)
-            return TimestampPeriod(start, end)
-        raise ValueError(f"how={how!r} not in ('outer', 'inner')")
+        if how == "inner" and (a.is_empty() or b.is_empty()):
+            return TimestampPeriod(None, None)
+        starts = [x for x in (a.start, b.start) if x is not None]
+        ends = [x for x in (a.end, b.end) if x is not None]
+        start_fn, end_fn = (min, max) if how == "outer" else (max, min)
+        start = start_fn(starts) if starts else None
+        end = end_fn(ends) if ends else None
+        if start is not None and end is not None and start >= end:
+            return TimestampPeriod(None, None)
+        return TimestampPeriod(start, end)
 
     def inside(self, other: "TimestampPeriod") -> bool:
         """True when self is fully inside other (TimestampPeriod.py:131+)."""

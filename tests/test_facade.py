@@ -140,6 +140,21 @@ def test_get_quotient(mini_broker, spark):
 
 # -------------------------------------------------------------- plan quality
 
+def test_cli_stages_and_export(mini_broker, tmp_path):
+    from weatherdb_spark.cli import main
+
+    wh = mini_broker.dir
+    assert main(["update-ma-timeserie", "--warehouse", wh, "-p", "p"]) == 0
+    assert mini_broker.read("station_ma_timeserie").count() > 0
+    out = str(tmp_path / "cli_exp")
+    assert main([
+        "create-ts", "--warehouse", wh, "--stations", "1", "2",
+        "--out-dir", out, "--parameters", "p", "--kind", "raw",
+    ]) == 0
+    import os
+    assert os.path.isdir(os.path.join(out, "1", "p"))
+
+
 def test_exploded_shingles_no_expensive_prescan_filter(spark):
     """Regression: plain explode() makes Catalyst infer a size()>0 filter
     and push the whole shingle expression below the exchange, serializing

@@ -1,0 +1,78 @@
+"""Command-line interface — the engine twin of the reference's click CLI
+(weatherdb/cli.py:13-230). stdlib argparse; each command maps to a Broker
+stage over a parquet warehouse:
+
+    python -m weatherdb_spark.cli quality-check --warehouse /path/wh
+    python -m weatherdb_spark.cli fillup --warehouse /path/wh
+    python -m weatherdb_spark.cli richter-correct --warehouse /path/wh
+    python -m weatherdb_spark.cli update-ma-timeserie --warehouse /path/wh -p p
+    python -m weatherdb_spark.cli create-ts --warehouse /path/wh \
+        --stations 1224 1443 --out-dir /tmp/exp
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="weatherdb-spark",
+        description="PySpark-native WeatherDB engine (reference cli.py twin)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def wh(sp):
+        sp.add_argument("--warehouse", required=True, help="parquet warehouse dir")
+        return sp
+
+    wh(sub.add_parser("quality-check", help="QC stage for all parameters"))
+    wh(sub.add_parser("fillup", help="gap-filling stage for all parameters"))
+    wh(sub.add_parser("richter-correct", help="Richter correction (p)"))
+    wh(sub.add_parser("last-imp-quality-check",
+                      help="incremental QC bounded to the last-import window"))
+
+    ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
+    ma.add_argument("-p", "--parameter", default="p")
+
+    ct = wh(sub.add_parser("create-ts", help="export station timeseries CSVs"))
+    ct.add_argument("--stations", nargs="+", type=int, required=True)
+    ct.add_argument("--out-dir", required=True)
+    ct.add_argument("--parameters", nargs="+", default=["p"])
+    ct.add_argument("--kind", default="best")
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"weatherdb_spark_cli_{args.command}")
+    broker = Broker(spark, args.warehouse)
+
+    if args.command == "quality-check":
+        broker.quality_check()
+    elif args.command == "fillup":
+        broker.fillup()
+    elif args.command == "richter-correct":
+        broker.richter_correct_stage()
+    elif args.command == "last-imp-quality-check":
+        broker.last_imp_quality_check()
+    elif args.command == "update-ma-timeserie":
+        broker.update_ma_timeserie(args.parameter)
+    elif args.command == "create-ts":
+        from weatherdb_spark.station import GroupStations
+
+        tele = GroupStations(broker).create_ts(
+            args.stations, args.out_dir,
+            parameters=tuple(args.parameters), kind=args.kind,
+        )
+        print(tele)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

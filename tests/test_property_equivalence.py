@@ -147,6 +147,103 @@ def test_rank_fill_matches_reference_loop(spark, coef_sign, data):
         assert (g_by if g_by is not None else None) == exp_by.get(key), key
 
 
+def _naive_qc_p(rows, daily):
+    """QC-P rules applied row-by-row in plain Python
+    (StationP.py:83-187): failed-day daily comparison, 3-consecutive-run
+    membership, isolated peak, bounds. ``rows``: per station an ordered
+    list of (ts, raw, qn); ``daily``: {(station, date): raw_d}."""
+    out = {}
+    # daily 10-min sums on the 6h-shifted date
+    sums: dict = {}
+    for s, series in rows.items():
+        for ts, raw, _qn in series:
+            day = (ts - dt.timedelta(hours=6)).date()
+            cur = sums.get((s, day))
+            if raw is not None:
+                sums[(s, day)] = (cur if cur is not None else 0.0) + raw
+            elif (s, day) not in sums:
+                sums[(s, day)] = None  # SQL sum over all-NULL day is NULL
+    failed_days = set()
+    for (s, day), sum10 in sums.items():
+        raw_d = daily.get((s, day))
+        if sum10 is None:
+            continue
+        if (sum10 == 0 and raw_d is not None and raw_d != 0) or (
+            sum10 >= 10 and raw_d is not None and sum10 >= 2 * raw_d
+        ):
+            failed_days.add((s, day))
+    for s, series in rows.items():
+        vals = [r for _, r, _ in series]
+        for i, (ts, raw, qn) in enumerate(series):
+            v1 = vals[i - 1] if i >= 1 else None
+            v2 = vals[i - 2] if i >= 2 else None
+            vn = vals[i + 1] if i + 1 < len(vals) else None
+            vn2 = vals[i + 2] if i + 2 < len(vals) else None
+            day = (ts - dt.timedelta(hours=6)).date()
+            fail = (s, day) in failed_days
+            if raw is not None:
+                run3 = (
+                    (v1 == raw and v2 == raw)
+                    or (v1 == raw and vn == raw)
+                    or (vn == raw and vn2 == raw)
+                )
+                if raw > 0.1 and qn != 3 and run3:
+                    fail = True
+                if raw > 5 and v1 == 0 and vn == 0:
+                    fail = True
+                if raw < 0 or raw >= 50:
+                    fail = True
+            out[(s, ts)] = None if fail or raw is None else raw
+    return out
+
+
+_RAW_CHOICES = [None, 0.0, 0.0, 0.2, 0.2, 5.5, 12.0, 49.0, 55.0, -1.0]
+
+
+@st.composite
+def _qc_fixtures(draw):
+    rows = {}
+    base = dt.datetime(2024, 1, 1)
+    for s in range(2):
+        series = []
+        for i in range(36):  # 6 hours of 10-min slots across a day boundary
+            ts = base + dt.timedelta(minutes=10 * i)
+            raw = draw(st.sampled_from(_RAW_CHOICES))
+            qn = draw(st.sampled_from([1, 3]))
+            series.append((ts, raw, qn))
+        rows[s] = series
+    daily = {}
+    for s in range(2):
+        for d in (dt.date(2023, 12, 31), dt.date(2024, 1, 1)):
+            v = draw(st.sampled_from([None, 0.0, 1.0, 30.0]))
+            if v is not None:
+                daily[(s, d)] = v
+    return rows, daily
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_qc_fixtures())
+def test_qc_p_matches_reference_rules(spark, data):
+    from weatherdb_spark.operators.qc import qc_p
+
+    rows, daily = data
+    ts_p = spark.createDataFrame(
+        [(s, ts, raw, qn) for s, series in rows.items() for ts, raw, qn in series],
+        "station_id int, timestamp timestamp, raw double, qn short",
+    )
+    ts_p_d = spark.createDataFrame(
+        [(s, dt.datetime(d.year, d.month, d.day), v) for (s, d), v in daily.items()],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    got = {
+        (r["station_id"], r["timestamp"]): r["qc"]
+        for r in qc_p(ts_p, ts_p_d).collect()
+    }
+    exp = _naive_qc_p(rows, daily)
+    assert got == exp
+
+
 def _naive_median_fill(vals, knn, ma, n_donors=3, round_digits=1):
     """T semantics: median of the first n non-null regionalized donors in
     rank order (StationBases.py:1436-1480, StationT.py:122-143)."""

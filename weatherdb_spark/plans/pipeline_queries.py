@@ -660,3 +660,161 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Fillup step 6 — bounded linear interpolation of leftover holes
+# --------------------------------------------------------------------------
+
+@_register(
+    "fillup_interpolation",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    bounds AS (
+        SELECT station_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT station_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    base AS (
+        SELECT g.station_id, g.d, f.qty
+        FROM grid g LEFT JOIN daily f ON g.station_id = f.station_id AND g.d = f.d
+    ),
+    win AS (
+        SELECT station_id, d, qty,
+               last_value(qty IGNORE NULLS) OVER wprev AS pv,
+               last_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wprev AS pt,
+               first_value(qty IGNORE NULLS) OVER wnext AS nv,
+               first_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wnext AS nt
+        FROM base
+        WINDOW
+            wprev AS (PARTITION BY station_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            wnext AS (PARTITION BY station_id ORDER BY d
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT station_id, d AS day,
+           CASE WHEN qty IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                     AND epoch(CAST(nt AS TIMESTAMP)) - epoch(CAST(pt AS TIMESTAMP)) <= 172800
+                THEN round(pv + (nv - pv)
+                           * (epoch(CAST(d AS TIMESTAMP)) - epoch(CAST(pt AS TIMESTAMP)))
+                           / (epoch(CAST(nt AS TIMESTAMP)) - epoch(CAST(pt AS TIMESTAMP))), 2)
+                ELSE qty END AS filled,
+           CASE WHEN qty IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                     AND epoch(CAST(nt AS TIMESTAMP)) - epoch(CAST(pt AS TIMESTAMP)) <= 172800
+                THEN CAST(-1 AS BIGINT) END AS filled_by
+    FROM win
+    """,
+    doc="Fillup step 6: linear interpolation of leftover holes bounded by "
+        "max_gap via last/first ignorenulls windows, filled_by = -1 "
+        "provenance (StationBases.py:1494-1562, gap bounds "
+        "config_default.ini:146-158) — daily supplier series on the S6 grid.",
+)
+def fillup_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.fillup import interpolate_gaps
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    daily = _daily_df(spark, sf_dir)
+    grid = expand_timeline(
+        daily, interval="1 day", group_cols=("station_id",), min_date=None
+    ).withColumnRenamed("qty", "filled")
+    out = interpolate_gaps(grid, max_gap="2 days", round_digits=2)
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("timestamp").alias("day"),
+        F.col("filled"),
+        F.col("filled_by").cast("long").alias("filled_by"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fillup step 7 — P daily adjustment with caps (StationP.py:692-746)
+# --------------------------------------------------------------------------
+
+_ADJ_TS_SQL = """
+    ts AS (
+        SELECT l_suppkey AS station_id,
+               l_orderkey, l_linenumber,
+               l_shipdate + INTERVAL (l_linenumber * 10) MINUTE AS tstamp,
+               l_quantity AS filled
+        FROM lineitem
+    )
+"""
+
+@_register(
+    "fillup_daily_adjust",
+    oracle=f"""
+    WITH {_ADJ_TS_SQL},
+    keyed AS (
+        SELECT *, CAST(tstamp - INTERVAL '5 hours 50 minutes' AS DATE) AS d
+        FROM ts
+    ),
+    sums AS (
+        SELECT station_id, d, sum(filled) AS sum_f FROM keyed GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT station_id, d, sum_f * (station_id % 10 + 1) / 4.0 AS raw_d
+        FROM sums
+    ),
+    coefs AS (
+        SELECT s.station_id, s.d,
+               CASE WHEN s.sum_f > 0 AND dd.raw_d IS NOT NULL
+                    THEN dd.raw_d / s.sum_f ELSE 1.0 END AS coef
+        FROM sums s
+        LEFT JOIN daily dd ON s.station_id = dd.station_id AND s.d = dd.d
+    )
+    SELECT k.station_id, k.l_orderkey, k.l_linenumber,
+           k.tstamp AS timestamp, k.filled,
+           CASE WHEN k.filled > 0 THEN
+               CASE WHEN k.filled <= 0.1
+                         AND least(least(round(k.filled * c.coef, 2),
+                                         k.filled + 10), 50) > 5
+                    THEN CAST(5 AS DOUBLE)
+                    ELSE least(least(round(k.filled * c.coef, 2),
+                                     k.filled + 10), CAST(50 AS DOUBLE)) END
+           ELSE k.filled END AS corr_base
+    FROM keyed k
+    JOIN coefs c ON k.station_id = c.station_id AND k.d = c.d
+    """,
+    doc="Fillup step 7 (P only): scale each 5h50-shifted day's 10-min "
+        "values so they sum to the daily measurement, with new-peak <= 5, "
+        "added <= 10 and hard 50 caps (StationP.py:692-746) — lineitem "
+        "rows as 10-min observations, synthetic daily = sum * key factor.",
+)
+def fillup_daily_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.functions.temporal import shifted_date
+    from weatherdb_spark.operators.fillup import daily_adjust_p
+
+    li = load(spark, sf_dir, "lineitem")
+    ts_p = li.select(
+        F.col("l_suppkey").alias("station_id"),
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, 0, 0, CAST(l_linenumber AS INT) * 10, 0)"
+        ).alias("timestamp"),
+        F.col("l_quantity").alias("filled"),
+    )
+    day = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
+    ts_p_d = (
+        ts_p.withColumn("_d", day)
+        .groupBy("station_id", "_d")
+        .agg(F.sum("filled").alias("_s"))
+        .select(
+            "station_id",
+            F.col("_d").cast("timestamp").alias("timestamp"),
+            (F.col("_s") * (F.col("station_id") % 10 + 1) / 4.0).alias("raw"),
+        )
+    )
+    out = daily_adjust_p(ts_p, ts_p_d)
+    return out.select(
+        "station_id",
+        "l_orderkey",
+        "l_linenumber",
+        "timestamp",
+        "filled",
+        "corr_base",
+    )

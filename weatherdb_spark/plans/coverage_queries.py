@@ -29,12 +29,15 @@ _COORDS_SQL = """
     "s4_merge_upsert",
     oracle="""
     WITH upd AS (
+        -- o_totalprice * 2 is exact in binary floating point (mantissa
+        -- unchanged), so the oracle verifies the merge logic, not
+        -- HALF_UP-vs-binary rounding trivia on exact halves.
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice
-                    ELSE round(o_totalprice * 1.1, 2) END AS o_totalprice
+                    ELSE o_totalprice * 2 END AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
-        SELECT o_orderkey + 100000000, round(o_totalprice, 2)
+        SELECT o_orderkey + 100000000, o_totalprice
         FROM orders WHERE o_orderkey % 1000 = 0
     )
     SELECT coalesce(c.o_orderkey, u.o_orderkey) AS o_orderkey,
@@ -58,12 +61,12 @@ def s4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 20 == 0, F.col("o_totalprice"))
-        .otherwise(F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice") * 2)
         .alias("o_totalprice"),
     ).unionByName(
         orders.filter(F.col("o_orderkey") % 1000 == 0).select(
             (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("o_totalprice"),
         )
     )
     merged = merge_upsert(orders, updates, keys=["o_orderkey"],

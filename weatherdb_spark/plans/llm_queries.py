@@ -401,7 +401,7 @@ _H_W = md5_int64_sql("w")
               FROM documents)
     )
     SELECT doc_id,
-           sum(h) % 1000000007 AS fingerprint,
+           CAST(sum(h) % 1000000007 AS BIGINT) AS fingerprint,
            arg_min(h, pos) AS first_token_hash,
            count(*) AS n_tokens
     FROM toks GROUP BY 1

@@ -24,8 +24,16 @@ from weatherdb_spark.sources.testdata import TABLES  # noqa: E402
 
 
 def _norm_cell(v):
+    import datetime
+
+    import pandas as pd
+
     if v is None:
         return "None"
+    if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+        # pandas renders DuckDB DATE as datetime64 midnight while Spark
+        # dates stay datetime.date — normalize both to one form
+        return str(pd.Timestamp(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -168,7 +168,13 @@ class Broker:
             .select("station_id", "term", "value")
         )
 
-    def _knn(self, parameter: str, k: int = 5) -> DataFrame:
+    def _knn(self, parameter: str, k: int | None = 5) -> DataFrame:
+        """Neighbor dim. ``k=5`` for QC neighbor medians; ``k=None`` (all
+        stations within max_fillup_distance, ranked by distance) for
+        fillup — the reference's fillup loops the FULL distance-ordered
+        candidate set until no holes remain (StationBases.py:1573-1638),
+        so capping at 5 starves timestamps where the nearest donors are
+        also null."""
         cfg = PARAMETERS[parameter]
         meta = self.read("meta").filter(F.col("parameter") == parameter)
         return knn_stations(
@@ -207,7 +213,7 @@ class Broker:
         # p_d: base col raw, multiplicative yearly MA
         ts_p_d = self.read("ts_p_d")
         filled_pd = rank_fill(
-            ts_p_d, self._knn("p_d"), self._ma_values("p_d"),
+            ts_p_d, self._knn("p_d", k=None), self._ma_values("p_d"),
             coef_sign="mult", base_col="raw", round_digits=2,
         )
         self.write("ts_p_d", filled_pd, bucket_by_station=True)
@@ -217,7 +223,7 @@ class Broker:
         # then scale to the daily measurement
         ts_p = self.read("ts_p")
         filled_p = rank_fill(
-            ts_p, self._knn("p"), self._ma_seasonal("p"),
+            ts_p, self._knn("p", k=None), self._ma_seasonal("p"),
             coef_sign="mult", base_col="qc", seasonal_ma=True, round_digits=2,
         )
         filled_p = interpolate_gaps(filled_p, max_gap=PARAMETERS["p"]["max_gap_interp"])
@@ -230,27 +236,40 @@ class Broker:
         self.write("ts_p", filled_p, bucket_by_station=True)
         self._mark("p", "filled", "ts_p")
 
-        # t: median of 5 nearest donors, additive, min/max in the same pass
+        # t: median of the first 5 non-null donors in distance order drawn
+        # from the full candidate set; beyond _fillup_max_dist (100 km,
+        # StationT.py:48) a donor is used alone and only when no nearer one
+        # exists. additive regionalization, min/max in the same pass.
         ts_t = self.read("ts_t")
         filled_t = median_fill(
-            ts_t, self._knn("t"), self._ma_values("t"),
+            ts_t, self._knn("t", k=None), self._ma_values("t"),
             n_donors=PARAMETERS["t"]["fillup_n_donors"],
             base_col="qc",
             value_cols=("qc", "raw_min", "raw_max"),
             out_cols=("filled", "filled_min", "filled_max"),
+            near_dist_m=PARAMETERS["t"]["fillup_near_dist_km"] * 1000,
         )
         filled_t = interpolate_gaps(
             filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],
             filled_by_col="filled_by_interp",
         )
-        filled_t = filled_t.drop("filled_by_interp")
+        # the reference marks interpolated T rows with filled_by=ARRAY[-1]
+        # (StationBases.py:1550-1552, array branch)
+        filled_t = filled_t.withColumn(
+            "filled_by",
+            F.when(F.col("filled_by_interp") == -1,
+                   F.array(F.lit(-1).cast("short")))
+            .otherwise(F.col("filled_by")),
+        ).drop("filled_by_interp")
         self.write("ts_t", filled_t, bucket_by_station=True)
         self._mark("t", "filled", "ts_t")
 
-        # et: multiplicative yearly
+        # et: multiplicative yearly (ET's _fillup_max_dist is inert in the
+        # reference — the exit-condition branch requires _filled_by_n > 1,
+        # StationBases.py:1436,1467 — so plain rank-fill over the full set)
         ts_et = self.read("ts_et")
         filled_et = rank_fill(
-            ts_et, self._knn("et"), self._ma_values("et"),
+            ts_et, self._knn("et", k=None), self._ma_values("et"),
             coef_sign="mult", base_col="qc", round_digits=1,
         )
         filled_et = interpolate_gaps(filled_et, max_gap=PARAMETERS["et"]["max_gap_interp"])

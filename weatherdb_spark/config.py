@@ -61,6 +61,8 @@ PARAMETERS: dict[str, dict] = {
         "ma_raster_key": "dwd",
         "coef_sign": "add",
         "fillup_n_donors": 5,  # median of 5 neighbors, StationT.py:122-143
+        # beyond this, one donor suffices (_fillup_max_dist, StationT.py:48)
+        "fillup_near_dist_km": 100.0,
     },
     "et": {
         "decimals": 10,

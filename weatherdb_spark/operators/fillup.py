@@ -41,6 +41,38 @@ def _regionalize(coef_sign: str, val, ma_self, ma_nb, round_digits):
     return F.round(reg, round_digits) if round_digits is not None else reg
 
 
+def _build_pairs(knn: DataFrame, ma: DataFrame, seasonal_ma: bool) -> DataFrame:
+    """knn x MA dim: (station_id, nb_station_id, rank, dist_m, _ma_self,
+    _ma_nb[, term]). Small (stations x neighbors) — always broadcast."""
+    if seasonal_ma:
+        ma_self = ma.select("station_id", "term", F.col("value").alias("_ma_self"))
+        ma_nb = ma.select(
+            F.col("station_id").alias("nb_station_id"),
+            "term",
+            F.col("value").alias("_ma_nb"),
+        )
+        return (
+            knn
+            .join(F.broadcast(ma_self), "station_id")
+            .join(F.broadcast(ma_nb), ["nb_station_id", "term"])
+        )
+    ma_self = ma.select("station_id", F.col("value").alias("_ma_self"))
+    ma_nb = ma.select(
+        F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
+    )
+    return (
+        knn
+        .join(F.broadcast(ma_self), "station_id")
+        .join(F.broadcast(ma_nb), "nb_station_id")
+    )
+
+
+def _seasonal_filter(donors: DataFrame, ts_col: str, seasonal_ma: bool) -> DataFrame:
+    if seasonal_ma:
+        return donors.filter((F.col("term") == "wihy") == is_winter(F.col(ts_col)))
+    return donors
+
+
 def rank_fill(
     facts: DataFrame,
     knn: DataFrame,
@@ -50,13 +82,27 @@ def rank_fill(
     ts_col: str = "timestamp",
     seasonal_ma: bool = False,
     round_digits: int | None = 2,
+    cascade_k: int | None = None,
 ) -> DataFrame:
     """P/ET/PD fillup: fill NULL ``base_col`` with the first non-null
     regionalized donor value in neighbor-rank order; record the donor in
     ``filled_by`` (StationBases.py:1444-1492).
 
-    ``knn``: (station_id, nb_station_id, rank) — rank 1 = nearest, already
-    cut to max_fillup_dist (config_default.ini:161-169).
+    ``knn``: (station_id, nb_station_id, rank) — rank 1 = nearest. Pass
+    the FULL candidate set within max_fillup_dist
+    (``knn_stations(k=None, max_dist_m=...)``): the reference loop
+    iterates every station in distance order until no holes remain
+    (StationBases.py:1573-1638), so the 5 nearest are not enough.
+
+    ``cascade_k``: scale path. facts x all-neighbors-in-130km is a huge
+    intermediate at cluster scale; with ``cascade_k`` the donor join runs
+    against the nearest ``cascade_k`` neighbors first, and only the
+    timestamps that found NO donor there rejoin against the remaining
+    candidates (holes shrink ~geometrically with donor count, so phase 2
+    is tiny). Result is bitwise-identical to the unbounded join — the
+    first non-null donor in rank order is in phase 1 whenever one exists
+    there.
+
     ``ma``: (station_id, value) or, when ``seasonal_ma``, (station_id,
     term, value) with term in ('wihy', 'suhy') — P uses separate
     winter/summer regionalization factors (StationBases.py:1406-1425).
@@ -67,49 +113,59 @@ def rank_fill(
         F.col(ts_col),
         F.col(base_col).alias("_nb_val"),
     )
-
-    if seasonal_ma:
-        ma_self = ma.select("station_id", "term", F.col("value").alias("_ma_self"))
-        ma_nb = ma.select(
-            F.col("station_id").alias("nb_station_id"),
-            "term",
-            F.col("value").alias("_ma_nb"),
-        )
-        pairs = (
-            knn
-            .join(F.broadcast(ma_self), "station_id")
-            .join(F.broadcast(ma_nb), ["nb_station_id", "term"])
-        )
-        # stream the big donor-facts side; broadcast the (knn x ma) dim —
-        # hint on the joined dim itself, or Spark may pick the facts as the
-        # build side and collect them to the driver
-        donors = donor_facts.join(F.broadcast(pairs), "nb_station_id").filter(
-            (F.col("term") == "wihy") == is_winter(F.col(ts_col))
-        )
-    else:
-        ma_self = ma.select("station_id", F.col("value").alias("_ma_self"))
-        ma_nb = ma.select(
-            F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
-        )
-        pairs = (
-            knn
-            .join(F.broadcast(ma_self), "station_id")
-            .join(F.broadcast(ma_nb), "nb_station_id")
-        )
-        donors = donor_facts.join(F.broadcast(pairs), "nb_station_id")
+    pairs = _build_pairs(knn, ma, seasonal_ma)
 
     reg = _regionalize(
         coef_sign, F.col("_nb_val"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
     )
-    # first donor in rank order: min_by over (rank) per (station, ts)
-    best = (
-        donors.select("station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id")
-        .groupBy("station_id", ts_col)
-        .agg(
-            F.min_by("_reg", "rank").alias("_fill_val"),
-            F.min_by("nb_station_id", "rank").alias("_fill_by"),
+
+    def _best(donors: DataFrame) -> DataFrame:
+        # first donor in rank order: min_by over (rank) per (station, ts)
+        return (
+            donors.select(
+                "station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id"
+            )
+            .groupBy("station_id", ts_col)
+            .agg(
+                F.min_by("_reg", "rank").alias("_fill_val"),
+                F.min_by("nb_station_id", "rank").alias("_fill_by"),
+            )
         )
-    )
+
+    if cascade_k is None:
+        # stream the big donor-facts side; broadcast the (knn x ma) dim —
+        # hint on the joined dim itself, or Spark may pick the facts as the
+        # build side and collect them to the driver
+        best = _best(
+            _seasonal_filter(
+                donor_facts.join(F.broadcast(pairs), "nb_station_id"), ts_col, seasonal_ma
+            )
+        )
+    else:
+        near = pairs.filter(F.col("rank") <= cascade_k)
+        best1 = _best(
+            _seasonal_filter(
+                donor_facts.join(F.broadcast(near), "nb_station_id"), ts_col, seasonal_ma
+            )
+        )
+        # holes: NULL base rows that found no donor among the nearest k
+        holes = (
+            facts.filter(F.col(base_col).isNull())
+            .select("station_id", ts_col)
+            .join(best1.select("station_id", ts_col), ["station_id", ts_col], "left_anti")
+        )
+        far = pairs.filter(F.col("rank") > cascade_k)
+        # join order matters: holes (small) x far-pairs first, THEN the
+        # donor facts — the blowup never materializes for non-hole rows
+        far_targets = holes.join(F.broadcast(far), "station_id")
+        best2 = _best(
+            _seasonal_filter(
+                far_targets.join(donor_facts, ["nb_station_id", ts_col]),
+                ts_col, seasonal_ma,
+            )
+        )
+        best = best1.unionByName(best2)
+
     out = facts.join(best, ["station_id", ts_col], "left")
     return (
         out.withColumn(
@@ -134,10 +190,32 @@ def median_fill(
     out_cols: tuple[str, ...] = ("filled",),
     ts_col: str = "timestamp",
     round_digits: int | None = 1,
+    near_dist_m: float | None = None,
+    cascade_k: int | None = None,
 ) -> DataFrame:
     """T fillup: fill with the exact median of the first ``n_donors``
     non-null regionalized donors in rank order; ``filled_by`` is the array
-    of donor ids used (StationBases.py:1436-1480, StationT.py:122-143).
+    of donor ids used, in neighbor-rank order — filled_by[0] is the
+    nearest donor, as in the reference's slot array
+    (StationBases.py:1436-1480, StationT.py:122-143).
+
+    ``knn`` should be the FULL candidate set within max_fillup_distance
+    (``knn_stations(k=None, max_dist_m=...)``) — the reference loops all
+    stations in distance order until every hole has donors, so a timestamp
+    where the 5 nearest are null draws from farther stations.
+
+    ``near_dist_m`` mirrors the reference's ``_fillup_max_dist`` exit
+    condition (StationT.py:48, StationBases.py:1467-1471): within it, up
+    to ``n_donors`` donors are collected; beyond it the loop only keeps
+    going for timestamps that still have NO donor, so a far donor is used
+    alone and only when no near donor exists. (The reference's exit check
+    is global across the station's timestamps; this is the per-timestamp
+    reading of the same rule.)
+
+    ``cascade_k``: same scale path as :func:`rank_fill` — donor join
+    against the nearest ``cascade_k`` candidates first; only timestamps
+    that did NOT find ``n_donors`` qualifying donors there are recomputed
+    against the full set. Identical output to the unbounded join.
 
     ``value_cols``/``out_cols`` handle T's (qc, raw_min, raw_max) ->
     (filled, filled_min, filled_max) triple in one pass.
@@ -147,36 +225,97 @@ def median_fill(
         F.col(ts_col),
         *[F.col(c).alias(f"_nbv_{c}") for c in value_cols],
     )
-    ma_self = ma.select("station_id", F.col("value").alias("_ma_self"))
-    ma_nb = ma.select(
-        F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
-    )
-    pairs = (
-        knn
-        .join(F.broadcast(ma_self), "station_id")
-        .join(F.broadcast(ma_nb), "nb_station_id")
-    )
-    donors = donor_facts.join(F.broadcast(pairs), "nb_station_id")
-    # keep only the first n non-null donors per timestamp, in rank order
-    wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
-    donors = donors.withColumn("_rn", F.row_number().over(wrank)).filter(
-        F.col("_rn") <= n_donors
-    )
+    pairs = _build_pairs(knn, ma, seasonal_ma=False)
+
+    def _select(donors: DataFrame) -> DataFrame:
+        if near_dist_m is None:
+            # first n non-null donors per timestamp, in rank order
+            wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
+            return (
+                donors.withColumn("_rn", F.row_number().over(wrank))
+                .filter(F.col("_rn") <= n_donors)
+                .withColumn("_near", F.lit(True))
+            )
+        # near donors: up to n in rank order; far donors: the single
+        # nearest, used only when the timestamp has no near donor at all
+        # (_fillup_max_dist exit condition, StationBases.py:1467-1471)
+        wgrp = W.partitionBy("station_id", ts_col)
+        return (
+            donors.withColumn("_near", F.col("dist_m") <= near_dist_m)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("station_id", ts_col, "_near").orderBy("rank")
+                ),
+            )
+            .withColumn("_has_near", F.max(F.col("_near").cast("int")).over(wgrp))
+            .filter(
+                (F.col("_near") & (F.col("_rn") <= n_donors))
+                | (~F.col("_near") & (F.col("_rn") == 1) & (F.col("_has_near") == 0))
+            )
+        )
+
     aggs = []
     for c in value_cols:
         reg = _regionalize(
             "add", F.col(f"_nbv_{c}"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
         )
         aggs.append(F.percentile(reg, F.lit(0.5)).alias(f"_med_{c}"))
-    aggs.append(F.sort_array(F.collect_list(F.col("nb_station_id").cast("short"))).alias("_donors"))
-    best = donors.groupBy("station_id", ts_col).agg(*aggs)
+    # donor ids in neighbor-rank order (reference slot order: [0] = nearest)
+    aggs.append(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("rank"), F.col("nb_station_id").cast("short").alias("nb"))
+                )
+            ),
+            lambda s: s["nb"],
+        ).alias("_donors")
+    )
+    # near-donor count decides whether a cascade phase-1 result is final
+    aggs.append(F.sum(F.col("_near").cast("int")).alias("_n_near"))
+
+    if cascade_k is None:
+        best = (
+            _select(donor_facts.join(F.broadcast(pairs), "nb_station_id"))
+            .groupBy("station_id", ts_col)
+            .agg(*aggs)
+        )
+    else:
+        near_pairs = pairs.filter(F.col("rank") <= cascade_k)
+        best1 = (
+            _select(donor_facts.join(F.broadcast(near_pairs), "nb_station_id"))
+            .groupBy("station_id", ts_col)
+            .agg(*aggs)
+        )
+        # finalized: found the full donor quota among the nearest k — more
+        # candidates cannot change the first-n-in-rank-order selection
+        done1 = best1.filter(F.col("_n_near") >= n_donors)
+        targets = (
+            facts.filter(F.col(base_col).isNull())
+            .select("station_id", ts_col)
+            .join(done1.select("station_id", ts_col), ["station_id", ts_col], "left_anti")
+        )
+        far_targets = targets.join(F.broadcast(pairs), "station_id")
+        best2 = (
+            _select(far_targets.join(donor_facts, ["nb_station_id", ts_col]))
+            .groupBy("station_id", ts_col)
+            .agg(*aggs)
+        )
+        best = done1.unionByName(best2)
+    best = best.drop("_n_near")
 
     out = facts.join(best, ["station_id", ts_col], "left")
     for c, oc in zip(value_cols, out_cols):
         med = F.col(f"_med_{c}")
         if round_digits is not None:
             med = F.round(med, round_digits)
-        out = out.withColumn(oc, F.coalesce(F.col(c), med))
+        # the reference's after-loop UPDATE overwrites ALL extra cols with
+        # the donor median wherever filled (= base) is NULL — even a present
+        # raw_min is replaced on a base-null row (StationT.py:138-143)
+        out = out.withColumn(
+            oc, F.when(F.col(base_col).isNull(), med).otherwise(F.col(c))
+        )
     out = out.withColumn(
         "filled_by",
         F.when(F.col(base_col).isNull() & F.col(f"_med_{value_cols[0]}").isNotNull(),

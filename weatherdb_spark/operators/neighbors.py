@@ -21,7 +21,7 @@ from weatherdb_spark.functions.spatial import elevation_weighted_dist, euclid_di
 
 def knn_stations(
     meta: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     max_dist_m: float | None = None,
     elevation_weighted: bool = False,
     id_col: str = "station_id",
@@ -32,6 +32,11 @@ def knn_stations(
     p2: float = ELEV_WEIGHT_P2,
 ) -> DataFrame:
     """Return (station_id, nb_station_id, dist_m, rank) with rank <= k.
+
+    ``k=None`` keeps ALL neighbors (within ``max_dist_m``), still ranked —
+    the fillup candidate set: the reference's fillup loop iterates every
+    station within max_fillup_distance in distance order until no holes
+    remain (StationBases.py:1573-1638), not just the 5 nearest.
 
     ``elevation_weighted`` applies the LARSIM weight
     ``L*(1+(|dh|/P1)^P2)`` used for T/ET neighbor selection
@@ -57,11 +62,10 @@ def knn_stations(
     if max_dist_m is not None:
         pairs = pairs.filter(F.col("dist_m") <= max_dist_m)
     w = W.partitionBy("station_id").orderBy(F.col("dist_m").asc(), F.col("nb_station_id").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("station_id", "nb_station_id", "dist_m", "rank")
-    )
+    ranked = pairs.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select("station_id", "nb_station_id", "dist_m", "rank")
 
 
 def yearly_knn(

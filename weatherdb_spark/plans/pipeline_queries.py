@@ -818,3 +818,195 @@ def fillup_daily_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled",
         "corr_base",
     )
+
+
+# --------------------------------------------------------------------------
+# Deep fillup — full distance-bounded candidate set, donor-starved fixture
+# --------------------------------------------------------------------------
+
+# unbounded elevation-weighted neighbor set (every other station, ranked)
+_KNN_ALL_SQL = f"""
+    coords AS ({_COORDS_SQL}),
+    knn AS (
+        SELECT a.s_suppkey AS station_id,
+               b.s_suppkey AS nb_station_id,
+               sqrt(pow(a.x_utm - b.x_utm, 2) + pow(a.y_utm - b.y_utm, 2))
+                 * (1 + pow(abs(a.elev - b.elev) / 250.0, 1.5)) AS dist_m,
+               row_number() OVER (
+                   PARTITION BY a.s_suppkey
+                   ORDER BY sqrt(pow(a.x_utm - b.x_utm, 2) + pow(a.y_utm - b.y_utm, 2))
+                            * (1 + pow(abs(a.elev - b.elev) / 250.0, 1.5)) ASC,
+                            b.s_suppkey ASC
+               ) AS rank
+        FROM coords a JOIN coords b ON a.s_suppkey != b.s_suppkey
+    )
+"""
+
+# starve half the station-days: nearby stations share the parity pattern
+# often enough that many timestamps have all 5 nearest donors NULL and must
+# draw from farther candidates — the case a k=5 neighbor dim cannot fill
+_STARVED_SQL = f"""
+    {_DAILY_SQL},
+    starved AS (
+        SELECT station_id, d,
+               CASE WHEN (station_id * 13 + dayofyear(d)) % 2 = 0
+                    THEN NULL ELSE qty END AS qty
+        FROM daily
+    )
+"""
+
+
+def _starved_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_df(spark, sf_dir)
+    return daily.select(
+        "station_id",
+        "timestamp",
+        F.when(
+            (F.col("station_id") * 13 + F.dayofyear("timestamp")) % 2 == 0,
+            F.lit(None),
+        ).otherwise(F.col("qty")).alias("qty"),
+    )
+
+
+@_register(
+    "fillup_rank_fill_deep",
+    oracle=f"""
+    WITH {_KNN_ALL_SQL}, {_STARVED_SQL},
+    ma AS ({_MA_SQL}),
+    bounds AS (
+        SELECT station_id, min(d) AS mn, max(d) AS mx FROM starved GROUP BY 1
+    ),
+    grid AS (
+        SELECT station_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    base AS (
+        SELECT g.station_id, g.d, f.qty
+        FROM grid g LEFT JOIN starved f ON g.station_id = f.station_id AND g.d = f.d
+    ),
+    donors AS (
+        SELECT k.station_id, f.d, k.rank, k.nb_station_id,
+               f.qty * m1.ma / m2.ma AS reg_val
+        FROM knn k
+        JOIN ma m1 ON m1.s_suppkey = k.station_id
+        JOIN ma m2 ON m2.s_suppkey = k.nb_station_id
+        JOIN starved f ON f.station_id = k.nb_station_id AND f.qty IS NOT NULL
+    ),
+    best AS (
+        SELECT station_id, d,
+               arg_min(reg_val, rank) AS fill_val,
+               arg_min(nb_station_id, rank) AS fill_by
+        FROM donors GROUP BY 1, 2
+    )
+    SELECT b.station_id, b.d AS day,
+           coalesce(b.qty, s.fill_val) AS filled,
+           CASE WHEN b.qty IS NULL AND s.fill_val IS NOT NULL
+                THEN s.fill_by END AS filled_by
+    FROM base b LEFT JOIN best s ON b.station_id = s.station_id AND b.d = s.d
+    """,
+    doc="Deep fillup: the oracle uses the UNBOUNDED candidate set (every "
+        "station, distance-ranked) on a donor-starved series (half the "
+        "station-days NULL) — reference semantics of looping ALL stations "
+        "within max_fillup_dist until no holes remain "
+        "(StationBases.py:1573-1638). The Spark side runs the cascade "
+        "optimization (nearest-5 first, hole-targeted full pass after), "
+        "proving it bitwise-equal to the unbounded join.",
+)
+def fillup_rank_fill_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.fillup import rank_fill
+    from weatherdb_spark.operators.neighbors import knn_stations
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    starved = _starved_df(spark, sf_dir)
+    grid = expand_timeline(
+        starved, interval="1 day", group_cols=("station_id",), min_date=None
+    )
+    knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
+    out = rank_fill(
+        grid, knn, _ma_df(spark, sf_dir), coef_sign="mult", base_col="qty",
+        ts_col="timestamp", round_digits=None, cascade_k=5,
+    )
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("timestamp").alias("day"),
+        F.col("filled"),
+        F.col("filled_by").cast("long").alias("filled_by"),
+    )
+
+
+@_register(
+    "fillup_median_deep",
+    oracle=f"""
+    WITH {_KNN_ALL_SQL}, {_STARVED_SQL},
+    ma AS ({_MA_SQL}),
+    bounds AS (
+        SELECT station_id, min(d) AS mn, max(d) AS mx FROM starved GROUP BY 1
+    ),
+    grid AS (
+        SELECT station_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    base AS (
+        SELECT g.station_id, g.d, f.qty
+        FROM grid g LEFT JOIN starved f ON g.station_id = f.station_id AND g.d = f.d
+    ),
+    donors AS (
+        SELECT k.station_id, f.d, k.rank, k.nb_station_id,
+               f.qty + (m1.ma - m2.ma) AS reg_val,
+               (k.dist_m <= 4000) AS nearf
+        FROM knn k
+        JOIN ma m1 ON m1.s_suppkey = k.station_id
+        JOIN ma m2 ON m2.s_suppkey = k.nb_station_id
+        JOIN starved f ON f.station_id = k.nb_station_id AND f.qty IS NOT NULL
+    ),
+    sel AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY station_id, d, nearf ORDER BY rank) AS rn,
+               max(CASE WHEN nearf THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY station_id, d) AS has_near
+        FROM donors
+    ),
+    kept AS (
+        SELECT * FROM sel
+        WHERE (nearf AND rn <= 5) OR ((NOT nearf) AND rn = 1 AND has_near = 0)
+    ),
+    med AS (
+        SELECT station_id, d,
+               quantile_cont(reg_val, 0.5) AS medv,
+               string_agg(nb_station_id::VARCHAR, ',' ORDER BY rank) AS donors_str
+        FROM kept GROUP BY 1, 2
+    )
+    SELECT b.station_id, b.d AS day,
+           round(CASE WHEN b.qty IS NULL THEN m.medv ELSE b.qty END, 4) AS filled,
+           CASE WHEN b.qty IS NULL AND m.medv IS NOT NULL
+                THEN m.donors_str END AS filled_by
+    FROM base b LEFT JOIN med m ON b.station_id = m.station_id AND b.d = m.d
+    """,
+    doc="Deep T-style median fillup: median of the first 5 non-null donors "
+        "in distance order from the FULL candidate set; beyond the "
+        "near-distance threshold (_fillup_max_dist, StationT.py:48) a "
+        "single donor is used and only when no nearer one exists "
+        "(StationBases.py:1467-1471). filled_by is the donor id list in "
+        "neighbor-rank order. Spark runs the cascade (nearest-8 first).",
+)
+def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.fillup import median_fill
+    from weatherdb_spark.operators.neighbors import knn_stations
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    starved = _starved_df(spark, sf_dir)
+    grid = expand_timeline(
+        starved, interval="1 day", group_cols=("station_id",), min_date=None
+    )
+    knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
+    out = median_fill(
+        grid, knn, _ma_df(spark, sf_dir), n_donors=5, base_col="qty",
+        value_cols=("qty",), out_cols=("filled",), ts_col="timestamp",
+        round_digits=None, near_dist_m=4000.0, cascade_k=8,
+    )
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("timestamp").alias("day"),
+        F.round("filled", 4).alias("filled"),
+        F.array_join(F.col("filled_by"), ",").alias("filled_by"),
+    )

@@ -303,3 +303,80 @@ def test_median_fill_matches_reference_loop(spark, data):
         g_fill, g_used = got[key]
         assert g_fill == exp_fill[key], (key, g_fill, exp_fill[key])
         assert g_used == exp_used.get(key), key
+
+
+# ------------------------------------------- daily adjustment (fillup step 7)
+
+def _naive_daily_adjust(vals, daily_raw, peak=5.0, add=10.0, hard=50.0):
+    """Literal Python transcription of the reference CASE expression
+    (StationP.py:701-740): coef per shifted day where daily raw present,
+    10-min sum > 0 and coef != 1; peak cap when both adjacent filled = 0."""
+    out = []
+    s = sum(v for v in vals if v is not None)
+    coef = None
+    if daily_raw is not None and s > 0 and daily_raw / s != 1:
+        coef = daily_raw / s
+    for i, v in enumerate(vals):
+        if v is None or coef is None:
+            out.append(v)
+            continue
+        pf = vals[i - 1] if i > 0 else None
+        nf = vals[i + 1] if i < len(vals) - 1 else None
+        if pf == 0 and nf == 0:
+            adj = min(v * coef, peak)
+        elif (v * coef - v) <= add:
+            adj = min(v * coef, hard)
+        else:
+            adj = min(v + add, hard)
+        out.append(round(adj, 2))
+    return out
+
+
+@st.composite
+def _adjust_fixtures(draw):
+    n = draw(st.integers(min_value=3, max_value=24))
+    vals = draw(st.lists(
+        st.one_of(
+            st.none(),
+            st.just(0.0),
+            st.floats(min_value=0.1, max_value=40.0).map(lambda x: round(x, 1)),
+        ),
+        min_size=n, max_size=n,
+    ))
+    daily = draw(st.one_of(
+        st.none(),
+        st.floats(min_value=0.0, max_value=300.0).map(lambda x: round(x, 1)),
+    ))
+    return vals, daily
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_adjust_fixtures())
+def test_daily_adjust_p_matches_reference_case(spark, data):
+    from weatherdb_spark.operators.fillup import daily_adjust_p
+
+    vals, daily = data
+    # all rows inside one shifted day (06:00.. keeps date(ts - 5h50m) fixed)
+    base = dt.datetime(2024, 3, 1, 6, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=10 * i), v) for i, v in enumerate(vals)
+    ]
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, filled double"
+    )
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.date(2024, 3, 1), daily)],
+        "station_id int, timestamp date, raw double",
+    )
+    got = {
+        r["timestamp"]: r["corr_base"]
+        for r in daily_adjust_p(ts_p, ts_p_d).collect()
+    }
+    want = _naive_daily_adjust(vals, daily)
+    for i, w in enumerate(want):
+        g = got[base + dt.timedelta(minutes=10 * i)]
+        if w is None:
+            assert g is None, f"row {i}: got {g}, want None"
+        else:
+            assert g == pytest.approx(w, abs=1e-9), f"row {i}: got {g}, want {w}"

@@ -191,7 +191,10 @@ def test_daily_adjust_p_scales_to_daily(spark):
     )
     out = {r["timestamp"]: r["corr_base"] for r in daily_adjust_p(ts_p, ts_p_d).collect()}
     assert out[base] == 2.0
-    assert out[base + dt.timedelta(minutes=20)] == 6.0
+    # 3.0 at 6:20 sits between two zeros: scaling to 6.0 would create a
+    # new isolated peak, so it is capped at 5 mm (tsb.filled = 0 AND
+    # tsa.filled = 0 -> LEAST(filled*coef, 5mm), StationP.py:705-710)
+    assert out[base + dt.timedelta(minutes=20)] == 5.0
     assert out[base + dt.timedelta(minutes=10)] == 0.0  # zeros untouched
 
 

@@ -388,10 +388,17 @@ def daily_adjust_p(
     """P-only step 7: scale each day's filled 10-min values so they sum to
     the daily station measurement (StationP.py:692-746).
 
-    coef = daily_raw / sum(filled) per (ts - 5h 50min)::date; caps: a
-    scaled value may not become a new isolated peak > 5 mm, may not grow by
-    more than 10 mm, hard cap 50 mm. Days without a daily measurement or
-    with zero 10-min sum keep their values.
+    coef = daily_raw / sum(filled) per (ts - 5h 50min)::date, applied only
+    where daily_raw is present, the 10-min sum > 0, and coef != 1
+    (StationP.py:716-731). Per row (StationP.py:705-712):
+
+    - both adjacent 10-min filled values are 0 (an isolated peak):
+      LEAST(filled * coef, 5 mm) — scaling must not create a new peak;
+    - else if the growth (filled*coef - filled) <= 10 mm:
+      LEAST(filled * coef, 50 mm);
+    - else: LEAST(filled + 10 mm, 50 mm).
+
+    Rows with NULL filled or without a qualifying coef keep their values.
     """
     day = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
     with_day = ts_p.withColumn("_day", day)
@@ -399,25 +406,27 @@ def daily_adjust_p(
     daily = ts_p_d.select(
         "station_id", F.col("timestamp").alias("_day"), F.col("raw").alias("_raw_d")
     )
-    coefs = sums.join(daily, ["station_id", "_day"], "left").withColumn(
-        "_coef",
-        F.when(
-            (F.col("_sum_f") > 0) & F.col("_raw_d").isNotNull(),
-            F.col("_raw_d") / F.col("_sum_f"),
-        ).otherwise(F.lit(1.0)),
+    coefs = (
+        sums.join(daily, ["station_id", "_day"])
+        .filter(F.col("_raw_d").isNotNull() & (F.col("_sum_f") > 0))
+        .withColumn("_coef", F.col("_raw_d") / F.col("_sum_f"))
+        .filter(F.col("_coef") != 1)
     )
     out = with_day.join(
         coefs.select("station_id", "_day", "_coef"), ["station_id", "_day"], "left"
     )
-    scaled = F.round(F.col("filled") * F.col("_coef"), round_digits)
-    capped = F.least(
-        F.least(scaled, F.col("filled") + add_cap),
-        F.lit(hard_cap),
-    )
-    # no new isolated peak: if the original value was 0 neighbors-wise small
-    # and scaling pushes above peak_cap, clamp to peak_cap
+    # adjacent 10-min filled values (pre-adjustment), reference tsb/tsa joins
+    wts = W.partitionBy("station_id").orderBy("timestamp")
+    prev_f = F.lag("filled").over(wts)
+    next_f = F.lead("filled").over(wts)
+    scaled = F.col("filled") * F.col("_coef")
     capped = F.when(
-        (F.col("filled") <= 0.1) & (capped > peak_cap), F.lit(peak_cap)
-    ).otherwise(capped)
-    adjusted = F.when(F.col("filled") > 0, capped).otherwise(F.col("filled"))
+        (prev_f == 0) & (next_f == 0), F.least(scaled, F.lit(peak_cap))
+    ).when(
+        (scaled - F.col("filled")) <= add_cap, F.least(scaled, F.lit(hard_cap))
+    ).otherwise(F.least(F.col("filled") + add_cap, F.lit(hard_cap)))
+    adjusted = F.when(
+        F.col("filled").isNotNull() & F.col("_coef").isNotNull(),
+        F.round(capped, round_digits),
+    ).otherwise(F.col("filled"))
     return out.withColumn("corr_base", adjusted).drop("_day", "_coef")

@@ -735,12 +735,19 @@ def fillup_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ADJ_TS_SQL = """
-    ts AS (
+    ts0 AS (
         SELECT l_suppkey AS station_id,
-               l_orderkey, l_linenumber,
                l_shipdate + INTERVAL (l_linenumber * 10) MINUTE AS tstamp,
-               l_quantity AS filled
-        FROM lineitem
+               sum(l_quantity) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ts AS (
+        -- every second 10-min slot zeroed so the isolated-peak branch
+        -- (both adjacent filled = 0) actually fires
+        SELECT station_id, tstamp,
+               CASE WHEN EXTRACT(MINUTE FROM tstamp) % 20 = 0
+                    THEN 0.0 ELSE q END AS filled
+        FROM ts0
     )
 """
 
@@ -760,43 +767,55 @@ _ADJ_TS_SQL = """
         FROM sums
     ),
     coefs AS (
-        SELECT s.station_id, s.d,
-               CASE WHEN s.sum_f > 0 AND dd.raw_d IS NOT NULL
-                    THEN dd.raw_d / s.sum_f ELSE 1.0 END AS coef
+        SELECT s.station_id, s.d, dd.raw_d / s.sum_f AS coef
         FROM sums s
-        LEFT JOIN daily dd ON s.station_id = dd.station_id AND s.d = dd.d
+        JOIN daily dd ON s.station_id = dd.station_id AND s.d = dd.d
+        WHERE dd.raw_d IS NOT NULL AND s.sum_f > 0
+          AND dd.raw_d / s.sum_f != 1
+    ),
+    win AS (
+        SELECT k.*, c.coef,
+               lag(k.filled) OVER w AS pf,
+               lead(k.filled) OVER w AS nf
+        FROM keyed k
+        LEFT JOIN coefs c ON k.station_id = c.station_id AND k.d = c.d
+        WINDOW w AS (PARTITION BY k.station_id ORDER BY k.tstamp)
     )
-    SELECT k.station_id, k.l_orderkey, k.l_linenumber,
-           k.tstamp AS timestamp, k.filled,
-           CASE WHEN k.filled > 0 THEN
-               CASE WHEN k.filled <= 0.1
-                         AND least(least(round(k.filled * c.coef, 2),
-                                         k.filled + 10), 50) > 5
-                    THEN CAST(5 AS DOUBLE)
-                    ELSE least(least(round(k.filled * c.coef, 2),
-                                     k.filled + 10), CAST(50 AS DOUBLE)) END
-           ELSE k.filled END AS corr_base
-    FROM keyed k
-    JOIN coefs c ON k.station_id = c.station_id AND k.d = c.d
+    SELECT station_id, tstamp AS timestamp, filled,
+           CASE WHEN filled IS NOT NULL AND coef IS NOT NULL THEN
+               round(CASE WHEN pf = 0 AND nf = 0
+                          THEN least(filled * coef, 5.0)
+                          WHEN (filled * coef - filled) <= 10
+                          THEN least(filled * coef, 50.0)
+                          ELSE least(filled + 10, 50.0) END, 2)
+           ELSE filled END AS corr_base
+    FROM win
     """,
     doc="Fillup step 7 (P only): scale each 5h50-shifted day's 10-min "
-        "values so they sum to the daily measurement, with new-peak <= 5, "
-        "added <= 10 and hard 50 caps (StationP.py:692-746) — lineitem "
-        "rows as 10-min observations, synthetic daily = sum * key factor.",
+        "values so they sum to the daily measurement (StationP.py:692-746); "
+        "the isolated-peak cap fires when BOTH adjacent 10-min filled "
+        "values are 0 (tsb.filled = 0 AND tsa.filled = 0, "
+        "StationP.py:705-710), growth is capped at 10 mm, hard cap 50 mm; "
+        "coef rows require daily raw present, sum > 0 and coef != 1.",
 )
 def fillup_daily_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.functions.temporal import shifted_date
     from weatherdb_spark.operators.fillup import daily_adjust_p
 
     li = load(spark, sf_dir, "lineitem")
-    ts_p = li.select(
-        F.col("l_suppkey").alias("station_id"),
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(
-            "l_shipdate + make_interval(0, 0, 0, 0, 0, CAST(l_linenumber AS INT) * 10, 0)"
-        ).alias("timestamp"),
-        F.col("l_quantity").alias("filled"),
+    ts_p = (
+        li.groupBy(
+            F.col("l_suppkey").alias("station_id"),
+            F.expr(
+                "l_shipdate + make_interval(0, 0, 0, 0, 0, CAST(l_linenumber AS INT) * 10, 0)"
+            ).alias("timestamp"),
+        )
+        .agg(F.sum("l_quantity").alias("_q"))
+        .withColumn(
+            "filled",
+            F.when(F.minute("timestamp") % 20 == 0, F.lit(0.0)).otherwise(F.col("_q")),
+        )
+        .drop("_q")
     )
     day = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
     ts_p_d = (
@@ -810,14 +829,7 @@ def fillup_daily_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = daily_adjust_p(ts_p, ts_p_d)
-    return out.select(
-        "station_id",
-        "l_orderkey",
-        "l_linenumber",
-        "timestamp",
-        "filled",
-        "corr_base",
-    )
+    return out.select("station_id", "timestamp", "filled", "corr_base")
 
 
 # --------------------------------------------------------------------------

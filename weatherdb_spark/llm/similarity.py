@@ -83,6 +83,33 @@ def cosine_pairs(
     )
 
 
+def recall_vs_brute(
+    approx: DataFrame,
+    brute: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """recall@k per query: |approx top-k ∩ brute top-k| / k.
+
+    The verification harness for the approximate ANN variants — joins the
+    approximate result against the exact brute-force result so that a
+    broken index (bad buckets, wrong probing) shows up as a recall drop.
+    Returns (query_id, recall) with one row for EVERY query, 0.0 when the
+    approximate search returned nothing for it.
+    """
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / k).alias("recall"))
+    )
+    base = queries.select(F.col(id_col).alias("query_id"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component i of plane p is
     +1/-1 by the parity of a Knuth-multiplicative hash of (p*dim + i)."""
@@ -182,33 +209,53 @@ def lsh_bucket_topk(
     k: int = 5,
     planes: int = 6,
     dim: int = 64,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane LSH buckets, then exact
-    rank within the query's bucket. ~2^planes buckets; at 100 TB the
-    corpus shuffles once on the bucket key and each query probes one
-    bucket instead of the full corpus."""
-    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        bucket = sum(
-            [_hyperplane_sign(F.col(vc), p, dim) * (2 ** p) for p in range(planes)],
-            F.lit(0),
-        )
-        return df.withColumn("_bucket", bucket)
+    """Approximate cosine top-k: ``n_tables`` independent random-hyperplane
+    LSH tables; candidates are the union of the query's bucket across
+    tables, then exact rank over the candidate set.
+
+    A single table misses near neighbors that differ on any one plane
+    (P[same bucket] = (1 - theta/pi)^planes); multiple independent tables
+    recover them at the standard OR-construction rate
+    1 - (1 - p^planes)^n_tables. At 100 TB the corpus explodes x n_tables
+    and shuffles ONCE on the (table, bucket) key; each query probes
+    n_tables buckets instead of the full corpus.
+    """
+    def bucketed(df: DataFrame) -> DataFrame:
+        # one row per table: bucket from that table's plane block
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("_table"),
+                sum(
+                    [_hyperplane_sign(F.col("_v"), t * planes + p, dim) * (2 ** p)
+                     for p in range(planes)],
+                    F.lit(0),
+                ).alias("_bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select("*", F.explode(tables).alias("_tb")).select(
+            "*", F.col("_tb._table").alias("_table"), F.col("_tb._bucket").alias("_bucket")
+        ).drop("_tb")
 
     c = bucketed(
-        spread(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "neighbor_id", "_cv",
-    )
+        spread(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        )
+    ).withColumnRenamed("_v", "_cv")
     q = bucketed(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "query_id", "_qv",
-    )
-    scored = (
-        c.join(F.broadcast(q), "_bucket")
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
+    ).withColumnRenamed("_v", "_qv")
+    candidates = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = candidates.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -255,3 +255,53 @@ def test_rank_fill_seasonal_coefs(spark):
     }
     assert out[(1, dt.date(2024, 1, 10))] == 6.0
     assert out[(1, dt.date(2024, 7, 10))] == 3.0
+
+
+def test_adjust_series_seasonal_p(spark):
+    from weatherdb_spark.operators.aggregate import adjust_series_seasonal
+
+    # two full years, one value per month; suhy months 4-9
+    rows = []
+    for y in (2020, 2021):
+        for m in range(1, 13):
+            rows.append((1, dt.date(y, m, 15), 2.0))
+    df = spark.createDataFrame(rows, "station_id int, timestamp date, filled double")
+    sma = spark.createDataFrame(
+        [(1, "wihy", 24.0), (1, "suhy", 6.0)],
+        "station_id int, term string, value double",
+    )
+    out = adjust_series_seasonal(df, sma, min_count=6).collect()
+    # yearly sums per term = 12.0 -> pstat = 12; wihy: x*24/12 = 2x,
+    # suhy: x*6/12 = x/2
+    for r in out:
+        if r.timestamp.month in (4, 5, 6, 7, 8, 9):
+            assert r.term == "suhy" and r.adj == 1.0
+        else:
+            assert r.term == "wihy" and r.adj == 4.0
+
+    # min_count above the data -> no qualifying year -> adj NULL
+    out2 = adjust_series_seasonal(df, sma, min_count=7).collect()
+    assert all(r.adj is None for r in out2)
+
+
+def test_adjust_series_truncates_partial_years(spark):
+    from weatherdb_spark.operators.aggregate import adjust_series
+
+    # 2020 full (Jan 1 - Dec 31 present), 2021 partial (starts May ->
+    # stats year only 2020); series values: 2020 constant 10, 2021
+    # constant 99 (which must NOT pollute the period statistic)
+    rows = [(1, dt.date(2020, 1, 1), 10.0), (1, dt.date(2020, 12, 20), 10.0)]
+    rows += [(1, dt.date(2021, 5, 1), 99.0), (1, dt.date(2021, 6, 1), 99.0)]
+    df = spark.createDataFrame(rows, "station_id int, timestamp date, filled double")
+    ma = spark.createDataFrame([(1, 40.0)], "station_id int, value double")
+    out = {
+        (r.timestamp.year, r.timestamp.month): r.adj
+        for r in adjust_series(
+            df, ma, coef_sign="mult", agg_fun="sum", min_count=1,
+            truncate_years=True,
+        ).collect()
+    }
+    # pstat = sum(2020) = 20 (2021 truncated: series max is 2021-06-01 <
+    # Dec 15 -> last full year is 2020); adj = v * 40 / 20 = 2v
+    assert out[(2020, 1)] == 20.0
+    assert out[(2021, 5)] == 198.0  # adjustment still applies to all rows

@@ -35,6 +35,9 @@ PARAMETERS: dict[str, dict] = {
         "ma_terms": ["wihy", "suhy", "year"],
         "ma_raster_key": "hyras",
         "coef_sign": "mult",
+        # (365//2 - 10) days x 24 x 6 at 10-min resolution
+        # (StationBases.py:3158-3163)
+        "adj_min_count": 24768,
     },
     "p_d": {
         "decimals": 100,
@@ -47,6 +50,7 @@ PARAMETERS: dict[str, dict] = {
         "ma_terms": ["wihy", "suhy", "year"],
         "ma_raster_key": "hyras",
         "coef_sign": "mult",
+        "adj_min_count": 172,  # (365//2 - 10) days
     },
     "t": {
         "decimals": 10,
@@ -63,6 +67,9 @@ PARAMETERS: dict[str, dict] = {
         "fillup_n_donors": 5,  # median of 5 neighbors, StationT.py:122-143
         # beyond this, one donor suffices (_fillup_max_dist, StationT.py:48)
         "fillup_near_dist_km": 100.0,
+        # T's get_adj means over ALL years (no pandas min_count,
+        # StationT.py:152-156)
+        "adj_min_count": 1,
     },
     "et": {
         "decimals": 10,
@@ -75,6 +82,7 @@ PARAMETERS: dict[str, dict] = {
         "ma_terms": ["year"],
         "ma_raster_key": "dwd",
         "coef_sign": "mult",
+        "adj_min_count": 345,  # days, StationET.py:107
     },
 }
 

@@ -170,6 +170,34 @@ def filled_period(
     )
 
 
+def full_year_bounds(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    group_cols: Sequence[str] = ("station_id",),
+) -> DataFrame:
+    """Per-group first/last FULL year (StationBases.py:3108-3122): a
+    series starting after Jan 15 drops its first year; one ending before
+    Dec 15 drops its last. (The reference's tstp_max branch compares
+    against ``tstp_min.year`` and reassigns tstp_min — an apparent bug;
+    this implements the documented intent 'truncate to full years'.)
+
+    Returns (group_cols..., _year_from, _year_until)."""
+    b = df.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
+    )
+    start_y = F.when(
+        F.to_date("_mn") > F.make_date(F.year("_mn"), F.lit(1), F.lit(15)),
+        F.year("_mn") + 1,
+    ).otherwise(F.year("_mn"))
+    end_y = F.when(
+        F.to_date("_mx") < F.make_date(F.year("_mx"), F.lit(12), F.lit(15)),
+        F.year("_mx") - 1,
+    ).otherwise(F.year("_mx"))
+    return b.select(
+        *group_cols, start_y.alias("_year_from"), end_y.alias("_year_until")
+    )
+
+
 def adjust_series(
     df: DataFrame,
     ma: DataFrame,
@@ -179,6 +207,7 @@ def adjust_series(
     agg_fun: str = "sum",
     min_count: int = 345,
     round_digits: int = 2,
+    truncate_years: bool = False,
 ) -> DataFrame:
     """A7 — ``get_adj``: scale the series so its multi-annual mean equals
     the station's MA target (StationBases.py:2763-2793, 3094-3122,
@@ -187,11 +216,14 @@ def adjust_series(
 
     1. yearly ``agg_fun`` of ``value_col`` per station, keeping only years
        with >= ``min_count`` present values (e.g. 345 days for ET);
+       with ``truncate_years``, additionally only FULL years
+       (StationBases.py:3108-3122 — used by T and ET, not P);
     2. the station's period statistic = mean over qualifying years;
     3. multiplicative: ``adj = value * ma / period_stat``;
        additive: ``adj = value + (ma - period_stat)``.
-    Returns df + ``adj`` (NULL where the station has no qualifying year or
-    no MA value). ``ma``: (station_id, value)."""
+    Adjustment applies to ALL rows (truncation only restricts which years
+    feed the statistic). Returns df + ``adj`` (NULL where the station has
+    no qualifying year or no MA value). ``ma``: (station_id, value)."""
     yearly = (
         df.groupBy("station_id", F.year(ts_col).alias("_y"))
         .agg(
@@ -200,6 +232,11 @@ def adjust_series(
         )
         .filter(F.col("_n") >= min_count)
     )
+    if truncate_years:
+        bounds = full_year_bounds(df, ts_col=ts_col)
+        yearly = yearly.join(F.broadcast(bounds), "station_id").filter(
+            F.col("_y").between(F.col("_year_from"), F.col("_year_until"))
+        )
     period_stat = yearly.groupBy("station_id").agg(F.avg("_ystat").alias("_pstat"))
     target = ma.select("station_id", F.col("value").alias("_ma"))
     dims = period_stat.join(target, "station_id")
@@ -210,4 +247,53 @@ def adjust_series(
         adj = F.col(value_col) + (F.col("_ma") - F.col("_pstat"))
     else:
         raise ValueError(f"coef_sign {coef_sign!r} not in ('mult', 'add')")
+    return out.withColumn("adj", F.round(adj, round_digits)).drop("_pstat", "_ma")
+
+
+SUHY_MONTHS = (4, 5, 6, 7, 8, 9)  # summer half-year, StationBases.py:3153
+
+
+def adjust_series_seasonal(
+    df: DataFrame,
+    ma_seasonal: DataFrame,
+    value_col: str = "filled",
+    ts_col: str = "timestamp",
+    min_count: int = 172,
+    round_digits: int = 2,
+) -> DataFrame:
+    """A7 for P — separate winter/summer adjustment factors
+    (StationPBase.get_adj, StationBases.py:3136-3184).
+
+    Rows split by month into suhy (Apr-Sep) / wihy half-years; per
+    (station, term) the period statistic is the mean of yearly sums over
+    years with >= ``min_count`` present values (365//2 - 10 days at daily
+    resolution, x 24*6 at 10 min — the reference's pandas
+    ``sum(min_count=...)``); each row scales by its term's
+    ``ma / period_stat``. P does NOT truncate to full calendar years
+    (StationPBase unpacks the 3-tuple, skipping main_df_tr) — the
+    min_count gate drops partial half-years instead.
+
+    ``ma_seasonal``: (station_id, term, value) with term in
+    ('wihy', 'suhy'). Returns df + ``term``, ``adj``."""
+    with_term = df.withColumn(
+        "term",
+        F.when(F.month(ts_col).isin(*SUHY_MONTHS), F.lit("suhy")).otherwise(
+            F.lit("wihy")
+        ),
+    )
+    yearly = (
+        with_term.groupBy("station_id", "term", F.year(ts_col).alias("_y"))
+        .agg(
+            F.sum(value_col).alias("_ysum"),
+            F.count(value_col).alias("_n"),
+        )
+        .filter(F.col("_n") >= min_count)
+    )
+    period_stat = yearly.groupBy("station_id", "term").agg(
+        F.avg("_ysum").alias("_pstat")
+    )
+    target = ma_seasonal.select("station_id", "term", F.col("value").alias("_ma"))
+    dims = period_stat.join(target, ["station_id", "term"])
+    out = with_term.join(F.broadcast(dims), ["station_id", "term"], "left")
+    adj = F.col(value_col) * F.col("_ma") / F.col("_pstat")
     return out.withColumn("adj", F.round(adj, round_digits)).drop("_pstat", "_ma")

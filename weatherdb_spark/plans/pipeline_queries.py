@@ -1022,3 +1022,76 @@ def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("filled", 4).alias("filled"),
         F.array_join(F.col("filled_by"), ",").alias("filled_by"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7 seasonal — P's winter/summer half-year adjustment factors
+# --------------------------------------------------------------------------
+
+@_register(
+    "a7_seasonal_adjust",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    terms AS (
+        SELECT station_id, d, qty,
+               CASE WHEN month(d) IN (4, 5, 6, 7, 8, 9)
+                    THEN 'suhy' ELSE 'wihy' END AS term
+        FROM daily
+    ),
+    yearly AS (
+        SELECT station_id, term, year(d) AS y,
+               sum(qty) AS ysum, count(qty) AS n
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    pstat AS (
+        SELECT station_id, term, avg(ysum) AS p
+        FROM yearly WHERE n >= 30 GROUP BY 1, 2
+    ),
+    sma AS (
+        SELECT s_suppkey AS station_id, 'wihy' AS term,
+               CAST(s_suppkey % 20 + 40 AS DOUBLE) AS v
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'suhy', CAST(s_suppkey % 15 + 30 AS DOUBLE)
+        FROM supplier
+    )
+    SELECT t.station_id, t.d AS day, t.term, t.qty,
+           round(t.qty * m.v / p.p, 3) AS adj
+    FROM terms t
+    LEFT JOIN pstat p ON t.station_id = p.station_id AND t.term = p.term
+    LEFT JOIN sma m ON t.station_id = m.station_id AND t.term = m.term
+    """,
+    doc="A7 P seasonal adjustment (StationPBase.get_adj, "
+        "StationBases.py:3136-3184): rows split into suhy (Apr-Sep) / "
+        "wihy half-years; per (station, term) the period statistic is the "
+        "mean of yearly sums over years passing the min-count gate; each "
+        "row scales by its term's ma / period_stat. Stations/terms "
+        "without a qualifying year stay NULL.",
+)
+def a7_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.aggregate import adjust_series_seasonal
+
+    daily = _daily_df(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier")
+    sma = sup.select(
+        F.col("s_suppkey").cast("int").alias("station_id"),
+        F.lit("wihy").alias("term"),
+        (F.col("s_suppkey") % 20 + 40).cast("double").alias("value"),
+    ).unionByName(
+        sup.select(
+            F.col("s_suppkey").cast("int").alias("station_id"),
+            F.lit("suhy").alias("term"),
+            (F.col("s_suppkey") % 15 + 30).cast("double").alias("value"),
+        )
+    )
+    out = adjust_series_seasonal(
+        daily, sma, value_col="qty", ts_col="timestamp",
+        min_count=30, round_digits=3,
+    )
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("timestamp").alias("day"),
+        "term",
+        "qty",
+        "adj",
+    )

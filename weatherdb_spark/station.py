@@ -93,15 +93,31 @@ class Station:
         )
 
     def get_adj(self, kind: str = "filled", **kw) -> DataFrame:
-        """A7 — the MA-adjusted series (StationBases.py:2763-2793)."""
+        """A7 — the MA-adjusted series (StationBases.py:2763-2793).
+
+        P uses separate winter/summer (wihy/suhy) factors with a
+        half-year min-count gate and no year truncation
+        (StationBases.py:3136-3184); T/ET use a single yearly factor over
+        full calendar years only (StationBases.py:3108-3122,
+        StationT.py:152-161, StationET.py:102-111)."""
+        from weatherdb_spark.operators.aggregate import adjust_series_seasonal
+
         cfg = PARAMETERS[self.parameter]
-        ma = self.broker._ma_values(self.parameter)
+        own = self._ts.filter(F.col("station_id") == self.id)
+        if "wihy" in cfg["ma_terms"]:
+            kw.setdefault("min_count", cfg["adj_min_count"])
+            return adjust_series_seasonal(
+                own, self.broker._ma_seasonal(self.parameter),
+                value_col=kind, **kw,
+            )
+        kw.setdefault("min_count", cfg["adj_min_count"])
         return adjust_series(
-            self._ts.filter(F.col("station_id") == self.id),
-            ma,
+            own,
+            self.broker._ma_values(self.parameter),
             coef_sign=cfg["coef_sign"],
             value_col=kind,
             agg_fun=cfg["agg_fun"],
+            truncate_years=True,
             **kw,
         )
 

@@ -108,3 +108,96 @@ def test_last_imp_quality_check_bounded(spark, inc_broker):
     ).count()
     assert old_qc > 0
     assert got.filter(F.col("qc").isNotNull()).count() >= before
+
+
+def _t_rows(day0: int, n_days: int, stations=(1, 2)):
+    # daily T with raw/min/max and qc pre-set (QC stage bypassed so the
+    # fixture stays small); a hole at station 1 every 5th day
+    rows = []
+    for s in stations:
+        for d in range(day0, day0 + n_days):
+            ts = START + dt.timedelta(days=d)
+            v = 10.0 + s + d % 3
+            hole = s == 1 and d % 5 == 4
+            rows.append((
+                s, ts,
+                None if hole else v,
+                None if hole else v - 2,
+                None if hole else v + 2,
+                None if hole else v,
+            ))
+    return rows
+
+
+def _build(spark, tmp_path, name, p_days, t_days):
+    b = Broker(spark, str(tmp_path / name))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100, 5.0), (2, "p", True, 5000.0, 0.0, 200, 9.0),
+         (1, "t", True, 0.0, 0.0, 100, 5.0), (2, "t", True, 5000.0, 0.0, 200, 9.0),
+         (1, "p_d", True, 0.0, 0.0, 100, 5.0),
+         (2, "p_d", True, 5000.0, 0.0, 200, 9.0)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int, horizon double",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, p, t, 800.0) for s in (1, 2) for p in ("p", "p_d", "t")
+         for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    ))
+    b.update_raw("p", spark.createDataFrame(
+        _p_rows(0, p_days),
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(s, START + dt.timedelta(days=d), 20.0) for s in (1, 2) for d in range(6)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    b.update_raw("t", spark.createDataFrame(
+        _t_rows(0, t_days),
+        "station_id int, timestamp timestamp, raw double, raw_min double, "
+        "raw_max double, qc double",
+    ))
+    return b
+
+
+def _stage_rows(b, table, cols):
+    out = b.read(table).select("station_id", "timestamp", *cols).collect()
+    def norm(v):
+        return tuple(v) if isinstance(v, list) else v
+    return sorted((r[0], r[1], *(norm(r[i]) for i in range(2, 2 + len(cols))))
+                  for r in out)
+
+
+def test_incremental_fillup_corr_equals_full_recompute(spark, tmp_path):
+    """append_raw -> last_imp_quality_check -> last_imp_fillup ->
+    last_imp_corr must equal the full recompute row-for-row (reference
+    last_imp_* semantics: same data, same result, less work)."""
+    # full: all 5 days from the start
+    full = _build(spark, tmp_path, "full", p_days=5, t_days=5)
+    full.quality_check()
+    full.fillup()
+    full.richter_correct_stage()
+
+    # inc: 3 days, full stages, then 2 more via the last_imp path
+    inc = _build(spark, tmp_path, "inc", p_days=3, t_days=5)
+    inc.quality_check()
+    inc.fillup()
+    inc.richter_correct_stage()
+    inc.append_raw("p", spark.createDataFrame(
+        _p_rows(3, 2),
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    inc.last_imp_quality_check(margin="2 days")
+    inc.last_imp_fillup(margin="2 days")
+    inc.last_imp_corr(margin="2 days")
+
+    got = _stage_rows(inc, "ts_p", ["raw", "qc", "filled", "filled_by", "corr"])
+    want = _stage_rows(full, "ts_p", ["raw", "qc", "filled", "filled_by", "corr"])
+    assert len(got) == len(want)
+    diffs = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not diffs, f"{len(diffs)} divergent rows; first: {diffs[0]}"
+
+    # t table (touched only by the full path in both brokers) stays equal
+    got_t = _stage_rows(inc, "ts_t", ["filled", "filled_min", "filled_max", "filled_by"])
+    want_t = _stage_rows(full, "ts_t", ["filled", "filled_min", "filled_max", "filled_by"])
+    assert got_t == want_t

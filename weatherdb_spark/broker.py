@@ -206,75 +206,96 @@ class Broker:
             self.write("ts_et", out_et, bucket_by_station=True)
             self._mark("et", "qc", "ts_et")
 
+    # fillup output columns per parameter (merged back on incremental runs)
+    FILLUP_COLS = {
+        "p_d": ["filled", "filled_by"],
+        "p": ["filled", "filled_by"],
+        "t": ["filled", "filled_min", "filled_max", "filled_by"],
+        "et": ["filled", "filled_by"],
+    }
+
+    def _fillup_compute(self, parameter: str, facts: DataFrame,
+                        ts_p_d: DataFrame | None = None) -> DataFrame:
+        """The fillup computation for one parameter's fact table
+        (StationBases.py:1346-1669) — shared by the full stage and the
+        window-bounded incremental stage."""
+        cascade_k = 10  # bound the donor-join blowup; exact (see fillup.py)
+        if parameter == "p_d":
+            # base col raw, multiplicative yearly MA
+            return rank_fill(
+                facts, self._knn("p_d", k=None), self._ma_values("p_d"),
+                coef_sign="mult", base_col="raw", round_digits=2,
+                cascade_k=cascade_k,
+            )
+        if parameter == "p":
+            # seasonal (wihy/suhy) multiplicative coefs, interpolation
+            # <= 1h, then scale to the daily measurement
+            filled_p = rank_fill(
+                facts, self._knn("p", k=None), self._ma_seasonal("p"),
+                coef_sign="mult", base_col="qc", seasonal_ma=True,
+                round_digits=2, cascade_k=cascade_k,
+            )
+            filled_p = interpolate_gaps(
+                filled_p, max_gap=PARAMETERS["p"]["max_gap_interp"]
+            )
+            filled_p = daily_adjust_p(filled_p, ts_p_d).withColumnRenamed(
+                "corr_base", "filled_adj"
+            )
+            return filled_p.withColumn(
+                "filled", F.coalesce("filled_adj", "filled")
+            ).drop("filled_adj")
+        if parameter == "t":
+            # median of the first 5 non-null donors in distance order from
+            # the full candidate set; beyond _fillup_max_dist (100 km,
+            # StationT.py:48) a donor is used alone and only when no
+            # nearer one exists. additive, min/max in the same pass.
+            filled_t = median_fill(
+                facts, self._knn("t", k=None), self._ma_values("t"),
+                n_donors=PARAMETERS["t"]["fillup_n_donors"],
+                base_col="qc",
+                value_cols=("qc", "raw_min", "raw_max"),
+                out_cols=("filled", "filled_min", "filled_max"),
+                near_dist_m=PARAMETERS["t"]["fillup_near_dist_km"] * 1000,
+                cascade_k=cascade_k,
+            )
+            filled_t = interpolate_gaps(
+                filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],
+                filled_by_col="filled_by_interp",
+            )
+            # the reference marks interpolated T rows with
+            # filled_by=ARRAY[-1] (StationBases.py:1550-1552, array branch)
+            return filled_t.withColumn(
+                "filled_by",
+                F.when(F.col("filled_by_interp") == -1,
+                       F.array(F.lit(-1).cast("short")))
+                .otherwise(F.col("filled_by")),
+            ).drop("filled_by_interp")
+        if parameter == "et":
+            # multiplicative yearly (ET's _fillup_max_dist is inert in the
+            # reference — the exit-condition branch requires
+            # _filled_by_n > 1, StationBases.py:1436,1467)
+            filled_et = rank_fill(
+                facts, self._knn("et", k=None), self._ma_values("et"),
+                coef_sign="mult", base_col="qc", round_digits=1,
+                cascade_k=cascade_k,
+            )
+            return interpolate_gaps(
+                filled_et, max_gap=PARAMETERS["et"]["max_gap_interp"]
+            )
+        raise ValueError(f"no fillup for parameter {parameter!r}")
+
     def fillup(self) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
         p_d first (raw base), then p (seasonal coefs + daily adjustment),
         t (5-donor median incl. min/max), et (multiplicative)."""
-        # p_d: base col raw, multiplicative yearly MA
-        ts_p_d = self.read("ts_p_d")
-        filled_pd = rank_fill(
-            ts_p_d, self._knn("p_d", k=None), self._ma_values("p_d"),
-            coef_sign="mult", base_col="raw", round_digits=2,
-        )
-        self.write("ts_p_d", filled_pd, bucket_by_station=True)
-        self._mark("p_d", "filled", "ts_p_d")
-
-        # p: seasonal (wihy/suhy) multiplicative coefs, interpolation <= 1h,
-        # then scale to the daily measurement
-        ts_p = self.read("ts_p")
-        filled_p = rank_fill(
-            ts_p, self._knn("p", k=None), self._ma_seasonal("p"),
-            coef_sign="mult", base_col="qc", seasonal_ma=True, round_digits=2,
-        )
-        filled_p = interpolate_gaps(filled_p, max_gap=PARAMETERS["p"]["max_gap_interp"])
-        filled_p = daily_adjust_p(filled_p, self.read("ts_p_d")).withColumnRenamed(
-            "corr_base", "filled_adj"
-        )
-        filled_p = filled_p.withColumn("filled", F.coalesce("filled_adj", "filled")).drop(
-            "filled_adj"
-        )
-        self.write("ts_p", filled_p, bucket_by_station=True)
-        self._mark("p", "filled", "ts_p")
-
-        # t: median of the first 5 non-null donors in distance order drawn
-        # from the full candidate set; beyond _fillup_max_dist (100 km,
-        # StationT.py:48) a donor is used alone and only when no nearer one
-        # exists. additive regionalization, min/max in the same pass.
-        ts_t = self.read("ts_t")
-        filled_t = median_fill(
-            ts_t, self._knn("t", k=None), self._ma_values("t"),
-            n_donors=PARAMETERS["t"]["fillup_n_donors"],
-            base_col="qc",
-            value_cols=("qc", "raw_min", "raw_max"),
-            out_cols=("filled", "filled_min", "filled_max"),
-            near_dist_m=PARAMETERS["t"]["fillup_near_dist_km"] * 1000,
-        )
-        filled_t = interpolate_gaps(
-            filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],
-            filled_by_col="filled_by_interp",
-        )
-        # the reference marks interpolated T rows with filled_by=ARRAY[-1]
-        # (StationBases.py:1550-1552, array branch)
-        filled_t = filled_t.withColumn(
-            "filled_by",
-            F.when(F.col("filled_by_interp") == -1,
-                   F.array(F.lit(-1).cast("short")))
-            .otherwise(F.col("filled_by")),
-        ).drop("filled_by_interp")
-        self.write("ts_t", filled_t, bucket_by_station=True)
-        self._mark("t", "filled", "ts_t")
-
-        # et: multiplicative yearly (ET's _fillup_max_dist is inert in the
-        # reference — the exit-condition branch requires _filled_by_n > 1,
-        # StationBases.py:1436,1467 — so plain rank-fill over the full set)
-        ts_et = self.read("ts_et")
-        filled_et = rank_fill(
-            ts_et, self._knn("et", k=None), self._ma_values("et"),
-            coef_sign="mult", base_col="qc", round_digits=1,
-        )
-        filled_et = interpolate_gaps(filled_et, max_gap=PARAMETERS["et"]["max_gap_interp"])
-        self.write("ts_et", filled_et, bucket_by_station=True)
-        self._mark("et", "filled", "ts_et")
+        for parameter in ("p_d", "p", "t", "et"):
+            table = f"ts_{parameter}"
+            if not self.exists(table):
+                continue
+            ts_p_d = self.read("ts_p_d") if parameter == "p" else None
+            out = self._fillup_compute(parameter, self.read(table), ts_p_d)
+            self.write(table, out, bucket_by_station=True)
+            self._mark(parameter, "filled", table)
 
     def richter_correct_stage(self) -> None:
         """Richter correction (p only, StationP.py:486-652). Requires the
@@ -488,3 +509,84 @@ class Broker:
                 out = qc_et(part, self._knn("et"), self._ma_values("et"))
             self._merge_stage_cols(table, out, ["qc"])
             self._mark(parameter, "qc", table)
+
+    def _window_part(self, table: str, window: tuple[str, str], margin: str):
+        """The fact rows inside the import window widened by ``margin``
+        (context for windows/interpolation/day grouping), plus the pure
+        in-window predicate for the merge-back."""
+        lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
+        hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
+        part = self.read(table).filter(F.col("timestamp").between(lo, hi))
+        in_window = F.col("timestamp").between(
+            F.lit(window[0]).cast("timestamp"), F.lit(window[1]).cast("timestamp")
+        )
+        return part, in_window
+
+    def last_imp_fillup(self, margin: str = "2 days") -> None:
+        """Incremental fillup (reference Broker.last_imp_fillup,
+        broker.py:464-484; StationBases.last_imp_fillup via
+        get_last_imp_period): recompute the fillup only inside the
+        last-import window, widened by ``margin`` so interpolation
+        brackets and the 5h50-shifted day grouping have full context,
+        then merge the stage columns of the IN-WINDOW rows back. Margin
+        rows are context only — their stored values, computed from the
+        full series, stay untouched."""
+        for parameter in ("p_d", "p", "t", "et"):
+            window = self.last_imp(parameter)
+            table = f"ts_{parameter}"
+            if window is None or not self.exists(table):
+                continue
+            part, in_window = self._window_part(table, window, margin)
+            ts_p_d = self.read("ts_p_d") if parameter == "p" else None
+            out = self._fillup_compute(parameter, part, ts_p_d)
+            if parameter == "p":
+                # the daily-adjust coefficient covers the whole 5h50-shifted
+                # day; a window starting mid-day changes the coef of every
+                # row of the straddling day, so merge at day granularity
+                from weatherdb_spark.functions.temporal import shifted_date
+
+                sd = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
+                in_window = sd.between(
+                    shifted_date(F.lit(window[0]).cast("timestamp"),
+                                 "5 hours 50 minutes"),
+                    shifted_date(F.lit(window[1]).cast("timestamp"),
+                                 "5 hours 50 minutes"),
+                )
+            self._merge_stage_cols(
+                table, out.filter(in_window), self.FILLUP_COLS[parameter]
+            )
+            self._mark(parameter, "filled", table)
+
+    def last_imp_corr(self, margin: str = "2 days") -> None:
+        """Incremental Richter correction (reference
+        Broker.last_imp_corr, broker.py:500-512;
+        StationP.last_imp_richter_correct): window-bounded recompute of
+        the corr column for P, merged back for in-window rows."""
+        window = self.last_imp("p")
+        if window is None or not self.exists("ts_p"):
+            return
+        part, in_window = self._window_part("ts_p", window, margin)
+        lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
+        hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
+        ts_t = (
+            self.read("ts_t")
+            .filter(F.col("timestamp").between(lo, hi))
+            .select("station_id", "timestamp", "filled")
+        )
+        meta_p = self.read("meta").filter(F.col("parameter") == "p")
+        out = richter_correct(part, ts_t, meta_p, richter_parameters_df(self.spark))
+        # the correction distributes a per-calendar-day delta over the
+        # day's filled values, and last_imp_fillup merges whole 5h50-
+        # shifted days — so recompute every calendar day the fillup merge
+        # could have touched: from the shifted day of lo (its first row is
+        # at 05:50 of that calendar day) through the day after hi (the
+        # shifted day of hi ends at 05:40 next day). Unchanged rows are
+        # dropped by the IS DISTINCT merge.
+        from weatherdb_spark.functions.temporal import shifted_date
+
+        in_window_days = F.to_date("timestamp").between(
+            shifted_date(F.lit(window[0]).cast("timestamp"), "5 hours 50 minutes"),
+            F.date_add(F.to_date(F.lit(window[1]).cast("timestamp")), 1),
+        )
+        self._merge_stage_cols("ts_p", out.filter(in_window_days), ["corr"])
+        self._mark("p", "corr", "ts_p")

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     wh(sub.add_parser("richter-correct", help="Richter correction (p)"))
     wh(sub.add_parser("last-imp-quality-check",
                       help="incremental QC bounded to the last-import window"))
+    wh(sub.add_parser("last-imp-fillup",
+                      help="incremental fillup bounded to the last-import window"))
+    wh(sub.add_parser("last-imp-corr",
+                      help="incremental Richter correction (p) for the last import"))
 
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
@@ -61,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         broker.richter_correct_stage()
     elif args.command == "last-imp-quality-check":
         broker.last_imp_quality_check()
+    elif args.command == "last-imp-fillup":
+        broker.last_imp_fillup()
+    elif args.command == "last-imp-corr":
+        broker.last_imp_corr()
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "create-ts":

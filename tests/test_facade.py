@@ -111,13 +111,24 @@ def test_stations_pivot(mini_broker):
 
 
 def test_group_station_export(mini_broker, tmp_path):
+    import os
+
     tele = GroupStation(mini_broker, 1).create_ts(
-        str(tmp_path / "exp"), parameters=("p",)
+        str(tmp_path / "exp"), parameters=("p",), kind="raw"
     )
-    assert tele["p"]["quantity"] == 1
+    assert tele["p"]["files"] == 1
+    path = tmp_path / "exp" / "1" / "P_00001.txt"
+    assert os.path.isfile(path)
+    lines = path.read_text().splitlines()
+    # reference header: Name/Lat lines, then the column header row
+    assert lines[0].startswith("Name: ")
+    assert lines[1].startswith("Lat: ")
+    assert lines[2].split("\t")[:2] == ["Jahr", "Monat"]
 
 
 def test_group_stations_validate_and_joint_period(mini_broker, tmp_path):
+    import os
+
     from weatherdb_spark.station import GroupStations
 
     gs = GroupStations(mini_broker)
@@ -126,7 +137,10 @@ def test_group_stations_validate_and_joint_period(mini_broker, tmp_path):
     per = gs.joint_period([1, 2, 3], kind="raw")
     assert per.start == dt.datetime(2024, 1, 1)
     tele = gs.create_ts([1, 2], str(tmp_path / "grp"), parameters=("p",), kind="raw")
-    assert set(tele) == {1, 2}
+    assert set(tele) == {"p"}
+    assert tele["p"]["files"] == 2
+    for stid in (1, 2):
+        assert os.path.isfile(tmp_path / "grp" / str(stid) / f"P_{stid:05}.txt")
 
 
 def test_get_quotient(mini_broker, spark):
@@ -152,7 +166,7 @@ def test_cli_stages_and_export(mini_broker, tmp_path):
         "--out-dir", out, "--parameters", "p", "--kind", "raw",
     ]) == 0
     import os
-    assert os.path.isdir(os.path.join(out, "1", "p"))
+    assert os.path.isfile(os.path.join(out, "1", "P_00001.txt"))
 
 
 def test_exploded_shingles_no_expensive_prescan_filter(spark):

@@ -305,3 +305,82 @@ def test_adjust_series_truncates_partial_years(spark):
     # Dec 15 -> last full year is 2020); adj = v * 40 / 20 = 2v
     assert out[(2020, 1)] == 20.0
     assert out[(2021, 5)] == 198.0  # adjustment still applies to all rows
+
+
+# ------------------------------------------------------------- S5 CRS
+
+def test_crs_roundtrip_and_invariants(spark):
+    """wgs84_to_utm/utm_to_wgs84 (S5 meta transform twin of the
+    reference's PostGIS 4326<->25832, StationsBase.py:147-222). Checked
+    against projection invariants plus an independent geodesic
+    cross-check (planar UTM distance vs haversine)."""
+    import math
+
+    from weatherdb_spark.functions.spatial import utm_to_wgs84, wgs84_to_utm
+
+    pts = [
+        (9.0, 48.0),      # central meridian of zone 32
+        (7.8522, 47.9959),  # Freiburg
+        (10.8978, 48.3705),
+        (6.1, 51.0),
+        (11.9, 54.1),
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = wgs84_to_utm(F.col("lon"), F.col("lat"))
+    df = df.withColumn("x", x).withColumn("y", y)
+    lon2, lat2 = utm_to_wgs84(F.col("x"), F.col("y"))
+    rows = df.withColumn("lon2", lon2).withColumn("lat2", lat2).collect()
+
+    for r in rows:
+        # roundtrip closes to ~1e-9 deg (series is sub-mm inside a zone)
+        assert abs(r.lon2 - r.lon) < 1e-7 and abs(r.lat2 - r.lat) < 1e-7
+        assert 5_200_000 < r.y < 6_100_000  # Germany northings
+    # on the central meridian the easting is exactly the 500 km offset
+    assert abs(rows[0].x - 500_000.0) < 1e-3
+
+    # independent check 1: northing on the central meridian must equal
+    # k0 * meridian arc length, with the arc computed from the CLASSIC
+    # sin(2kφ) series (a different published expansion than the Krueger
+    # xi/eta series under test)
+    a_ax, n = 6378137.0, (1 / 298.257222101) / (2 - 1 / 298.257222101)
+    phi = math.radians(48.0)
+    arc = a_ax / (1 + n) * (
+        (1 + n**2 / 4 + n**4 / 64) * phi
+        - 1.5 * (n - n**3 / 8) * math.sin(2 * phi)
+        + 15 / 16 * (n**2 - n**4 / 4) * math.sin(4 * phi)
+        - 35 / 48 * n**3 * math.sin(6 * phi)
+    )
+    assert abs(rows[0].y - 0.9996 * arc) < 0.01
+
+    # independent check 2: planar UTM distance vs spherical haversine.
+    # Loose tolerance: the sphere-vs-ellipsoid model gap alone is up to
+    # ~0.3%, dwarfing the UTM scale error (<=0.04%).
+    (a, b) = rows[1], rows[2]
+    planar = math.hypot(a.x - b.x, a.y - b.y)
+    R = 6371008.8
+    ph1, ph2 = math.radians(a.lat), math.radians(b.lat)
+    dph, dlm = ph2 - ph1, math.radians(b.lon - a.lon)
+    h = math.sin(dph / 2) ** 2 + math.cos(ph1) * math.cos(ph2) * math.sin(dlm / 2) ** 2
+    hav = 2 * R * math.asin(math.sqrt(h))
+    assert abs(planar - hav) / hav < 5e-3
+
+
+def test_update_meta_derives_utm_and_wgs(spark, tmp_path):
+    """S5: update_meta fills in whichever coordinate pair is missing."""
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", 9.0, 48.0)], "station_id int, parameter string, lon double, lat double"
+    ))
+    m = b.read("meta").first()
+    assert abs(m.x_utm - 500_000.0) < 0.01
+    assert m.y_utm > 5_000_000
+
+    b2 = Broker(spark, str(tmp_path / "wh2"))
+    b2.update_meta(spark.createDataFrame(
+        [(1, "p", 500_000.0, 5_316_000.0)],
+        "station_id int, parameter string, x_utm double, y_utm double",
+    ))
+    m2 = b2.read("meta").first()
+    assert abs(m2.lon - 9.0) < 1e-4

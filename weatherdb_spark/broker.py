@@ -130,9 +130,27 @@ class Broker:
 
     # ------------------------------------------------------------- stages
     def update_meta(self, meta: DataFrame) -> None:
-        """S5 — (re)write the station dim; derives richter_class from the
+        """S5 — (re)write the station dim. Maintains BOTH coordinate
+        systems like the reference's meta upsert (PostGIS transform
+        between 4326 and 25832 on every update, StationsBase.py:147-222,
+        StationBases.py:1817-1846): whichever of (lon, lat) / (x_utm,
+        y_utm) is missing is derived from the other via the Krueger
+        series (functions/spatial.py). Derives richter_class from the
         horizon column when present (update_richter_class,
         StationP.py:450-484)."""
+        from weatherdb_spark.functions.spatial import utm_to_wgs84, wgs84_to_utm
+
+        cols = set(meta.columns)
+        if not {"x_utm", "y_utm"} <= cols and {"lon", "lat"} <= cols:
+            x, y = wgs84_to_utm(F.col("lon"), F.col("lat"))
+            meta = meta.withColumn("x_utm", F.round(x, 2)).withColumn(
+                "y_utm", F.round(y, 2)
+            )
+        if not {"lon", "lat"} <= cols and {"x_utm", "y_utm"} <= cols:
+            lon, lat = utm_to_wgs84(F.col("x_utm"), F.col("y_utm"))
+            meta = meta.withColumn("lon", F.round(lon, 6)).withColumn(
+                "lat", F.round(lat, 6)
+            )
         if "horizon" in meta.columns:
             meta = meta.withColumn("richter_class", richter_class(F.col("horizon")))
         self.write("meta", meta)

@@ -29,3 +29,78 @@ def elevation_weighted_dist(
     """LARSIM elevation-weighted distance
     ``L * (1 + (|dh| / P1) ** P2)`` (StationBases.py:2196-2209)."""
     return dist * (1 + F.pow(F.abs(h1 - h2) / F.lit(p1), F.lit(p2)))
+
+
+# ---------------------------------------------------------------- CRS
+# EPSG:25832 (ETRS89 / UTM 32N, GRS80) <-> EPSG:4326, as pure column
+# expressions via the Karney/Krueger flattening series (public formulae,
+# Karney 2011 "Transverse Mercator with an accuracy of a few nanometers";
+# series to n^3 is sub-mm over a UTM zone). The reference converts meta
+# geometry between 25832 and 4326 with PostGIS on every meta upsert
+# (StationsBase.py:147-222, StationBases.py:1817-1846); here the transform
+# is JVM-side arithmetic inside whole-stage codegen — no GIS extension.
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+
+_N = _GRS80_F / (2.0 - _GRS80_F)
+_A_BAR = _GRS80_A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64)
+# forward series (alpha), inverse series (beta), latitude series (delta)
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16,
+    13 * _N**2 / 48 - 3 * _N**3 / 5,
+    61 * _N**3 / 240,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96,
+    _N**2 / 48 + _N**3 / 15,
+    17 * _N**3 / 480,
+)
+_DELTA = (
+    2 * _N - 2 * _N**2 / 3 - 2 * _N**3,
+    7 * _N**2 / 3 - 8 * _N**3 / 5,
+    56 * _N**3 / 15,
+)
+
+
+def _atanh(x: Column) -> Column:
+    return F.log((1 + x) / (1 - x)) / 2
+
+
+def wgs84_to_utm(lon: Column, lat: Column, zone: int = 32) -> tuple[Column, Column]:
+    """(lon, lat) degrees -> EPSG:258xx (easting, northing) meters."""
+    lam0 = F.lit(float((zone * 6 - 183)) * 3.141592653589793 / 180.0)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - lam0
+    e2sqrt = 2.0 * _N**0.5 / (1 + _N)
+    t = F.sinh(_atanh(F.sin(phi)) - e2sqrt * _atanh(e2sqrt * F.sin(phi)))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = _atanh(F.sin(lam) / F.sqrt(1 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(2 * j * xi_p) * F.cosh(2 * j * eta_p)
+        eta = eta + F.lit(a) * F.cos(2 * j * xi_p) * F.sinh(2 * j * eta_p)
+    easting = F.lit(_UTM_E0) + F.lit(_UTM_K0 * _A_BAR) * eta
+    northing = F.lit(_UTM_K0 * _A_BAR) * xi
+    return easting, northing
+
+
+def utm_to_wgs84(x: Column, y: Column, zone: int = 32) -> tuple[Column, Column]:
+    """EPSG:258xx (easting, northing) meters -> (lon, lat) degrees."""
+    lam0_deg = float(zone * 6 - 183)
+    xi = y / F.lit(_UTM_K0 * _A_BAR)
+    eta = (x - F.lit(_UTM_E0)) / F.lit(_UTM_K0 * _A_BAR)
+    xi_p = xi
+    eta_p = eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(2 * j * xi) * F.cosh(2 * j * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(2 * j * xi) * F.sinh(2 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(2 * j * chi)
+    lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    return F.degrees(lam) + F.lit(lam0_deg), F.degrees(phi)

@@ -77,6 +77,59 @@ def create_ts(
     }
 
 
+def finalize_station_files(
+    out_dir: str,
+    para: str,
+    dest_dir: str,
+    meta: dict[int, tuple[str, float, float]] | None = None,
+    file_pattern: str = "{para}_{id:0>5}.txt",
+) -> int:
+    """Driver post-pass over a ``partitionBy(station_id)`` CSV export:
+    move each station's part file to the reference's per-station layout
+    ``dest_dir/<stid>/<PARA>_<stid:05>.txt`` and prepend the meta header
+
+        Name: <name> (ID: <id>)\\t...\\n
+        Lat: <lat>   ,Lon: <lon>\\t...\\n
+
+    (GroupStation.py:566-568, 633-639). ``meta`` maps station_id ->
+    (name, lat, lon); stations missing from it get no header. Pure file
+    ops on the driver — O(#stations), no Spark jobs."""
+    import os
+    import shutil
+
+    n = 0
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("station_id="):
+            continue
+        stid = int(entry.split("=", 1)[1])
+        part_dir = os.path.join(out_dir, entry)
+        parts = sorted(
+            f for f in os.listdir(part_dir) if f.endswith(".csv") or f.endswith(".txt")
+        )
+        if not parts:
+            continue
+        dest = os.path.join(dest_dir, str(stid))
+        os.makedirs(dest, exist_ok=True)
+        fname = file_pattern.format(para=para.upper(), id=stid)
+        with open(os.path.join(dest, fname), "w") as out:
+            first = True
+            for p in parts:
+                with open(os.path.join(part_dir, p)) as fh:
+                    lines = fh.readlines()
+                if not lines:
+                    continue
+                if first and meta is not None and stid in meta:
+                    name, lat, lon = meta[stid]
+                    tabs = "\t" * (lines[0].count("\t"))
+                    out.write(f"Name: {name} (ID: {stid}){tabs}\n")
+                    out.write(f"Lat: {lat}   ,Lon: {lon}{tabs}\n")
+                out.writelines(lines if first else lines[1:])  # one header row
+                first = False
+        shutil.rmtree(part_dir)
+        n += 1
+    return n
+
+
 def zip_exports(out_dir: str, zip_path: str) -> dict:
     """Driver post-step: bundle the per-station export directories into one
     zip (GroupStations.py:296-451 'zip' option). Returns size telemetry."""

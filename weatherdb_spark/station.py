@@ -212,14 +212,39 @@ class GroupStations:
 
     def joint_period(self, stids: Sequence[int], kind: str = "filled"):
         """Inner intersection of the stations' periods
-        (GroupStations.py:62-85)."""
-        from weatherdb_spark.period import TimestampPeriod
+        (GroupStations.py:62-85) — ONE grouped job (per-station min/max,
+        then max-of-froms / min-of-untils on the driver), not a Spark job
+        per station."""
+        fp = filled_period(
+            self.broker.read("ts_p").filter(F.col("station_id").isin(list(stids))),
+            kind=kind,
+        )
+        row = fp.agg(
+            F.max(f"{kind}_from").alias("lo"), F.min(f"{kind}_until").alias("hi")
+        ).first()
+        return TimestampPeriod(row["lo"], row["hi"])
 
-        period = TimestampPeriod(None, None)
-        for stid in stids:
-            p = Station(self.broker, stid, "p").get_period_meta(kind)
-            period = p if period.is_empty() else period.union(p, "inner")
-        return period
+    def _export_meta(self, stids: Sequence[int]) -> dict:
+        """station_id -> (name, lat, lon) for the export header, deriving
+        lat/lon from the UTM columns when absent (S5 transform)."""
+        from weatherdb_spark.functions.spatial import utm_to_wgs84
+
+        meta = self.broker.read("meta").filter(
+            (F.col("parameter") == "p") & F.col("station_id").isin(list(stids))
+        )
+        if "lat" not in meta.columns:
+            lon, lat = utm_to_wgs84(F.col("x_utm"), F.col("y_utm"))
+            meta = meta.withColumn("lon", F.round(lon, 6)).withColumn(
+                "lat", F.round(lat, 6)
+            )
+        name_col = (
+            F.col("name") if "name" in meta.columns
+            else F.concat(F.lit("Station "), F.col("station_id"))
+        )
+        rows = meta.select(
+            "station_id", name_col.alias("name"), "lat", "lon"
+        ).collect()
+        return {r["station_id"]: (r["name"], r["lat"], r["lon"]) for r in rows}
 
     def create_ts(
         self,
@@ -228,12 +253,35 @@ class GroupStations:
         parameters: Sequence[str] = ("p",),
         kind: str = "best",
     ) -> dict:
+        """Export every station's series — ONE Spark job per parameter
+        (partitionBy(station_id) writes all stations' files in a single
+        pass; the reference loops stations, GroupStations.py:296-451),
+        then a driver post-pass moves files into the per-station layout
+        and prepends the Name/Lat/Lon header (GroupStation.py:633-639)."""
+        from weatherdb_spark.operators.export import finalize_station_files
+
         stids = self.get_valid_stids(stids)
+        header_meta = self._export_meta(stids)
         tele = {}
-        for stid in stids:
-            tele[stid] = GroupStation(self.broker, stid).create_ts(
-                f"{out_dir}/{stid}", parameters=parameters, kind=kind
+        for para in parameters:
+            tall = get_df(
+                self.broker.read(f"ts_{para}"), para, kinds=(kind,),
+                stids=list(stids),
             )
+            value_col = [
+                c for c in tall.columns if c not in ("station_id", "timestamp")
+            ][0]
+            staging = f"{out_dir}/_staging_{para}"
+            tele[para] = _create_ts(
+                tall, staging, value_cols=(value_col,),
+                split=True, granularity=5 if para == "p" else 3,
+            )
+            tele[para]["files"] = finalize_station_files(
+                staging, para, out_dir, meta=header_meta
+            )
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         return tele
 
 
@@ -252,16 +300,9 @@ class GroupStation:
         kind: str = "best",
         split_date: bool = True,
     ) -> dict:
-        tele = {}
-        for para in parameters:
-            st = Station(self.broker, self.id, para)
-            df = st.get_df(kinds=(kind,))
-            value_col = [c for c in df.columns if c not in ("station_id", "timestamp")][0]
-            tele[para] = _create_ts(
-                df,
-                f"{out_dir}/{para}",
-                value_cols=(value_col,),
-                split=split_date,
-                granularity=5 if para == "p" else 3,
-            )
-        return tele
+        """Single-station export — same one-job machinery as
+        GroupStations.create_ts restricted to this station
+        (GroupStation.py:447-661)."""
+        return GroupStations(self.broker).create_ts(
+            [self.id], out_dir, parameters=parameters, kind=kind
+        )

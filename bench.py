@@ -33,6 +33,9 @@ def main() -> None:
         df = spec.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # isolate queries: drop persisted intermediates (e.g. the LSH
+        # shingle cache) so later queries aren't charged for their memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -201,3 +201,208 @@ def test_get_df_pushdown(mini_broker):
     # only the needed columns are read
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "raw" in read_schema and "corr" not in read_schema
+
+def test_jaccard_df_cap_drops_stopword_shingles(spark):
+    """max_df caps the inverted-index fan-out: a shingle shared by every
+    doc must not generate pairs once its document frequency exceeds the
+    cap, while rare-shingle overlap still does. With the cap above the
+    corpus max df the output is exact."""
+    from weatherdb_spark.llm.dedup import jaccard_pairs
+
+    stop = "the quick brown"  # one 3-gram shared by ALL docs
+    docs = spark.createDataFrame(
+        [
+            (1, stop + " fox jumps high"),
+            (2, stop + " fox jumps high"),
+            (3, stop + " cat sleeps now"),
+        ],
+        "doc_id long, text string",
+    )
+    # cap above max df (3): exact — docs 1/2 identical (jaccard 1.0)
+    exact = jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(1, 2)}
+
+    # cap=2: the stop shingles (df=3) leave the index; 1/2 still pair on
+    # their private shingles, and no pair appears from stop-overlap only
+    capped = jaccard_pairs(docs, threshold=0.5, max_df=2).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}
+    # jaccard became a lower bound (common lost the stop shingles)
+    assert capped[0].jaccard <= exact[0].jaccard
+
+    # no cap keeps old exact behavior
+    uncapped = jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == {(1, 2)}
+
+
+def test_jaccard_df_cap_reuses_shingle_exchange(spark):
+    """The df-count window partitions by the shingle key, so the
+    self-join that follows must reuse that partitioning instead of
+    adding exchanges: the capped plan may add at most one Exchange
+    (and it must contain the window filter)."""
+    from weatherdb_spark.llm.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e") for i in range(4)], "doc_id long, text string"
+    )
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("+- Exchange") + plan.count(":- Exchange"), plan
+
+    n_capped, plan_capped = n_exchanges(jaccard_pairs(docs, max_df=100))
+    n_plain, _ = n_exchanges(jaccard_pairs(docs, max_df=None))
+    assert "window" in plan_capped.lower()
+    assert n_capped <= n_plain + 1, plan_capped
+
+
+def test_drop_station_maintenance(spark, tmp_path):
+    """F9 maintenance: drop removes the station everywhere, records the
+    reason, and update_meta never recreates it (StationBases.py:590-611,
+    StationsBase.py:120-128)."""
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "drop_wh"))
+    meta = spark.createDataFrame(
+        [(1, "p", 0.0, 0.0), (2, "p", 1000.0, 0.0), (2, "t", 1000.0, 0.0)],
+        "station_id int, parameter string, x_utm double, y_utm double",
+    )
+    b.update_meta(meta)
+    b.write("ts_p", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (2, dt.datetime(2024, 1, 1), 2.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ), bucket_by_station=True)
+
+    b.drop_station(2, "p", why="test reason")
+    assert b.read("ts_p").filter(F.col("station_id") == 2).count() == 0
+    assert b.read("meta").filter(
+        (F.col("station_id") == 2) & (F.col("parameter") == "p")
+    ).count() == 0
+    # the t row of station 2 is untouched (drop is per parameter)
+    assert b.read("meta").filter(F.col("parameter") == "t").count() == 1
+    d = b.read("dropped_stations").first()
+    assert (d["station_id"], d["parameter"], d["why"]) == (2, "p", "test reason")
+
+    # re-importing the same meta must NOT resurrect the dropped station
+    b.update_meta(meta)
+    assert b.read("meta").filter(
+        (F.col("station_id") == 2) & (F.col("parameter") == "p")
+    ).count() == 0
+    assert b.read("meta").count() == 2
+
+    # dropping again updates why (upsert, not append)
+    b.drop_station(2, "p", why="second reason")
+    dd = b.read("dropped_stations")
+    assert dd.count() == 1 and dd.first()["why"] == "second reason"
+
+
+def test_create_roger_ts_presets(mini_broker, tmp_path):
+    """RoGeR presets (GroupStation.py:347-432): toolbox format renames
+    files/columns and drops the meta header; plain format writes
+    N_<stid:05>.txt with column N."""
+    import os
+
+    from weatherdb_spark.station import GroupStations
+
+    gs = GroupStations(mini_broker)
+    out = str(tmp_path / "roger_tb")
+    gs.create_roger_ts([1], out, kind="raw", do_toolbox_format=True)
+    prec = os.path.join(out, "1", "PREC.txt")
+    assert os.path.isfile(prec)
+    lines = open(prec).read().splitlines()
+    # no meta header; renamed date parts + value column
+    assert lines[0].split("\t") == ["YYYY", "MM", "DD", "hh", "mm", "PREC"]
+    # only ts_p exists in the fixture warehouse -> no TA/PET files
+    assert not os.path.exists(os.path.join(out, "1", "TA.txt"))
+
+    out2 = str(tmp_path / "roger_plain")
+    gs.create_roger_ts([1], out2, kind="raw")
+    n = os.path.join(out2, "1", "N_00001.txt")
+    assert os.path.isfile(n)
+    lines2 = open(n).read().splitlines()
+    assert lines2[0].startswith("Name: ")
+    assert lines2[2].split("\t")[-1] == "N"
+
+
+def test_simhash_exact_beats_prefix_bucketing(spark):
+    """Multi-index hamming (simhash_pairs_exact) must find pairs whose
+    differing bits fall inside the single prefix bucket's bits — the
+    pairs the prefix-bucketed variant structurally misses."""
+    from weatherdb_spark.llm.dedup import (
+        simhash,
+        simhash_pairs,
+        simhash_pairs_exact,
+    )
+
+    # craft two docs whose fingerprints differ ONLY in high (prefix) bits:
+    # search a few word combos until we find such a pair
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 3 + "common words shared by all docs here")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    import itertools
+    target = None
+    for a, b in itertools.combinations(sorted(fps), 2):
+        x = fps[a] ^ fps[b]
+        if 0 < bin(x).count("1") <= 6 and (x >> 24) != 0:
+            target = (a, b)
+            break
+    if target is None:
+        import pytest
+        pytest.skip("fixture produced no prefix-differing close pair")
+    sub = docs.filter(F.col("doc_id").isin(list(target)))
+    exact = {(r.id_a, r.id_b) for r in simhash_pairs_exact(sub, max_hamming=6).collect()}
+    bucketed = {(r.id_a, r.id_b) for r in simhash_pairs(sub, max_hamming=6).collect()}
+    assert target in exact          # multi-index: recall 1
+    assert target not in bucketed   # single prefix table misses it
+
+
+def test_sample_raster_point_and_buffer(spark, tmp_path):
+    """S7: clean cells sample at distance 0; a NoData center cell grows
+    the buffer in 50 m steps and takes the all_touched zonal mean
+    (StationBases.py:2337-2421)."""
+    from weatherdb_spark.operators.raster import sample_raster
+
+    # 4x4 grid, res 100, x0=0, y0=400 (north-up). Cell (col,row)=(1,1)
+    # covers x 100..200, y 200..300 and is NULL; its 8 neighbors carry 2.0,
+    # the rest 9.0
+    cells = []
+    for col in range(4):
+        for row in range(4):
+            if (col, row) == (1, 1):
+                v = None
+            elif abs(col - 1) <= 1 and abs(row - 1) <= 1:
+                v = 2.0
+            else:
+                v = 9.0
+            cells.append((col, row, "year", v))
+    raster = spark.createDataFrame(cells, "col long, row long, term string, value double")
+    stations = spark.createDataFrame(
+        [(1, 150.0, 250.0),   # center of the NULL cell
+         (2, 250.0, 250.0)],  # center of a 2.0 cell
+        "station_id int, x_utm double, y_utm double",
+    )
+    out = {r["station_id"]: r for r in
+           sample_raster(stations, raster, x0=0.0, y0=400.0, res=100.0).collect()}
+    assert out[2]["value"] == 2.0 and out[2]["sample_dist_m"] == 0.0
+    # station 1: nearest data at box distance 0 < d <= 50 -> step 50,
+    # zonal mean of the 8 touched neighbors = 2.0
+    assert out[1]["sample_dist_m"] == 50.0
+    assert out[1]["value"] == 2.0
+
+
+def test_update_ma_raster_from_grid(spark, tmp_path):
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "s7_wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", 150.0, 250.0)],
+        "station_id int, parameter string, x_utm double, y_utm double",
+    ))
+    raster = spark.createDataFrame(
+        [(1, 1, "year", 5.0), (1, 1, "wihy", 7.0)],
+        "col long, row long, term string, value double",
+    )
+    b.update_ma_raster_from_grid("p", raster, x0=0.0, y0=400.0, res=100.0)
+    rows = {r["term"]: r["value"] for r in b.read("station_ma_raster").collect()}
+    assert rows == {"year": 5.0, "wihy": 7.0}

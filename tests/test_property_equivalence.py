@@ -174,20 +174,25 @@ def _naive_qc_p(rows, daily):
             failed_days.add((s, day))
     for s, series in rows.items():
         vals = [r for _, r, _ in series]
+        qns = [q for _, _, q in series]
         for i, (ts, raw, qn) in enumerate(series):
             v1 = vals[i - 1] if i >= 1 else None
             v2 = vals[i - 2] if i >= 2 else None
             vn = vals[i + 1] if i + 1 < len(vals) else None
             vn2 = vals[i + 2] if i + 2 < len(vals) else None
+            q1 = qns[i - 1] if i >= 1 else None
+            q2 = qns[i - 2] if i >= 2 else None
             day = (ts - dt.timedelta(hours=6)).date()
             fail = (s, day) in failed_days
             if raw is not None:
+                # qn != 3 gates the run HEAD only (StationP.py:152-166):
+                # tail -> head at i-2, middle -> head at i-1, head -> itself
                 run3 = (
-                    (v1 == raw and v2 == raw)
-                    or (v1 == raw and vn == raw)
-                    or (vn == raw and vn2 == raw)
+                    (v1 == raw and v2 == raw and q2 is not None and q2 != 3)
+                    or (v1 == raw and vn == raw and q1 is not None and q1 != 3)
+                    or (vn == raw and vn2 == raw and qn != 3)
                 )
-                if raw > 0.1 and qn != 3 and run3:
+                if raw > 0.1 and run3:
                     fail = True
                 if raw > 5 and v1 == 0 and vn == 0:
                     fail = True

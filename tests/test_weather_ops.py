@@ -384,3 +384,91 @@ def test_update_meta_derives_utm_and_wgs(spark, tmp_path):
     ))
     m2 = b2.read("meta").first()
     assert abs(m2.lon - 9.0) < 1e-4
+
+
+def test_hole_census_sentinel_bounds(spark):
+    """A5: explicit period bounds count leading/trailing holes via
+    sentinel rows (StationBases.py:2008-2014); the default (crop) sees
+    only interior gaps; meta_period bounds per station."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.aggregate import hole_census
+
+    rows = [
+        (1, dt.datetime(2024, 1, 10) + dt.timedelta(hours=i), 1.0)
+        for i in range(241)  # Jan 10 .. Jan 20, hourly, no interior gaps
+    ]
+    df = spark.createDataFrame(rows, "station_id int, timestamp timestamp, raw double")
+
+    crop = hole_census(df, gap_thresholds=("1 day",)).first()
+    assert crop["holes_ge_1_day"] == 0
+
+    bounded = hole_census(
+        df, gap_thresholds=("1 day",),
+        period=("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+    ).first()
+    assert bounded["holes_ge_1_day"] == 2  # 9-day lead + 12-day tail
+
+    mp = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 25))],
+        "station_id int, period_from timestamp, period_until timestamp",
+    )
+    metabound = hole_census(df, gap_thresholds=("1 day",), meta_period=mp).first()
+    assert metabound["holes_ge_1_day"] == 2  # 5-day lead + 5-day tail
+
+    # bounds tighter than the data crop observations too
+    tight = hole_census(
+        df, gap_thresholds=("12 hours",),
+        period=("2024-01-12 00:00:00", "2024-01-14 00:00:00"),
+    ).first()
+    assert tight["holes_ge_12_hours"] == 0
+
+
+def test_qc_p_qn_gate_on_run_head(spark):
+    """qn != 3 gates the run HEAD only (StationP.py:152-166): members
+    2-3 with qn=3 are still flagged when the head has qn!=3, and a run
+    whose head has qn=3 survives unless a later head qualifies."""
+    # run A (i=1..3): head qn=1, members qn=3 -> ALL flagged
+    # run B (i=5..7): all qn=3 -> no qualifying head -> kept
+    vals = [0.0, 0.5, 0.5, 0.5, 0.0, 0.7, 0.7, 0.7, 0.2]
+    qns = [1, 1, 3, 3, 1, 3, 3, 3, 1]
+    rows = [(1, _ts(i), float(v), q) for i, (v, q) in enumerate(zip(vals, qns))]
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double, qn smallint"
+    )
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.date(2023, 12, 31), sum(vals))],
+        "station_id int, timestamp date, raw double",
+    )
+    out = {r["timestamp"]: r["qc"] for r in qc_p(ts_p, ts_p_d).collect()}
+    assert out[_ts(1)] is None and out[_ts(2)] is None and out[_ts(3)] is None
+    assert out[_ts(5)] == 0.7 and out[_ts(6)] == 0.7 and out[_ts(7)] == 0.7
+
+
+def test_qc_et_inversion_gate(spark):
+    """QC-ET: stations above 800 m keep high winter readings (only the
+    lower test applies, StationET.py:72-85); in summer both tests apply."""
+    knn = _knn_line(spark, 6)
+    ma = spark.createDataFrame(
+        [(i, 5.0) for i in range(1, 7)], "station_id int, value double"
+    )
+    meta_high = _meta(spark, 6, elev=[900, 100, 100, 100, 100, 100])
+
+    def run(d):
+        rows = [(1, d, 5.0)] + [(i, d, 2.0) for i in range(2, 7)]
+        ts_et = spark.createDataFrame(rows, "station_id int, timestamp date, raw double")
+        return {r["station_id"]: r["qc"] for r in
+                qc_et(ts_et, knn, ma, meta_high).collect()}
+
+    winter = run(dt.date(2024, 1, 15))
+    assert winter[1] == 5.0  # upper test disabled above 800 m in winter
+    summer = run(dt.date(2024, 6, 15))
+    assert summer[1] is None  # upper test applies in summer
+    # low-elevation station keeps both tests in winter
+    meta_low = _meta(spark, 6)
+    rows = [(1, dt.date(2024, 1, 15), 5.0)] + [
+        (i, dt.date(2024, 1, 15), 2.0) for i in range(2, 7)
+    ]
+    ts_et = spark.createDataFrame(rows, "station_id int, timestamp date, raw double")
+    low = {r["station_id"]: r["qc"] for r in qc_et(ts_et, knn, ma, meta_low).collect()}
+    assert low[1] is None

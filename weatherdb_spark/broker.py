@@ -153,12 +153,91 @@ class Broker:
             )
         if "horizon" in meta.columns:
             meta = meta.withColumn("richter_class", richter_class(F.col("horizon")))
+        # stations in dropped_stations are never recreated: the reference
+        # deletes them from the incoming meta file before the upsert
+        # (StationsBase.py:120-128) — here a broadcast left-anti join
+        if self.exists("dropped_stations"):
+            meta = meta.join(
+                F.broadcast(
+                    self.read("dropped_stations").select("station_id", "parameter")
+                ),
+                ["station_id", "parameter"],
+                "left_anti",
+            )
         self.write("meta", meta)
 
+    def drop_station(self, station_id: int, parameter: str,
+                     why: str = "No reason given") -> None:
+        """F9 maintenance — drop a station and remember it so no later
+        ``update_meta`` recreates it (reference ``StationBase._drop``,
+        StationBases.py:590-611 + models.DroppedStations,
+        models.py:215-236): remove its fact rows, meta row and MA rows,
+        then upsert (station_id, parameter, why, timestamp) into the
+        ``dropped_stations`` dim. On a real lakehouse the fact deletion
+        would be a MERGE DELETE; on the parquet warehouse it is a
+        filtered rewrite."""
+        cond = (F.col("station_id") == station_id) & (
+            F.col("parameter") == parameter
+        )
+        for table, pred in [
+            (f"ts_{parameter}", F.col("station_id") == station_id),
+            ("meta", cond),
+            ("station_ma_raster", cond),
+            ("station_ma_timeserie", cond),
+        ]:
+            if self.exists(table):
+                self.write(
+                    table,
+                    self.read(table).filter(~pred),
+                    bucket_by_station=table.startswith("ts_"),
+                )
+        row = self.spark.createDataFrame(
+            [(station_id, parameter, why,
+              datetime.now(timezone.utc).isoformat())],
+            "station_id int, parameter string, why string, timestamp string",
+        )
+        if self.exists("dropped_stations"):
+            prev = self.read("dropped_stations").filter(
+                ~((F.col("station_id") == station_id)
+                  & (F.col("parameter") == parameter))
+            )
+            row = prev.unionByName(row)
+        # tiny dim — single driver-side file, like pipeline_state
+        row.toPandas().to_parquet(
+            os.path.join(self._ensure_dir("dropped_stations"), "dropped.parquet")
+        )
+
     def update_ma_raster(self, ma: DataFrame) -> None:
-        """S7 stub — the multi-annual raster dim arrives pre-sampled
-        (station_id, parameter, term, value)."""
+        """S7 (pre-sampled path) — the multi-annual raster dim arrives
+        already sampled as (station_id, parameter, term, value). For a
+        gridded raster table use :meth:`update_ma_raster_from_grid`."""
         self.write("station_ma_raster", ma)
+
+    def update_ma_raster_from_grid(
+        self, parameter: str, raster: DataFrame,
+        x0: float, y0: float, res: float,
+    ) -> None:
+        """S7 — sample a gridded raster table (col, row, term, value) at
+        every station of ``parameter`` and write the result into
+        ``station_ma_raster`` (reference update_ma_raster loop,
+        StationBases.py:848-913: point sample, then 50 m buffer growth to
+        1000 m with all_touched zonal mean on NoData —
+        operators/raster.sample_raster)."""
+        from weatherdb_spark.operators.raster import sample_raster
+
+        stations = self.read("meta").filter(
+            F.col("parameter") == parameter
+        ).select("station_id", "x_utm", "y_utm")
+        sampled = sample_raster(stations, raster, x0=x0, y0=y0, res=res)
+        out = sampled.select(
+            "station_id", F.lit(parameter).alias("parameter"), "term", "value"
+        )
+        if self.exists("station_ma_raster"):
+            prev = self.read("station_ma_raster").filter(
+                F.col("parameter") != parameter
+            )
+            out = prev.unionByName(out)
+        self.write("station_ma_raster", out)
 
     def update_raw(self, parameter: str, raw: DataFrame) -> None:
         """Load a raw fact table (post-ingest: sources.dwd.ingest_p_raw or
@@ -220,7 +299,10 @@ class Broker:
             self._mark("t", "qc", "ts_t")
 
         if self.exists("ts_et"):
-            out_et = qc_et(self.read("ts_et"), self._knn("et"), self._ma_values("et"))
+            out_et = qc_et(
+                self.read("ts_et"), self._knn("et"), self._ma_values("et"),
+                self.read("meta").filter(F.col("parameter") == "et"),
+            )
             self.write("ts_et", out_et, bucket_by_station=True)
             self._mark("et", "qc", "ts_et")
 
@@ -524,7 +606,10 @@ class Broker:
                     self.read("meta").filter(F.col("parameter") == "t"),
                 )
             else:
-                out = qc_et(part, self._knn("et"), self._ma_values("et"))
+                out = qc_et(
+                    part, self._knn("et"), self._ma_values("et"),
+                    self.read("meta").filter(F.col("parameter") == "et"),
+                )
             self._merge_stage_cols(table, out, ["qc"])
             self._mark(parameter, "qc", table)
 

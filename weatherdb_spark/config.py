@@ -2,7 +2,11 @@
 
 Citations into /root/reference:
 - min_date 1999-01-01: weatherdb/config/config_default.ini:144
-- max fillup distances (km): config_default.ini:161-169 (p 130, t 150, et 150)
+- max fillup distance: 130 km for EVERY parameter — StationBases.py:1377
+  reads the 'p' key of [weatherdb:max_fillup_distance] (130000,
+  config_default.ini:161-169) regardless of the station's own parameter;
+  the t/et 150000 entries are never consulted, and 200000 is only the
+  configparser fallback when the section is absent
 - max gap for linear interpolation: config_default.ini:146-158 (p '1h', t/et '2d')
 - decimals (scaled-int storage): StationBases.py:3127 (p x100),
   StationT.py:28 (t x10), StationET.py:27 (et x10)
@@ -30,7 +34,6 @@ PARAMETERS: dict[str, dict] = {
         "kinds": ["raw", "qn", "qc", "filled", "filled_by", "corr"],
         "best_kind": "corr",
         "max_fillup_dist_km": 130.0,
-        "fillup_fallback_dist_km": 200.0,  # StationBases.py:1377
         "max_gap_interp": "1 hour",
         "ma_terms": ["wihy", "suhy", "year"],
         "ma_raster_key": "hyras",
@@ -45,7 +48,7 @@ PARAMETERS: dict[str, dict] = {
         "min_agg_to": "day",
         "kinds": ["raw", "filled", "filled_by"],
         "best_kind": "filled",
-        "max_fillup_dist_km": 200.0,
+        "max_fillup_dist_km": 130.0,  # the 'p' key applies, StationBases.py:1377
         "max_gap_interp": None,
         "ma_terms": ["wihy", "suhy", "year"],
         "ma_raster_key": "hyras",
@@ -59,7 +62,7 @@ PARAMETERS: dict[str, dict] = {
         "kinds": ["raw", "raw_min", "raw_max", "qc", "filled",
                   "filled_min", "filled_max", "filled_by"],
         "best_kind": "filled",
-        "max_fillup_dist_km": 150.0,
+        "max_fillup_dist_km": 130.0,  # the 'p' key applies, StationBases.py:1377
         "max_gap_interp": "2 days",
         "ma_terms": ["year"],
         "ma_raster_key": "dwd",
@@ -77,7 +80,7 @@ PARAMETERS: dict[str, dict] = {
         "min_agg_to": "day",
         "kinds": ["raw", "qc", "filled", "filled_by"],
         "best_kind": "filled",
-        "max_fillup_dist_km": 150.0,
+        "max_fillup_dist_km": 130.0,  # the 'p' key applies, StationBases.py:1377
         "max_gap_interp": "2 days",
         "ma_terms": ["year"],
         "ma_raster_key": "dwd",

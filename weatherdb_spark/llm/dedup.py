@@ -73,19 +73,37 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode shingles -> self-join on shingle -> count common / union.
 
     Scale path: the self-join is keyed on the shingle (no cross join), so
-    cost is sum over shingles of df(s)^2 — acceptable after minhash-style
-    prefiltering or when shingle frequencies are capped. For the full LSH
-    pipeline use :func:`minhash_lsh_pairs`.
+    cost is sum over shingles of df(s)^2. ``max_df`` caps that quadratic
+    term: shingles shared by more than ``max_df`` documents are dropped
+    from the INDEX before the join (standard near-dup practice — a
+    stop-word shingle shared by 1M docs would otherwise make a 10^12-pair
+    bucket). Document sizes keep counting capped shingles, so the
+    reported jaccard is a lower bound that converges to exact as
+    ``max_df`` grows; pairs whose overlap is only stop-word shingles are
+    the ones a near-dup pass wants to miss. ``max_df=None`` disables the
+    cap (exact, small corpora only). For the full LSH pipeline use
+    :func:`minhash_lsh_pairs`.
+
+    The df count is a window over the shingle key, so the self-join that
+    follows reuses the same hash partitioning — the cap costs a sort, not
+    an extra shuffle.
     """
     sh = exploded_shingles(df, id_col, text_col, n).select(
         F.col(id_col).alias("_id"), "_s"
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_s"))
+        ).filter(F.col("_df") <= F.lit(max_df)).drop("_df")
     a = sh.select(F.col("_id").alias("id_a"), "_s")
     b = sh.select(F.col("_id").alias("id_b"), "_s")
     common = (
@@ -108,6 +126,20 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _signatures_from_exploded(
+    sh: DataFrame, num_perm: int, id_col: str
+) -> DataFrame:
+    """MinHash signatures from pre-exploded (id, _s) shingle rows."""
+    hashed = sh.withColumn("_h", md5_int64(F.col("_s"))).drop("_s")
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(minhash_perm(F.col("_h"), k)).alias(f"_m{k}") for k in range(num_perm)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("signature"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 32,
@@ -123,17 +155,8 @@ def minhash_signatures(
     permutation), the mins combine map-side, and the groupBy reuses the
     keyed ``spread`` exchange — one shuffle total, of (id, hash) pairs
     only, never of the text."""
-    sh = (
-        exploded_shingles(df, id_col, text_col, n)
-        .withColumn("_h", md5_int64(F.col("_s")))
-        .drop("_s")
-    )
-    mins = sh.groupBy(id_col).agg(
-        *[F.min(minhash_perm(F.col("_h"), k)).alias(f"_m{k}") for k in range(num_perm)]
-    )
-    return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("signature"),
+    return _signatures_from_exploded(
+        exploded_shingles(df, id_col, text_col, n), num_perm, id_col
     )
 
 
@@ -155,9 +178,25 @@ def minhash_lsh_pairs(
     With 32 perms / 8 bands / 4 rows: P(candidate | s=0.9) ~ 0.9998,
     P(candidate | s=0.07) ~ 2e-4 — the candidate set stays near-linear at
     100 TB while recall at the 0.8+ range is ~1.
+
+    The corpus is shingled ONCE: the signature stage explodes the persisted
+    shingle arrays that the verify stage reads back, instead of re-running
+    the split/transform text pass. The persist is deliberate and bounded
+    (one array column per doc, MEMORY_AND_DISK spills under pressure).
     """
+    from pyspark import StorageLevel
+
     rows = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+    sh = (
+        word_shingles(spread(df, id_col), text_col, n)
+        .select(id_col, "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exploded = (
+        sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+    )
+    sig = _signatures_from_exploded(exploded, num_perm, id_col)
     banded = sig.select(
         id_col,
         F.explode(
@@ -183,10 +222,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # adversarial-verify candidates with exact jaccard
-    sh = word_shingles(spread(df, id_col), text_col, n).select(
-        F.col(id_col).alias("_id"), F.col("shingles")
-    )
+    # adversarial-verify candidates with exact jaccard over the SAME
+    # persisted shingle arrays the signatures came from
+    sh = sh.select(F.col(id_col).alias("_id"), F.col("shingles"))
     verified = (
         candidates.join(sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("_sa")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("_sb")), "id_b")
@@ -235,6 +273,73 @@ def simhash(
     return bit_sums.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs_exact(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ALL pairs with SimHash hamming distance <= max_hamming — exact,
+    without the O(n^2) cross join.
+
+    Multi-index hamming search (Norouzi/Punjani/Fleet, "Fast Search in
+    Hamming Space with Multi-Index Hashing", CVPR 2012): split the
+    fingerprint into ``max_hamming + 1`` disjoint bit blocks; by
+    pigeonhole, two fingerprints within ``max_hamming`` differing bits
+    agree EXACTLY on at least one whole block, so a per-block equi-join
+    on (block_id, block_value) generates every qualifying pair — no
+    recall loss, unlike a single-prefix bucket join
+    (:func:`simhash_pairs`), and each block key spreads the corpus over
+    2^width buckets so no bucket goes quadratic unless the corpus is
+    degenerate on all blocks at once.
+
+    Cost shape: one explode to (doc, block, key) — ``max_hamming+1``
+    rows per doc — one keyed self-join, a distinct on the pair, then the
+    exact popcount filter. All shuffles are keyed; scales like LSH
+    banding.
+    """
+    n_blocks = max_hamming + 1
+    fp = simhash(df, bits, id_col, text_col)
+    # contiguous blocks covering all bits; widths differ by at most 1
+    base, extra = divmod(bits, n_blocks)
+    blocks, lo = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append((i, lo, width))
+        lo += width
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        (F.shiftright(F.col("simhash"), lo)
+                         % F.lit(2 ** width)).alias("key"),
+                    )
+                    for i, lo, width in blocks
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.block", "bk.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "block", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "block", "key"
+    )
+    return (
+        a.join(b, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 6,
@@ -247,7 +352,10 @@ def simhash_pairs(
 
     Scale path: bucket by the fingerprint's top ``prefix_bits`` so the
     pair join is per-bucket (near-dups share prefixes with high
-    probability); exact hamming check inside the bucket.
+    probability); exact hamming check inside the bucket. NOTE this single
+    prefix table has recall < 1 (pairs differing inside the prefix are
+    missed) and one hot prefix can go quadratic — prefer
+    :func:`simhash_pairs_exact`, which is exact AND bounded.
     """
     fp = simhash(df, bits, id_col, text_col)
     bucket = F.floor(F.col("simhash") / F.lit(2 ** (bits - prefix_bits)))

@@ -128,14 +128,58 @@ def hole_census(
     ts_col: str = "timestamp",
     value_col: str = "raw",
     group_cols: Sequence[str] = ("station_id",),
+    period: tuple | None = None,
+    meta_period: DataFrame | None = None,
 ) -> DataFrame:
     """A5 — count gaps >= each threshold per station.
 
     Gap = ts - lag(ts) over rows where the value is present; one window
     pass then conditional counts (StationBases.py:1981-2029).
+
+    ``period`` = explicit (min_tstp, max_tstp) bounds: observations are
+    cropped to them AND both bounds join the timestamp stream as sentinel
+    rows, so leading/trailing holes count (the reference UNIONs
+    ``{min_tstp}``/``{max_tstp}`` into the scan, StationBases.py:2008-2014).
+    ``None`` reproduces the reference's ``crop_period=True`` default — the
+    bounds collapse onto each station's own first/last observation and
+    only interior gaps count.
+
+    ``meta_period`` = per-group bounds dim (``between_meta_period=True``):
+    group_cols + ``period_from``/``period_until`` columns; rows are
+    additionally bounded by them and the bounds join the sentinel set.
+    Duplicate timestamps from sentinels that coincide with observations
+    produce 0-second gaps, which no threshold counts — so no distinct is
+    needed (the reference's UNION dedup is cosmetic here).
     """
     w = W.partitionBy(*group_cols).orderBy(ts_col)
-    present = df.filter(F.col(value_col).isNotNull())
+    present = df.filter(F.col(value_col).isNotNull()).select(*group_cols, ts_col)
+    if period is not None:
+        lo, hi = (F.lit(b).cast(dict(present.dtypes)[ts_col]) for b in period)
+        present = present.filter(F.col(ts_col).between(lo, hi))
+    if meta_period is not None:
+        mp = meta_period.select(*group_cols, "period_from", "period_until")
+        present = (
+            present.join(F.broadcast(mp), list(group_cols))
+            .filter(F.col(ts_col).between(F.col("period_from"), F.col("period_until")))
+            .select(*group_cols, ts_col)
+        )
+    if period is not None or meta_period is not None:
+        groups = (
+            mp if meta_period is not None
+            else present.select(*group_cols).distinct()
+        )
+        sentinels = []
+        if period is not None:
+            lo, hi = (F.lit(b).cast(dict(present.dtypes)[ts_col]) for b in period)
+            sentinels += [groups.select(*group_cols, b.alias(ts_col)) for b in (lo, hi)]
+        if meta_period is not None:
+            sentinels += [
+                groups.select(*group_cols, F.col(b).cast(
+                    dict(present.dtypes)[ts_col]).alias(ts_col))
+                for b in ("period_from", "period_until")
+            ]
+        for s in sentinels:
+            present = present.unionByName(s)
     gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
     gapped = present.withColumn("_gap_s", gap_s)
 

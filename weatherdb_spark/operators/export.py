@@ -48,10 +48,13 @@ def create_ts(
     split: bool = True,
     granularity: int = 5,
     sep: str = "\t",
+    col_names: dict[str, str] | None = None,
 ) -> dict:
     """Write per-station tab-separated export files
     (GroupStations.py:296-451): one directory per station via
     ``partitionBy``, header row, deterministic order within files.
+    ``col_names`` renames output columns post-split — the RoGeR toolbox
+    preset maps Jahr/Monat/... -> YYYY/MM/... (GroupStation.py:405-415).
 
     Returns an S11-style telemetry dict (models.py:354-386)."""
     t0 = time.time()
@@ -60,6 +63,10 @@ def create_ts(
         if split
         else df
     )
+    if col_names:
+        for old, new in col_names.items():
+            if old in out.columns:
+                out = out.withColumnRenamed(old, new)
     (
         out.repartition("station_id")
         .sortWithinPartitions(*[c for c in out.columns if c != "station_id"])

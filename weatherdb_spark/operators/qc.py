@@ -70,13 +70,18 @@ def qc_p(
 
     # (b) window flags (J1/J2/W1/W2)
     win = W.partitionBy("station_id").orderBy("timestamp")
-    # the reference UNIONs three shifted copies of the triple self-join
-    # (StationP.py:161-164), so every member of a 3-run is flagged, not
-    # just the last: check membership via lag/lead in both directions
+    # the reference joins the triple on strictly increasing timestamps with
+    # qn != 3 evaluated on the run-HEAD row only, then UNIONs the three
+    # shifted timestamp columns so every member is flagged
+    # (StationP.py:145-166). Each membership disjunct therefore carries the
+    # qn of its head: the row itself (head), lag 1 (middle), lag 2 (tail).
     run3 = (
-        ((F.col("raw") == F.col("_v1")) & (F.col("raw") == F.col("_v2")))
-        | ((F.col("raw") == F.col("_v1")) & (F.col("raw") == F.col("_vn")))
-        | ((F.col("raw") == F.col("_vn")) & (F.col("raw") == F.col("_vn2")))
+        ((F.lag("qn", 2).over(win) != 3)
+         & (F.col("raw") == F.col("_v1")) & (F.col("raw") == F.col("_v2")))
+        | ((F.lag("qn", 1).over(win) != 3)
+           & (F.col("raw") == F.col("_v1")) & (F.col("raw") == F.col("_vn")))
+        | ((F.col("qn") != 3)
+           & (F.col("raw") == F.col("_vn")) & (F.col("raw") == F.col("_vn2")))
     )
     flagged = (
         ts_p.withColumn("_v1", F.lag("raw", 1).over(win))
@@ -85,7 +90,7 @@ def qc_p(
         .withColumn("_vn2", F.lead("raw", 2).over(win))
         .withColumn(
             "_consec",
-            (F.col("raw") > consec_min) & (F.col("qn") != 3) & run3,
+            (F.col("raw") > consec_min) & run3,
         )
         .withColumn(
             "_peak",
@@ -189,7 +194,11 @@ def qc_t(
     joined = ts_t.join(med, ["station_id", "timestamp"], "left").join(
         F.broadcast(elev), "station_id", "left"
     )
-    winter_high = is_winter(F.col("timestamp")) & (F.col("_elev") > inversion_elev)
+    # coalesce: NULL elevation (station absent from meta) keeps the upper
+    # test — `~NULL` would void the predicate for those stations
+    winter_high = is_winter(F.col("timestamp")) & F.coalesce(
+        F.col("_elev") > inversion_elev, F.lit(False)
+    )
     upper_fail = (F.col("raw") - F.col("med") > max_dev) & ~winter_high
     lower_fail = F.col("med") - F.col("raw") > max_dev
     bound_fail = F.abs(F.col("raw")) > abs_bound
@@ -204,25 +213,42 @@ def qc_et(
     ts_et: DataFrame,
     knn: DataFrame,
     ma: DataFrame,
+    meta: DataFrame | None = None,
     upper_factor: float = 2.0,
     upper_min: float = 3.0,
     lower_factor: float = 4.0,
     lower_min: float = 2.0,
     max_value: float = 20.0,
+    inversion_elev: float = 800.0,
 ) -> DataFrame:
     """QC-ET — daily evapotranspiration neighbor-median check
     (StationET.py:71-100).
 
     NULL own raw where: raw > 2*med and raw > 3 mm; or raw*4 < med and
-    raw > 2 mm; or raw < 0 or raw > 20 mm.
+    raw > 2 mm; or raw < 0 or raw > 20 mm. For stations above 800 m in
+    winter only the lower test applies (temperature inversion makes high
+    winter ET plausible, StationET.py:72-85) — pass ``meta`` with the
+    ``stationshoehe`` column to enable the gate (no meta = gate off,
+    matching the reference when elevation is unknown).
     """
     med = regionalized_neighbor_median(ts_et, knn, ma, coef_sign="mult")
     joined = ts_et.join(med, ["station_id", "timestamp"], "left")
     upper_fail = (F.col("raw") > upper_factor * F.col("med")) & (F.col("raw") > upper_min)
     lower_fail = (F.col("raw") * lower_factor < F.col("med")) & (F.col("raw") > lower_min)
+    drop_cols = ["med"]
+    if meta is not None:
+        elev = meta.select("station_id", F.col("stationshoehe").alias("_elev"))
+        joined = joined.join(F.broadcast(elev), "station_id", "left")
+        # coalesce: a station absent from meta (NULL elev) must keep the
+        # upper test — `~NULL` would silently void the predicate
+        winter_high = is_winter(F.col("timestamp")) & F.coalesce(
+            F.col("_elev") > inversion_elev, F.lit(False)
+        )
+        upper_fail = upper_fail & ~winter_high
+        drop_cols.append("_elev")
     bound_fail = (F.col("raw") < 0) | (F.col("raw") > max_value)
     qc = F.when(
         (F.col("med").isNotNull() & (upper_fail | lower_fail)) | bound_fail,
         F.lit(None),
     ).otherwise(F.col("raw"))
-    return joined.withColumn("qc", qc).drop("med")
+    return joined.withColumn("qc", qc).drop(*drop_cols)

@@ -66,6 +66,7 @@ def richter_correct(
     meta_p: DataFrame,
     richter_params: DataFrame,
     round_digits: int = 2,
+    broadcast_correction: bool = True,
 ) -> DataFrame:
     """Full Richter correction over the tall 10-min table.
 
@@ -80,6 +81,14 @@ def richter_correct(
 
     ``ts_t`` must provide (station_id, timestamp(date), filled).
     Returns ts_p + ``corr``.
+
+    ``broadcast_correction``: the per-(station, day) correction dim is
+    144x smaller than the 10-min fact table, and the daily aggregation's
+    map-side combine means the only shuffle that moves is dim-sized —
+    broadcasting the dim then joins corr back WITHOUT shuffling the fact
+    table at all. Disable only when stations x days outgrows executor
+    memory (e.g. >50M station-days); the join then falls back to a
+    sort-merge join whose dim side reuses the aggregation's partitioning.
     """
     day = F.to_date("timestamp")
     with_day = ts_p.withColumn("_day", day)
@@ -114,6 +123,8 @@ def richter_correct(
     corr_dim = classed.select(
         "station_id", "_day", delta.alias("_delta"), "_count_n"
     )
+    if broadcast_correction:
+        corr_dim = F.broadcast(corr_dim)
     out = with_day.join(corr_dim, ["station_id", "_day"], "left")
     corr = F.when(
         (F.col("filled") > 0) & F.col("_delta").isNotNull(),

@@ -374,3 +374,78 @@ def s9_richter_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon.alias("horizon"),
         richter_class(horizon).alias("richter_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# S7 — raster point/buffer sample
+# --------------------------------------------------------------------------
+
+@_register(
+    "s7_raster_sample",
+    oracle="""
+    WITH st AS (
+        SELECT s_suppkey AS station_id,
+               CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
+               CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm
+        FROM supplier
+    ),
+    cells AS (
+        SELECT p_partkey % 50 AS col, (p_partkey // 50) % 40 AS row,
+               CASE WHEN p_partkey % 2 = 0 THEN 'year' ELSE 'wihy' END AS term,
+               CASE WHEN p_partkey % 7 = 0 THEN NULL
+                    ELSE round(p_retailprice, 2) END AS v
+        FROM part
+        WHERE p_partkey < 50 * 40 * 2
+    ),
+    cand AS (
+        -- exact distance from the station point to the cell box
+        -- (x0=0, y0=10000 north-up, res=250): all_touched at radius d
+        -- iff dist <= d; step = smallest 50 m multiple touching the cell
+        SELECT s.station_id, c.term, c.v,
+               ceil(sqrt(
+                   pow(greatest(c.col * 250 - s.x_utm,
+                                s.x_utm - (c.col * 250 + 250), 0), 2)
+                 + pow(greatest((10000 - c.row * 250 - 250) - s.y_utm,
+                                s.y_utm - (10000 - c.row * 250), 0), 2)
+               ) / 50) * 50 AS step
+        FROM st s CROSS JOIN cells c
+        WHERE c.v IS NOT NULL
+    ),
+    q AS (
+        SELECT *, min(step) OVER (PARTITION BY station_id, term) AS best
+        FROM cand WHERE step <= 1000
+    )
+    SELECT station_id, term,
+           round(avg(v) FILTER (WHERE step <= best), 4) AS value,
+           best AS sample_dist_m
+    FROM q GROUP BY station_id, term, best
+    """,
+    doc="S7 raster point/buffer sample (StationBases.py:2337-2421, "
+        "848-913): equi-join on the cell index for the point sample; "
+        "when the cell is NoData, grow the buffer in 50 m steps <= 1000 m "
+        "and take the all_touched zonal mean. Raster synthesized from "
+        "part (50x40 grid, res 250 m, NULLs at p_partkey%7=0); stations "
+        "from supplier coords.",
+)
+def s7_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.raster import sample_raster
+
+    stations = supplier_coords(spark, sf_dir).select("station_id", "x_utm", "y_utm")
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 50 * 40 * 2)
+    raster = part.select(
+        (F.col("p_partkey") % 50).alias("col"),
+        ((F.col("p_partkey") / 50).cast("long") % 40).alias("row"),
+        F.when(F.col("p_partkey") % 2 == 0, "year").otherwise("wihy").alias("term"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None))
+        .otherwise(F.round("p_retailprice", 2)).alias("value"),
+    )
+    out = sample_raster(
+        stations, raster, x0=0.0, y0=10000.0, res=250.0,
+        step_m=50.0, max_buffer_m=1000.0,
+    )
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        "term",
+        F.round("value", 4).alias("value"),
+        F.col("sample_dist_m").cast("double").alias("sample_dist_m"),
+    )

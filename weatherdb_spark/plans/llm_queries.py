@@ -264,6 +264,44 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_simhash_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+        SELECT t.doc_id, b.i,
+               sum(((({_H_TOK}) >> b.i::INT) % 2) * 2 - 1) AS s
+        FROM toks t CROSS JOIN (SELECT unnest(range(0, 32)) AS i) b
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY 1
+    )
+    -- BRUTE all-pairs ground truth: the oracle bucketless, so this entry
+    -- verifies the multi-index candidate generation has recall 1
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-dup pairs, EXACT: multi-index hamming (Norouzi et "
+        "al. 2012) — pigeonhole over max_hamming+1 bit blocks guarantees "
+        "every qualifying pair shares a block key, so the per-block "
+        "equi-join reaches recall 1 without the O(n^2) cross join. The "
+        "oracle is the brute-force all-pairs ground truth.",
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import simhash_pairs_exact
+
+    return simhash_pairs_exact(
+        load(spark, sf_dir, "documents"), max_hamming=6, bits=32
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@_register(
     "multimodal_frame_sample",
     oracle="""
     -- DuckDB has no BLOB substring: chunk the hex encoding (2 chars/byte)

@@ -404,6 +404,53 @@ def a5_hole_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a5_hole_census_bounded",
+    oracle="""
+    WITH pres AS (
+        SELECT user_id, ts FROM events
+        WHERE value IS NOT NULL
+          AND ts BETWEEN TIMESTAMP '2023-12-15 00:00:00'
+                     AND TIMESTAMP '2024-02-15 00:00:00'
+    ),
+    allts AS (
+        SELECT user_id, ts FROM pres
+        UNION ALL
+        SELECT DISTINCT user_id, TIMESTAMP '2023-12-15 00:00:00' FROM pres
+        UNION ALL
+        SELECT DISTINCT user_id, TIMESTAMP '2024-02-15 00:00:00' FROM pres
+    ),
+    g AS (
+        SELECT user_id,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS gap_s
+        FROM allts
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE gap_s >= 43200) AS holes_ge_12_hours,
+           count(*) FILTER (WHERE gap_s >= 86400) AS holes_ge_24_hours
+    FROM g GROUP BY 1
+    """,
+    doc="A5 with explicit period bounds: the bounds crop the scan AND "
+        "join it as sentinel timestamps so leading/trailing holes count "
+        "(reference UNIONs min_tstp/max_tstp, StationBases.py:2008-2014). "
+        "Events span 2024-01-01..30, so every user gains a >=2-week "
+        "leading and trailing hole.",
+)
+def a5_hole_census_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.aggregate import hole_census
+
+    ev = load(spark, sf_dir, "events")
+    return hole_census(
+        ev,
+        gap_thresholds=("12 hours", "24 hours"),
+        ts_col="ts",
+        value_col="value",
+        group_cols=("user_id",),
+        period=("2023-12-15 00:00:00", "2024-02-15 00:00:00"),
+    )
+
+
 # --------------------------------------------------------------------------
 # A7 — adjustment: scale series so period mean == MA value
 # --------------------------------------------------------------------------

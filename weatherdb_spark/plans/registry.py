@@ -286,6 +286,64 @@ def w_qc_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consec.union(peaks).distinct()
 
 
+@_register(
+    "w_qc_run_head",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, user_id, ts, event_type,
+               round(value / 50) * 50 AS qv
+        FROM events
+    ), w AS (
+        SELECT *, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM q
+    ), heads AS (
+        -- reference formulation: triple self-join with the qn gate on the
+        -- HEAD row only (StationP.py:145-159; event_type='error' ~ qn=3)
+        SELECT a.user_id, a.rn FROM w a
+        JOIN w b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        JOIN w c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        WHERE a.event_type != 'error'
+          AND a.qv = b.qv AND b.qv = c.qv AND a.qv > 0.1
+    )
+    SELECT DISTINCT w.event_id, w.user_id
+    FROM w JOIN heads h
+      ON w.user_id = h.user_id AND w.rn BETWEEN h.rn AND h.rn + 2
+    """,
+    doc="QC-P 3-run with the qn gate evaluated on the run head and all "
+        "members flagged via the shifted-timestamp UNION "
+        "(StationP.py:145-166). The oracle uses the reference's triple "
+        "self-join formulation; the Spark side the lag/lead membership "
+        "disjuncts — agreement checks the head-gate placement.",
+)
+def w_qc_run_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "qv", F.round(F.col("value") / 50) * 50
+    )
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "event_id", "user_id", "qv",
+        F.lag("qv", 1).over(win).alias("v1"),
+        F.lag("qv", 2).over(win).alias("v2"),
+        F.lead("qv", 1).over(win).alias("vn"),
+        F.lead("qv", 2).over(win).alias("vn2"),
+        F.col("event_type").alias("et"),
+        F.lag("event_type", 1).over(win).alias("et1"),
+        F.lag("event_type", 2).over(win).alias("et2"),
+    )
+    run3 = (
+        ((F.col("et2") != "error") & (F.col("qv") == F.col("v1"))
+         & (F.col("qv") == F.col("v2")))
+        | ((F.col("et1") != "error") & (F.col("qv") == F.col("v1"))
+           & (F.col("qv") == F.col("vn")))
+        | ((F.col("et") != "error") & (F.col("qv") == F.col("vn"))
+           & (F.col("qv") == F.col("vn2")))
+    )
+    return w.filter((F.col("qv") > 0.1) & run3).select("event_id", "user_id")
+
+
 # --------------------------------------------------------------------------
 # A6 — exact median (percentile_cont 0.5)
 # --------------------------------------------------------------------------

@@ -59,6 +59,12 @@ class Station:
             agg_to=agg_to, stids=[self.id], **kw,
         )
 
+    def drop(self, why: str = "No reason given") -> None:
+        """Drop this station from the warehouse and record it in
+        ``dropped_stations`` so update_meta never recreates it
+        (StationBases.py:590-611)."""
+        self.broker.drop_station(self.id, self.parameter, why=why)
+
     # kind wrappers (StationBases.py:2651-2761, StationP.py:748-752)
     def get_raw(self, **kw) -> DataFrame:
         return self.get_df(kinds=("raw",), **kw)
@@ -83,13 +89,39 @@ class Station:
         return TimestampPeriod(row[f"{kind}_from"], row[f"{kind}_until"])
 
     def count_holes(
-        self, gap_thresholds: Sequence[str] = ("2 weeks", "4 weeks"), kind: str = "raw"
+        self,
+        gap_thresholds: Sequence[str] = ("2 weeks", "4 weeks"),
+        kind: str = "raw",
+        period: tuple | None = None,
+        between_meta_period: bool = True,
     ) -> DataFrame:
-        """A5 — gaps >= each threshold (StationBases.py:1981-2029)."""
+        """A5 — gaps >= each threshold (StationBases.py:1981-2029).
+
+        ``period=None`` is the reference's crop_period=True default (only
+        interior gaps); explicit bounds also count leading/trailing holes
+        via sentinel rows. ``between_meta_period`` additionally bounds by
+        the meta table's ``{kind}_from/until`` columns when the meta dim
+        carries them (kind 'qc' uses the raw period, reference
+        StationBases.py:1967-1969)."""
+        kind_meta = "raw" if kind == "qc" else kind
+        meta_period = None
+        if between_meta_period:
+            meta = self.broker.read("meta").filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == self.parameter)
+            )
+            if {f"{kind_meta}_from", f"{kind_meta}_until"} <= set(meta.columns):
+                meta_period = meta.select(
+                    "station_id",
+                    F.col(f"{kind_meta}_from").alias("period_from"),
+                    F.col(f"{kind_meta}_until").alias("period_until"),
+                )
         return hole_census(
             self._ts.filter(F.col("station_id") == self.id),
             gap_thresholds=gap_thresholds,
             value_col=kind,
+            period=period,
+            meta_period=meta_period,
         )
 
     def get_adj(self, kind: str = "filled", **kw) -> DataFrame:
@@ -252,37 +284,93 @@ class GroupStations:
         out_dir: str,
         parameters: Sequence[str] = ("p",),
         kind: str = "best",
+        period: tuple = (None, None),
+        agg_to: str | None = None,
+        file_names: dict[str, str] | None = None,
+        col_names: dict[str, str] | None = None,
+        r_r0: float | None = None,
+        add_meta: bool = True,
     ) -> dict:
         """Export every station's series — ONE Spark job per parameter
         (partitionBy(station_id) writes all stations' files in a single
         pass; the reference loops stations, GroupStations.py:296-451),
         then a driver post-pass moves files into the per-station layout
-        and prepends the Name/Lat/Lon header (GroupStation.py:633-639)."""
+        and prepends the Name/Lat/Lon header (GroupStation.py:633-639).
+
+        ``file_names``/``col_names``/``r_r0``/``add_meta`` mirror the
+        reference's create_ts customization hooks (GroupStation.py:434-661):
+        per-parameter file-name patterns, output column renames (both the
+        value column, keyed by parameter, and the Jahr/Monat/... date
+        parts), a constant R/R0 column on the ET series, and the meta
+        header toggle — they are what the RoGeR presets set."""
         from weatherdb_spark.operators.export import finalize_station_files
 
         stids = self.get_valid_stids(stids)
-        header_meta = self._export_meta(stids)
+        header_meta = self._export_meta(stids) if add_meta else None
         tele = {}
         for para in parameters:
+            if not self.broker.exists(f"ts_{para}"):
+                continue  # paras="all" exports whatever tables exist
             tall = get_df(
                 self.broker.read(f"ts_{para}"), para, kinds=(kind,),
-                stids=list(stids),
+                stids=list(stids), period=period, agg_to=agg_to,
             )
             value_col = [
                 c for c in tall.columns if c not in ("station_id", "timestamp")
             ][0]
+            if col_names and para in col_names:
+                tall = tall.withColumnRenamed(value_col, col_names[para])
+                value_col = col_names[para]
+            value_cols = [value_col]
+            if para == "et" and r_r0 is not None:
+                tall = tall.withColumn("R/R0", F.lit(float(r_r0)))
+                value_cols.append("R/R0")
             staging = f"{out_dir}/_staging_{para}"
             tele[para] = _create_ts(
-                tall, staging, value_cols=(value_col,),
+                tall, staging, value_cols=tuple(value_cols),
                 split=True, granularity=5 if para == "p" else 3,
+                col_names=col_names,
             )
             tele[para]["files"] = finalize_station_files(
-                staging, para, out_dir, meta=header_meta
+                staging, para, out_dir, meta=header_meta,
+                file_pattern=(file_names or {}).get(
+                    para, "{para}_{id:0>5}.txt"
+                ),
             )
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
         return tele
+
+    def create_roger_ts(
+        self,
+        stids: Sequence[int],
+        out_dir: str,
+        kind: str = "best",
+        r_r0: float = 1.0,
+        do_toolbox_format: bool = False,
+    ) -> dict:
+        """RoGeR export presets — a thin wrapper over create_ts
+        (GroupStation.py:347-432): toolbox format renames the files to
+        PREC/TA/PET.txt with YYYY/MM/DD/hh/mm date columns and no meta
+        header; the plain variant writes N_<stid:05>.txt with an ``N``
+        precipitation column."""
+        if do_toolbox_format:
+            return self.create_ts(
+                stids, out_dir, parameters=("p", "t", "et"), kind=kind,
+                r_r0=r_r0,
+                file_names={"p": "PREC.txt", "t": "TA.txt", "et": "PET.txt"},
+                col_names={"p": "PREC", "t": "TA", "et": "PET",
+                           "Jahr": "YYYY", "Monat": "MM", "Tag": "DD",
+                           "Stunde": "hh", "Minute": "mm"},
+                add_meta=False,
+            )
+        return self.create_ts(
+            stids, out_dir, parameters=("p", "t", "et"), kind=kind,
+            r_r0=r_r0,
+            file_names={"p": "N_{id:0>5}.txt"},
+            col_names={"p": "N"},
+        )
 
 
 class GroupStation:

@@ -406,3 +406,22 @@ def test_update_ma_raster_from_grid(spark, tmp_path):
     b.update_ma_raster_from_grid("p", raster, x0=0.0, y0=400.0, res=100.0)
     rows = {r["term"]: r["value"] for r in b.read("station_ma_raster").collect()}
     assert rows == {"year": 5.0, "wihy": 7.0}
+
+
+def test_connected_components_path_graph(spark):
+    """Min-label propagation must traverse a path graph (diameter >
+    1 round) and keep disjoint components apart."""
+    from weatherdb_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # path 1-2-3-4-5
+         (10, 11),                          # separate pair
+         (20, 21), (21, 22), (20, 22)],     # triangle
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert {out[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {out[i] for i in (10, 11)} == {10}
+    assert {out[i] for i in (20, 21, 22)} == {20}
+    assert len(out) == 10

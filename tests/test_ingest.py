@@ -169,3 +169,55 @@ def test_windowed_stream_agg_plan(spark):
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_stateful_consec_run_flags_across_batches(spark, tmp_path):
+    """applyInPandasWithState QC: a 3-run of equal values split across two
+    micro-batches is still flagged (state carries the open run), the qn
+    gate applies to the run head, and sub-threshold runs stay clean."""
+    import pandas as pd
+
+    from weatherdb_spark.streaming.stateful import consec_run_flags
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # file 1 (batch 1): head + 1 member of the run; file 2 (batch 2):
+    # completes the run and extends it once. station 2: qn=3 head -> clean;
+    # station 3: equal zeros (below consec_min) -> clean
+    pd.DataFrame({
+        "station_id": [1, 1, 2, 2, 3, 3],
+        "timestamp": ["2024-01-01 00:00:00", "2024-01-01 00:10:00"] * 3,
+        "raw": [0.5, 0.5, 0.7, 0.7, 0.0, 0.0],
+        "qn": [1, 1, 3, 3, 1, 1],
+    }).to_csv(src / "a_part1.csv", index=False)
+    pd.DataFrame({
+        "station_id": [1, 1, 2, 3],
+        "timestamp": ["2024-01-01 00:20:00", "2024-01-01 00:30:00",
+                      "2024-01-01 00:20:00", "2024-01-01 00:20:00"],
+        "raw": [0.5, 0.5, 0.7, 0.0],
+        "qn": [1, 1, 3, 1],
+    }).to_csv(src / "b_part2.csv", index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "station_id int, timestamp timestamp, raw double, qn int"
+        )
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .csv(str(src))
+    )
+    q = (
+        consec_run_flags(stream)
+        .writeStream.format("memory")
+        .queryName("consec_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM consec_flags").collect()
+    got = {(r["station_id"], r["timestamp"].strftime("%H:%M")) for r in rows}
+    # station 1: all four members flagged (first three retroactively when
+    # the run closed in batch 2, the fourth on arrival)
+    assert got == {(1, "00:00"), (1, "00:10"), (1, "00:20"), (1, "00:30")}

@@ -369,3 +369,69 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, component_id)
+    with component_id = the smallest doc id in the component. This is the
+    last step of a dedup pipeline: groups tell you which documents are
+    interchangeable so one representative per group survives.
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round every node takes the min label in its closed neighborhood;
+    stop when no label changes. Rounds needed = graph diameter (near-dup
+    graphs are shallow — duplicate clusters are dense), each round is one
+    keyed shuffle, and ``localCheckpoint`` cuts the lineage so the plan
+    does not grow with iterations. The driver loop is O(diameter)
+    distributed jobs, not a per-row loop.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component_id").alias("_nb_lbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nb_lbl").alias("_min_nb"))
+        )
+        new_labels = (
+            labels.join(nb_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component_id"), F.coalesce("_min_nb", F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component_id")

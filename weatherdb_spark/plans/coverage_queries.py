@@ -449,3 +449,68 @@ def s7_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.col("sample_dist_m").cast("double").alias("sample_dist_m"),
     )
+
+
+# --------------------------------------------------------------------------
+# S8 — horizon-angle scan (analytic DEM)
+# --------------------------------------------------------------------------
+
+def _bowl_dem(xs, ys):
+    """Analytic DEM shared by the Spark binding and (formula-inlined) the
+    DuckDB oracle: a paraboloid bowl centered at (20000, 20000). Pure
+    arithmetic — no libm surface beyond cos/sin/atan, which agree with
+    DuckDB to <=1 ulp (invisible at the operator's 3-digit rounding)."""
+    return ((xs - 20000.0) ** 2 + (ys - 20000.0) ** 2) * 1e-6
+
+
+@_register(
+    "s8_horizon_scan",
+    oracle="""
+    WITH st AS (
+        SELECT s_suppkey AS station_id,
+               CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
+               CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm
+        FROM supplier
+    ),
+    ang AS (SELECT 90.0 + 3.0 * i AS a FROM range(0, 61) t(i)),
+    dist AS (SELECT 300.0 * (j + 1) AS d FROM range(0, 50) t2(j)),
+    slope AS (
+        SELECT s.station_id, ang.a,
+               max(degrees(atan((
+                   (pow(s.x_utm + cos(radians(ang.a)) * dist.d - 20000, 2)
+                  + pow(s.y_utm + sin(radians(ang.a)) * dist.d - 20000, 2)) * 1e-6
+                 - (pow(s.x_utm - 20000, 2) + pow(s.y_utm - 20000, 2)) * 1e-6
+               ) / dist.d))) AS hab
+        FROM st s CROSS JOIN ang CROSS JOIN dist
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT station_id,
+               0.15 * avg(hab) FILTER (WHERE a > 225 AND a <= 270)
+             + 0.35 * avg(hab) FILTER (WHERE a >= 180 AND a <= 225)
+             + 0.35 * avg(hab) FILTER (WHERE a >= 135 AND a < 180)
+             + 0.15 * avg(hab) FILTER (WHERE a >= 90 AND a < 135) AS h
+        FROM slope GROUP BY 1
+    )
+    SELECT station_id, round(greatest(h, 0), 3) AS horizon
+    FROM bands
+    """,
+    doc="S8 horizon-angle scan (StationP.py:273-448): per station, polar "
+        "rays 90..270 deg in 3-deg steps sample the DEM, max "
+        "atan-slope per ray, Richter band weighting 0.15/0.35/0.35/0.15 "
+        "clamped at 0. Spark: Arrow mapInPandas with a numpy "
+        "(angles x samples) grid per station; oracle replays the grid in "
+        "SQL over the same analytic DEM.",
+)
+def s8_horizon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.operators.horizon import horizon_angles
+
+    meta = supplier_coords(spark, sf_dir).select(
+        "station_id", "x_utm", "y_utm", "stationshoehe"
+    )
+    out = horizon_angles(
+        meta, _bowl_dem, radius_m=15_000.0, step_deg=3.0, sample_step_m=300.0
+    )
+    return out.select(
+        F.col("station_id").cast("long").alias("station_id"), "horizon"
+    )

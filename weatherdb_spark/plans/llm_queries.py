@@ -503,3 +503,48 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     decoded = decode_images(attach_binary_payload(docs))
     return decoded.select("doc_id", "n_bytes", "width", "height")
+
+
+# --------------------------------------------------------------------------
+# Dedup: connected components over near-dup pairs -> dedup groups
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY 1
+    """,
+    doc="Connected components over n-gram-Jaccard (>=0.5) near-dup pairs "
+        "-> (doc_id, component_id): the dedup-group step that picks one "
+        "representative per duplicate cluster. Spark: iterative min-label "
+        "propagation, one keyed shuffle per round, lineage cut per round; "
+        "oracle: recursive-CTE transitive closure ground truth.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import connected_components, jaccard_pairs
+
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return connected_components(pairs)

@@ -94,9 +94,12 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             embs = []
             for b in pdf["payload"]:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype("float32")
+                hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype("float64")
                 norm = float(np.linalg.norm(hist)) or 1.0
-                embs.append((hist / norm).tolist())
+                # normalize in float64, quantize to float32 once at the end:
+                # the output is then the correctly-rounded f32 of the f64
+                # math (bit-reproducible by any engine's double->float cast)
+                embs.append((hist / norm).astype("float32").tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 "embedding": embs})
 

@@ -548,3 +548,97 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, n=3)
     return connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: feature-extract and resize, value-checked
+# --------------------------------------------------------------------------
+
+@_register(
+    "multimodal_features",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, upper(hex(encode(text))) AS ph,
+               octet_length(encode(text)) AS n FROM documents
+    ),
+    idx AS (SELECT unnest(range(0, (SELECT max(n) FROM p))) AS i),
+    bytes AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', substring(ph, i * 2 + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substring(ph, i * 2 + 2, 1)) - 1) AS bv
+        FROM p CROSS JOIN idx WHERE i < n
+    ),
+    hist AS (
+        SELECT d.doc_id, bins.i AS dim,
+               count(b.bv) AS cnt
+        FROM (SELECT DISTINCT doc_id FROM p) d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) bins
+        LEFT JOIN bytes b ON b.doc_id = d.doc_id AND b.bv // 16 = bins.i
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM hist GROUP BY 1
+    )
+    SELECT h.doc_id, h.dim,
+           CAST(CAST(h.cnt / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END
+                     AS FLOAT) AS DOUBLE) AS value
+    FROM hist h JOIN norms n USING (doc_id)
+    """,
+    doc="Multimodal feature extraction: payload -> 16-bin byte histogram, "
+        "L2-normalized in float64, quantized to float32 (mapInPandas, "
+        "Arrow-batched). Exploded to (doc_id, dim, value) scalars; the "
+        "oracle reproduces the f32 quantization with CAST(.. AS FLOAT), "
+        "so the compare is bit-exact, no rounding slop.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.multimodal import attach_binary_payload, extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs), dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).select(
+        "doc_id", F.col("dim").cast("long").alias("dim"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@_register(
+    "multimodal_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, upper(hex(encode(text))) AS ph,
+               octet_length(encode(text)) AS n FROM documents
+    ),
+    params AS (
+        SELECT doc_id, ph, n,
+               greatest(1, n // 1024) AS step FROM p
+    ),
+    sel AS (
+        SELECT doc_id,
+               string_agg(substring(ph, i * step * 2 + 1, 2), '' ORDER BY i)
+                   AS kept_hex
+        FROM params CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) t
+        WHERE i * step < n
+        GROUP BY 1
+    )
+    SELECT doc_id, 32 AS width, 32 AS height,
+           rpad(kept_hex, 2048, '0') AS payload_hex
+    FROM sel
+    """,
+    doc="Multimodal resize plumbing: payload -> fixed 32x32-byte payload "
+        "(deterministic subsample/pad stand-in for a real resampler) via "
+        "mapInPandas. Output compared as hex so the binary bytes are "
+        "value-checked.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.multimodal import attach_binary_payload, resize_images
+
+    docs = load(spark, sf_dir, "documents")
+    out = resize_images(attach_binary_payload(docs), width=32, height=32)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.upper(F.hex("payload")).alias("payload_hex"),
+    )

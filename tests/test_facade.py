@@ -425,3 +425,17 @@ def test_connected_components_path_graph(spark):
     assert {out[i] for i in (10, 11)} == {10}
     assert {out[i] for i in (20, 21, 22)} == {20}
     assert len(out) == 10
+
+
+def test_cli_create_roger_ts(mini_broker, tmp_path):
+    import os
+
+    from weatherdb_spark.cli import main
+
+    out = str(tmp_path / "cli_roger")
+    assert main([
+        "create-roger-ts", "--warehouse", mini_broker.dir,
+        "--stations", "1", "--out-dir", out, "--kind", "raw",
+        "--toolbox-format",
+    ]) == 0
+    assert os.path.isfile(os.path.join(out, "1", "PREC.txt"))

@@ -1,0 +1,106 @@
+"""Plan-quality regression pins for the core weather stages: the dims
+must broadcast (no fact-table shuffle for dim joins), aggregations must
+have map-side partial phases, and known Catalyst traps must stay fixed.
+These are structural assertions on the executed plan string — they fail
+if a future change silently degrades the physical strategy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fact(spark, n_stations=4, n_rows=200):
+    rows = [
+        (s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i),
+         None if i % 9 == 0 else float(i % 7))
+        for s in range(1, n_stations + 1) for i in range(n_rows)
+    ]
+    return spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, qc double"
+    )
+
+
+def _dims(spark, n=4):
+    from weatherdb_spark.operators.neighbors import knn_stations
+
+    meta = spark.createDataFrame(
+        [(i, float(i * 10000), 0.0, 100) for i in range(1, n + 1)],
+        "station_id int, x_utm double, y_utm double, stationshoehe int",
+    )
+    knn = knn_stations(meta, k=None, max_dist_m=130_000.0)
+    ma = spark.createDataFrame(
+        [(i, 10.0) for i in range(1, n + 1)], "station_id int, value double"
+    )
+    return knn, ma
+
+
+def test_rank_fill_broadcasts_dims_not_facts(spark):
+    """The (knn x ma) dim must be the broadcast side; the fact table must
+    never appear under a BroadcastExchange."""
+    from weatherdb_spark.operators.fillup import rank_fill
+
+    knn, ma = _dims(spark)
+    plan = _plan(rank_fill(_fact(spark), knn, ma, coef_sign="mult"))
+    assert "BroadcastHashJoin" in plan
+    # every BroadcastExchange subtree must be dim-sized: none of them may
+    # scan the fact table (its marker column is `qc`)
+    for sub in plan.split("BroadcastExchange")[1:]:
+        head = sub.split("BroadcastHashJoin")[0]
+        assert "ExistingRDD" not in head or "qc" not in head, plan
+
+
+def test_median_fill_single_fact_aggregate(spark):
+    """T's median fill: exactly one groupBy aggregation over the donor
+    join (no duplicated fact aggregation)."""
+    from weatherdb_spark.operators.fillup import median_fill
+
+    knn, ma = _dims(spark, n=7)
+    plan = _plan(median_fill(_fact(spark, 7), knn, ma, n_donors=5))
+    # one logical aggregate -> partial + final HashAggregate pair over
+    # the percentile; collect_list forces ObjectHashAggregate
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_richter_correct_no_fact_shuffle_for_joinback(spark):
+    """The correction dim is broadcast: the only hashpartitioning
+    exchanges are the (dim-sized) daily aggregation and the t-daily
+    distinct — the 10-min fact join-back must not shuffle."""
+    from weatherdb_spark.operators.richter import (
+        richter_correct,
+        richter_parameters_df,
+    )
+
+    facts = _fact(spark).withColumnRenamed("qc", "filled")
+    ts_t = spark.createDataFrame(
+        [(s, dt.date(2024, 1, 1 + d), 1.0) for s in (1, 2, 3, 4) for d in range(2)],
+        "station_id int, timestamp date, filled double",
+    )
+    meta = spark.createDataFrame(
+        [(s, "no-protection") for s in (1, 2, 3, 4)],
+        "station_id int, richter_class string",
+    )
+    plan = _plan(richter_correct(facts, ts_t, meta, richter_parameters_df(spark)))
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, plan
+
+
+def test_qc_t_broadcast_median_dim(spark):
+    from weatherdb_spark.operators.qc import qc_t
+
+    knn, ma = _dims(spark)
+    meta = spark.createDataFrame(
+        [(i, 100) for i in (1, 2, 3, 4)], "station_id int, stationshoehe int"
+    )
+    ts_t = spark.createDataFrame(
+        [(s, dt.date(2024, 1, 1), 5.0) for s in (1, 2, 3, 4)],
+        "station_id int, timestamp date, raw double",
+    )
+    plan = _plan(qc_t(ts_t, knn, ma, meta))
+    assert "BroadcastHashJoin" in plan

@@ -46,6 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("--parameters", nargs="+", default=["p"])
     ct.add_argument("--kind", default="best")
 
+    rt = wh(sub.add_parser(
+        "create-roger-ts",
+        help="export in the RoGeR presets (GroupStation.py:347-432)",
+    ))
+    rt.add_argument("--stations", nargs="+", type=int, required=True)
+    rt.add_argument("--out-dir", required=True)
+    rt.add_argument("--kind", default="best")
+    rt.add_argument("--toolbox-format", action="store_true",
+                    help="PREC/TA/PET.txt with YYYY/MM/DD/hh/mm columns")
+
     return p
 
 
@@ -77,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         tele = GroupStations(broker).create_ts(
             args.stations, args.out_dir,
             parameters=tuple(args.parameters), kind=args.kind,
+        )
+        print(tele)
+    elif args.command == "create-roger-ts":
+        from weatherdb_spark.station import GroupStations
+
+        tele = GroupStations(broker).create_roger_ts(
+            args.stations, args.out_dir, kind=args.kind,
+            do_toolbox_format=args.toolbox_format,
         )
         print(tele)
     return 0

@@ -13,7 +13,7 @@ import pytest
 from weatherdb_spark.plans.registry import REGISTRY
 from weatherdb_spark.sources.testdata import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -471,6 +471,28 @@ class Broker:
             os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
         )
 
+    def files_to_download(self, listing: DataFrame) -> DataFrame:
+        """S1 — which server files need (re)importing: the listing rows
+        that are new or carry a newer modtime than the ``raw_files``
+        manifest (reference StationBases.py:1183-1204 ``only_new``;
+        listing comes from sources.ftp.get_cdc_file_list or a fixture)."""
+        from weatherdb_spark.sources.ftp import files_to_update
+
+        manifest = self.read("raw_files") if self.exists("raw_files") else None
+        return files_to_update(listing, manifest)
+
+    def mark_files_imported(self, listing: DataFrame) -> None:
+        """Record imported files in the ``raw_files`` manifest (merge by
+        filepath, newest modtime wins — reference ``RawFiles`` model,
+        models.py update on import)."""
+        new = listing.select("filepath", "modtime")
+        if self.exists("raw_files"):
+            prev = self.read("raw_files").join(
+                new.select("filepath"), "filepath", "left_anti"
+            )
+            new = prev.unionByName(new)
+        self.write("raw_files", new)
+
     def last_imp(self, parameter: str) -> tuple[str, str] | None:
         """The pending import window, or None."""
         if not self.exists("pipeline_state"):

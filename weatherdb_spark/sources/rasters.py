@@ -1,0 +1,174 @@
+"""S12 — multi-annual raster / DEM acquisition and gridded-raster parsing
+(reference weatherdb/utils/get_data.py:22-186 ``download_ma_rasters``,
+:189-363 DEM selection over the Copernicus PRISM catalog).
+
+Split the same way as :mod:`weatherdb_spark.sources.ftp`: the parsing —
+ESRI ASCII grid text into the (col, row, term, value) gridded table that
+``Broker.update_ma_raster_from_grid`` samples (operators/raster.py) —
+and the catalog selection logic are pure, fixture-testable functions;
+the network fetch is a thin, import-gated wrapper that raises with
+guidance when offline (this container has no outbound network). The
+DWD multi-annual grids are published as ESRI ASCII GRID text (.asc), so
+the parser here covers the reference's raster ingest end of S12 without
+a GDAL/rasterio dependency.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+MA_RASTER_DOI = "10.5281/zenodo.10066045"  # get_data.py:46 (public dataset)
+PRISM_URL = (
+    "https://prism-dem-open.copernicus.eu/pd-desk-open-access/publicDemURLs"
+)  # get_data.py:201
+
+_HEADER_KEYS = {
+    "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter",
+    "cellsize", "nodata_value",
+}
+
+
+def parse_esri_ascii_grid(text: str) -> tuple[dict, list[list[float]]]:
+    """ESRI ASCII GRID text -> (header, rows top-to-bottom). NODATA cells
+    become None. Header keys lowercase; ``xllcenter`` variants are
+    normalized to corner coordinates (corner = center - cellsize/2)."""
+    header: dict = {}
+    data: list[list[float]] = []
+    nodata = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        first = line.split(None, 1)[0].lower()
+        if not data and first in _HEADER_KEYS:
+            key, val = line.split(None, 1)
+            header[key.lower()] = float(val)
+        else:
+            if nodata is None:
+                nodata = header.get("nodata_value", -9999.0)
+            data.append(
+                [None if float(v) == nodata else float(v)
+                 for v in line.split()]
+            )
+    for axis in ("x", "y"):
+        if f"{axis}llcenter" in header:
+            header[f"{axis}llcorner"] = (
+                header.pop(f"{axis}llcenter") - header["cellsize"] / 2
+            )
+    if len(data) != int(header.get("nrows", len(data))):
+        raise ValueError(
+            f"grid has {len(data)} rows, header says {header.get('nrows')}"
+        )
+    return header, data
+
+
+def read_ascii_grid(path: str | Path) -> tuple[dict, list[list[float]]]:
+    """File variant; transparently decompresses ``.gz`` (the CDC grids
+    ship gzipped)."""
+    p = Path(path)
+    raw = p.read_bytes()
+    if p.suffix == ".gz" or raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    return parse_esri_ascii_grid(io.TextIOWrapper(io.BytesIO(raw)).read())
+
+
+def ascii_grid_df(
+    spark: SparkSession,
+    header: dict,
+    rows: Sequence[Sequence[float | None]],
+    term: str,
+) -> tuple[DataFrame, float, float, float]:
+    """Gridded raster table for ``Broker.update_ma_raster_from_grid``:
+    (col, row, term, value) with row 0 at the grid's NORTH edge — exactly
+    the ASCII storage order, which is also how operators/raster.py
+    addresses cells (``box_ymax = y0 - row*res`` with y0 the top edge).
+    Returns the DataFrame plus (x0, y0_top, res); y0_top is derived from
+    the header's lower-left corner (yllcorner + nrows*cellsize). NODATA
+    cells are omitted (the sampler treats missing cells as NoData and
+    grows the buffer, StationBases.py:848-913)."""
+    records = [
+        (c, r, term, v)
+        for r, line in enumerate(rows)
+        for c, v in enumerate(line)
+        if v is not None
+    ]
+    df = spark.createDataFrame(
+        records, "col int, row int, term string, value double"
+    )
+    y0_top = header["yllcorner"] + len(rows) * header["cellsize"]
+    return df, header["xllcorner"], y0_top, header["cellsize"]
+
+
+def select_newest_dem(datasets: Sequence[dict]) -> dict:
+    """The reference's choice over the PRISM catalog
+    (get_data.py:205-230): parse ``datasetId`` strings like
+    ``COP-DEM_GLO-30-DGED/2023_1`` and keep the newest year/part at the
+    highest resolution (smallest meter figure)."""
+    parsed = [
+        {
+            "id": e["datasetId"],
+            "year": int(e["datasetId"].split("/")[1].split("_")[0]),
+            "year_part": int(e["datasetId"].split("/")[1].split("_")[1]),
+            "resolution": int(e["datasetId"].split("-")[2].split("-")[0]),
+        }
+        for e in datasets
+    ]
+    return sorted(
+        parsed,
+        key=lambda d: (-d["year"], -d["year_part"], d["resolution"]),
+    )[0]
+
+
+def zenodo_record_files(doi: str = MA_RASTER_DOI) -> list[dict]:
+    """Resolve a Zenodo DOI to its record's file list
+    (get_data.py:59-66). NETWORK: requires outbound HTTPS; raises
+    RuntimeError with guidance when the request layer is unavailable."""
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - env without requests
+        raise RuntimeError(
+            "downloading multi-annual rasters needs the 'requests' "
+            "package and outbound network access; in offline "
+            "environments ingest a pre-downloaded grid via "
+            "read_ascii_grid + Broker.update_ma_raster_from_grid"
+        ) from exc
+    zenodo_id = requests.get(f"https://doi.org/{doi}").url.split("/")[-1]
+    rec = requests.get(
+        f"https://zenodo.org/api/records/{zenodo_id}"
+    ).json()
+    return rec["files"]
+
+
+def download_ma_rasters(
+    out_dir: str | Path,
+    which: Sequence[str] = ("dwd", "hyras", "regnie"),
+    overwrite: bool = False,
+) -> list[Path]:
+    """Fetch the published multi-annual raster files (get_data.py:68-186)
+    into ``out_dir``; returns the written paths. Selection mirrors the
+    reference: a record file belongs to source ``k`` when its key's first
+    ``_``/``-`` token matches. NETWORK: see :func:`zenodo_record_files`."""
+    import requests
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written: list[Path] = []
+    for file in zenodo_record_files():
+        file_key = file["key"].lower().split("_")[0].split("-")[0]
+        if file_key not in which:
+            continue
+        target = out_dir / file["key"]
+        if target.exists() and not overwrite:
+            continue
+        r = requests.get(file["links"]["self"], stream=True)
+        r.raise_for_status()
+        with open(target, "wb") as fh:
+            for chunk in r.iter_content(chunk_size=1 << 20):
+                fh.write(chunk)
+        written.append(target)
+    return written

@@ -106,7 +106,10 @@ def qc_neighbor_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.neighbors import knn_stations
     from weatherdb_spark.operators.qc import regionalized_neighbor_median
 
-    daily = _daily_df(spark, sf_dir)
+    # daily is consumed twice (donor side of the median + the station's
+    # own values); persisting the aggregate computes the fact scan+rollup
+    # once — at scale the daily rollup is ~3 orders smaller than the facts
+    daily = _daily_df(spark, sf_dir).persist()
     knn = knn_stations(supplier_coords(spark, sf_dir), k=5, elevation_weighted=True)
     ma = _ma_df(spark, sf_dir)
     med = regionalized_neighbor_median(
@@ -181,9 +184,11 @@ def fillup_rank_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.timeline import expand_timeline
 
     daily = _daily_df(spark, sf_dir)
+    # the expanded grid is both the fill base and the donor source inside
+    # rank_fill; persist computes scan+rollup+expansion once (dim-sized)
     grid = expand_timeline(
         daily, interval="1 day", group_cols=("station_id",), min_date=None
-    )
+    ).persist()
     knn = knn_stations(supplier_coords(spark, sf_dir), k=5, elevation_weighted=True)
     ma = _ma_df(spark, sf_dir)
     out = rank_fill(

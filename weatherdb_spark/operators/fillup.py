@@ -142,6 +142,10 @@ def rank_fill(
             )
         )
     else:
+        # the pair dim feeds three joins (near, holes anti-join target,
+        # far); persist so the knn x ma build runs once — it is dim-sized
+        # (pairs of stations), never fact-sized
+        pairs = pairs.persist()
         near = pairs.filter(F.col("rank") <= cascade_k)
         best1 = _best(
             _seasonal_filter(
@@ -282,6 +286,8 @@ def median_fill(
             .agg(*aggs)
         )
     else:
+        # see rank_fill: the pair dim feeds three joins; build it once
+        pairs = pairs.persist()
         near_pairs = pairs.filter(F.col("rank") <= cascade_k)
         best1 = (
             _select(donor_facts.join(F.broadcast(near_pairs), "nb_station_id"))

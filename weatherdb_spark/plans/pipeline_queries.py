@@ -982,9 +982,10 @@ def fillup_rank_fill_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.timeline import expand_timeline
 
     starved = _starved_df(spark, sf_dir)
+    # consumed by the donor side, the hole anti-join, and the final join
     grid = expand_timeline(
         starved, interval="1 day", group_cols=("station_id",), min_date=None
-    )
+    ).persist()
     knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
     out = rank_fill(
         grid, knn, _ma_df(spark, sf_dir), coef_sign="mult", base_col="qty",
@@ -1059,9 +1060,10 @@ def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.timeline import expand_timeline
 
     starved = _starved_df(spark, sf_dir)
+    # consumed by the donor side, the hole targets, and the final join
     grid = expand_timeline(
         starved, interval="1 day", group_cols=("station_id",), min_date=None
-    )
+    ).persist()
     knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
     out = median_fill(
         grid, knn, _ma_df(spark, sf_dir), n_donors=5, base_col="qty",

@@ -221,3 +221,77 @@ def test_stateful_consec_run_flags_across_batches(spark, tmp_path):
     # station 1: all four members flagged (first three retroactively when
     # the run closed in batch 2, the fourth on arrival)
     assert got == {(1, "00:00"), (1, "00:10"), (1, "00:20"), (1, "00:30")}
+
+
+def test_windowed_stream_agg_late_data_semantics(spark, tmp_path):
+    """Value-level watermark semantics over two AvailableNow runs: batch 1
+    closes the 10:00 window once the watermark (max event time - 1h)
+    passes its end; a batch-2 row landing back inside that closed window
+    is late beyond the watermark and must NOT re-emit or grow the window,
+    while an on-time batch-2 row finalizes the next window."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.streaming.ingest import windowed_stream_agg
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("station_id", T.IntegerType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("raw", T.DoubleType()),
+    ])
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "station_id;timestamp;raw\n"
+            + "\n".join(f"{s};{t};{v}" for s, t, v in rows)
+        )
+        stream = (
+            spark.readStream.schema(schema).option("sep", ";")
+            .option("header", "true").csv(str(src))
+        )
+        agg = windowed_stream_agg(
+            stream, window="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two rows in the 10:00 window, one at 13:00 -> watermark
+    # reaches 12:00, the 10:00-11:00 window finalizes with sum=3
+    run_batch("b1.csv", [
+        (1, "2024-01-01 10:05:00", 1.0),
+        (1, "2024-01-01 10:45:00", 2.0),
+        (1, "2024-01-01 13:00:00", 10.0),
+    ])
+    first = {
+        (r.window_start, r.raw_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (dt.datetime(2024, 1, 1, 10, 0), 3.0) in first
+    # the 13:00 window is still open (watermark 12:00 < its end)
+    assert not any(ws == dt.datetime(2024, 1, 1, 13, 0) for ws, _ in first)
+
+    # batch 2: a late row back in the closed 10:00 window (beyond the
+    # watermark -> dropped) and a 15:00 row that pushes the watermark to
+    # 14:00, finalizing the 13:00 window WITHOUT the late row's value
+    run_batch("b2.csv", [
+        (1, "2024-01-01 10:50:00", 100.0),
+        (1, "2024-01-01 15:00:00", 20.0),
+    ])
+    rows = spark.read.parquet(out).collect()
+    sums = {}
+    for r in rows:
+        sums.setdefault(r.window_start, []).append(r.raw_sum)
+    # closed window unchanged: still exactly one emission with sum=3
+    assert sums[dt.datetime(2024, 1, 1, 10, 0)] == [3.0]
+    # 13:00 window finalized from batch-1 data only
+    assert sums[dt.datetime(2024, 1, 1, 13, 0)] == [10.0]

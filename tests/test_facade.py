@@ -439,3 +439,63 @@ def test_cli_create_roger_ts(mini_broker, tmp_path):
         "--toolbox-format",
     ]) == 0
     assert os.path.isfile(os.path.join(out, "1", "PREC.txt"))
+
+
+def test_cli_update_db_stage_sequence(spark, tmp_path):
+    """update-db runs quality-check -> fillup -> richter-correct in
+    order on the warehouse: after it, ts_p carries qc, filled and corr
+    columns with the stage watermarks recorded."""
+    import datetime as dt
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.cli import main
+
+    wh = str(tmp_path / "upd_wh")
+    b = Broker(spark, wh)
+    meta = spark.createDataFrame(
+        [(s, p, True, s * 10000.0, 0.0, 100, "no-protection")
+         for s in (1, 2, 3) for p in ("p", "p_d", "t")],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int, richter_class string",
+    )
+    rows_10min, rows_daily = [], []
+    for s in (1, 2, 3):
+        for i in range(200):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i)
+            raw = None if (s == 1 and i % 11 == 5) else round((i % 4) * 0.2, 1)
+            rows_10min.append((s, ts, raw, 1))
+        for d in range(3):
+            # close to the 10-min shifted-day sums (~43 mm) so QC-P's
+            # daily-consistency rule (sum10 >= 2x daily) keeps the days
+            rows_daily.append(
+                (s, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 40.0 + s)
+            )
+    ma = spark.createDataFrame(
+        [(s, p, t, 700.0 + s) for s in (1, 2, 3)
+         for p in ("p", "p_d", "t") for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    )
+    b.update_db(
+        meta, ma,
+        {
+            "p": spark.createDataFrame(
+                rows_10min,
+                "station_id int, timestamp timestamp, raw double, qn short",
+            ),
+            "p_d": spark.createDataFrame(
+                rows_daily, "station_id int, timestamp timestamp, raw double"
+            ),
+            "t": spark.createDataFrame(
+                [(s, ts.date(), v, v - 2.0, v + 2.0) for s, ts, v in rows_daily],
+                "station_id int, timestamp date, raw double, "
+                "raw_min double, raw_max double",
+            ),
+        },
+        run_stages=False,
+    )
+    assert main(["update-db", "--warehouse", wh]) == 0
+    ts_p = b.read("ts_p")
+    assert {"qc", "filled", "corr"} <= set(ts_p.columns)
+    assert ts_p.filter(F.col("filled").isNull()).count() == 0
+    stages = {r.stage for r in b.state().collect()}
+    assert {"qc", "filled", "corr"} <= stages

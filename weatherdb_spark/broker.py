@@ -414,15 +414,19 @@ class Broker:
         meta: DataFrame,
         ma: DataFrame,
         raw: dict[str, DataFrame],
+        run_stages: bool = True,
     ) -> None:
-        """The full pipeline in reference stage order (broker.py:514-545)."""
+        """The full pipeline in reference stage order (broker.py:514-545).
+        ``run_stages=False`` loads meta/MA/raw only — the compute stages
+        run later (e.g. via the CLI ``update-db`` command)."""
         self.update_meta(meta)
         self.update_ma_raster(ma)
         for parameter, df in raw.items():
             self.update_raw(parameter, df)
-        self.quality_check()
-        self.fillup()
-        self.richter_correct_stage()
+        if run_stages:
+            self.quality_check()
+            self.fillup()
+            self.richter_correct_stage()
 
     # -------------------------------------------------- incremental path
     def append_raw(self, parameter: str, new_raw: DataFrame) -> None:

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--warehouse", required=True, help="parquet warehouse dir")
         return sp
 
+    wh(sub.add_parser(
+        "update-db",
+        help="run the compute stages in order: quality-check -> fillup -> "
+             "richter-correct (reference cli.py update-db, minus downloads)",
+    ))
     wh(sub.add_parser("quality-check", help="QC stage for all parameters"))
     wh(sub.add_parser("fillup", help="gap-filling stage for all parameters"))
     wh(sub.add_parser("richter-correct", help="Richter correction (p)"))
@@ -67,7 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"weatherdb_spark_cli_{args.command}")
     broker = Broker(spark, args.warehouse)
 
-    if args.command == "quality-check":
+    if args.command == "update-db":
+        broker.quality_check()
+        broker.fillup()
+        broker.richter_correct_stage()
+    elif args.command == "quality-check":
         broker.quality_check()
     elif args.command == "fillup":
         broker.fillup()

@@ -499,3 +499,26 @@ def test_cli_update_db_stage_sequence(spark, tmp_path):
     assert ts_p.filter(F.col("filled").isNull()).count() == 0
     stages = {r.stage for r in b.state().collect()}
     assert {"qc", "filled", "corr"} <= stages
+
+
+def test_station_small_getters(mini_broker):
+    """The reference's accessor surface: name, WKT geom (both CRS), MA
+    raster values, pairwise coefficients, neighbor ids, max period."""
+    st = Station(mini_broker, 1, "p")
+    assert st.get_name() == "Station 1"
+    assert st.get_geom(crs=25832) == "POINT (0.0 0.0)"
+    wkt = st.get_geom()  # 4326 via the S5 transform
+    assert wkt.startswith("POINT (") and len(wkt.split()) == 3
+    # p's MA terms are [wihy, suhy]; mini_broker stores 800+stid for all
+    assert st.get_ma_raster() == [801.0, 801.0]
+    # multiplicative parameter -> per-term ratio vs the other station
+    coef = st.get_coef(2)
+    assert coef == pytest.approx([801.0 / 802.0] * 2)
+    assert st.get_coef(99) is None  # missing MA -> None
+    nbs = st.get_neighboor_stids(n=2)
+    assert nbs == [2, 3]  # distance order from x=0: 10km, then 20km
+    p = st.get_max_period(kinds=("raw",), nas_allowed=True)
+    assert p.start is not None and p.end > p.start
+    p2 = st.get_max_period(kinds=("raw", "filled"))
+    assert p2.start is not None
+    assert st.get_last_imp_period().is_empty()

@@ -78,6 +78,124 @@ class Station:
     def get_corr(self, **kw) -> DataFrame:
         return self.get_df(kinds=("corr",), **kw)
 
+    def _meta_row(self):
+        return (
+            self.broker.read("meta")
+            .filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == self.parameter)
+            )
+            .first()
+        )
+
+    def get_name(self) -> str:
+        """Station name from the meta dim (StationBases.py:1872-1873);
+        falls back to ``Station <id>`` when meta carries no name column."""
+        row = self._meta_row()
+        if row is not None and "name" in row.__fields__ and row["name"]:
+            return row["name"]
+        return f"Station {self.id}"
+
+    def get_geom(self, crs: int = 4326) -> str:
+        """WKT point of the station (StationBases.py:1817-1846). crs 4326
+        returns POINT (lon lat) via the S5 transform; 25832 returns the
+        stored UTM coordinates."""
+        row = self._meta_row()
+        if row is None:
+            raise ValueError(f"station {self.id}/{self.parameter} not in meta")
+        if crs == 25832:
+            return f"POINT ({row['x_utm']} {row['y_utm']})"
+        if crs != 4326:
+            raise ValueError("crs must be 4326 or 25832")
+        from weatherdb_spark.functions.spatial import utm_to_wgs84
+
+        lonlat = (
+            self.broker.spark.range(1)
+            .select(
+                *utm_to_wgs84(F.lit(row["x_utm"]), F.lit(row["y_utm"]))
+            )
+            .first()
+        )
+        return f"POINT ({round(lonlat[0], 6)} {round(lonlat[1], 6)})"
+
+    def get_ma_raster(self) -> list[float] | None:
+        """The station's multi-annual raster values in term order
+        (StationBases.py:2298-2360): [wihy, suhy] for P, [year]
+        otherwise. None when any term is missing."""
+        terms = [t for t in PARAMETERS[self.parameter]["ma_terms"] if t != "year"] \
+            or ["year"]
+        rows = {
+            r["term"]: r["value"]
+            for r in self.broker.read("station_ma_raster")
+            .filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == self.parameter)
+                & F.col("term").isin(terms)
+            )
+            .collect()
+        }
+        if set(terms) - set(rows):
+            return None
+        return [rows[t] for t in terms]
+
+    def get_coef(
+        self, other_stid: int, in_db_unit: bool = False
+    ) -> list[float] | None:
+        """Regionalisation coefficients vs another station
+        (StationBases.py:2423-2461): ratio per MA term for multiplicative
+        parameters (P), difference for additive (T/ET); ``in_db_unit``
+        scales additive coefs to the scaled-int storage unit."""
+        own = self.get_ma_raster()
+        other = Station(self.broker, other_stid, self.parameter).get_ma_raster()
+        if own is None or other is None:
+            return None
+        cfg = PARAMETERS[self.parameter]
+        if cfg["coef_sign"] == "mult":
+            return [o / n for o, n in zip(own, other)]
+        if in_db_unit:
+            return [int(round((o - n) * cfg["decimals"])) for o, n in zip(own, other)]
+        return [o - n for o, n in zip(own, other)]
+
+    def get_neighboor_stids(self, n: int = 5) -> list[int]:
+        """The n nearest station ids in distance-rank order
+        (StationBases.py:2211-2296, J8/W3)."""
+        rows = (
+            self.broker._knn(self.parameter, k=n)
+            .filter(F.col("station_id") == self.id)
+            .orderBy("rank")
+            .select("nb_station_id")
+            .collect()
+        )
+        return [r["nb_station_id"] for r in rows]
+
+    def get_max_period(
+        self, kinds: Sequence[str], nas_allowed: bool = False
+    ) -> TimestampPeriod:
+        """Maximum available period over the kinds
+        (StationBases.py:2133-2178): with ``nas_allowed`` the min/max
+        timestamp of the series; else the intersection of the kinds'
+        non-null filled periods."""
+        ts = self._ts.filter(F.col("station_id") == self.id)
+        if nas_allowed:
+            row = ts.agg(F.min("timestamp"), F.max("timestamp")).first()
+            return TimestampPeriod(row[0], row[1])
+        lo, hi = None, None
+        for kind in kinds:
+            p = self.get_period_meta(kind=kind)
+            if p.start is not None and (lo is None or p.start > lo):
+                lo = p.start
+            if p.end is not None and (hi is None or p.end < hi):
+                hi = p.end
+        return TimestampPeriod(lo, hi)
+
+    def get_last_imp_period(self) -> TimestampPeriod:
+        """The pending last-import window from the pipeline state
+        (StationBases.py:2179-2209)."""
+        win = self.broker.last_imp(self.parameter)
+        if win is None:
+            return TimestampPeriod(None, None)
+        return TimestampPeriod(*win)
+
     def get_period_meta(self, kind: str = "raw") -> TimestampPeriod:
         """A8 — the station's (kind_from, kind_until) period."""
         row = (

@@ -18,24 +18,36 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from weatherdb_spark.plans.registry import REGISTRY
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY
     from weatherdb_spark.session import get_spark
 
     spark = get_spark(app_name="weatherdb_spark_bench")
 
-    bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+    # bench set spans both registries so the headline query list stays
+    # stable across rounds even when an entry moves to EXTRA
+    bench_specs = {
+        n: s for n, s in {**REGISTRY, **EXTRA_REGISTRY}.items() if s.bench
+    }
     # warmup: JVM + parquet footer caches, tiny plan
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # min-of-N per query: a single cold shot on a shared box conflates
+    # sandbox contention with plan cost (round-2's 4x phantom regression)
     timings: dict[str, float] = {}
+    iterations: dict[str, list[float]] = {}
     for name, spec in sorted(bench_specs.items()):
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # isolate queries: drop persisted intermediates (e.g. the LSH
-        # shingle cache) so later queries aren't charged for their memory
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(max(1, iters)):
+            t0 = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            # isolate queries: drop persisted intermediates (e.g. the LSH
+            # shingle cache) so later queries aren't charged for their memory
+            spark.catalog.clearCache()
+        iterations[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -44,6 +56,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "iterations": iterations,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     sys.stdout.flush()

@@ -1,0 +1,57 @@
+"""Guards against the round-2 failure mode where the driver's 50-entry
+CORRECTNESS cap silently dropped registered queries (VERDICT.md round 2,
+'What's wrong' #1): every REGISTRY entry must fit inside the cap, every
+operator that fell off in round 2 must now be official, and EXTRA
+entries must be genuinely redundant (their covering sibling registered).
+"""
+
+from __future__ import annotations
+
+from weatherdb_spark.plans.registry import DRIVER_CAP, EXTRA_REGISTRY, REGISTRY
+
+# each EXTRA (pytest-parity-only) query -> the official REGISTRY sibling
+# that subsumes it; keep in sync with the EXTRA notes in the specs' docs
+EXTRA_COVERED_BY = {
+    "fillup_rank_fill": "fillup_rank_fill_deep",
+    "dedup_simhash_pairs": "dedup_simhash_exact",
+    "dedup_simhash": "dedup_simhash_exact",
+    "a5_hole_census": "a5_hole_census_bounded",
+    "multimodal_resize": "multimodal_decode",
+}
+
+# the five operators that silently fell off the cap in round 2
+ROUND2_DROPPED = {
+    "a9_meta_period_rollup",
+    "w4_yearly_knn",
+    "s9_richter_class",
+    "s7_raster_sample",
+    "s8_horizon_scan",
+}
+
+
+def test_registry_fits_driver_cap():
+    assert len(REGISTRY) <= DRIVER_CAP, (
+        f"REGISTRY has {len(REGISTRY)} entries; the driver only records the "
+        f"first {DRIVER_CAP} — move a redundant variant to EXTRA_REGISTRY "
+        "(and add it to EXTRA_COVERED_BY) instead of letting the tail drop "
+        "silently."
+    )
+
+
+def test_round2_dropped_queries_are_official():
+    missing = ROUND2_DROPPED - set(REGISTRY)
+    assert not missing, f"previously-dropped operators not in REGISTRY: {missing}"
+
+
+def test_extra_entries_have_official_cover():
+    assert set(EXTRA_REGISTRY) == set(EXTRA_COVERED_BY), (
+        "EXTRA_REGISTRY and EXTRA_COVERED_BY out of sync: "
+        f"{set(EXTRA_REGISTRY) ^ set(EXTRA_COVERED_BY)}"
+    )
+    for extra, cover in EXTRA_COVERED_BY.items():
+        assert cover in REGISTRY, f"{extra}'s covering sibling {cover} not official"
+
+
+def test_no_name_collisions():
+    dup = set(REGISTRY) & set(EXTRA_REGISTRY)
+    assert not dup, f"queries registered in both registries: {dup}"

@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from weatherdb_spark.plans.registry import REGISTRY  # noqa: E402
+from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY  # noqa: E402
+
+ALL_SPECS = {**REGISTRY, **EXTRA_REGISTRY}
 from weatherdb_spark.session import get_spark  # noqa: E402
 from weatherdb_spark.sources.testdata import TABLES  # noqa: E402
 
@@ -64,7 +66,7 @@ def main() -> int:
 
     failed = []
     for name in args.names:
-        spec = REGISTRY[name]
+        spec = ALL_SPECS[name]
         sdf = spec.spark_fn(spark, args.sf).toPandas()
         if spec.oracle is None:
             print(f"{name}: no_oracle spark_rows={len(sdf)}")

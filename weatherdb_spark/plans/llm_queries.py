@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weatherdb_spark.llm.hashing import MINHASH_P, md5_int64_sql, minhash_perm_sql
-from weatherdb_spark.plans.registry import _register, load
+from weatherdb_spark.plans.registry import _register, _register_extra, load
 
 # word-3-gram distinct shingles per doc (DuckDB list comprehension)
 _SHINGLES_SQL = """
@@ -128,7 +128,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H_TOK = md5_int64_sql("t.w")
 
-@_register(
+@_register_extra(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
@@ -145,7 +145,9 @@ _H_TOK = md5_int64_sql("t.w")
            sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
     FROM bits GROUP BY 1
     """,
-    doc="SimHash(32) token-frequency-weighted fingerprint per document.",
+    doc="SimHash(32) token-frequency-weighted fingerprint per document. "
+        "EXTRA: the fingerprint stage is re-verified inside "
+        "dedup_simhash_exact (its pairs hash over the same simhash64).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.dedup import simhash
@@ -229,7 +231,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("query_id", (F.col("recall") >= 0.4).alias("recall_ok"))
 
 
-@_register(
+@_register_extra(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH toks AS (
@@ -253,7 +255,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
     doc="SimHash near-dup pairs: hamming distance <= 6 within top-8-bit "
-        "prefix buckets — the per-bucket join is the linear-scale path.",
+        "prefix buckets — the per-bucket join is the linear-scale path. "
+        "EXTRA: documented recall<1 baseline subsumed by "
+        "dedup_simhash_exact's multi-index pigeonhole variant.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.dedup import simhash_pairs
@@ -603,7 +607,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_extra(
     "multimodal_resize",
     oracle="""
     WITH p AS (
@@ -629,7 +633,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multimodal resize plumbing: payload -> fixed 32x32-byte payload "
         "(deterministic subsample/pad stand-in for a real resampler) via "
         "mapInPandas. Output compared as hex so the binary bytes are "
-        "value-checked.",
+        "value-checked. EXTRA: shares decode+mapInPandas plumbing with the "
+        "officially-checked multimodal_decode/features/frame_sample trio.",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.multimodal import attach_binary_payload, resize_images

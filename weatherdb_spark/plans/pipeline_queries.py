@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weatherdb_spark.plans.registry import _register, load, supplier_coords
+from weatherdb_spark.plans.registry import (
+    _register,
+    _register_extra,
+    load,
+    supplier_coords,
+)
 
 # SQL fragment mirrored by _ma_df below
 _MA_SQL = "SELECT s_suppkey, CAST(s_suppkey % 20 + 40 AS DOUBLE) AS ma FROM supplier"
@@ -133,7 +138,7 @@ def qc_neighbor_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fillup analog — S6 grid + J4 rank-ordered donor fill + J9 distance join
 # --------------------------------------------------------------------------
 
-@_register(
+@_register_extra(
     "fillup_rank_fill",
     oracle=f"""
     WITH {_KNN_SQL}, {_DAILY_SQL},
@@ -175,7 +180,9 @@ def qc_neighbor_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Fillup: S6 timeline expansion + J4 first-non-null donor in "
         "neighbor-rank order with multiplicative regionalization + "
         "filled_by provenance (StationBases.py:1346-1669, §2.11 "
-        "declarative rank-fill) — suppliers as stations.",
+        "declarative rank-fill) — suppliers as stations. EXTRA: single-pass "
+        "variant subsumed by fillup_rank_fill_deep's distance-bounded "
+        "cascade; kept bench-flagged for cross-round comparability.",
     bench=True,
 )
 def fillup_rank_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +387,7 @@ def a4_qc_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A5 — hole census (gap thresholds via lag)
 # --------------------------------------------------------------------------
 
-@_register(
+@_register_extra(
     "a5_hole_census",
     oracle="""
     WITH p AS (
@@ -394,7 +401,9 @@ def a4_qc_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p GROUP BY 1
     """,
     doc="A5 hole census: gaps via ts - lag(ts), conditional counts per "
-        "threshold (StationBases.py:1981-2029) over events per user.",
+        "threshold (StationBases.py:1981-2029) over events per user. "
+        "EXTRA: unbounded variant subsumed by a5_hole_census_bounded, "
+        "which adds the reference's meta-period sentinel bounds.",
 )
 def a5_hole_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.aggregate import hole_census

@@ -35,12 +35,33 @@ class QuerySpec:
     bench: bool = False  # include in bench.py headline set
 
 
+# The driver's CORRECTNESS gate records at most 50 registry entries in
+# insertion order (observed in round 2: the 51st-55th registered queries
+# silently fell out of CORRECTNESS_r02.json).  REGISTRY therefore holds at
+# most DRIVER_CAP entries — one per distinct operator — and redundant
+# variants (a query subsumed by a deeper sibling, e.g. the single-pass
+# rank fill vs. the cascade rank fill) live in EXTRA_REGISTRY, which the
+# local parity suite (tests/test_oracle_parity.py) checks with the exact
+# same oracle comparison but which is NOT exported to the driver.
+# tests/test_registry_cap.py guards both invariants.
+DRIVER_CAP = 50
+
 REGISTRY: dict[str, QuerySpec] = {}
+EXTRA_REGISTRY: dict[str, QuerySpec] = {}
 
 
 def _register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
+        return fn
+    return deco
+
+
+def _register_extra(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+    """Register a pytest-parity-only variant (subsumed by a REGISTRY
+    sibling) that does not consume one of the driver's DRIVER_CAP slots."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        EXTRA_REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
         return fn
     return deco
 

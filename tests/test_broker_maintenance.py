@@ -1,0 +1,172 @@
+"""Broker warehouse-maintenance semantics: the mutex that serializes
+concurrent brokers (reference weatherdb/broker.py:619-677), the db version
+stamp that triggers full recomputation on package upgrade (broker.py:
+535-537, 592-628), and vacuum compaction (broker.py:547-551)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark import __version__
+from weatherdb_spark.broker import N_STATION_BUCKETS, Broker
+
+
+# ------------------------------------------------------------------ mutex
+
+def test_second_broker_raises_while_first_active(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    b1, b2 = Broker(spark, wh), Broker(spark, wh)
+    with b1.activate():
+        assert b1.is_active and b1.is_any_active
+        assert b2.is_any_active and not b2.is_active
+        with pytest.raises(RuntimeError, match="Another Broker is active"):
+            with b2.activate():
+                pass
+    # lock released on exit -> second broker may now run
+    assert not b1.is_any_active
+    with b2.activate():
+        assert b2.is_active
+    assert not os.path.exists(b2.lock_path)
+
+
+def test_activate_is_reentrant_within_one_broker(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    with b.activate():
+        with b.activate():  # nested stage under update_db
+            assert b.is_active
+        assert b.is_active  # inner exit must not release the outer hold
+    assert not b.is_any_active
+
+
+def test_stage_method_takes_and_releases_lock(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    b = Broker(spark, wh)
+    meta = spark.createDataFrame(
+        [(1, "p_d", True, 0.0, 0.0, 100)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    )
+    b.update_meta(meta)  # decorated with _with_mutex
+    assert not b.is_any_active
+    # a held lock blocks the decorated stage from another broker
+    other = Broker(spark, wh)
+    with b.activate():
+        with pytest.raises(RuntimeError, match="Another Broker is active"):
+            other.update_meta(meta)
+
+
+def test_force_deactivate_clears_stale_lock(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    crashed = Broker(spark, wh)
+    # simulate a crashed holder: lock file exists, no live broker
+    with open(crashed.lock_path, "w") as fh:
+        json.dump({"pid": -1, "since": "2026-01-01T00:00:00"}, fh)
+    b = Broker(spark, wh)
+    with pytest.raises(RuntimeError):
+        with b.activate():
+            pass
+    b.force_deactivate_all()
+    with b.activate():
+        assert b.is_active
+
+
+# -------------------------------------------------------------- version
+
+def test_version_stamp_roundtrip_and_reinitiation_trigger(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    assert b.get_db_version() is None
+    assert b._needs_reinitiation()  # never stamped -> full recompute
+    b.set_db_version()
+    assert b.get_db_version() == __version__
+    assert not b._needs_reinitiation()
+    b.set_db_version("0.0.1")  # older package stamped the warehouse
+    assert b._needs_reinitiation()
+    b.set_db_version("999.0.0")  # newer stamp (downgrade) -> no recompute
+    assert not b._needs_reinitiation()
+
+
+def test_settings_are_isolated_per_key(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.set_setting("a", "1")
+    b.set_setting("b", "2")
+    b.set_setting("a", "3")
+    assert b.get_setting("a") == "3"
+    assert b.get_setting("b") == "2"
+    assert b.get_setting("missing") is None
+
+
+def test_update_db_stamps_version_and_compacts(spark, tmp_path):
+    """Fresh warehouse -> update_db routes through initiate_db (version
+    None), which stamps the version and vacuums (reference initiate_db,
+    broker.py:266-271)."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    meta = spark.createDataFrame(
+        [(s, "p_d", True, s * 1000.0, 0.0, 100 + s) for s in (1, 2, 3)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    )
+    ma = spark.createDataFrame(
+        [(s, "p_d", "year", 800.0 + s) for s in (1, 2, 3)],
+        "station_id int, parameter string, term string, value double",
+    )
+    raw = spark.range(3 * 30).select(
+        (F.col("id") % 3 + 1).cast("int").alias("station_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + (F.col("id") / 3).cast("int") * F.expr("INTERVAL 1 DAY")
+         ).alias("timestamp"),
+        F.when(F.col("id") % 11 == 3, None)
+        .otherwise(F.round((F.col("id") % 7) * 1.0, 1)).alias("raw"),
+    )
+    b.update_db(meta, ma, {"p_d": raw})
+    assert b.get_db_version() == __version__
+    assert not b.is_any_active  # lock released after the run
+    assert b.read("ts_p_d").filter(F.col("filled").isNull()).count() == 0
+
+
+# --------------------------------------------------------------- vacuum
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_vacuum_compacts_fact_table_and_preserves_content(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    df = spark.range(2000).select(
+        (F.col("id") % 50).cast("int").alias("station_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + (F.col("id") / 50).cast("int") * F.expr("INTERVAL 1 DAY")
+         ).alias("timestamp"),
+        F.round(F.col("id") * 0.1, 1).alias("raw"),
+    ).repartition(12)  # 12 tasks x up to 16 buckets -> fragmented
+    b.write("ts_p_d", df, bucket_by_station=True)
+    before_files = b._n_parquet_files("ts_p_d")
+    assert before_files > 2 * N_STATION_BUCKETS  # genuinely fragmented
+    before_rows = _rows(b.read("ts_p_d"))
+
+    compacted = b.vacuum()
+    assert "ts_p_d" in compacted
+    n_before, n_after = compacted["ts_p_d"]
+    assert n_before == before_files
+    assert n_after <= N_STATION_BUCKETS
+    assert _rows(b.read("ts_p_d")) == before_rows  # content unchanged
+    assert not b.is_any_active
+
+
+def test_vacuum_compacts_dim_table_and_skips_small_tables(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    meta = spark.createDataFrame(
+        [(i, "p", True) for i in range(100)],
+        "station_id int, parameter string, is_real boolean",
+    ).repartition(8)
+    b.write("meta", meta)
+    small = spark.createDataFrame([(1, "x")], "a int, b string")
+    b.write("raw_files_like", small)
+
+    compacted = b.vacuum()
+    assert compacted["meta"][1] == 1
+    assert "raw_files_like" not in compacted  # below threshold, untouched
+    assert _rows(b.read("meta")) == sorted((i, "p", True) for i in range(100))

@@ -28,7 +28,11 @@ re-plans at runtime.
 
 from __future__ import annotations
 
+import atexit
+import json
 import os
+import re
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +57,19 @@ from weatherdb_spark.operators.timeline import expand_timeline
 N_STATION_BUCKETS = 16  # partition count for fact-table writes
 
 
+def _with_mutex(fn):
+    """Run a Broker stage under the warehouse mutex — the reference wraps
+    every public stage in ``with self.activate():`` (broker.py:291-512)."""
+    from functools import wraps
+
+    @wraps(fn)
+    def inner(self, *args, **kwargs):
+        with self.activate():
+            return fn(self, *args, **kwargs)
+
+    return inner
+
+
 class Broker:
     """Stage-ordered pipeline over a parquet warehouse."""
 
@@ -60,6 +77,129 @@ class Broker:
         self.spark = spark
         self.dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
+        self._active = False
+
+    # ------------------------------------------------- settings + version
+    # The reference keeps a key-value ``settings`` table in the database
+    # (broker.py:553-590: get_setting/set_setting with ON CONFLICT upsert).
+    # Here it is a JSON file in the warehouse, replaced atomically.
+
+    @property
+    def _settings_path(self) -> str:
+        return os.path.join(self.dir, "settings.json")
+
+    def get_setting(self, key: str) -> str | None:
+        try:
+            with open(self._settings_path) as fh:
+                return json.load(fh).get(key)
+        except FileNotFoundError:
+            return None
+
+    def set_setting(self, key: str, value: str) -> None:
+        try:
+            with open(self._settings_path) as fh:
+                settings = json.load(fh)
+        except FileNotFoundError:
+            settings = {}
+        settings[key] = value
+        tmp = self._settings_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(settings, fh, indent=1)
+        os.replace(tmp, self._settings_path)
+
+    @staticmethod
+    def _parse_version(v: str) -> tuple[int, ...]:
+        return tuple(int(x) for x in re.findall(r"\d+", v))
+
+    def get_db_version(self) -> str | None:
+        """The package version the warehouse state was computed with
+        (reference get_db_version, broker.py:592-603)."""
+        return self.get_setting("version")
+
+    def set_db_version(self, version: str | None = None) -> None:
+        from weatherdb_spark import __version__
+
+        self.set_setting("version", version or __version__)
+
+    def _needs_reinitiation(self) -> bool:
+        """True when the warehouse was computed by an older package
+        version (or never stamped) — the reference then recomputes the
+        whole database (broker.py:535-537)."""
+        from weatherdb_spark import __version__
+
+        db_v = self.get_db_version()
+        return db_v is None or self._parse_version(__version__) > self._parse_version(db_v)
+
+    # ------------------------------------------------------- broker mutex
+    # The reference serializes concurrent brokers through a
+    # ``broker_active`` settings flag guarded by ``activate()``
+    # (broker.py:619-677): a second broker raises while the first runs.
+    # A JSON read-modify-write is racy, so the flag here is an O_EXCL
+    # lock file — atomic on POSIX; on an object-store-backed warehouse
+    # this would be a conditional put / a catalog transaction instead.
+
+    @property
+    def lock_path(self) -> str:
+        return os.path.join(self.dir, "broker.lock")
+
+    @property
+    def is_any_active(self) -> bool:
+        """Whether any broker (this or another process) holds the lock."""
+        return os.path.exists(self.lock_path)
+
+    @property
+    def is_active(self) -> bool:
+        return self._active
+
+    def _deactivate(self) -> None:
+        if self._active:
+            self._active = False
+            try:
+                os.remove(self.lock_path)
+            except FileNotFoundError:
+                pass
+
+    @contextmanager
+    def activate(self):
+        """Hold the warehouse mutex for a pipeline run (reference
+        ``Broker.activate``, broker.py:655-668). Reentrant within one
+        broker so staged methods can nest under ``update_db``; a second
+        broker raises RuntimeError like the reference. A crashed holder
+        leaves the lock behind — clear it with
+        :meth:`force_deactivate_all` (broker.py:670-677)."""
+        if self._active:
+            yield self
+            return
+        try:
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                "Another Broker is active and therefore this broker is "
+                f"not allowed to run (lock: {self.lock_path}; clear a "
+                "stale lock with force_deactivate_all())."
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {"pid": os.getpid(),
+                 "since": datetime.now(timezone.utc).isoformat()},
+                fh,
+            )
+        self._active = True
+        atexit.register(self._deactivate)
+        try:
+            yield self
+        finally:
+            self._deactivate()
+            atexit.unregister(self._deactivate)
+
+    def force_deactivate_all(self) -> None:
+        """Forcefully clear the active-broker lock, e.g. after a crashed
+        run (reference force_deactivate_all, broker.py:670-677)."""
+        self._deactivate()
+        try:
+            os.remove(self.lock_path)
+        except FileNotFoundError:
+            pass
 
     # ---------------------------------------------------------------- io
     def path(self, table: str) -> str:
@@ -74,14 +214,28 @@ class Broker:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
-    def write(self, table: str, df: DataFrame, bucket_by_station: bool = False) -> None:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_by_station: bool = False,
+        compact: bool = False,
+    ) -> None:
         """Write via a temp dir + atomic rename: stage outputs are lazy
         plans over the same table's current files, so a direct overwrite
-        would delete its own input mid-scan."""
+        would delete its own input mid-scan. ``compact=True`` shuffles to
+        one file per station bucket (or one file total for dim tables) —
+        the vacuum path."""
         if bucket_by_station:
             df = df.withColumn(
                 "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
             )
+            if compact:
+                # hash-partition on the bucket column: each bucket's rows
+                # land in exactly one task -> one file per partition dir
+                df = df.repartition(N_STATION_BUCKETS, "station_bucket")
+        elif compact:
+            df = df.coalesce(1)
         tmp = self.path(f"_tmp_{table}")
         w = df.write.mode("overwrite")
         if bucket_by_station:
@@ -93,6 +247,39 @@ class Broker:
 
             shutil.rmtree(final)
         os.rename(tmp, final)
+
+    def _n_parquet_files(self, table: str) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(self.path(table)):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    def vacuum(self, max_files_per_bucket: int = 2) -> dict[str, tuple[int, int]]:
+        """Compact fragmented tables (the engine twin of the reference's
+        ``VACUUM ANALYZE``, broker.py:547-551): repeated stage rewrites and
+        merges leave every fact-table bucket with one file per shuffle
+        task; when a table exceeds ``max_files_per_bucket`` files per
+        station bucket (or a dim table exceeds a few files), rewrite it to
+        one file per bucket. Content-preserving — only the file layout
+        changes. Returns {table: (files_before, files_after)}."""
+        compacted: dict[str, tuple[int, int]] = {}
+        with self.activate():
+            for table in sorted(os.listdir(self.dir)):
+                if table.startswith("_tmp_") or not os.path.isdir(self.path(table)):
+                    continue
+                n_before = self._n_parquet_files(table)
+                bucketed = table.startswith("ts_")
+                threshold = (
+                    max_files_per_bucket * N_STATION_BUCKETS if bucketed else 4
+                )
+                if n_before <= threshold:
+                    continue
+                df = self.read(table)
+                if bucketed:
+                    df = df.drop("station_bucket")
+                self.write(table, df, bucket_by_station=bucketed, compact=True)
+                compacted[table] = (n_before, self._n_parquet_files(table))
+        return compacted
 
     def _mark(self, parameter: str, stage: str, table: str) -> None:
         """Record the stage watermark (the processed period) — the engine's
@@ -129,6 +316,7 @@ class Broker:
         return self.read("pipeline_state")
 
     # ------------------------------------------------------------- stages
+    @_with_mutex
     def update_meta(self, meta: DataFrame) -> None:
         """S5 — (re)write the station dim. Maintains BOTH coordinate
         systems like the reference's meta upsert (PostGIS transform
@@ -166,6 +354,7 @@ class Broker:
             )
         self.write("meta", meta)
 
+    @_with_mutex
     def drop_station(self, station_id: int, parameter: str,
                      why: str = "No reason given") -> None:
         """F9 maintenance — drop a station and remember it so no later
@@ -239,6 +428,7 @@ class Broker:
             out = prev.unionByName(out)
         self.write("station_ma_raster", out)
 
+    @_with_mutex
     def update_raw(self, parameter: str, raw: DataFrame) -> None:
         """Load a raw fact table (post-ingest: sources.dwd.ingest_p_raw or
         equivalent). Expands the timeline so every grid timestamp exists
@@ -281,6 +471,7 @@ class Broker:
             elevation_weighted=parameter in ("t", "et"),
         )
 
+    @_with_mutex
     def quality_check(self) -> None:
         """QC stage: p via window/daily rules, t/et via neighbor median
         (broker.py:412-442 runs p_d fillup first so the daily comparison
@@ -384,6 +575,7 @@ class Broker:
             )
         raise ValueError(f"no fillup for parameter {parameter!r}")
 
+    @_with_mutex
     def fillup(self) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
         p_d first (raw base), then p (seasonal coefs + daily adjustment),
@@ -397,9 +589,13 @@ class Broker:
             self.write(table, out, bucket_by_station=True)
             self._mark(parameter, "filled", table)
 
+    @_with_mutex
     def richter_correct_stage(self) -> None:
         """Richter correction (p only, StationP.py:486-652). Requires the
-        fillup stage (T filled drives the precip type)."""
+        fillup stage (T filled drives the precip type). No-op on a
+        warehouse without 10-min precipitation or temperature."""
+        if not (self.exists("ts_p") and self.exists("ts_t")):
+            return
         ts_p = self.read("ts_p")
         ts_t = self.read("ts_t").select("station_id", "timestamp", "filled")
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
@@ -409,6 +605,26 @@ class Broker:
         self.write("ts_p", out, bucket_by_station=True)
         self._mark("p", "corr", "ts_p")
 
+    def initiate_db(
+        self,
+        meta: DataFrame,
+        ma: DataFrame,
+        raw: dict[str, DataFrame],
+    ) -> None:
+        """Full (re)computation of the warehouse (reference initiate_db,
+        broker.py:239-271): load everything, run every stage, stamp the
+        package version, compact."""
+        with self.activate():
+            self.update_meta(meta)
+            self.update_ma_raster(ma)
+            for parameter, df in raw.items():
+                self.update_raw(parameter, df)
+            self.quality_check()
+            self.fillup()
+            self.richter_correct_stage()
+            self.set_db_version()
+            self.vacuum()
+
     def update_db(
         self,
         meta: DataFrame,
@@ -416,19 +632,29 @@ class Broker:
         raw: dict[str, DataFrame],
         run_stages: bool = True,
     ) -> None:
-        """The full pipeline in reference stage order (broker.py:514-545).
-        ``run_stages=False`` loads meta/MA/raw only — the compute stages
-        run later (e.g. via the CLI ``update-db`` command)."""
-        self.update_meta(meta)
-        self.update_ma_raster(ma)
-        for parameter, df in raw.items():
-            self.update_raw(parameter, df)
-        if run_stages:
-            self.quality_check()
-            self.fillup()
-            self.richter_correct_stage()
+        """The full pipeline in reference stage order (broker.py:514-545),
+        guarded by the broker mutex. Like the reference's update_db
+        (broker.py:535-537), a warehouse stamped by an older package
+        version (or never stamped) is recomputed completely via
+        :meth:`initiate_db`. ``run_stages=False`` loads meta/MA/raw only —
+        the compute stages run later (e.g. via the CLI ``update-db``
+        command)."""
+        with self.activate():
+            if run_stages and self._needs_reinitiation():
+                self.initiate_db(meta, ma, raw)
+                return
+            self.update_meta(meta)
+            self.update_ma_raster(ma)
+            for parameter, df in raw.items():
+                self.update_raw(parameter, df)
+            if run_stages:
+                self.quality_check()
+                self.fillup()
+                self.richter_correct_stage()
+                self.set_db_version()
 
     # -------------------------------------------------- incremental path
+    @_with_mutex
     def append_raw(self, parameter: str, new_raw: DataFrame) -> None:
         """Incremental raw import (reference last-import semantics:
         StationBases.py:969-1018 window bookkeeping; merge = S4 upsert).
@@ -612,6 +838,7 @@ class Broker:
         )
         self.write("meta", meta.unionByName(virtual))
 
+    @_with_mutex
     def last_imp_quality_check(self, margin: str = "2 days") -> None:
         """Incremental QC (broker.py:412-442): recompute qc only inside the
         last-import window, widened by ``margin`` so window/daily rules see
@@ -651,6 +878,7 @@ class Broker:
         )
         return part, in_window
 
+    @_with_mutex
     def last_imp_fillup(self, margin: str = "2 days") -> None:
         """Incremental fillup (reference Broker.last_imp_fillup,
         broker.py:464-484; StationBases.last_imp_fillup via
@@ -686,6 +914,7 @@ class Broker:
             )
             self._mark(parameter, "filled", table)
 
+    @_with_mutex
     def last_imp_corr(self, margin: str = "2 days") -> None:
         """Incremental Richter correction (reference
         Broker.last_imp_corr, broker.py:500-512;

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="incremental fillup bounded to the last-import window"))
     wh(sub.add_parser("last-imp-corr",
                       help="incremental Richter correction (p) for the last import"))
+    wh(sub.add_parser("vacuum",
+                      help="compact fragmented warehouse tables "
+                           "(reference broker.py vacuum)"))
+    wh(sub.add_parser("force-deactivate",
+                      help="clear a stale broker lock "
+                           "(reference cli.py force_deactivate_all_broker)"))
 
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
@@ -88,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         broker.last_imp_fillup()
     elif args.command == "last-imp-corr":
         broker.last_imp_corr()
+    elif args.command == "vacuum":
+        print(broker.vacuum())
+    elif args.command == "force-deactivate":
+        broker.force_deactivate_all()
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "create-ts":

@@ -522,3 +522,8 @@ def test_station_small_getters(mini_broker):
     p2 = st.get_max_period(kinds=("raw", "filled"))
     assert p2.start is not None
     assert st.get_last_imp_period().is_empty()
+    # the single-aggregation form must equal the per-kind intersection
+    raw_p = st.get_period_meta(kind="raw")
+    fil_p = st.get_period_meta(kind="filled")
+    assert p2.start == max(raw_p.start, fil_p.start)
+    assert p2.end == min(raw_p.end, fil_p.end)

@@ -589,6 +589,34 @@ class Broker:
             self.write(table, out, bucket_by_station=True)
             self._mark(parameter, "filled", table)
 
+    def _est_station_days(
+        self, parameter: str, window: tuple[str, str] | None = None
+    ) -> int | None:
+        """Stations x days cardinality estimate for the Richter correction
+        dim, from the stage watermark (no fact scan). ``window`` overrides
+        the raw-stage watermark (the incremental path passes last_imp)."""
+        if window is None:
+            if not self.exists("pipeline_state"):
+                return None
+            r = (
+                self.state()
+                .filter((F.col("parameter") == parameter) & (F.col("stage") == "raw"))
+                .first()
+            )
+            if r is None:
+                return None
+            window = (r["watermark_from"], r["watermark_until"])
+        try:
+            lo = datetime.fromisoformat(window[0])
+            hi = datetime.fromisoformat(window[1])
+        except (TypeError, ValueError):
+            return None
+        n_days = (hi.date() - lo.date()).days + 1
+        n_stations = (
+            self.read("meta").filter(F.col("parameter") == parameter).count()
+        )
+        return n_stations * max(n_days, 0)
+
     @_with_mutex
     def richter_correct_stage(self) -> None:
         """Richter correction (p only, StationP.py:486-652). Requires the
@@ -600,7 +628,8 @@ class Broker:
         ts_t = self.read("ts_t").select("station_id", "timestamp", "filled")
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
         out = richter_correct(
-            ts_p, ts_t, meta_p, richter_parameters_df(self.spark)
+            ts_p, ts_t, meta_p, richter_parameters_df(self.spark),
+            est_station_days=self._est_station_days("p"),
         )
         self.write("ts_p", out, bucket_by_station=True)
         self._mark("p", "corr", "ts_p")
@@ -932,7 +961,10 @@ class Broker:
             .select("station_id", "timestamp", "filled")
         )
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
-        out = richter_correct(part, ts_t, meta_p, richter_parameters_df(self.spark))
+        out = richter_correct(
+            part, ts_t, meta_p, richter_parameters_df(self.spark),
+            est_station_days=self._est_station_days("p", window),
+        )
         # the correction distributes a per-calendar-day delta over the
         # day's filled values, and last_imp_fillup merges whole 5h50-
         # shifted days — so recompute every calendar day the fillup merge

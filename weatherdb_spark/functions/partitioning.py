@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _plan_num_partitions(df: DataFrame) -> int | None:
+    """Partition count of the df's physical plan WITHOUT ``df.rdd``:
+    the rdd property plans the query a second time (a separate
+    QueryExecution with a row deserializer) on every access, while
+    ``queryExecution.executedPlan`` is the cached plan the later action
+    reuses — probing it costs nothing extra. Returns None for adaptive
+    plans: AQE wraps any plan containing an exchange, its final width is
+    only known at runtime, and ``execute()`` on the wrapper would
+    actually run the query stages — but an exchange also means the data
+    was already shuffled to a configured width, so spread has no job to
+    do there."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return None
+    return plan.execute().getNumPartitions()
+
+
 def spread(df: DataFrame, *key_cols: str, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to at least ``target`` (default: cluster default
     parallelism) partitions if — and only if — its current plan produces
@@ -24,7 +41,8 @@ def spread(df: DataFrame, *key_cols: str, target: int | None = None) -> DataFram
     per-key aggregations."""
     sc = df.sparkSession.sparkContext
     tgt = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= tgt:
+    n = _plan_num_partitions(df)
+    if n is None or n >= tgt:
         return df
     if key_cols:
         return df.repartition(tgt, *[F.col(c) for c in key_cols])

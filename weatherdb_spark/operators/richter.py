@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from weatherdb_spark.config import RICHTER_CLASS_BINS, RICHTER_PARAMETERS
 
+# Above this many (station, day) rows the correction dim stops being
+# broadcastable (~50M rows x ~30 B ≈ 1.5 GB on every executor) and the
+# join-back falls to sort-merge. See richter_correct.
+BROADCAST_STATION_DAYS_MAX = 50_000_000
+
 
 def richter_class(horizon_col) -> F.Column:
     """S9 — horizon angle -> exposure class via the reference's bins
@@ -66,7 +71,8 @@ def richter_correct(
     meta_p: DataFrame,
     richter_params: DataFrame,
     round_digits: int = 2,
-    broadcast_correction: bool = True,
+    broadcast_correction: bool | None = None,
+    est_station_days: int | None = None,
 ) -> DataFrame:
     """Full Richter correction over the tall 10-min table.
 
@@ -86,9 +92,15 @@ def richter_correct(
     144x smaller than the 10-min fact table, and the daily aggregation's
     map-side combine means the only shuffle that moves is dim-sized —
     broadcasting the dim then joins corr back WITHOUT shuffling the fact
-    table at all. Disable only when stations x days outgrows executor
-    memory (e.g. >50M station-days); the join then falls back to a
-    sort-merge join whose dim side reuses the aggregation's partitioning.
+    table at all. That flips once stations x days outgrows executor
+    memory, so the default (``None``) auto-selects by cardinality:
+    broadcast iff the estimated (station, day) count is at most
+    BROADCAST_STATION_DAYS_MAX, else fall back to a sort-merge join
+    whose dim side reuses the aggregation's partitioning. Callers that
+    know the period (the Broker, from its stage watermark) pass
+    ``est_station_days`` so the estimate costs no job; otherwise it is
+    stations (dim count) x day span from the fact's parquet min/max —
+    two tiny jobs at plan-build time. Pass True/False to force a side.
     """
     day = F.to_date("timestamp")
     with_day = ts_p.withColumn("_day", day)
@@ -123,6 +135,13 @@ def richter_correct(
     corr_dim = classed.select(
         "station_id", "_day", delta.alias("_delta"), "_count_n"
     )
+    if broadcast_correction is None:
+        if est_station_days is None:
+            n_stations = meta_p.select("station_id").distinct().count()
+            lo, hi = with_day.agg(F.min("_day"), F.max("_day")).first()
+            n_days = (hi - lo).days + 1 if lo is not None and hi is not None else 0
+            est_station_days = n_stations * n_days
+        broadcast_correction = est_station_days <= BROADCAST_STATION_DAYS_MAX
     if broadcast_correction:
         corr_dim = F.broadcast(corr_dim)
     out = with_day.join(corr_dim, ["station_id", "_day"], "left")

@@ -179,13 +179,21 @@ class Station:
         if nas_allowed:
             row = ts.agg(F.min("timestamp"), F.max("timestamp")).first()
             return TimestampPeriod(row[0], row[1])
+        # ONE aggregation job for all kinds (conditional min/max per
+        # kind), intersected on the driver — not a per-kind job loop
+        aggs = []
+        for kind in kinds:
+            cond_ts = F.when(F.col(kind).isNotNull(), F.col("timestamp"))
+            aggs.append(F.min(cond_ts).alias(f"_{kind}_from"))
+            aggs.append(F.max(cond_ts).alias(f"_{kind}_until"))
+        row = ts.agg(*aggs).first()
         lo, hi = None, None
         for kind in kinds:
-            p = self.get_period_meta(kind=kind)
-            if p.start is not None and (lo is None or p.start > lo):
-                lo = p.start
-            if p.end is not None and (hi is None or p.end < hi):
-                hi = p.end
+            s, e = row[f"_{kind}_from"], row[f"_{kind}_until"]
+            if s is not None and (lo is None or s > lo):
+                lo = s
+            if e is not None and (hi is None or e < hi):
+                hi = e
         return TimestampPeriod(lo, hi)
 
     def get_last_imp_period(self) -> TimestampPeriod:

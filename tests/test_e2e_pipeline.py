@@ -228,6 +228,38 @@ def test_virtual_stations(warehouse):
     assert v["is_real"] is False
 
 
+def test_group_station_get_df_matches_per_parameter_reads(warehouse):
+    """GroupStation.get_df = column-prefixed outer join of the station's
+    per-parameter Station.get_df frames (GroupStation.py:135-236)."""
+    from weatherdb_spark.station import GroupStation, Station
+
+    stid = STATIONS[0]
+    g = GroupStation(warehouse, stid).get_df(
+        parameters=("p", "t", "et"), kinds=("best",), agg_to="day",
+        add_t_min=True, add_t_max=True,
+    )
+    cols = set(g.columns)
+    assert {"timestamp", "P_corr", "T_filled", "T_filled_min",
+            "T_filled_max", "ET_filled"} <= cols
+
+    grouped = {r["timestamp"]: r for r in g.collect()}
+    for para, kind, out_col in (
+        ("p", "corr", "P_corr"),
+        ("t", "filled", "T_filled"),
+        ("t", "filled_max", "T_filled_max"),
+        ("et", "filled", "ET_filled"),
+    ):
+        single = Station(warehouse, stid, para).get_df(
+            kinds=(kind,), agg_to="day"
+        )
+        expected = {r["timestamp"]: r[kind] for r in single.collect()}
+        assert expected, f"{para}/{kind}: empty single-parameter read"
+        for ts, v in expected.items():
+            assert ts in grouped, f"{out_col}: {ts} missing from grouped frame"
+            got = grouped[ts][out_col]
+            assert got == pytest.approx(v), f"{out_col}@{ts}: {got} != {v}"
+
+
 def test_pipeline_state_watermarks(warehouse):
     state = warehouse.state()
     stages = {

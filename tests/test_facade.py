@@ -137,10 +137,35 @@ def test_group_stations_validate_and_joint_period(mini_broker, tmp_path):
     per = gs.joint_period([1, 2, 3], kind="raw")
     assert per.start == dt.datetime(2024, 1, 1)
     tele = gs.create_ts([1, 2], str(tmp_path / "grp"), parameters=("p",), kind="raw")
-    assert set(tele) == {"p"}
+    assert set(tele) == {"p", "telemetry"}
     assert tele["p"]["files"] == 2
     for stid in (1, 2):
         assert os.path.isfile(tmp_path / "grp" / str(stid) / f"P_{stid:05}.txt")
+
+
+def test_group_stations_zip_export_and_telemetry(mini_broker, tmp_path):
+    """out_dir ending .zip bundles the export and every run appends an
+    S11 telemetry row (GroupStations.py:386-445)."""
+    import os
+    import zipfile
+
+    from weatherdb_spark.station import GroupStations
+
+    gs = GroupStations(mini_broker)
+    zp = str(tmp_path / "bundle.zip")
+    tele = gs.create_ts([1, 2], zp, parameters=("p",), kind="raw")
+    assert os.path.isfile(zp)
+    assert not os.path.isdir(zp[:-4] + "_tmp_export")  # staging cleaned
+    assert tele["zip"]["files"] == 2
+    names = set(zipfile.ZipFile(zp).namelist())
+    assert {"1/P_00001.txt", "2/P_00002.txt"} <= names
+    t = gs.read_telemetry()
+    assert t.count() >= 1
+    row = t.orderBy(F.desc("ts")).first()
+    assert row["quantity"] == 2
+    assert row["zip"] is True
+    assert row["output_size"] == os.path.getsize(zp)
+    assert row["pc"]
 
 
 def test_get_quotient(mini_broker, spark):

@@ -1,0 +1,105 @@
+"""Opt-in scaled-integer storage: value x decimals as int with
+divide-on-read, mirroring the reference database's storage form
+(StationBases.py:1080-1082 import scaling, 2638-2643 read division,
+:60 exempt kinds)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.api import get_df
+from weatherdb_spark.config import PARAMETERS
+from weatherdb_spark.functions.units import from_db_unit, to_db_unit
+
+
+@pytest.fixture(scope="module")
+def double_ts(spark):
+    rows = []
+    for s in (1, 2):
+        for i in range(144):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i)
+            raw = None if i % 11 == 5 else round((i % 9) * 0.13, 2)
+            rows.append((s, ts, raw, 3, None if raw is None else 2))
+    return spark.createDataFrame(
+        rows,
+        "station_id int, timestamp timestamp, raw double, qn short, "
+        "filled_by short",
+    )
+
+
+def test_to_db_unit_scales_and_exempts(double_ts):
+    scaled = to_db_unit(double_ts, "p")
+    dtypes = dict(scaled.dtypes)
+    assert dtypes["raw"] == "bigint"
+    assert dtypes["qn"] == "smallint"  # exempt kind untouched
+    assert dtypes["filled_by"] == "smallint"
+    row = scaled.filter(
+        (F.col("station_id") == 1)
+        & (F.col("timestamp") == dt.datetime(2024, 1, 1, 0, 10))
+    ).first()
+    assert row["raw"] == 13  # 0.13 * decimals(100)
+    # NULLs survive the scaling
+    assert scaled.filter(F.col("raw").isNull()).count() == \
+        double_ts.filter(F.col("raw").isNull()).count()
+
+
+def test_get_df_divides_scaled_storage_on_read(double_ts):
+    scaled = to_db_unit(double_ts, "p")
+    dec = PARAMETERS["p"]["decimals"]
+    a = {(r["station_id"], r["timestamp"]): r["raw"]
+         for r in get_df(double_ts, "p", kinds=("raw", "qn")).collect()}
+    b = {(r["station_id"], r["timestamp"]): r["raw"]
+         for r in get_df(scaled, "p", kinds=("raw", "qn")).collect()}
+    assert a.keys() == b.keys()
+    for k, va in a.items():
+        vb = b[k]
+        if va is None:
+            assert vb is None
+        else:
+            assert vb == pytest.approx(va, abs=1.0 / dec)
+
+
+def test_get_df_db_unit_true_returns_stored_integers(double_ts):
+    scaled = to_db_unit(double_ts, "p")
+    out = get_df(scaled, "p", kinds=("raw",), db_unit=True)
+    assert dict(out.dtypes)["raw"] == "bigint"
+    assert out.filter(F.col("raw") == 13).count() > 0
+
+
+def test_get_df_double_tables_unaffected(double_ts):
+    # a double table must read identically whether db_unit is set or not
+    a = get_df(double_ts, "p", kinds=("raw",)).collect()
+    b = get_df(double_ts, "p", kinds=("raw",), db_unit=True).collect()
+    assert a == b
+
+
+def test_aggregated_read_matches_double_mode(double_ts):
+    scaled = to_db_unit(double_ts, "p")
+    a = {(r["station_id"], r["timestamp"]): r["raw"]
+         for r in get_df(double_ts, "p", kinds=("raw",), agg_to="hour").collect()}
+    b = {(r["station_id"], r["timestamp"]): r["raw"]
+         for r in get_df(scaled, "p", kinds=("raw",), agg_to="hour").collect()}
+    assert a.keys() == b.keys()
+    for k, va in a.items():
+        # 6 rows per hour, each within half a storage ulp
+        if va is None:
+            assert b[k] is None
+        else:
+            assert b[k] == pytest.approx(va, abs=6 * 0.5 / 100 + 1e-9)
+
+
+def test_from_db_unit_roundtrip(double_ts):
+    back = from_db_unit(to_db_unit(double_ts, "p"), "p")
+    assert dict(back.dtypes)["raw"] == "double"
+    pairs = (
+        double_ts.select("station_id", "timestamp", F.col("raw").alias("a"))
+        .join(
+            back.select("station_id", "timestamp", F.col("raw").alias("b")),
+            ["station_id", "timestamp"],
+        )
+    )
+    bad = pairs.filter(F.abs(F.col("a") - F.col("b")) > 1.0 / 100).count()
+    assert bad == 0

@@ -58,6 +58,7 @@ def get_df(
     filled_share: bool = False,
     na_share: bool = False,
     ts_col: str = "timestamp",
+    db_unit: bool = False,
 ) -> DataFrame:
     """Select kinds over a period with optional resampling.
 
@@ -67,12 +68,25 @@ def get_df(
       (StationBases.py:2506-2598)
     - F8 stid filter (StationsBase.py:320-334)
     - A1 coverage-gated resampling when ``agg_to`` is set
+
+    A table in scaled-int storage (integral kind columns, see
+    functions/units.py) is divided back to the physical unit before any
+    aggregation unless ``db_unit=True`` returns the stored integers
+    verbatim (reference get_df's parameter of the same name,
+    StationBases.py:2638-2643).
     """
+    from weatherdb_spark.functions.units import from_db_unit
+
     kinds = _check_kinds(parameter, kinds)
     _check_agg_to(parameter, agg_to)
     cfg = PARAMETERS[parameter]
 
     out = ts
+    if not db_unit:
+        out = from_db_unit(out, parameter, value_cols=[
+            k for k in kinds
+            if k in out.columns and k not in ("qn", "filled_by")
+        ])
     if stids is not None:
         out = out.filter(F.col("station_id").isin(list(stids)))
     start, end = period

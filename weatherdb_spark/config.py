@@ -24,6 +24,10 @@ MIN_DATE = "1999-01-01"
 # ordered aggregation lattice (station/constants.py:4-19)
 AGGREGATIONS: list[str | None] = [None, "10 min", "hour", "day", "month", "year", "decade"]
 
+# kinds stored verbatim in scaled-int storage mode — never multiplied by
+# the decimals factor (reference _kinds_not_decimal, StationBases.py:60)
+KINDS_NOT_DECIMAL = ("qn", "filled_by", "filled_share")
+
 # parameter metadata: decimals scale, agg function, min granularity,
 # valid kinds, best kind, fillup settings
 PARAMETERS: dict[str, dict] = {

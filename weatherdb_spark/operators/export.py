@@ -147,7 +147,7 @@ def zip_exports(out_dir: str, zip_path: str) -> dict:
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(out_dir):
             for f in sorted(files):
-                if f.endswith(".csv"):
+                if f.endswith((".csv", ".txt")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, out_dir))
                     n += 1

@@ -428,9 +428,31 @@ class GroupStations:
         per-parameter file-name patterns, output column renames (both the
         value column, keyed by parameter, and the Jahr/Monat/... date
         parts), a constant R/R0 column on the ET series, and the meta
-        header toggle — they are what the RoGeR presets set."""
-        from weatherdb_spark.operators.export import finalize_station_files
+        header toggle — they are what the RoGeR presets set.
 
+        An ``out_dir`` ending in ``.zip`` bundles the whole export into
+        that zip file (reference GroupStations.create_ts zip branch,
+        GroupStations.py:386-419), and every run appends an S11 timing
+        row (quantity/aggregate/zip/pc/duration/output_size — the
+        ``needed_download_time`` insert, GroupStations.py:424-445) to the
+        warehouse's ``export_telemetry`` table, readable via
+        :meth:`read_telemetry`."""
+        import os
+        import shutil
+        import socket
+        import time as _time
+
+        from weatherdb_spark.operators.export import (
+            finalize_station_files,
+            write_telemetry,
+            zip_exports,
+        )
+
+        t0 = _time.time()
+        zip_path = None
+        if out_dir.endswith(".zip"):
+            zip_path = out_dir
+            out_dir = out_dir[:-len(".zip")] + "_tmp_export"
         stids = self.get_valid_stids(stids)
         header_meta = self._export_meta(stids) if add_meta else None
         tele = {}
@@ -463,10 +485,40 @@ class GroupStations:
                     para, "{para}_{id:0>5}.txt"
                 ),
             )
-            import shutil
-
             shutil.rmtree(staging, ignore_errors=True)
+
+        if zip_path is not None:
+            tele["zip"] = zip_exports(out_dir, zip_path)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            output_size = tele["zip"]["output_size"]
+        else:
+            output_size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(out_dir)
+                for f in files
+            )
+        row = {
+            "quantity": len(stids),
+            "aggregate": agg_to or "native",
+            "zip": zip_path is not None,
+            "pc": socket.gethostname(),
+            "duration_s": round(_time.time() - t0, 3),
+            "output_size": output_size,
+        }
+        write_telemetry(
+            self.broker.spark, row, self.broker.path("export_telemetry")
+        )
+        tele["telemetry"] = row
         return tele
+
+    def read_telemetry(self) -> DataFrame:
+        """The S11 export-telemetry table (needed_download_time,
+        models.py:354-386)."""
+        from weatherdb_spark.operators.export import read_telemetry
+
+        return read_telemetry(
+            self.broker.spark, self.broker.path("export_telemetry")
+        )
 
     def create_roger_ts(
         self,
@@ -506,6 +558,64 @@ class GroupStation:
     def __init__(self, broker: Broker, stid: int):
         self.broker = broker
         self.id = stid
+
+    def get_df(
+        self,
+        parameters: Sequence[str] | str = "all",
+        kinds: Sequence[str] = ("best",),
+        period: tuple = (None, None),
+        agg_to: str | None = "day",
+        add_t_min: bool = False,
+        add_t_max: bool = False,
+        **kw,
+    ) -> DataFrame:
+        """All parameters of this location in one frame, columns prefixed
+        ``P_/P_D_/T_/ET_`` (reference GroupStation.get_df,
+        GroupStation.py:135-236: per-parameter get_df then a pandas
+        concat on the time index). Spark-first: per-parameter projections
+        full-outer-joined on timestamp — the same alignment semantics
+        (missing rows become NULL), no driver-side concat.
+
+        ``add_t_min``/``add_t_max`` insert the T series' min/max columns
+        after each raw/filled kind like the reference (GroupStation.py:
+        194-215). ``agg_to='day'`` (the reference default) aligns P's
+        10-min lattice with the daily T/ET series; ``agg_to=None`` keeps
+        native granularity and leaves T/ET NULL between days."""
+        if parameters == "all":
+            parameters = [p for p in PARAMETERS
+                          if self.broker.exists(f"ts_{p}")]
+        out = None
+        for para in parameters:
+            if not self.broker.exists(f"ts_{para}"):
+                continue
+            use_kinds = list(kinds)
+            if para == "t":
+                if "best" in use_kinds:
+                    use_kinds[use_kinds.index("best")] = \
+                        PARAMETERS["t"]["best_kind"]
+                for k in ("raw", "filled"):
+                    if k in use_kinds:
+                        if add_t_max:
+                            use_kinds.insert(use_kinds.index(k) + 1, f"{k}_max")
+                        if add_t_min:
+                            use_kinds.insert(use_kinds.index(k) + 1, f"{k}_min")
+            df = Station(self.broker, self.id, para).get_df(
+                kinds=tuple(use_kinds), period=period, agg_to=agg_to, **kw
+            )
+            pref = df.select(
+                "timestamp",
+                *[
+                    F.col(c).alias(f"{para.upper()}_{c}")
+                    for c in df.columns
+                    if c not in ("station_id", "timestamp")
+                ],
+            )
+            out = pref if out is None else out.join(pref, "timestamp", "full")
+        if out is None:
+            raise ValueError(
+                f"no timeserie found for {parameters} and station {self.id}"
+            )
+        return out.orderBy("timestamp")
 
     def create_ts(
         self,

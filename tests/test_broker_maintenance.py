@@ -127,6 +127,35 @@ def test_update_db_stamps_version_and_compacts(spark, tmp_path):
     assert b.read("ts_p_d").filter(F.col("filled").isNull()).count() == 0
 
 
+# --------------------------------------------------------------- schema
+
+def test_check_db_schema_flags_broken_table(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    assert b.check_db_schema()  # empty warehouse is trivially valid
+    # a fact table missing its timestamp key is a schema mismatch
+    broken = spark.createDataFrame([(1, 1.0)], "station_id int, raw double")
+    b.write("ts_p", broken)
+    b._db_schema_valid = False
+    with pytest.raises(RuntimeError, match="ts_p: missing columns.*timestamp"):
+        b.check_db_schema()
+    with pytest.raises(RuntimeError, match="upgrade_db_schema"):
+        b.quality_check()  # every stage checks before running
+    # fixing the table clears the failure via upgrade_db_schema
+    fixed = spark.createDataFrame(
+        [(1, dt_ts(), 1.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    b.write("ts_p", fixed)
+    b.upgrade_db_schema()
+    assert b.check_db_schema()
+
+
+def dt_ts():
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1)
+
+
 # --------------------------------------------------------------- vacuum
 
 def _rows(df):

@@ -168,6 +168,49 @@ def test_group_stations_zip_export_and_telemetry(mini_broker, tmp_path):
     assert row["pc"]
 
 
+def test_get_meta_explanation():
+    from weatherdb_spark.station import Stations
+
+    exp = Stations.get_meta_explanation()
+    assert "station_id" in exp and "richter_class" in exp
+    sub = Stations.get_meta_explanation(["lon", "lat"])
+    assert set(sub) == {"lon", "lat"}
+    with pytest.raises(ValueError, match="unknown meta fields"):
+        Stations.get_meta_explanation(["nope"])
+
+
+def test_get_df_nas_allowed_false_clamps_to_filled_period(spark, tmp_path):
+    """nas_allowed=False returns the minimal filled period: leading and
+    trailing rows where the asked kind is NULL are cut (reference
+    _check_period, StationBases.py:285-345)."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    rows = []
+    for i in range(100):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i)
+        qc = None if i < 5 or i >= 97 else float(i % 4)
+        rows.append((1, ts, float(i % 4), qc))
+    b.write(
+        "ts_p",
+        spark.createDataFrame(
+            rows, "station_id int, timestamp timestamp, raw double, qc double"
+        ),
+        bucket_by_station=True,
+    )
+    st = Station(b, 1, "p")
+    assert st.get_df(kinds=("qc",)).count() == 100  # default keeps NAs
+    clamped = st.get_df(kinds=("qc",), nas_allowed=False)
+    assert clamped.count() == 97 - 5
+    lo, hi = clamped.agg(F.min("timestamp"), F.max("timestamp")).first()
+    assert lo == dt.datetime(2024, 1, 1) + dt.timedelta(minutes=50)
+    assert hi == dt.datetime(2024, 1, 1) + dt.timedelta(minutes=960)
+    # an explicit period intersects with the filled period
+    part = st.get_df(
+        kinds=("qc",), nas_allowed=False,
+        period=(None, "2024-01-01 02:00:00"),
+    )
+    assert part.count() == 8  # slots 5..12 (slot 12 is the 02:00 row)
+
+
 def test_get_quotient(mini_broker, spark):
     from weatherdb_spark.station import get_quotient
 

@@ -59,11 +59,13 @@ N_STATION_BUCKETS = 16  # partition count for fact-table writes
 
 def _with_mutex(fn):
     """Run a Broker stage under the warehouse mutex — the reference wraps
-    every public stage in ``with self.activate():`` (broker.py:291-512)."""
+    every public stage in ``with self.activate():`` and checks the schema
+    first (broker.py:291-512)."""
     from functools import wraps
 
     @wraps(fn)
     def inner(self, *args, **kwargs):
+        self.check_db_schema()
         with self.activate():
             return fn(self, *args, **kwargs)
 
@@ -200,6 +202,59 @@ class Broker:
             os.remove(self.lock_path)
         except FileNotFoundError:
             pass
+
+    # ------------------------------------------------------- schema check
+    # Required key columns per warehouse table — the engine's twin of the
+    # reference's alembic schema check (_check_db_schema, broker.py:
+    # 207-237): every stage validates before running and points the user
+    # at upgrade_db_schema on a mismatch.
+    _SCHEMA_KEYS: dict[str, set[str]] = {
+        "meta": {"station_id", "parameter"},
+        "station_ma_raster": {"station_id", "parameter", "term", "value"},
+        "station_ma_timeserie": {"station_id", "parameter", "kind", "value"},
+        "pipeline_state": {"parameter", "stage", "watermark_from",
+                           "watermark_until"},
+        "dropped_stations": {"station_id", "parameter"},
+        "raw_files": {"filepath", "modtime"},
+    }
+    _TS_KEYS = {"station_id", "timestamp"}
+
+    def check_db_schema(self) -> bool:
+        """Validate the present warehouse tables against the expected key
+        columns; raises with an upgrade hint on a mismatch (reference
+        _check_db_schema, broker.py:207-237). Only parquet footers are
+        read — no jobs. Caches the positive result per broker."""
+        if getattr(self, "_db_schema_valid", False):
+            return True
+        problems = []
+        for table in sorted(os.listdir(self.dir)):
+            if table.startswith("_tmp_") or not os.path.isdir(self.path(table)):
+                continue
+            required = (
+                self._TS_KEYS if table.startswith("ts_")
+                else self._SCHEMA_KEYS.get(table)
+            )
+            if required is None or not self.exists(table):
+                continue
+            missing = required - set(self.read(table).columns)
+            if missing:
+                problems.append(f"{table}: missing columns {sorted(missing)}")
+        if problems:
+            raise RuntimeError(
+                "warehouse schema is not up to date: "
+                + "; ".join(problems)
+                + ". Run Broker.upgrade_db_schema() to migrate it."
+            )
+        self._db_schema_valid = True
+        return True
+
+    def upgrade_db_schema(self) -> None:
+        """Migrate older warehouse layouts forward (reference
+        upgrade-db-schema CLI / alembic upgrade). The parquet warehouse
+        has had one layout so far, so this only re-validates; future
+        layout changes add their migrations here."""
+        self._db_schema_valid = False
+        self.check_db_schema()
 
     # ---------------------------------------------------------------- io
     def path(self, table: str) -> str:

@@ -41,6 +41,39 @@ META = T.StructType([
     T.StructField("richter_class", T.StringType(), True),
 ])
 
+# per-column explanations, the engine twin of the reference's SQLAlchemy
+# column comments surfaced by get_meta_explanation (StationBases.py:
+# 1758-1776, models.py:73-214 comment= kwargs)
+META_EXPLANATIONS: dict[str, str] = {
+    "station_id": "official DWD station id",
+    "parameter": "the measurement parameter (p, p_d, t, et)",
+    "is_real": "false for virtual stations copied from a P location",
+    "stationsname": "official station name from the DWD meta file",
+    "bundesland": "German federal state of the station",
+    "stationshoehe": "station elevation in m above sea level",
+    "lon": "longitude in EPSG:4326",
+    "lat": "latitude in EPSG:4326",
+    "x_utm": "easting in EPSG:25832 (UTM zone 32N)",
+    "y_utm": "northing in EPSG:25832 (UTM zone 32N)",
+    "raw_from": "first timestamp with raw data",
+    "raw_until": "last timestamp with raw data",
+    "hist_until": "end of the historical (quality-assured) DWD file",
+    "last_imp_from": "start of the last imported period",
+    "last_imp_until": "end of the last imported period",
+    "last_imp_qc": "was the last import quality checked?",
+    "last_imp_filled": "was the last import gap filled?",
+    "last_imp_corr": "was the last import Richter corrected?",
+    "qc_from": "first quality-checked timestamp",
+    "qc_until": "last quality-checked timestamp",
+    "qc_dropped": "percent of raw values dropped by quality control",
+    "filled_from": "first gap-filled timestamp",
+    "filled_until": "last gap-filled timestamp",
+    "corr_from": "first Richter-corrected timestamp",
+    "corr_until": "last Richter-corrected timestamp",
+    "horizon": "Richter horizon angle from the DEM scan",
+    "richter_class": "Richter exposure class derived from the horizon",
+}
+
 # tall 10-min precipitation facts (reference: one physical table per station,
 # StationP.py:240-256; here one table partitioned by bucket(station_id)+month)
 TS_P = T.StructType([

@@ -47,13 +47,55 @@ class Station:
     def _ts(self) -> DataFrame:
         return self.broker.read(f"ts_{self.parameter}")
 
+    def _check_period(
+        self, period, kinds: Sequence[str], nas_allowed: bool = False
+    ) -> TimestampPeriod:
+        """Resolve/clamp a period against the station's max period
+        (reference _check_period, StationBases.py:285-345): None bounds
+        fill from the max period; ``nas_allowed=False`` clamps to the
+        minimal filled period (intersection of the kinds' non-null
+        spans). filled_by alone degrades to nas_allowed=True like the
+        reference."""
+        kinds = [k for k in kinds if k != "filled_by"]
+        if not kinds:
+            nas_allowed = True
+            kinds = ["raw"]
+        maxp = self.get_max_period(kinds=kinds, nas_allowed=nas_allowed)
+        if maxp.is_empty():
+            raise ValueError(
+                f"No maximum period was found for station {self.id} "
+                f"parameter {self.parameter!r} and kinds {kinds}."
+            )
+        given = (
+            period if isinstance(period, TimestampPeriod)
+            else TimestampPeriod(*period)
+        )
+        if given.is_empty():
+            return maxp
+        return given.union(maxp, how="inner")
+
     def get_df(
         self,
         kinds: Sequence[str] = ("best",),
         period: tuple = (None, None),
         agg_to: str | None = None,
+        nas_allowed: bool = True,
         **kw,
     ) -> DataFrame:
+        """``nas_allowed=False`` returns only the minimal filled period
+        (leading/trailing rows where any asked kind is still NULL are cut
+        — reference get_df nas_allowed, StationBases.py:2490-2494). The
+        True default skips the period-resolution job: an unbounded read
+        already equals the reference's max-period read."""
+        if not nas_allowed:
+            from weatherdb_spark.api import _check_kinds
+
+            resolved = [
+                k for k in _check_kinds(self.parameter, kinds) if k != "qn"
+            ]
+            period = self._check_period(
+                period, resolved, nas_allowed=False
+            ).strftime()
         return get_df(
             self._ts, self.parameter, kinds=kinds, period=period,
             agg_to=agg_to, stids=[self.id], **kw,
@@ -304,6 +346,20 @@ class Stations:
         if only_real and "is_real" in meta.columns:
             meta = meta.filter(F.col("is_real"))
         return meta
+
+    @classmethod
+    def get_meta_explanation(cls, infos: Sequence[str] | str = "all") -> dict[str, str]:
+        """Explanations of the meta columns (reference
+        get_meta_explanation, StationBases.py:1758-1776 — SQLAlchemy
+        column comments; here the schemas.META_EXPLANATIONS dict)."""
+        from weatherdb_spark.schemas import META_EXPLANATIONS
+
+        if infos == "all":
+            return dict(META_EXPLANATIONS)
+        unknown = [i for i in infos if i not in META_EXPLANATIONS]
+        if unknown:
+            raise ValueError(f"unknown meta fields: {unknown}")
+        return {i: META_EXPLANATIONS[i] for i in infos}
 
     def get_df(
         self,

@@ -168,6 +168,26 @@ def test_group_stations_zip_export_and_telemetry(mini_broker, tmp_path):
     assert row["pc"]
 
 
+def test_station_predicates_and_small_accessors(mini_broker):
+    st = Station(mini_broker, 1, "p")
+    assert st.isin_meta() and st.isin_db() and st.isin_ma()
+    assert st.is_real() and not st.is_virtual()
+    ghost = Station(mini_broker, 99, "p")
+    assert not ghost.isin_meta() and not ghost.isin_db() and not ghost.isin_ma()
+    qn_like = st.get_filled_period(kind="raw")
+    assert qn_like == st.get_period_meta(kind="raw")
+    mini_broker.update_ma_timeserie("p", kinds=("raw",), coverage=0.0)
+    q = st.get_quotient(kinds=("raw",), which="raster")
+    assert q.count() == 1
+    assert q.first()["station_id"] == 1
+
+
+def test_group_station_available_paras(mini_broker):
+    from weatherdb_spark.station import GroupStation
+
+    assert GroupStation(mini_broker, 1).get_available_paras() == ["p"]
+
+
 def test_get_meta_explanation():
     from weatherdb_spark.station import Stations
 

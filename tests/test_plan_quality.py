@@ -86,7 +86,10 @@ def test_richter_correct_no_fact_shuffle_for_joinback(spark):
         [(s, "no-protection") for s in (1, 2, 3, 4)],
         "station_id int, richter_class string",
     )
-    plan = _plan(richter_correct(facts, ts_t, meta, richter_parameters_df(spark)))
+    plan = _plan(richter_correct(
+        facts, ts_t, meta, richter_parameters_df(spark),
+        est_station_days=8,  # the Broker's watermark-fed estimate
+    ))
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 2, plan
 
@@ -131,10 +134,16 @@ def test_richter_correct_autosizes_correction_join(spark):
     ]
     assert not joinbacks, big
 
-    # auto path (no estimate passed): derives the small estimate from
-    # meta count x fact day span and still broadcasts
+    # no estimate: the join-back is left unhinted so AQE sizes it at
+    # runtime from the dim's actual size — and crucially no fact scan
+    # runs at plan-build time just to pick a strategy
     auto = _plan(richter_correct(facts, ts_t, meta, params))
-    assert "BroadcastHashJoin" in auto, auto
+    assert "AdaptiveSparkPlan" in auto, auto
+    auto_joinbacks = [
+        ln for ln in auto.splitlines()
+        if "BroadcastHashJoin" in ln and re.search(r"station_id#\d+, _day", ln)
+    ]
+    assert not auto_joinbacks, auto  # static plan leaves the choice to AQE
 
 
 def test_qc_t_broadcast_median_dim(spark):

@@ -94,13 +94,13 @@ def richter_correct(
     broadcasting the dim then joins corr back WITHOUT shuffling the fact
     table at all. That flips once stations x days outgrows executor
     memory, so the default (``None``) auto-selects by cardinality:
-    broadcast iff the estimated (station, day) count is at most
-    BROADCAST_STATION_DAYS_MAX, else fall back to a sort-merge join
-    whose dim side reuses the aggregation's partitioning. Callers that
-    know the period (the Broker, from its stage watermark) pass
-    ``est_station_days`` so the estimate costs no job; otherwise it is
-    stations (dim count) x day span from the fact's parquet min/max —
-    two tiny jobs at plan-build time. Pass True/False to force a side.
+    callers that know the period (the Broker, from its stage watermark)
+    pass ``est_station_days``, and the dim is broadcast iff that is at
+    most BROADCAST_STATION_DAYS_MAX, else the join falls to sort-merge
+    reusing the aggregation's partitioning. With no estimate the join is
+    left unhinted for AQE to convert to broadcast at runtime from the
+    dim's ACTUAL post-aggregation size — never a fact scan at plan-build
+    time just to pick a strategy. Pass True/False to force a side.
     """
     day = F.to_date("timestamp")
     with_day = ts_p.withColumn("_day", day)
@@ -135,12 +135,7 @@ def richter_correct(
     corr_dim = classed.select(
         "station_id", "_day", delta.alias("_delta"), "_count_n"
     )
-    if broadcast_correction is None:
-        if est_station_days is None:
-            n_stations = meta_p.select("station_id").distinct().count()
-            lo, hi = with_day.agg(F.min("_day"), F.max("_day")).first()
-            n_days = (hi - lo).days + 1 if lo is not None and hi is not None else 0
-            est_station_days = n_stations * n_days
+    if broadcast_correction is None and est_station_days is not None:
         broadcast_correction = est_station_days <= BROADCAST_STATION_DAYS_MAX
     if broadcast_correction:
         corr_dim = F.broadcast(corr_dim)

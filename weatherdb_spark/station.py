@@ -120,6 +120,74 @@ class Station:
     def get_corr(self, **kw) -> DataFrame:
         return self.get_df(kinds=("corr",), **kw)
 
+    def get_qn(self, **kw) -> DataFrame:
+        return self.get_df(kinds=("qn",), **kw)
+
+    def get_filled_period(self, kind: str = "filled") -> TimestampPeriod:
+        """Reference name for the non-null period of one kind
+        (StationBases.py:2100-2131)."""
+        return self.get_period_meta(kind=kind)
+
+    # ------------------------- membership predicates (StationBases.py:
+    # 1848-1871 isin_db/isin_meta/isin_ma, 1875-1898 is_virtual/is_real)
+    def isin_meta(self) -> bool:
+        return self._meta_row() is not None
+
+    def isin_db(self) -> bool:
+        """Does the station have timeseries rows?"""
+        if not self.broker.exists(f"ts_{self.parameter}"):
+            return False
+        return (
+            self._ts.filter(F.col("station_id") == self.id).limit(1).count() > 0
+        )
+
+    def isin_ma(self) -> bool:
+        """Does the station have multi-annual raster values?"""
+        if not self.broker.exists("station_ma_raster"):
+            return False
+        return (
+            self.broker.read("station_ma_raster")
+            .filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == self.parameter)
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def is_real(self) -> bool:
+        row = self._meta_row()
+        if row is None:
+            raise ValueError(f"station {self.id}/{self.parameter} not in meta")
+        return "is_real" not in row.__fields__ or bool(row["is_real"])
+
+    def is_virtual(self) -> bool:
+        return not self.is_real()
+
+    def get_horizon(self) -> float | None:
+        """The Richter horizon angle from meta (StationP.py:264-271)."""
+        row = self._meta_row()
+        return row["horizon"] if row is not None and "horizon" in row.__fields__ else None
+
+    def get_richter_class(self) -> str | None:
+        """The stored Richter exposure class (StationP.py:273-292)."""
+        row = self._meta_row()
+        return (
+            row["richter_class"]
+            if row is not None and "richter_class" in row.__fields__
+            else None
+        )
+
+    def get_quotient(self, kinds: Sequence[str] | None = None,
+                     which: str = "raster") -> DataFrame:
+        """This station's MA quotients (reference StationBases.get_quotient
+        → db/queries/get_quotient.py) — the engine-wide quotient views
+        filtered to one station."""
+        return get_quotient(
+            self.broker, parameters=(self.parameter,), kinds=kinds, which=which
+        ).filter(F.col("station_id") == self.id)
+
     def _meta_row(self):
         return (
             self.broker.read("meta")
@@ -614,6 +682,18 @@ class GroupStation:
     def __init__(self, broker: Broker, stid: int):
         self.broker = broker
         self.id = stid
+
+    def get_available_paras(self, only_real: bool = False) -> list[str]:
+        """The parameters available at this location (reference
+        GroupStation.get_available_paras, GroupStation.py:87-112)."""
+        meta = self.broker.read("meta").filter(F.col("station_id") == self.id)
+        if only_real and "is_real" in meta.columns:
+            meta = meta.filter(F.col("is_real"))
+        have = {r["parameter"] for r in meta.select("parameter").collect()}
+        return [
+            p for p in PARAMETERS
+            if p in have and self.broker.exists(f"ts_{p}")
+        ]
 
     def get_df(
         self,

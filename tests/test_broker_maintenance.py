@@ -156,6 +156,34 @@ def dt_ts():
     return dt.datetime(2024, 1, 1)
 
 
+# -------------------------------------------------------------- horizon
+
+def test_update_horizon_writes_meta_horizon_and_class(spark, tmp_path):
+    import numpy as np
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    meta = spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100), (2, "p", True, 5000.0, 0.0, 200),
+         (1, "t", True, 0.0, 0.0, 100)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    )
+    b.update_meta(meta)
+
+    def flat_dem(xs, ys):
+        return np.zeros(len(xs))
+
+    b.update_horizon(flat_dem, "p", radius_m=2000.0, sample_step_m=500.0)
+    out = b.read("meta")
+    p_rows = {r["station_id"]: r for r in
+              out.filter(F.col("parameter") == "p").collect()}
+    assert p_rows[1]["horizon"] == 0.0
+    assert p_rows[1]["richter_class"] == "no-protection"  # [0, 3) bin
+    assert p_rows[2]["horizon"] == 0.0
+    # the t row is untouched
+    assert out.filter(F.col("parameter") == "t").count() == 1
+
+
 # --------------------------------------------------------------- vacuum
 
 def _rows(df):

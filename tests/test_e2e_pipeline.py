@@ -260,6 +260,46 @@ def test_group_station_get_df_matches_per_parameter_reads(warehouse):
             assert got == pytest.approx(v), f"{out_col}@{ts}: {got} != {v}"
 
 
+def test_update_period_meta(warehouse):
+    """update_period_meta writes per-kind non-null periods into meta
+    (StationBases.update_period_meta) in one grouped job."""
+    warehouse.update_period_meta("p")
+    meta_p = warehouse.read("meta").filter(F.col("parameter") == "p")
+    assert {"raw_from", "raw_until", "qc_from", "filled_until",
+            "corr_from"} <= set(meta_p.columns)
+    rows = {r["station_id"]: r for r in meta_p.collect()}
+    ts_p = warehouse.read("ts_p")
+    expect = {
+        r["station_id"]: (r["lo"], r["hi"])
+        for r in ts_p.filter(F.col("raw").isNotNull())
+        .groupBy("station_id")
+        .agg(F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi"))
+        .collect()
+    }
+    for stid, (lo, hi) in expect.items():
+        assert rows[stid]["raw_from"] == lo
+        assert rows[stid]["raw_until"] == hi
+        # qc is a subset of raw -> its period sits inside raw's
+        assert rows[stid]["qc_from"] >= lo
+        assert rows[stid]["qc_until"] <= hi
+    # other parameters' meta rows survive with NULL period columns
+    assert warehouse.read("meta").filter(F.col("parameter") == "t").count() > 0
+
+
+def test_stations_collection_accessors(warehouse):
+    from weatherdb_spark.station import Stations
+
+    sts = Stations(warehouse, "p")
+    objs = sts.get_stations([1224, 1443])
+    assert [o.id for o in objs] == [1224, 1443]
+    holes = sts.count_holes(stids=[1224, 1443], gap_thresholds=("1 hour",),
+                            kind="raw")
+    assert holes.count() == 2
+    multi = sts.get_df(stids=[1224, 1443], kind=("raw", "filled"))
+    assert {"1224_raw", "1224_filled", "1443_raw", "1443_filled"} <= \
+        set(multi.columns)
+
+
 def test_pipeline_state_watermarks(warehouse):
     state = warehouse.state()
     stages = {

@@ -495,6 +495,11 @@ class Broker:
         )
         self.write(f"ts_{parameter}", expanded, bucket_by_station=True)
         self._mark(parameter, "raw", f"ts_{parameter}")
+        # raw periods land in meta like the reference's import bookkeeping
+        # (later stages' periods come from an explicit update_period_meta —
+        # each call costs one scan of the fact table, so they are not
+        # auto-refreshed per stage)
+        self.update_period_meta(parameter)
 
     def _ma_values(self, parameter: str, term: str = "year") -> DataFrame:
         return (
@@ -524,6 +529,65 @@ class Broker:
             k=k,
             max_dist_m=cfg["max_fillup_dist_km"] * 1000,
             elevation_weighted=parameter in ("t", "et"),
+        )
+
+    @_with_mutex
+    def update_horizon(self, dem_sampler, parameter: str = "p", **kw) -> None:
+        """S8 as a maintenance stage: compute the horizon angle for every
+        station of ``parameter`` from a DEM sampler and write it (plus
+        the derived richter_class, S9) into meta — the engine form of
+        StationP.update_horizon / update_richter_class
+        (StationP.py:273-484). ``kw`` passes through to
+        operators.horizon.horizon_angles (radius_m, step_deg, ...)."""
+        from weatherdb_spark.operators.horizon import horizon_angles
+
+        meta = self.read("meta")
+        mine = meta.filter(F.col("parameter") == parameter)
+        angles = horizon_angles(mine, dem_sampler, **kw)
+        updated = (
+            mine.drop("horizon", "richter_class")
+            .join(angles, "station_id", "left")
+            .withColumn("richter_class", richter_class(F.col("horizon")))
+        )
+        self.write(
+            "meta",
+            meta.filter(F.col("parameter") != parameter).unionByName(
+                updated, allowMissingColumns=True
+            ),
+        )
+
+    @_with_mutex
+    def update_period_meta(self, parameter: str) -> None:
+        """Write the per-kind non-null periods ({kind}_from/{kind}_until)
+        into the meta dim (reference StationBases.update_period_meta,
+        StationBases.py:2100-2131 via update_period_meta loops): ONE
+        grouped aggregation over the fact table computes every kind's
+        period per station; the meta rows of the parameter are rebuilt
+        with the fresh columns. These bounds feed the A5 bounded hole
+        census and the export period resolution."""
+        table = f"ts_{parameter}"
+        if not self.exists(table) or not self.exists("meta"):
+            return
+        ts = self.read(table)
+        kinds = [k for k in ("raw", "qc", "filled", "corr") if k in ts.columns]
+        if not kinds:
+            return
+        aggs = []
+        for k in kinds:
+            cond_ts = F.when(F.col(k).isNotNull(), F.col("timestamp"))
+            aggs.append(F.min(cond_ts).alias(f"{k}_from"))
+            aggs.append(F.max(cond_ts).alias(f"{k}_until"))
+        periods = ts.groupBy("station_id").agg(*aggs)
+        meta = self.read("meta")
+        others = meta.filter(F.col("parameter") != parameter)
+        mine = meta.filter(F.col("parameter") == parameter)
+        drop_cols = [
+            c for k in kinds for c in (f"{k}_from", f"{k}_until")
+            if c in mine.columns
+        ]
+        mine = mine.drop(*drop_cols).join(periods, "station_id", "left")
+        self.write(
+            "meta", others.unionByName(mine, allowMissingColumns=True)
         )
 
     @_with_mutex

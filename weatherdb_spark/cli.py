@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
 
+    pm = wh(sub.add_parser(
+        "update-period-meta",
+        help="write per-kind non-null periods into meta "
+             "(reference update_period_meta)",
+    ))
+    pm.add_argument("-p", "--parameter", default="p")
+
     ct = wh(sub.add_parser("create-ts", help="export station timeseries CSVs"))
     ct.add_argument("--stations", nargs="+", type=int, required=True)
     ct.add_argument("--out-dir", required=True)
@@ -100,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         broker.force_deactivate_all()
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
+    elif args.command == "update-period-meta":
+        broker.update_period_meta(args.parameter)
     elif args.command == "create-ts":
         from weatherdb_spark.station import GroupStations
 

@@ -432,28 +432,57 @@ class Stations:
     def get_df(
         self,
         stids: Sequence[int] | None = None,
-        kind: str = "best",
+        kind: str | Sequence[str] = "best",
         period: tuple = (None, None),
         agg_to: str | None = None,
     ) -> DataFrame:
-        """Multi-station read, pivoted wide: one column per station
+        """Multi-station read, pivoted wide: one column per station for a
+        single kind, ``<stid>_<kind>`` columns for several kinds
         (StationsBase.py:988-1034 concat with MultiIndex columns -> here a
         pivot on station_id)."""
+        kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         tall = get_df(
             self.broker.read(f"ts_{self.parameter}"),
             self.parameter,
-            kinds=(kind,),
+            kinds=kinds,
             period=period,
             agg_to=agg_to,
             stids=list(stids) if stids is not None else None,
         )
-        kind_col = [c for c in tall.columns if c not in ("station_id", "timestamp")][0]
-        pivoted = (
-            tall.groupBy("timestamp")
-            .pivot("station_id", values=[str(s) for s in stids] if stids else None)
-            .agg(F.first(kind_col))
+        kind_cols = [c for c in tall.columns if c not in ("station_id", "timestamp")]
+        piv = tall.groupBy("timestamp").pivot(
+            "station_id", values=[str(s) for s in stids] if stids else None
         )
+        if len(kind_cols) == 1:
+            pivoted = piv.agg(F.first(kind_cols[0]))
+        else:
+            pivoted = piv.agg(*[F.first(c).alias(c) for c in kind_cols])
         return pivoted.orderBy("timestamp")
+
+    def count_holes(
+        self,
+        stids: Sequence[int] | None = None,
+        gap_thresholds: Sequence[str] = ("2 weeks", "4 weeks"),
+        kind: str = "raw",
+        period: tuple | None = None,
+    ) -> DataFrame:
+        """A5 over many stations in one job (reference
+        StationsBase.count_holes loops Station.count_holes per station)."""
+        ts = self.broker.read(f"ts_{self.parameter}")
+        if stids is not None:
+            ts = ts.filter(F.col("station_id").isin(list(stids)))
+        return hole_census(
+            ts, gap_thresholds=gap_thresholds, value_col=kind, period=period
+        )
+
+    def get_stations(self, stids: Sequence[int] | None = None) -> list["Station"]:
+        """Station objects of this parameter (StationsBase.get_stations)."""
+        if stids is None:
+            stids = sorted(
+                r["station_id"]
+                for r in self.get_meta().select("station_id").collect()
+            )
+        return [Station(self.broker, s, self.parameter) for s in stids]
 
 
 def get_quotient(
@@ -491,6 +520,11 @@ class GroupStations:
         if bad:
             raise ValueError(f"station ids not in meta_p: {bad}")
         return list(stids)
+
+    def get_group_stations(self, stids: Sequence[int]) -> list["GroupStation"]:
+        """GroupStation objects for valid ids
+        (GroupStations.get_group_stations, GroupStations.py:243-268)."""
+        return [GroupStation(self.broker, s) for s in self.get_valid_stids(stids)]
 
     def joint_period(self, stids: Sequence[int], kind: str = "filled"):
         """Inner intersection of the stations' periods

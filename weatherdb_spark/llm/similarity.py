@@ -262,3 +262,57 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 3,
+    dim: int = 64,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale
+    path for :func:`cosine_pairs` (which stays the O(n^2) oracle).
+
+    Multi-table random-hyperplane OR-construction: the corpus explodes
+    x ``n_tables`` onto (table, bucket) keys (one shuffle); candidate
+    pairs share a bucket in at least one table; exact cosine verifies,
+    so precision is 1 and recall is the standard
+    1 - (1 - p^planes)^n_tables with p = 1 - theta/pi — tune
+    planes/n_tables per threshold (fewer planes -> bigger buckets ->
+    higher recall, more candidates). Hot buckets are bounded by 2^planes
+    buckets per table; at 100 TB add a per-bucket cap or more planes.
+    """
+    b = spread(embeddings).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("_table"),
+            sum(
+                [_hyperplane_sign(F.col("_v"), t * planes + p, dim) * (2 ** p)
+                 for p in range(planes)],
+                F.lit(0),
+            ).alias("_bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    bucketed = b.select("*", F.explode(tables).alias("_tb")).select(
+        "_id", "_v",
+        F.col("_tb._table").alias("_table"),
+        F.col("_tb._bucket").alias("_bucket"),
+    )
+    lhs = bucketed.select(
+        "_table", "_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    rhs = bucketed.select(
+        "_table", "_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        lhs.join(rhs, ["_table", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

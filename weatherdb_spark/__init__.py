@@ -24,5 +24,29 @@ column plumbing.
 
 from weatherdb_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "Broker",
+    "Station",
+    "Stations",
+    "GroupStation",
+    "GroupStations",
+    "TimestampPeriod",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level exports (reference weatherdb/__init__.py exposes
+    # Broker and the station classes) without paying the import cost for
+    # callers that only want get_spark
+    if name == "Broker":
+        from weatherdb_spark.broker import Broker
+        return Broker
+    if name in ("Station", "Stations", "GroupStation", "GroupStations"):
+        from weatherdb_spark import station
+        return getattr(station, name)
+    if name == "TimestampPeriod":
+        from weatherdb_spark.period import TimestampPeriod
+        return TimestampPeriod
+    raise AttributeError(f"module 'weatherdb_spark' has no attribute {name!r}")

@@ -77,6 +77,13 @@ def test_append_raw_merges_and_tracks_window(spark, inc_broker):
     # window recorded
     lo, hi = b.last_imp("p")
     assert lo.startswith("2024-01-01") and hi.startswith("2024-01-05")
+    # meta raw periods refreshed by the import (update_period_meta)
+    mrow = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    assert mrow["raw_until"] >= START + dt.timedelta(days=4)
 
 
 def test_last_imp_quality_check_bounded(spark, inc_broker):

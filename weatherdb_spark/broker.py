@@ -848,6 +848,9 @@ class Broker:
         out.toPandas().to_parquet(
             os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
         )
+        # imports extend the raw periods — keep meta's bookkeeping fresh
+        # like the reference's import path (StationBases.py:969-1018)
+        self.update_period_meta(parameter)
 
     def files_to_download(self, listing: DataFrame) -> DataFrame:
         """S1 — which server files need (re)importing: the listing rows

@@ -289,6 +289,10 @@ class Broker:
                 # hash-partition on the bucket column: each bucket's rows
                 # land in exactly one task -> one file per partition dir
                 df = df.repartition(N_STATION_BUCKETS, "station_bucket")
+            # local sort (no shuffle) so each parquet row group covers a
+            # narrow (station_id, timestamp) range: single-station and
+            # period reads then skip row groups via footer min/max stats
+            df = df.sortWithinPartitions("station_id", "timestamp")
         elif compact:
             df = df.coalesce(1)
         tmp = self.path(f"_tmp_{table}")

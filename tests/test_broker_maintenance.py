@@ -156,6 +156,37 @@ def dt_ts():
     return dt.datetime(2024, 1, 1)
 
 
+# ------------------------------------------------------------------ cli
+
+def test_cli_maintenance_commands(spark, tmp_path):
+    from weatherdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    b = Broker(spark, wh)
+    df = spark.range(500).select(
+        (F.col("id") % 20).cast("int").alias("station_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + (F.col("id") / 20).cast("int") * F.expr("INTERVAL 1 DAY")
+         ).alias("timestamp"),
+        F.col("id").cast("double").alias("raw"),
+    ).repartition(10)
+    b.write("ts_p_d", df, bucket_by_station=True)
+
+    assert main(["vacuum", "--warehouse", wh]) == 0
+    assert b._n_parquet_files("ts_p_d") <= N_STATION_BUCKETS
+
+    assert main(["set-db-version", "--warehouse", wh]) == 0
+    assert Broker(spark, wh).get_db_version() == __version__
+
+    assert main(["upgrade-db-schema", "--warehouse", wh]) == 0
+
+    # stale lock -> force-deactivate clears it
+    with open(b.lock_path, "w") as fh:
+        fh.write("{}")
+    assert main(["force-deactivate", "--warehouse", wh]) == 0
+    assert not b.is_any_active
+
+
 # -------------------------------------------------------------- horizon
 
 def test_update_horizon_writes_meta_horizon_and_class(spark, tmp_path):

@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     wh(sub.add_parser("force-deactivate",
                       help="clear a stale broker lock "
                            "(reference cli.py force_deactivate_all_broker)"))
+    wh(sub.add_parser("upgrade-db-schema",
+                      help="migrate/validate the warehouse layout "
+                           "(reference cli.py upgrade_db_schema)"))
+    wh(sub.add_parser("set-db-version",
+                      help="stamp the warehouse with the current package "
+                           "version to prevent full recalculation "
+                           "(reference cli.py set_db_version)"))
 
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
@@ -105,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
         print(broker.vacuum())
     elif args.command == "force-deactivate":
         broker.force_deactivate_all()
+    elif args.command == "upgrade-db-schema":
+        broker.upgrade_db_schema()
+    elif args.command == "set-db-version":
+        broker.set_db_version()
+        print(broker.get_db_version())
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "update-period-meta":

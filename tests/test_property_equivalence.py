@@ -45,6 +45,40 @@ def test_period_inner_inside_outer(a, b):
         assert inner.inside(outer)
 
 
+# ------------------------------------------------------- scaled-int units
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-9999.99, max_value=9999.99,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=30,
+))
+def test_units_roundtrip_within_half_storage_ulp(spark, values):
+    """to_db_unit -> from_db_unit must stay within half a storage step
+    (0.5/decimals) of the original for any representable value, and keep
+    NULLs (reference scaled-int storage, StationBases.py:1080-1082)."""
+    from weatherdb_spark.functions.units import from_db_unit, to_db_unit
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=i), v)
+         for i, v in enumerate(values)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    back = {
+        r["station_id"]: r["raw"]
+        for r in from_db_unit(to_db_unit(df, "p"), "p").collect()
+    }
+    for i, v in enumerate(values):
+        if v is None:
+            assert back[i] is None
+        else:
+            assert abs(back[i] - v) <= 0.5 / 100 + 1e-9, (v, back[i])
+
+
 @given(_periods())
 def test_period_union_idempotent(a):
     # degenerate start == end collapses to empty (reference start >= end

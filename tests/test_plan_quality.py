@@ -146,6 +146,35 @@ def test_richter_correct_autosizes_correction_join(spark):
     assert not auto_joinbacks, auto  # static plan leaves the choice to AQE
 
 
+def test_single_station_read_prunes_bucket_partitions(spark, tmp_path):
+    """A stids read from the bucketed warehouse must list only the
+    matching station_bucket directories (PartitionFilters), not all N."""
+    import datetime as ddt
+
+    from weatherdb_spark.api import get_df
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    rows = [(s, ddt.datetime(2024, 1, 1) + ddt.timedelta(days=d), float(d))
+            for s in range(40) for d in range(5)]
+    b.write(
+        "ts_p_d",
+        spark.createDataFrame(
+            rows, "station_id int, timestamp timestamp, raw double"
+        ),
+        bucket_by_station=True,
+    )
+    df = get_df(b.read("ts_p_d"), "p_d", kinds=("raw",), stids=[1])
+    plan = _plan(df)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "station_bucket" in pf, plan
+    # the scan must touch 1 of the 16 bucket dirs
+    assert df.count() == 5
+
+
 def test_qc_t_broadcast_median_dim(spark):
     from weatherdb_spark.operators.qc import qc_t
 

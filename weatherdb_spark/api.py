@@ -87,6 +87,15 @@ def get_df(
             k for k in kinds
             if k in out.columns and k not in ("qn", "filled_by")
         ])
+    if stids is not None and "station_bucket" in out.columns:
+        # partition PRUNING: Catalyst cannot derive the bucket directory
+        # from a station_id predicate (bucket = pmod(station_id, N)), so
+        # compute the bucket set on the driver — a warehouse read for a
+        # few stations then lists only those bucket dirs instead of all N
+        from weatherdb_spark.broker import N_STATION_BUCKETS
+
+        buckets = sorted({s % N_STATION_BUCKETS for s in stids})
+        out = out.filter(F.col("station_bucket").isin(buckets))
     if stids is not None:
         out = out.filter(F.col("station_id").isin(list(stids)))
     start, end = period

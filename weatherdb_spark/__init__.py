@@ -7,8 +7,9 @@ This package re-expresses those semantics as idiomatic PySpark DataFrame
 computations designed for a 1000-executor cluster:
 
 - tall fact tables (``ts_p``, ``ts_p_d``, ``ts_t``, ``ts_et``) partitioned by
-  station bucket + date instead of the reference's table-per-station layout
-  (reference: weatherdb/station/StationP.py:240-256);
+  a station bucket, with files sorted on (station_id, timestamp) so period
+  predicates skip row groups — instead of the reference's
+  table-per-station layout (weatherdb/station/StationP.py:240-256);
 - every pipeline stage (qc → fillup → corr) is a pure function
   ``f(dfs, params) -> DataFrame`` relying on Catalyst for pushdown/pruning;
 - the reference's iterative PL/pgSQL fill loop

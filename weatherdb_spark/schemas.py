@@ -75,7 +75,8 @@ META_EXPLANATIONS: dict[str, str] = {
 }
 
 # tall 10-min precipitation facts (reference: one physical table per station,
-# StationP.py:240-256; here one table partitioned by bucket(station_id)+month)
+# StationP.py:240-256; here one table partitioned by bucket(station_id) with
+# files sorted on (station_id, timestamp) for row-group period skipping)
 TS_P = T.StructType([
     T.StructField("station_id", T.IntegerType(), False),
     T.StructField("timestamp", T.TimestampType(), False),

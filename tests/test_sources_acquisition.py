@@ -179,3 +179,51 @@ def test_broker_raw_files_manifest_roundtrip(spark, tmp_path):
     b.mark_files_imported(bumped)
     assert b.files_to_download(bumped).count() == 0
     assert b.read("raw_files").count() == 3
+
+
+def test_ingest_ma_raster_dir_end_to_end(spark, tmp_path):
+    """S12 offline tail: a directory of downloaded term grids lands in
+    station_ma_raster through one sampling pass."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.sources.rasters import ingest_ma_raster_dir
+
+    d = tmp_path / "rasters"
+    d.mkdir()
+    (d / "hyras_wihy.asc").write_text(GRID)
+    (d / "hyras_suhy.asc.gz").write_bytes(
+        gzip.compress(GRID.replace("4.0 5.0 6.0", "7.0 8.0 9.0").encode())
+    )
+    (d / "readme.txt").write_text("ignored")
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    # stations inside cells (0,1) -> wihy 4.0 / suhy 7.0 and (1,1) -> 5.0/8.0
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 500500.0, 5350500.0, 100),
+         (2, "p", True, 501500.0, 5350500.0, 100)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    ))
+    names, (x0, y0, res) = ingest_ma_raster_dir(b, "p", d)
+    assert names == ["hyras_suhy.asc.gz", "hyras_wihy.asc"]
+    assert (x0, y0, res) == (500000.0, 5352000.0, 1000.0)
+    ma = {(r["station_id"], r["term"]): r["value"]
+          for r in b.read("station_ma_raster").collect()}
+    assert ma[(1, "wihy")] == 4.0 and ma[(1, "suhy")] == 7.0
+    assert ma[(2, "wihy")] == 5.0 and ma[(2, "suhy")] == 8.0
+    assert b.read("station_ma_raster").filter(
+        F.col("parameter") != "p").count() == 0
+
+
+def test_ingest_ma_raster_dir_geometry_mismatch_raises(spark, tmp_path):
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.sources.rasters import ingest_ma_raster_dir
+
+    d = tmp_path / "rasters"
+    d.mkdir()
+    (d / "a_wihy.asc").write_text(GRID)
+    (d / "b_suhy.asc").write_text(GRID.replace("cellsize 1000", "cellsize 500"))
+    b = Broker(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="share one grid"):
+        ingest_ma_raster_dir(b, "p", d)

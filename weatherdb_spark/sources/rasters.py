@@ -172,3 +172,48 @@ def download_ma_rasters(
                 fh.write(chunk)
         written.append(target)
     return written
+
+
+def ingest_ma_raster_dir(
+    broker,
+    parameter: str,
+    raster_dir: str | Path,
+    term_of: dict[str, str] | None = None,
+) -> tuple[list[str], tuple[float, float, float]]:
+    """The offline tail of S12: walk a directory of (already downloaded)
+    ``.asc``/``.asc.gz`` grids — the layout :func:`download_ma_rasters`
+    produces — parse each, and sample ALL terms into
+    ``station_ma_raster`` with ONE ``update_ma_raster_from_grid`` call
+    (the per-term grids union into one (col, row, term, value) table, so
+    the expensive station-sampling join runs once).
+
+    The term comes from the file stem's last ``_`` token (the DWD naming
+    ``<source>_<term>.asc``, e.g. ``hyras_wihy.asc`` -> ``wihy``) unless
+    ``term_of`` maps the file name explicitly. All grids must share one
+    geometry (corner + cellsize); returns (ingested names, (x0, y0_top,
+    res))."""
+    paths = sorted(
+        p for p in Path(raster_dir).iterdir()
+        if p.name.endswith((".asc", ".asc.gz"))
+    )
+    if not paths:
+        raise ValueError(f"no .asc/.asc.gz grids in {raster_dir}")
+    combined: DataFrame | None = None
+    geometry: tuple[float, float, float] | None = None
+    for p in paths:
+        header, rows = read_ascii_grid(p)
+        stem = p.name.split(".")[0]
+        term = (term_of or {}).get(p.name, stem.rsplit("_", 1)[-1])
+        df, x0, y0_top, res = ascii_grid_df(broker.spark, header, rows, term)
+        if geometry is None:
+            geometry = (x0, y0_top, res)
+        elif geometry != (x0, y0_top, res):
+            raise ValueError(
+                f"{p.name} geometry {(x0, y0_top, res)} differs from "
+                f"{geometry} — the term grids must share one grid"
+            )
+        combined = df if combined is None else combined.unionByName(df)
+    broker.update_ma_raster_from_grid(
+        parameter, combined, x0=geometry[0], y0=geometry[1], res=geometry[2]
+    )
+    return [p.name for p in paths], geometry

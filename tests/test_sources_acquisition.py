@@ -227,3 +227,22 @@ def test_ingest_ma_raster_dir_geometry_mismatch_raises(spark, tmp_path):
     b = Broker(spark, str(tmp_path / "wh"))
     with pytest.raises(ValueError, match="share one grid"):
         ingest_ma_raster_dir(b, "p", d)
+
+
+def test_cli_ingest_ma_rasters(spark, tmp_path):
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.cli import main
+
+    d = tmp_path / "rasters"
+    d.mkdir()
+    (d / "hyras_year.asc").write_text(GRID)
+    wh = str(tmp_path / "wh")
+    Broker(spark, wh).update_meta(spark.createDataFrame(
+        [(1, "p", True, 500500.0, 5350500.0, 100)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    ))
+    assert main(["ingest-ma-rasters", "--warehouse", wh,
+                 "--dir", str(d), "-p", "p"]) == 0
+    ma = Broker(spark, wh).read("station_ma_raster").first()
+    assert ma["term"] == "year" and ma["value"] == 4.0

@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
     ))
     pm.add_argument("-p", "--parameter", default="p")
 
+    mr = wh(sub.add_parser(
+        "ingest-ma-rasters",
+        help="sample a directory of downloaded .asc/.asc.gz term grids "
+             "into station_ma_raster (offline tail of the reference's "
+             "download-ma-rasters)",
+    ))
+    mr.add_argument("--dir", required=True, dest="raster_dir")
+    mr.add_argument("-p", "--parameter", default="p")
+
     ct = wh(sub.add_parser("create-ts", help="export station timeseries CSVs"))
     ct.add_argument("--stations", nargs="+", type=int, required=True)
     ct.add_argument("--out-dir", required=True)
@@ -121,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "update-period-meta":
         broker.update_period_meta(args.parameter)
+    elif args.command == "ingest-ma-rasters":
+        from weatherdb_spark.sources.rasters import ingest_ma_raster_dir
+
+        names, geometry = ingest_ma_raster_dir(
+            broker, args.parameter, args.raster_dir
+        )
+        print({"ingested": names, "grid": geometry})
     elif args.command == "create-ts":
         from weatherdb_spark.station import GroupStations
 

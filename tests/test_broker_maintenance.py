@@ -150,6 +150,40 @@ def test_check_db_schema_flags_broken_table(spark, tmp_path):
     assert b.check_db_schema()
 
 
+def test_reinitiation_clears_old_layout_tables(spark, tmp_path):
+    """A warehouse stamped by an older version AND carrying an older
+    table layout must still reinitiate: initiate_db clears the
+    mismatched tables before the stages run, so the per-stage schema
+    check cannot abort exactly the rebuild that would fix it (the
+    reference's 'older version -> full recompute' promise,
+    broker.py:535-537)."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    # old-layout fact table (no timestamp column) + stale version stamp
+    b.write("ts_p_d", spark.createDataFrame([(1, 1.0)], "station_id int, raw double"))
+    b.set_db_version("0.0.1")
+    assert b._needs_reinitiation()
+    meta = spark.createDataFrame(
+        [(s, "p_d", True, s * 1000.0, 0.0, 100 + s) for s in (1, 2)],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    )
+    ma = spark.createDataFrame(
+        [(s, "p_d", "year", 800.0 + s) for s in (1, 2)],
+        "station_id int, parameter string, term string, value double",
+    )
+    raw = spark.range(2 * 10).select(
+        (F.col("id") % 2 + 1).cast("int").alias("station_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + (F.col("id") / 2).cast("int") * F.expr("INTERVAL 1 DAY")
+         ).alias("timestamp"),
+        F.round((F.col("id") % 7) * 1.0, 1).alias("raw"),
+    )
+    b.update_db(meta, ma, {"p_d": raw})  # must not raise the schema error
+    assert b.get_db_version() == __version__
+    assert "timestamp" in b.read("ts_p_d").columns
+    assert b.read("ts_p_d").count() == 20  # 2 stations x 10 days
+
+
 def dt_ts():
     import datetime as dt
 

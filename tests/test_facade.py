@@ -229,6 +229,15 @@ def test_get_df_nas_allowed_false_clamps_to_filled_period(spark, tmp_path):
         period=(None, "2024-01-01 02:00:00"),
     )
     assert part.count() == 8  # slots 5..12 (slot 12 is the 02:00 row)
+    # a period DISJOINT from the filled period returns zero rows, not the
+    # whole series (the reference renders the empty clamped period as NULL
+    # SQL bounds -> no rows; forwarding (None, None) would invert this)
+    disjoint = st.get_df(
+        kinds=("qc",), nas_allowed=False,
+        period=("2030-01-01", "2030-02-01"),
+    )
+    assert disjoint.count() == 0
+    assert disjoint.columns == clamped.columns
 
 
 def test_get_quotient(mini_broker, spark):

@@ -219,14 +219,11 @@ class Broker:
     }
     _TS_KEYS = {"station_id", "timestamp"}
 
-    def check_db_schema(self) -> bool:
-        """Validate the present warehouse tables against the expected key
-        columns; raises with an upgrade hint on a mismatch (reference
-        _check_db_schema, broker.py:207-237). Only parquet footers are
-        read — no jobs. Caches the positive result per broker."""
-        if getattr(self, "_db_schema_valid", False):
-            return True
-        problems = []
+    def _schema_problems(self) -> dict[str, list[str]]:
+        """{table: missing key columns} for every present table whose
+        layout does not match the expected keys. Only parquet footers are
+        read — no jobs."""
+        problems: dict[str, list[str]] = {}
         for table in sorted(os.listdir(self.dir)):
             if table.startswith("_tmp_") or not os.path.isdir(self.path(table)):
                 continue
@@ -238,7 +235,20 @@ class Broker:
                 continue
             missing = required - set(self.read(table).columns)
             if missing:
-                problems.append(f"{table}: missing columns {sorted(missing)}")
+                problems[table] = sorted(missing)
+        return problems
+
+    def check_db_schema(self) -> bool:
+        """Validate the present warehouse tables against the expected key
+        columns; raises with an upgrade hint on a mismatch (reference
+        _check_db_schema, broker.py:207-237). Caches the positive result
+        per broker."""
+        if getattr(self, "_db_schema_valid", False):
+            return True
+        problems = [
+            f"{t}: missing columns {missing}"
+            for t, missing in self._schema_problems().items()
+        ]
         if problems:
             raise RuntimeError(
                 "warehouse schema is not up to date: "
@@ -247,6 +257,20 @@ class Broker:
             )
         self._db_schema_valid = True
         return True
+
+    def _clear_invalid_tables(self) -> list[str]:
+        """Delete tables whose layout fails the schema check so a full
+        reinitiation can proceed — ``initiate_db`` rewrites every table,
+        and an older layout must not make the stage-level schema check
+        abort exactly the rebuild that would fix it (the reference's
+        'older version -> full recompute' promise, broker.py:535-537)."""
+        import shutil
+
+        removed = sorted(self._schema_problems())
+        for table in removed:
+            shutil.rmtree(self.path(table))
+        self._db_schema_valid = False
+        return removed
 
     def upgrade_db_schema(self) -> None:
         """Migrate older warehouse layouts forward (reference
@@ -291,8 +315,15 @@ class Broker:
                 df = df.repartition(N_STATION_BUCKETS, "station_bucket")
             # local sort (no shuffle) so each parquet row group covers a
             # narrow (station_id, timestamp) range: single-station and
-            # period reads then skip row groups via footer min/max stats
-            df = df.sortWithinPartitions("station_id", "timestamp")
+            # period reads then skip row groups via footer min/max stats.
+            # station_bucket leads the order so the writer's required
+            # partition-column ordering is a satisfied prefix — otherwise
+            # FileFormatWriter inserts its own sort on station_bucket (a
+            # second pass) and the clustering survives only via sort
+            # stability, an implementation detail.
+            df = df.sortWithinPartitions(
+                "station_bucket", "station_id", "timestamp"
+            )
         elif compact:
             df = df.coalesce(1)
         tmp = self.path(f"_tmp_{table}")
@@ -765,8 +796,11 @@ class Broker:
     ) -> None:
         """Full (re)computation of the warehouse (reference initiate_db,
         broker.py:239-271): load everything, run every stage, stamp the
-        package version, compact."""
+        package version, compact. Tables left behind by an older layout
+        are cleared first — every table is rewritten below, so the
+        per-stage schema check must not block the rebuild."""
         with self.activate():
+            self._clear_invalid_tables()
             self.update_meta(meta)
             self.update_ma_raster(ma)
             for parameter, df in raw.items():

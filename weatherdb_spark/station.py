@@ -72,6 +72,10 @@ class Station:
         )
         if given.is_empty():
             return maxp
+        # A disjoint request collapses to TimestampPeriod(None, None) here
+        # (inner-union semantics); callers must NOT forward that as
+        # unbounded — the reference renders empty bounds as NULL SQL and
+        # returns zero rows (StationBases.py:2490-2494).
         return given.union(maxp, how="inner")
 
     def get_df(
@@ -93,9 +97,20 @@ class Station:
             resolved = [
                 k for k in _check_kinds(self.parameter, kinds) if k != "qn"
             ]
-            period = self._check_period(
-                period, resolved, nas_allowed=False
-            ).strftime()
+            requested = (
+                period if isinstance(period, TimestampPeriod)
+                else TimestampPeriod(*period)
+            )
+            clamped = self._check_period(period, resolved, nas_allowed=False)
+            if clamped.is_empty() and not requested.is_empty():
+                # Requested period is disjoint from the filled period: the
+                # reference returns zero rows, not the whole series.
+                return get_df(
+                    self._ts, self.parameter, kinds=kinds,
+                    period=(None, None), agg_to=agg_to, stids=[self.id],
+                    **kw,
+                ).where(F.lit(False))
+            period = clamped.strftime()
         return get_df(
             self._ts, self.parameter, kinds=kinds, period=period,
             agg_to=agg_to, stids=[self.id], **kw,

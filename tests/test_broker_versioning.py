@@ -1,0 +1,132 @@
+"""Reader-safe table snapshots: Broker.write lands each rewrite in a
+fresh ``_vNNNNN`` dir and flips a one-file manifest pointer, so a reader
+that planned its scan before a rewrite keeps its files (the writer never
+deletes the immediately previous snapshot; only vacuum reclaims all
+superseded ones). The old rmtree+rename swap had a no-table window for
+concurrent readers, who don't hold the broker mutex."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.broker import Broker
+
+
+def _fact(spark, n_rows: int, value: float):
+    return spark.range(n_rows).select(
+        (F.col("id") % 5 + 1).cast("int").alias("station_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + (F.col("id") / 5).cast("int") * F.expr("INTERVAL 1 DAY")
+         ).alias("timestamp"),
+        F.lit(value).alias("raw"),
+    )
+
+
+def _versions(b: Broker, table: str) -> list[str]:
+    return sorted(
+        e for e in os.listdir(b.path(table))
+        if e.startswith("_v") and e[2:].isdigit()
+    )
+
+
+def test_write_creates_snapshot_and_keeps_previous(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 50, 1.0), bucket_by_station=True)
+    assert b.table_version("ts_p") == 1
+    assert _versions(b, "ts_p") == ["_v00001"]
+    b.write("ts_p", _fact(spark, 60, 2.0), bucket_by_station=True)
+    # previous snapshot survives for in-flight readers
+    assert b.table_version("ts_p") == 2
+    assert _versions(b, "ts_p") == ["_v00001", "_v00002"]
+    assert b.read("ts_p").count() == 60
+    b.write("ts_p", _fact(spark, 70, 3.0), bucket_by_station=True)
+    # only current + previous are retained by the write path
+    assert _versions(b, "ts_p") == ["_v00002", "_v00003"]
+    assert b.read("ts_p").count() == 70
+
+
+def test_concurrent_reader_survives_rewrite(spark, tmp_path):
+    """A scan planned before a rewrite completes on its snapshot while
+    the writer swaps the table underneath; a post-swap read sees the new
+    snapshot. With the old rmtree+rename layout the slow scan would hit
+    deleted files."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 200, 1.0), bucket_by_station=True)
+
+    scan = b.read("ts_p")  # resolves the _v00001 file listing
+
+    def slow(batches):
+        for pdf in batches:
+            time.sleep(1.5)
+            yield pdf
+
+    slow_df = scan.mapInPandas(slow, scan.schema)
+    result: dict = {}
+
+    def run():
+        try:
+            result["n"] = slow_df.count()
+        except Exception as exc:  # pragma: no cover - the failure mode
+            result["err"] = exc
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.5)  # let the slow scan start reading _v00001
+    b.write("ts_p", _fact(spark, 10, 2.0), bucket_by_station=True)
+    t.join(timeout=120)
+    assert "err" not in result, f"concurrent reader failed: {result.get('err')}"
+    assert result["n"] == 200  # the reader's snapshot, not the new one
+    assert b.read("ts_p").count() == 10  # post-swap read sees v2
+
+
+def test_legacy_flat_layout_migrates(spark, tmp_path):
+    """A warehouse written before versioning (flat parquet in the table
+    root) reads as-is, counts as snapshot 0 on the first versioned
+    write, and is reclaimed once superseded twice."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    flat = b.path("ts_p")
+    _fact(spark, 40, 1.0).write.parquet(flat)  # pre-versioning layout
+    assert b.table_version("ts_p") is None
+    assert b.exists("ts_p")
+    assert b.read("ts_p").count() == 40
+    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    # legacy files are the "previous snapshot": still on disk for readers
+    assert any(f.endswith(".parquet") for f in os.listdir(flat))
+    assert b.read("ts_p").count() == 50
+    b.write("ts_p", _fact(spark, 60, 3.0), bucket_by_station=True)
+    # superseded twice -> legacy layout reclaimed, _v00001 kept
+    assert not any(f.endswith(".parquet") for f in os.listdir(flat))
+    assert _versions(b, "ts_p") == ["_v00001", "_v00002"]
+    assert b.read("ts_p").count() == 60
+
+
+def test_vacuum_reclaims_superseded_snapshots(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("meta", spark.createDataFrame(
+        [(1, "p")], "station_id int, parameter string"))
+    b.write("meta", spark.createDataFrame(
+        [(1, "p"), (2, "p")], "station_id int, parameter string"))
+    assert _versions(b, "meta") == ["_v00001", "_v00002"]
+    b.vacuum()
+    assert _versions(b, "meta") == ["_v00002"]
+    assert b.read("meta").count() == 2
+
+
+def test_small_dim_writes_are_versioned(spark, tmp_path):
+    """pipeline_state / dropped_stations go through the same manifest
+    flip (driver-side single-file snapshots)."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 20, 1.0), bucket_by_station=True)
+    b._mark("p", "raw", "ts_p")
+    assert b.table_version("pipeline_state") == 1
+    b._mark("p", "qc", "ts_p")
+    assert b.table_version("pipeline_state") == 2
+    assert b.state().count() == 2
+    b.drop_station(1, "p")
+    assert b.table_version("dropped_stations") == 1
+    assert b.read("dropped_stations").count() == 1

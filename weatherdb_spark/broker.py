@@ -75,7 +75,13 @@ def _with_mutex(fn):
 class Broker:
     """Stage-ordered pipeline over a parquet warehouse."""
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        if warehouse_dir is None:
+            # user-config default (reference connects via the configured
+            # database; here the warehouse dir is the analog knob)
+            from weatherdb_spark.userconfig import get_config
+
+            warehouse_dir = get_config().get("engine", "warehouse_dir")
         self.spark = spark
         self.dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
@@ -281,17 +287,90 @@ class Broker:
         self.check_db_schema()
 
     # ---------------------------------------------------------------- io
+    # Tables are MVCC-lite: each rewrite lands in a fresh `_vNNNNN`
+    # snapshot dir inside the table root, then a one-file manifest
+    # pointer flips atomically (os.replace). Readers resolve through the
+    # manifest, so a reader that planned its scan before a rewrite keeps
+    # its snapshot's files — the writer never deletes the immediately
+    # previous version (only vacuum() reclaims all superseded
+    # snapshots). Writers are already serialized by the broker mutex;
+    # this closes the other half: readers don't take the lock, and the
+    # old rmtree+rename swap had a no-table window plus a
+    # files-vanish-mid-scan hazard. Snapshot dirs start with `_` so any
+    # legacy flat-layout reader ignores them during migration (Spark
+    # skips `_`/`.`-prefixed paths in file discovery).
+
+    _MANIFEST = "_MANIFEST.json"
+
     def path(self, table: str) -> str:
+        """The table's root directory (contains snapshot dirs + manifest
+        for versioned tables; raw files for legacy/append-only ones)."""
         return os.path.join(self.dir, table)
 
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.path(table), self._MANIFEST)
+
+    def table_version(self, table: str) -> int | None:
+        """Current snapshot number, or None for a legacy/append-only
+        (unversioned) table layout."""
+        try:
+            with open(self._manifest_path(table)) as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    @staticmethod
+    def _version_dirname(version: int) -> str:
+        return f"_v{version:05d}"
+
+    def data_path(self, table: str, version: int | None = None) -> str:
+        """The directory Spark scans for the table's current (or a
+        pinned) snapshot."""
+        root = self.path(table)
+        v = version if version is not None else self.table_version(table)
+        return root if v is None else os.path.join(root, self._version_dirname(v))
+
+    def _flip_manifest(self, table: str, version: int) -> None:
+        mp = self._manifest_path(table)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version,
+                 "written_at": datetime.now(timezone.utc).isoformat()},
+                fh,
+            )
+        os.replace(tmp, mp)  # atomic pointer flip
+
+    def _cleanup_versions(self, table: str, current: int,
+                          keep_previous: bool = True) -> None:
+        """Reclaim superseded snapshots. The write path keeps the
+        immediately previous snapshot (in-flight readers may hold it);
+        vacuum passes keep_previous=False to reclaim everything below
+        current. Legacy flat-layout files count as snapshot 0."""
+        import shutil
+
+        root = self.path(table)
+        floor = current - 1 if keep_previous else current
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            if entry.startswith("_v") and entry[2:].isdigit():
+                if int(entry[2:]) < floor:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif entry != self._MANIFEST and 0 < floor:
+                # pre-versioning flat layout ("snapshot 0"), superseded
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+
     def exists(self, table: str) -> bool:
-        p = self.path(table)
+        p = self.data_path(table)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.parquet(self.data_path(table))
 
     def write(
         self,
@@ -300,11 +379,18 @@ class Broker:
         bucket_by_station: bool = False,
         compact: bool = False,
     ) -> None:
-        """Write via a temp dir + atomic rename: stage outputs are lazy
-        plans over the same table's current files, so a direct overwrite
-        would delete its own input mid-scan. ``compact=True`` shuffles to
-        one file per station bucket (or one file total for dim tables) —
-        the vacuum path."""
+        """Write a new table snapshot and flip the manifest pointer.
+
+        Stage outputs are lazy plans over the same table's current
+        files, so a direct overwrite would delete its own input
+        mid-scan; writing into a fresh snapshot dir side-steps that, and
+        the manifest flip (one ``os.replace``) means concurrent readers
+        either see the old snapshot or the new one — never a missing or
+        half-written table. The previous snapshot stays on disk for
+        in-flight readers; older ones are reclaimed here, the previous
+        one by :meth:`vacuum`. ``compact=True`` shuffles to one file per
+        station bucket (or one file total for dim tables) — the vacuum
+        path."""
         if bucket_by_station:
             df = df.withColumn(
                 "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
@@ -326,21 +412,18 @@ class Broker:
             )
         elif compact:
             df = df.coalesce(1)
-        tmp = self.path(f"_tmp_{table}")
-        w = df.write.mode("overwrite")
+        new = (self.table_version(table) or 0) + 1
+        target = os.path.join(self.path(table), self._version_dirname(new))
+        w = df.write.mode("overwrite")  # overwrite clears crashed leftovers
         if bucket_by_station:
             w = w.partitionBy("station_bucket")
-        w.parquet(tmp)
-        final = self.path(table)
-        if os.path.isdir(final):
-            import shutil
-
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        w.parquet(target)
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
 
     def _n_parquet_files(self, table: str) -> int:
         n = 0
-        for _root, _dirs, files in os.walk(self.path(table)):
+        for _root, _dirs, files in os.walk(self.data_path(table)):
             n += sum(f.endswith(".parquet") for f in files)
         return n
 
@@ -351,7 +434,10 @@ class Broker:
         task; when a table exceeds ``max_files_per_bucket`` files per
         station bucket (or a dim table exceeds a few files), rewrite it to
         one file per bucket. Content-preserving — only the file layout
-        changes. Returns {table: (files_before, files_after)}."""
+        changes. Also reclaims every superseded table snapshot — the
+        write path keeps the immediately previous one for in-flight
+        readers; vacuum is the declared safe point where those are
+        dropped. Returns {table: (files_before, files_after)}."""
         compacted: dict[str, tuple[int, int]] = {}
         with self.activate():
             for table in sorted(os.listdir(self.dir)):
@@ -362,13 +448,16 @@ class Broker:
                 threshold = (
                     max_files_per_bucket * N_STATION_BUCKETS if bucketed else 4
                 )
-                if n_before <= threshold:
-                    continue
-                df = self.read(table)
-                if bucketed:
-                    df = df.drop("station_bucket")
-                self.write(table, df, bucket_by_station=bucketed, compact=True)
-                compacted[table] = (n_before, self._n_parquet_files(table))
+                if n_before > threshold:
+                    df = self.read(table)
+                    if bucketed:
+                        df = df.drop("station_bucket")
+                    self.write(table, df, bucket_by_station=bucketed,
+                               compact=True)
+                    compacted[table] = (n_before, self._n_parquet_files(table))
+                v = self.table_version(table)
+                if v is not None:
+                    self._cleanup_versions(table, v, keep_previous=False)
         return compacted
 
     def _mark(self, parameter: str, stage: str, table: str) -> None:
@@ -393,14 +482,24 @@ class Broker:
             else None
         )
         out = prev.unionByName(row) if prev is not None else row
-        out.toPandas().to_parquet(
-            os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
-        )
+        self._write_small("pipeline_state", out)
 
     def _ensure_dir(self, table: str) -> str:
         p = self.path(table)
         os.makedirs(p, exist_ok=True)
         return p
+
+    def _write_small(self, table: str, df: DataFrame) -> None:
+        """Driver-side single-file snapshot write for tiny dims
+        (pipeline_state, dropped_stations) — same manifest-flip
+        visibility rules as :meth:`write`, without a Spark job."""
+        self._ensure_dir(table)
+        new = (self.table_version(table) or 0) + 1
+        vdir = os.path.join(self.path(table), self._version_dirname(new))
+        os.makedirs(vdir, exist_ok=True)
+        df.toPandas().to_parquet(os.path.join(vdir, "data.parquet"))
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
 
     def state(self) -> DataFrame:
         return self.read("pipeline_state")
@@ -482,9 +581,7 @@ class Broker:
             )
             row = prev.unionByName(row)
         # tiny dim — single driver-side file, like pipeline_state
-        row.toPandas().to_parquet(
-            os.path.join(self._ensure_dir("dropped_stations"), "dropped.parquet")
-        )
+        self._write_small("dropped_stations", row)
 
     def update_ma_raster(self, ma: DataFrame) -> None:
         """S7 (pre-sampled path) — the multi-annual raster dim arrives
@@ -625,30 +722,62 @@ class Broker:
             "meta", others.unionByName(mine, allowMissingColumns=True)
         )
 
+    @staticmethod
+    def _scope(df: DataFrame, stids) -> DataFrame:
+        """Restrict a station-keyed frame to the given stations (no-op
+        when stids is None)."""
+        if stids is None:
+            return df
+        return df.filter(F.col("station_id").isin([int(s) for s in stids]))
+
+    def _finish_stage(self, table: str, out: DataFrame, stids) -> None:
+        """Persist a stage result: full snapshot rewrite, or — for a
+        per-station scoped run — a bucket-level merge that leaves
+        untouched station buckets byte-identical."""
+        if stids is None:
+            self.write(table, out, bucket_by_station=True)
+        else:
+            self._merge_scoped(table, out, stids)
+
     @_with_mutex
-    def quality_check(self) -> None:
+    def quality_check(self, stids=None) -> None:
         """QC stage: p via window/daily rules, t/et via neighbor median
         (broker.py:412-442 runs p_d fillup first so the daily comparison
-        has data; here ts_p_d raw is the comparison column)."""
+        has data; here ts_p_d raw is the comparison column).
+
+        ``stids``: recompute only the given stations and merge them back
+        (reference ``StationsBase.quality_check(stids=...)``,
+        StationsBase.py:824-857) — a re-imported station doesn't pay a
+        full-table stage. The neighbor-median checks still draw donor
+        series from every station; only the checked set narrows."""
         if self.exists("ts_p"):
-            out_p = qc_p(self.read("ts_p"), self.read("ts_p_d"))
-            self.write("ts_p", out_p, bucket_by_station=True)
+            out_p = qc_p(
+                self._scope(self.read("ts_p"), stids),
+                self._scope(self.read("ts_p_d"), stids),
+            )
+            self._finish_stage("ts_p", out_p, stids)
             self._mark("p", "qc", "ts_p")
 
         if self.exists("ts_t"):
             out_t = qc_t(
-                self.read("ts_t"), self._knn("t"), self._ma_values("t"),
+                self._scope(self.read("ts_t"), stids),
+                self._scope(self._knn("t"), stids),
+                self._ma_values("t"),
                 self.read("meta").filter(F.col("parameter") == "t"),
+                donor_facts=self.read("ts_t") if stids is not None else None,
             )
-            self.write("ts_t", out_t, bucket_by_station=True)
+            self._finish_stage("ts_t", out_t, stids)
             self._mark("t", "qc", "ts_t")
 
         if self.exists("ts_et"):
             out_et = qc_et(
-                self.read("ts_et"), self._knn("et"), self._ma_values("et"),
+                self._scope(self.read("ts_et"), stids),
+                self._scope(self._knn("et"), stids),
+                self._ma_values("et"),
                 self.read("meta").filter(F.col("parameter") == "et"),
+                donor_facts=self.read("ts_et") if stids is not None else None,
             )
-            self.write("ts_et", out_et, bucket_by_station=True)
+            self._finish_stage("ts_et", out_et, stids)
             self._mark("et", "qc", "ts_et")
 
     # fillup output columns per parameter (merged back on incremental runs)
@@ -660,25 +789,31 @@ class Broker:
     }
 
     def _fillup_compute(self, parameter: str, facts: DataFrame,
-                        ts_p_d: DataFrame | None = None) -> DataFrame:
+                        ts_p_d: DataFrame | None = None,
+                        stids=None,
+                        donor_facts: DataFrame | None = None) -> DataFrame:
         """The fillup computation for one parameter's fact table
-        (StationBases.py:1346-1669) — shared by the full stage and the
-        window-bounded incremental stage."""
+        (StationBases.py:1346-1669) — shared by the full stage, the
+        window-bounded incremental stage, and the per-station scoped
+        stage (``stids`` narrows the target knn pairs; ``donor_facts``
+        keeps the donor pool at the full table)."""
         cascade_k = 10  # bound the donor-join blowup; exact (see fillup.py)
         if parameter == "p_d":
             # base col raw, multiplicative yearly MA
             return rank_fill(
-                facts, self._knn("p_d", k=None), self._ma_values("p_d"),
+                facts, self._scope(self._knn("p_d", k=None), stids),
+                self._ma_values("p_d"),
                 coef_sign="mult", base_col="raw", round_digits=2,
-                cascade_k=cascade_k,
+                cascade_k=cascade_k, donor_facts=donor_facts,
             )
         if parameter == "p":
             # seasonal (wihy/suhy) multiplicative coefs, interpolation
             # <= 1h, then scale to the daily measurement
             filled_p = rank_fill(
-                facts, self._knn("p", k=None), self._ma_seasonal("p"),
+                facts, self._scope(self._knn("p", k=None), stids),
+                self._ma_seasonal("p"),
                 coef_sign="mult", base_col="qc", seasonal_ma=True,
-                round_digits=2, cascade_k=cascade_k,
+                round_digits=2, cascade_k=cascade_k, donor_facts=donor_facts,
             )
             filled_p = interpolate_gaps(
                 filled_p, max_gap=PARAMETERS["p"]["max_gap_interp"]
@@ -695,13 +830,14 @@ class Broker:
             # StationT.py:48) a donor is used alone and only when no
             # nearer one exists. additive, min/max in the same pass.
             filled_t = median_fill(
-                facts, self._knn("t", k=None), self._ma_values("t"),
+                facts, self._scope(self._knn("t", k=None), stids),
+                self._ma_values("t"),
                 n_donors=PARAMETERS["t"]["fillup_n_donors"],
                 base_col="qc",
                 value_cols=("qc", "raw_min", "raw_max"),
                 out_cols=("filled", "filled_min", "filled_max"),
                 near_dist_m=PARAMETERS["t"]["fillup_near_dist_km"] * 1000,
-                cascade_k=cascade_k,
+                cascade_k=cascade_k, donor_facts=donor_facts,
             )
             filled_t = interpolate_gaps(
                 filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],
@@ -720,9 +856,10 @@ class Broker:
             # reference — the exit-condition branch requires
             # _filled_by_n > 1, StationBases.py:1436,1467)
             filled_et = rank_fill(
-                facts, self._knn("et", k=None), self._ma_values("et"),
+                facts, self._scope(self._knn("et", k=None), stids),
+                self._ma_values("et"),
                 coef_sign="mult", base_col="qc", round_digits=1,
-                cascade_k=cascade_k,
+                cascade_k=cascade_k, donor_facts=donor_facts,
             )
             return interpolate_gaps(
                 filled_et, max_gap=PARAMETERS["et"]["max_gap_interp"]
@@ -730,17 +867,29 @@ class Broker:
         raise ValueError(f"no fillup for parameter {parameter!r}")
 
     @_with_mutex
-    def fillup(self) -> None:
+    def fillup(self, stids=None) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
         p_d first (raw base), then p (seasonal coefs + daily adjustment),
-        t (5-donor median incl. min/max), et (multiplicative)."""
+        t (5-donor median incl. min/max), et (multiplicative).
+
+        ``stids``: fill only the given stations and merge them back
+        (reference ``StationsBase.fillup(stids=...)``,
+        StationsBase.py:931-966). The donor pool still reads all
+        stations — only the target set narrows."""
         for parameter in ("p_d", "p", "t", "et"):
             table = f"ts_{parameter}"
             if not self.exists(table):
                 continue
-            ts_p_d = self.read("ts_p_d") if parameter == "p" else None
-            out = self._fillup_compute(parameter, self.read(table), ts_p_d)
-            self.write(table, out, bucket_by_station=True)
+            full = self.read(table)
+            ts_p_d = (
+                self._scope(self.read("ts_p_d"), stids)
+                if parameter == "p" else None
+            )
+            out = self._fillup_compute(
+                parameter, self._scope(full, stids), ts_p_d, stids=stids,
+                donor_facts=full if stids is not None else None,
+            )
+            self._finish_stage(table, out, stids)
             self._mark(parameter, "filled", table)
 
     def _est_station_days(
@@ -772,20 +921,26 @@ class Broker:
         return n_stations * max(n_days, 0)
 
     @_with_mutex
-    def richter_correct_stage(self) -> None:
+    def richter_correct_stage(self, stids=None) -> None:
         """Richter correction (p only, StationP.py:486-652). Requires the
         fillup stage (T filled drives the precip type). No-op on a
-        warehouse without 10-min precipitation or temperature."""
+        warehouse without 10-min precipitation or temperature.
+
+        ``stids``: correct only the given stations and merge them back
+        (the correction is per-station — T filled of the same station
+        drives the precip type — so scoping cuts the whole compute)."""
         if not (self.exists("ts_p") and self.exists("ts_t")):
             return
-        ts_p = self.read("ts_p")
-        ts_t = self.read("ts_t").select("station_id", "timestamp", "filled")
+        ts_p = self._scope(self.read("ts_p"), stids)
+        ts_t = self._scope(
+            self.read("ts_t"), stids
+        ).select("station_id", "timestamp", "filled")
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
         out = richter_correct(
             ts_p, ts_t, meta_p, richter_parameters_df(self.spark),
             est_station_days=self._est_station_days("p"),
         )
-        self.write("ts_p", out, bucket_by_station=True)
+        self._finish_stage("ts_p", out, stids)
         self._mark("p", "corr", "ts_p")
 
     def initiate_db(
@@ -883,9 +1038,7 @@ class Broker:
             else None
         )
         out = prev.unionByName(row) if prev is not None else row
-        out.toPandas().to_parquet(
-            os.path.join(self._ensure_dir("pipeline_state"), "state.parquet")
-        )
+        self._write_small("pipeline_state", out)
         # imports extend the raw periods — keep meta's bookkeeping fresh
         # like the reference's import path (StationBases.py:969-1018)
         self.update_period_meta(parameter)
@@ -936,6 +1089,66 @@ class Broker:
             cur, upd, keys=["station_id", "timestamp"], value_cols=cols
         ).drop("_merge_action")
         self.write(table, merged, bucket_by_station=True)
+
+    def _merge_scoped(self, table: str, out: DataFrame, stids) -> None:
+        """Merge a per-station stage result back, rewriting ONLY the
+        station buckets the stids map to; every untouched bucket's files
+        are hard-linked from the previous snapshot into the new one —
+        byte-identical, no data pass (the parquet twin of the
+        reference's per-station UPDATE; on a lakehouse this is snapshot
+        manifest reuse of unchanged files). Falls back to a full rewrite
+        when the table still has the legacy flat layout or the scoped
+        output changes the table schema (e.g. the first-ever fillup adds
+        the ``filled`` column — bucket files must not diverge in
+        schema)."""
+        import shutil
+
+        stid_list = sorted({int(s) for s in stids})
+        buckets = {s % N_STATION_BUCKETS for s in stid_list}
+        cur_v = self.table_version(table)
+        cur = self.read(table)
+        out = self._scope(out, stid_list).drop("station_bucket")
+        cur_types = {f.name: f.dataType for f in cur.schema.fields
+                     if f.name != "station_bucket"}
+        out_types = {f.name: f.dataType for f in out.schema.fields}
+        if cur_v is None or cur_types != out_types:
+            keep = cur.drop("station_bucket").filter(
+                ~F.col("station_id").isin(stid_list)
+            )
+            self.write(
+                table, keep.unionByName(out, allowMissingColumns=True),
+                bucket_by_station=True,
+            )
+            return
+        # rows of OTHER stations sharing a touched bucket carry over
+        bucket_of = F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+        carry = cur.drop("station_bucket").filter(
+            bucket_of.isin(list(buckets))
+            & ~F.col("station_id").isin(stid_list)
+        )
+        merged = out.unionByName(carry).withColumn(
+            "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+        ).sortWithinPartitions("station_bucket", "station_id", "timestamp")
+        new = cur_v + 1
+        vdir = os.path.join(self.path(table), self._version_dirname(new))
+        merged.write.mode("overwrite").partitionBy("station_bucket").parquet(vdir)
+        prev = self.data_path(table, cur_v)
+        for entry in os.listdir(prev):
+            if not entry.startswith("station_bucket="):
+                continue
+            if int(entry.split("=", 1)[1]) in buckets:
+                continue
+            src, dst = os.path.join(prev, entry), os.path.join(vdir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if not fname.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+                except OSError:  # cross-device / no-hardlink filesystem
+                    shutil.copy2(os.path.join(src, fname), os.path.join(dst, fname))
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
 
     def update_ma_timeserie(
         self,

@@ -17,9 +17,10 @@ EXTRA_COVERED_BY = {
     "dedup_simhash": "dedup_simhash_exact",
     "a5_hole_census": "a5_hole_census_bounded",
     "multimodal_resize": "multimodal_decode",
-    # the LSH variant is the documented scale path of the brute baseline;
-    # its oracle-checked gate verifies precision 1 + recall vs that sibling
-    "embedding_cosine_pairs_lsh": "embedding_cosine_pairs",
+    # the brute O(n^2) baseline is the ground truth for the official LSH
+    # scale path (which value-matches a mirrored-pipeline oracle and is
+    # recall-gated against this sibling in pytest)
+    "embedding_cosine_pairs": "embedding_cosine_pairs_lsh",
 }
 
 # the five operators that silently fell off the cap in round 2

@@ -83,6 +83,7 @@ def rank_fill(
     seasonal_ma: bool = False,
     round_digits: int | None = 2,
     cascade_k: int | None = None,
+    donor_facts: DataFrame | None = None,
 ) -> DataFrame:
     """P/ET/PD fillup: fill NULL ``base_col`` with the first non-null
     regionalized donor value in neighbor-rank order; record the donor in
@@ -106,9 +107,13 @@ def rank_fill(
     ``ma``: (station_id, value) or, when ``seasonal_ma``, (station_id,
     term, value) with term in ('wihy', 'suhy') — P uses separate
     winter/summer regionalization factors (StationBases.py:1406-1425).
+    ``donor_facts``: donor pool override for per-station scoped runs
+    (``Broker.fillup(stids=...)``) — targets narrow to ``facts`` while
+    donors still draw from the full table. Defaults to ``facts``.
     Returns facts + ``filled``, ``filled_by``.
     """
-    donor_facts = facts.filter(F.col(base_col).isNotNull()).select(
+    donor_src = donor_facts if donor_facts is not None else facts
+    donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
         F.col("station_id").alias("nb_station_id"),
         F.col(ts_col),
         F.col(base_col).alias("_nb_val"),
@@ -196,6 +201,7 @@ def median_fill(
     round_digits: int | None = 1,
     near_dist_m: float | None = None,
     cascade_k: int | None = None,
+    donor_facts: DataFrame | None = None,
 ) -> DataFrame:
     """T fillup: fill with the exact median of the first ``n_donors``
     non-null regionalized donors in rank order; ``filled_by`` is the array
@@ -223,8 +229,12 @@ def median_fill(
 
     ``value_cols``/``out_cols`` handle T's (qc, raw_min, raw_max) ->
     (filled, filled_min, filled_max) triple in one pass.
+
+    ``donor_facts``: donor pool override for per-station scoped runs —
+    see :func:`rank_fill`. Defaults to ``facts``.
     """
-    donor_facts = facts.filter(F.col(base_col).isNotNull()).select(
+    donor_src = donor_facts if donor_facts is not None else facts
+    donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
         F.col("station_id").alias("nb_station_id"),
         F.col(ts_col),
         *[F.col(c).alias(f"_nbv_{c}") for c in value_cols],

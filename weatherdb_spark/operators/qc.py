@@ -181,6 +181,7 @@ def qc_t(
     max_dev: float = 5.0,
     abs_bound: float = 50.0,
     inversion_elev: float = 800.0,
+    donor_facts: DataFrame | None = None,
 ) -> DataFrame:
     """QC-T — daily temperature neighbor-median check
     (StationT.py:89-119, Methode.md:36-61).
@@ -188,8 +189,16 @@ def qc_t(
     NULL own raw where |raw - med| > 5 °C — but for stations above 800 m in
     winter only the lower test applies (temperature inversion,
     StationT.py:90-105) — or |raw| > 50 °C.
+
+    ``donor_facts``: neighbor-series pool override for per-station
+    scoped runs (``Broker.quality_check(stids=...)``) — the checked
+    rows narrow to ``ts_t`` while the median still draws on every
+    station's series. Defaults to ``ts_t``.
     """
-    med = regionalized_neighbor_median(ts_t, knn, ma, coef_sign="add")
+    med = regionalized_neighbor_median(
+        donor_facts if donor_facts is not None else ts_t,
+        knn, ma, coef_sign="add",
+    )
     elev = meta.select("station_id", F.col("stationshoehe").alias("_elev"))
     joined = ts_t.join(med, ["station_id", "timestamp"], "left").join(
         F.broadcast(elev), "station_id", "left"
@@ -220,6 +229,7 @@ def qc_et(
     lower_min: float = 2.0,
     max_value: float = 20.0,
     inversion_elev: float = 800.0,
+    donor_facts: DataFrame | None = None,
 ) -> DataFrame:
     """QC-ET — daily evapotranspiration neighbor-median check
     (StationET.py:71-100).
@@ -230,8 +240,14 @@ def qc_et(
     winter ET plausible, StationET.py:72-85) — pass ``meta`` with the
     ``stationshoehe`` column to enable the gate (no meta = gate off,
     matching the reference when elevation is unknown).
+
+    ``donor_facts``: neighbor-series pool override for scoped runs —
+    see :func:`qc_t`. Defaults to ``ts_et``.
     """
-    med = regionalized_neighbor_median(ts_et, knn, ma, coef_sign="mult")
+    med = regionalized_neighbor_median(
+        donor_facts if donor_facts is not None else ts_et,
+        knn, ma, coef_sign="mult",
+    )
     joined = ts_et.join(med, ["station_id", "timestamp"], "left")
     upper_fail = (F.col("raw") > upper_factor * F.col("med")) & (F.col("raw") > upper_min)
     lower_fail = (F.col("raw") * lower_factor < F.col("med")) & (F.col("raw") > lower_min)

@@ -1,0 +1,91 @@
+"""User-config layer round trip (reference ConfigParser semantics,
+weatherdb/config/ConfigParser.py:333-544): create a commented copy of
+the defaults, edit it, reload, and the engine honors the overridden
+knobs (Broker warehouse dir, timeline min_date); env vars override
+last."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark import userconfig
+from weatherdb_spark.broker import Broker
+from weatherdb_spark.config import MIN_DATE
+
+
+@pytest.fixture()
+def cfg(tmp_path, monkeypatch):
+    monkeypatch.setenv("WEATHERDB_SPARK_MAIN_CONFIG_DIR", str(tmp_path / "main"))
+    monkeypatch.delenv("WEATHERDB_SPARK_USER_CONFIG_FILE", raising=False)
+    monkeypatch.delenv("WEATHERDB_SPARK_WAREHOUSE_DIR", raising=False)
+    monkeypatch.delenv("WEATHERDB_SPARK_MIN_DATE", raising=False)
+    yield userconfig.get_config(reload=True)
+    # drop the singleton; the next get_config() rebuilds AFTER monkeypatch
+    # has restored the environment (fixture finalizers run before it)
+    userconfig._config = None
+
+
+def test_defaults_without_user_config(cfg):
+    assert not cfg.has_user_config
+    assert cfg.get("data", "min_date") == MIN_DATE
+    assert cfg.getint("engine", "n_station_buckets") == 16
+    with pytest.raises(FileNotFoundError):
+        cfg.load_user_config()  # raise_undefined_error default
+
+
+def test_create_edit_load_roundtrip(cfg, tmp_path):
+    path = cfg.create_user_config(tmp_path / "user.ini")
+    # a fresh copy is all comments -> loading it changes nothing
+    cfg.load_user_config()
+    assert cfg.get("data", "min_date") == MIN_DATE
+    with pytest.raises(FileExistsError):
+        cfg.create_user_config(path)  # on_exists defaults to error
+    cfg.create_user_config(path, on_exists="define")  # pointer only
+    # edit two knobs, reload from scratch (fresh process simulation)
+    cfg.update_user_config("data", "min_date", "2005-06-01")
+    cfg.update_user_config("engine", "warehouse_dir",
+                           str(tmp_path / "wh_from_config"))
+    fresh = userconfig.get_config(reload=True)
+    assert fresh.has_user_config
+    assert fresh.user_config_file == str(path)
+    assert fresh.get("data", "min_date") == "2005-06-01"
+    assert fresh.get("engine", "warehouse_dir").endswith("wh_from_config")
+
+
+def test_env_overrides_win(cfg, tmp_path, monkeypatch):
+    cfg.create_user_config(tmp_path / "user.ini")
+    cfg.update_user_config("data", "min_date", "2005-06-01")
+    monkeypatch.setenv("WEATHERDB_SPARK_MIN_DATE", "2010-02-03")
+    fresh = userconfig.get_config(reload=True)
+    assert fresh.get("data", "min_date") == "2010-02-03"
+
+
+def test_broker_and_timeline_honor_config(cfg, tmp_path, spark):
+    cfg.create_user_config(tmp_path / "user.ini")
+    wh = str(tmp_path / "wh_cfg")
+    cfg.update_user_config("engine", "warehouse_dir", wh)
+    cfg.update_user_config("data", "min_date", "2024-01-05")
+    userconfig.get_config(reload=True)
+
+    b = Broker(spark)  # no dir argument -> config
+    assert b.dir == wh
+    assert os.path.isdir(wh)
+
+    # update_raw applies no cut itself (min_date=None there), so probe
+    # the operator default directly: rows before the configured min_date
+    # are cut on timeline expansion
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    raw = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(i))
+         for i in range(10)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    out = expand_timeline(raw, interval="1 day")
+    lo = out.agg(F.min("timestamp")).first()[0]
+    assert lo == dt.datetime(2024, 1, 5)
+    assert out.count() == 6  # days 5..10

@@ -47,14 +47,20 @@ def expand_timeline(
     group_cols: Sequence[str] = ("station_id",),
     start: str | None = None,
     end: str | None = None,
-    min_date: str | None = MIN_DATE,
+    min_date: str | None = "__config__",
 ) -> DataFrame:
     """Return ``df`` with missing grid timestamps inserted as NULL rows.
 
     ``interval`` is a Spark interval literal ('10 minutes', '1 day').
     ``start``/``end`` override the per-group observed bounds (the reference
     uses the global ``parameter_variables`` bounds, models.py:239-254).
+    ``min_date`` defaults to the user-config [data] min_date (shipped
+    default MIN_DATE); pass None for no cut.
     """
+    if min_date == "__config__":
+        from weatherdb_spark.userconfig import get_config
+
+        min_date = get_config().get("data", "min_date", fallback=MIN_DATE)
     bounds = df.groupBy(*group_cols).agg(
         F.min(ts_col).alias("_start"), F.max(ts_col).alias("_end")
     )

@@ -1,0 +1,208 @@
+"""User configuration layered over the engine defaults.
+
+The engine twin of the reference's ConfigParser
+(weatherdb/config/ConfigParser.py:333-544): a shipped
+``config_default.ini`` holds the defaults; ``create_user_config`` copies
+it (options commented out) to a user-owned ini whose location is
+remembered in a small main config; ``load_user_config`` layers the user
+file over the defaults; environment variables override last. Unlike the
+reference there are no interactive tkinter/input prompts — every
+``on_exists`` / ``if_not_existing`` policy is an explicit argument — and
+no database-credential handling (the warehouse is parquet).
+
+Environment variables (checked at load, reference
+ConfigParser.load_environment_variables:609-657):
+
+- ``WEATHERDB_SPARK_USER_CONFIG_FILE`` — user config location (wins
+  over the main-config pointer)
+- ``WEATHERDB_SPARK_WAREHOUSE_DIR`` — overrides [engine] warehouse_dir
+- ``WEATHERDB_SPARK_MIN_DATE`` — overrides [data] min_date
+- ``WEATHERDB_SPARK_MAIN_CONFIG_DIR`` — where the pointer file lives
+  (default ``~/.config/weatherdb_spark``)
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+import re
+from pathlib import Path
+
+_DEFAULT_CONFIG_FILE = Path(__file__).parent / "config_default.ini"
+
+_ENV_OVERRIDES = [
+    # (env var, section, option)
+    ("WEATHERDB_SPARK_WAREHOUSE_DIR", "engine", "warehouse_dir"),
+    ("WEATHERDB_SPARK_MIN_DATE", "data", "min_date"),
+]
+
+
+class UserConfig(configparser.ConfigParser):
+    """Defaults + user ini + environment variables, in that order."""
+
+    def __init__(self) -> None:
+        super().__init__(interpolation=configparser.ExtendedInterpolation())
+        self.read(_DEFAULT_CONFIG_FILE, encoding="utf-8")
+        self._read_main_config()
+        self.load_user_config(raise_undefined_error=False,
+                              if_not_existing="ignore")
+        self.load_environment_variables()
+
+    # ------------------------------------------------------- main config
+    # A tiny pointer file remembering where the user config lives — the
+    # reference's config_main.ini (kept outside the package so installs
+    # stay pristine).
+
+    @property
+    def _main_config_dir(self) -> Path:
+        override = os.environ.get("WEATHERDB_SPARK_MAIN_CONFIG_DIR")
+        if override:
+            return Path(override)
+        return Path("~/.config/weatherdb_spark").expanduser()
+
+    @property
+    def _main_config_file(self) -> Path:
+        return self._main_config_dir / "config_main.ini"
+
+    def _read_main_config(self) -> None:
+        main = configparser.ConfigParser()
+        main.read(self._main_config_file, encoding="utf-8")
+        if main.has_option("main", "user_config_file"):
+            if not self.has_section("main"):
+                self.add_section("main")
+            self.set("main", "user_config_file",
+                     main.get("main", "user_config_file"))
+
+    def _write_main_config(self) -> None:
+        self._main_config_dir.mkdir(parents=True, exist_ok=True)
+        main = configparser.ConfigParser()
+        main.add_section("main")
+        main.set("main", "user_config_file",
+                 self.get("main", "user_config_file"))
+        with open(self._main_config_file, "w") as fh:
+            main.write(fh)
+
+    # -------------------------------------------------------- user config
+    @property
+    def has_user_config(self) -> bool:
+        """Reference ConfigParser.has_user_config:308-316."""
+        return (
+            self.has_option("main", "user_config_file")
+            or "WEATHERDB_SPARK_USER_CONFIG_FILE" in os.environ
+        )
+
+    @property
+    def user_config_file(self) -> str | None:
+        """Reference ConfigParser.user_config_file:319-330 — the env var
+        wins over the main-config pointer."""
+        env = os.environ.get("WEATHERDB_SPARK_USER_CONFIG_FILE")
+        if env:
+            return env
+        if self.has_option("main", "user_config_file"):
+            return self.get("main", "user_config_file")
+        return None
+
+    def create_user_config(self, user_config_file: str | os.PathLike,
+                           on_exists: str = "error") -> str:
+        """Create a user config file: the defaults with every option line
+        commented out, ready to uncomment and edit (reference
+        create_user_config:333-433 writes ``; ``-prefixed lines).
+
+        ``on_exists``: 'error' raises, 'overwrite' rewrites the file,
+        'define' only records the location.
+        Returns the file path and records it in the main config."""
+        path = Path(user_config_file)
+        write = True
+        if path.exists():
+            if on_exists[0].lower() == "e":
+                raise FileExistsError(
+                    f"user config file already exists at {path}"
+                )
+            if on_exists[0].lower() == "d":
+                write = False
+            elif on_exists[0].lower() != "o":
+                raise ValueError(
+                    f"on_exists {on_exists!r} not in "
+                    "('error', 'overwrite', 'define')"
+                )
+        if write:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(_DEFAULT_CONFIG_FILE) as default_f, \
+                    open(path, "w") as user_f:
+                for line in default_f:
+                    if not re.match(r"^\[|;", line) and line.strip():
+                        line = "; " + line
+                    user_f.write(line)
+        if not self.has_section("main"):
+            self.add_section("main")
+        self.set("main", "user_config_file", str(path))
+        self._write_main_config()
+        return str(path)
+
+    def load_user_config(self, raise_undefined_error: bool = True,
+                         if_not_existing: str = "error") -> None:
+        """(Re)layer the user config over the defaults (reference
+        load_user_config:435-491, minus the interactive branches).
+
+        ``if_not_existing``: 'error' raises when the recorded file is
+        missing, 'ignore' keeps the defaults, 'remove' clears the
+        recorded location."""
+        if not self.has_user_config:
+            if raise_undefined_error:
+                raise FileNotFoundError("no user config file defined")
+            return
+        path = Path(self.user_config_file)
+        if path.exists():
+            self.read(path, encoding="utf-8")
+        elif if_not_existing[0].lower() == "r":
+            self.remove_option("main", "user_config_file")
+        elif if_not_existing[0].lower() != "i":
+            raise FileNotFoundError(f"user config file not found at {path}")
+
+    def update_user_config(self, section: str, option: str,
+                           value: str) -> None:
+        """Set an option and persist it into the user config file
+        (reference update_user_config:525-607)."""
+        if not self.has_user_config:
+            raise FileNotFoundError(
+                "no user config file defined — create_user_config first"
+            )
+        path = Path(self.user_config_file)
+        user = configparser.ConfigParser()
+        user.read(path, encoding="utf-8")
+        if not user.has_section(section):
+            user.add_section(section)
+        user.set(section, option, value)
+        with open(path, "w") as fh:
+            user.write(fh)
+        if not self.has_section(section):
+            self.add_section(section)
+        self.set(section, option, value)
+
+    # -------------------------------------------------------- environment
+    def load_environment_variables(self) -> None:
+        for var, section, option in _ENV_OVERRIDES:
+            if var in os.environ:
+                if not self.has_section(section):
+                    self.add_section(section)
+                self.set(section, option, os.environ[var])
+
+
+_config: UserConfig | None = None
+
+
+def get_config(reload: bool = False) -> UserConfig:
+    """The process-wide configuration (reference ``weatherdb.config``
+    module object). ``reload=True`` rebuilds it from disk + env."""
+    global _config
+    if _config is None or reload:
+        _config = UserConfig()
+    return _config
+
+
+def create_user_config(user_config_file, on_exists: str = "error") -> str:
+    return get_config().create_user_config(user_config_file, on_exists)
+
+
+def load_user_config(**kw) -> None:
+    get_config().load_user_config(**kw)

@@ -1,0 +1,96 @@
+"""Offline update-meta / update-raw CLI commands (reference
+cli.py:167-193, minus the FTP download — the SURVEY §7.4 non-goal):
+ingest a directory of DWD-format zips and a station-list text file into
+a fresh warehouse, completing CLI parity the way ingest-ma-rasters did
+for S12."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.broker import Broker
+from weatherdb_spark.cli import main
+
+PRODUKT_P_HIST = (
+    "STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor\n"
+    "  44;202401010000;3;10;0.10;1;eor\n"
+    "  44;202401010010;3;10;-999;1;eor\n"
+    "  44;202401010020;3;10;0.30;1;eor\n"
+    "  44;202401010030;3;10;-0.10;1;eor\n"
+)
+PRODUKT_P_RECENT = (
+    "STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor\n"
+    "  44;202401010020;1;10;9.90;1;eor\n"
+    "  44;202401010040;1;10;0.40;1;eor\n"
+)
+PRODUKT_T = (
+    "STATIONS_ID;MESS_DATUM;QN_4;TMK;TNK;TXK;eor\n"
+    "  44;20240101;3;1.5;-2.0;5.0;eor\n"
+    "  44;20240102;3;-999;-999;-999;eor\n"
+    "  71;20240101;3;-4.0;-8.0;0.5;eor\n"
+)
+META_TXT = (
+    "Stations_id von_datum bis_datum Stationshoehe geoBreite geoLaenge Stationsname Bundesland\n"
+    "----------- --------- --------- ------------- --------- --------- ----------- ----------\n"
+    "00044 19690101 20240101            44     52.9336    8.2370 Großenkneten  Niedersachsen\n"
+    "00071 20091201 20191231           759     48.2156    8.9784 Albstadt-Badkap  Baden-Württemberg\n"
+)
+
+
+@pytest.fixture()
+def dwd_dirs(tmp_path):
+    p_dir = tmp_path / "p_zips"
+    p_dir.mkdir()
+    with zipfile.ZipFile(p_dir / "10minutenwerte_nieder_00044_hist.zip", "w") as zf:
+        zf.writestr("produkt_zehn_min_rr_00044.txt", PRODUKT_P_HIST)
+        zf.writestr("Metadaten_Parameter_00044.txt", "ignored")
+    with zipfile.ZipFile(p_dir / "10minutenwerte_nieder_00044_now.zip", "w") as zf:
+        zf.writestr("produkt_zehn_min_rr_00044.txt", PRODUKT_P_RECENT)
+    t_dir = tmp_path / "t_files"
+    t_dir.mkdir()
+    (t_dir / "produkt_klima_tag_00044.txt").write_text(PRODUKT_T)
+    meta_file = tmp_path / "zehn_min_rr_Beschreibung_Stationen.txt"
+    meta_file.write_text(META_TXT, encoding="WINDOWS-1252")
+    return str(p_dir), str(t_dir), str(meta_file)
+
+
+def test_cli_update_meta_and_raw(spark, tmp_path, dwd_dirs):
+    p_dir, t_dir, meta_file = dwd_dirs
+    wh = str(tmp_path / "wh")
+
+    assert main(["update-meta", "--warehouse", wh, "--file", meta_file,
+                 "--parameters", "p", "t"]) == 0
+    b = Broker(spark, wh)
+    meta = b.read("meta")
+    assert meta.count() == 4  # 2 stations x 2 parameters
+    r44 = meta.filter((F.col("station_id") == 44)
+                      & (F.col("parameter") == "p")).first()
+    assert r44["stationshoehe"] == 44
+    assert r44["x_utm"] is not None  # UTM derived from lon/lat
+    # a second run upserts (no duplicates)
+    assert main(["update-meta", "--warehouse", wh, "--file", meta_file,
+                 "--parameters", "p"]) == 0
+    assert b.read("meta").count() == 4
+
+    assert main(["update-raw", "--warehouse", wh, "--dir", p_dir,
+                 "-p", "p"]) == 0
+    ts_p = b.read("ts_p")
+    rows = {r["timestamp"].isoformat(): r["raw"]
+            for r in ts_p.filter(F.col("station_id") == 44).collect()}
+    assert rows["2024-01-01T00:00:00"] == 0.10
+    assert rows["2024-01-01T00:10:00"] is None   # -999 sentinel
+    assert rows["2024-01-01T00:20:00"] == 0.30   # hist wins over now (F7)
+    assert rows["2024-01-01T00:30:00"] is None   # negative scrub (F6)
+    assert rows["2024-01-01T00:40:00"] == 0.40
+
+    assert main(["update-raw", "--warehouse", wh, "--dir", t_dir,
+                 "-p", "t"]) == 0
+    ts_t = b.read("ts_t")
+    t44 = {r["timestamp"].isoformat(): (r["raw"], r["raw_min"], r["raw_max"])
+           for r in ts_t.filter(F.col("station_id") == 44).collect()}
+    assert t44["2024-01-01T00:00:00"] == (1.5, -2.0, 5.0)  # negatives kept
+    assert t44["2024-01-02T00:00:00"] == (None, None, None)
+    assert ts_t.filter(F.col("station_id") == 71).count() == 1

@@ -8,11 +8,16 @@ parameter — the per-station parallel loop is the partitioning, the flags
 become a ``pipeline_state`` watermark table
 (models.py:100-110, StationBases.py:969-1018).
 
-Storage is a parquet warehouse directory::
+Storage is a parquet warehouse directory; each table is a set of
+versioned snapshots behind a one-file manifest pointer (see the io
+section — readers never observe a half-swapped table)::
 
     warehouse/
       meta/            station dim (one row per station+parameter)
-      ts_p/ ts_p_d/ ts_t/ ts_et/     tall fact tables
+        _MANIFEST.json     current-snapshot pointer (atomic flip)
+        _v00001/ ...       snapshot dirs (previous kept for readers)
+      ts_p/ ts_p_d/ ts_t/ ts_et/     tall fact tables (same layout,
+                                     partitioned by station bucket)
       station_ma_raster/             multi-annual dim
       pipeline_state/                stage watermarks
 
@@ -278,13 +283,72 @@ class Broker:
         self._db_schema_valid = False
         return removed
 
+    # Warehouse layout versions (the engine's alembic revisions):
+    #   1 = flat table dirs (parquet files directly in <table>/)
+    #   2 = versioned snapshots (<table>/_vNNNNN/ + _MANIFEST.json)
+    # Reads handle both (data_path falls back to the root when no
+    # manifest exists), so migration is optional — but explicit
+    # upgrade/downgrade mirrors the reference's alembic upgrade AND
+    # downgrade support (tests/test_emptyDB.py:38-53).
+    LAYOUT_VERSION = 2
+
+    #: tables appended to in place (no snapshot swap) — never migrated
+    _APPEND_ONLY = {"export_telemetry"}
+
+    def _data_tables(self) -> list[str]:
+        return sorted(
+            t for t in os.listdir(self.dir)
+            if os.path.isdir(self.path(t))
+            and not t.startswith("_tmp_")
+            and t not in self._APPEND_ONLY
+        )
+
     def upgrade_db_schema(self) -> None:
         """Migrate older warehouse layouts forward (reference
-        upgrade-db-schema CLI / alembic upgrade). The parquet warehouse
-        has had one layout so far, so this only re-validates; future
-        layout changes add their migrations here."""
+        upgrade-db-schema CLI / alembic upgrade): flat (layout 1) tables
+        move into a ``_v00001`` snapshot behind a manifest pointer
+        (layout 2), then the key columns re-validate."""
+        for table in self._data_tables():
+            if self.table_version(table) is not None:
+                continue
+            root = self.path(table)
+            entries = [e for e in os.listdir(root)
+                       if not e.startswith(("_v", self._MANIFEST))]
+            if not entries:
+                continue
+            vdir = os.path.join(root, self._version_dirname(1))
+            os.makedirs(vdir, exist_ok=True)
+            for e in entries:
+                os.rename(os.path.join(root, e), os.path.join(vdir, e))
+            self._flip_manifest(table, 1)
+        self.set_setting("layout", str(self.LAYOUT_VERSION))
         self._db_schema_valid = False
         self.check_db_schema()
+
+    def downgrade_db_schema(self) -> None:
+        """Roll the warehouse layout back one revision (reference alembic
+        downgrade, tests/test_emptyDB.py:38-53): the current snapshot's
+        files move up into the flat table root, manifests and superseded
+        snapshots are removed. Content-preserving — an older engine
+        version can then read the warehouse directly."""
+        import shutil
+
+        with self.activate():
+            for table in self._data_tables():
+                v = self.table_version(table)
+                if v is None:
+                    continue
+                root = self.path(table)
+                vdir = self.data_path(table, v)
+                for e in os.listdir(vdir):
+                    os.rename(os.path.join(vdir, e), os.path.join(root, e))
+                for e in os.listdir(root):
+                    p = os.path.join(root, e)
+                    if e.startswith("_v") and e[2:].isdigit():
+                        shutil.rmtree(p, ignore_errors=True)
+                    elif e.startswith(self._MANIFEST):
+                        os.remove(p)
+            self.set_setting("layout", "1")
 
     # ---------------------------------------------------------------- io
     # Tables are MVCC-lite: each rewrite lands in a fresh `_vNNNNN`
@@ -367,6 +431,39 @@ class Broker:
         p = self.data_path(table)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    # ------------------------------------------------- period memo cache
+    # The reference memoizes resolved station periods for one minute
+    # (StationBases.py:313-356 _check_period cache) so a chatty notebook
+    # session doesn't pay one aggregation job per read. Entries are keyed
+    # by table + query shape and pinned to the table's snapshot version —
+    # any write flips the manifest, which invalidates the entry without
+    # writer-side bookkeeping (correct across brokers too).
+
+    PERIOD_CACHE_TTL = 60.0
+
+    def cache_lookup(self, table: str, key: tuple):
+        import time
+
+        entry = getattr(self, "_memo_cache", {}).get((table, key))
+        if entry is None:
+            return None
+        expires, version, value = entry
+        if time.monotonic() > expires or version != self.table_version(table):
+            del self._memo_cache[(table, key)]
+            return None
+        return value
+
+    def cache_store(self, table: str, key: tuple, value) -> None:
+        import time
+
+        if not hasattr(self, "_memo_cache"):
+            self._memo_cache = {}
+        self._memo_cache[(table, key)] = (
+            time.monotonic() + self.PERIOD_CACHE_TTL,
+            self.table_version(table),
+            value,
         )
 
     def read(self, table: str) -> DataFrame:
@@ -523,10 +620,29 @@ class Broker:
             meta = meta.withColumn("x_utm", F.round(x, 2)).withColumn(
                 "y_utm", F.round(y, 2)
             )
-        if not {"lon", "lat"} <= cols and {"x_utm", "y_utm"} <= cols:
+        elif not {"lon", "lat"} <= cols and {"x_utm", "y_utm"} <= cols:
             lon, lat = utm_to_wgs84(F.col("x_utm"), F.col("y_utm"))
             meta = meta.withColumn("lon", F.round(lon, 6)).withColumn(
                 "lat", F.round(lat, 6)
+            )
+        elif {"x_utm", "y_utm", "lon", "lat"} <= cols:
+            # mixed sources (e.g. an upsert union of UTM-bearing rows with
+            # WGS84-only DWD rows): derive per ROW whichever pair is NULL
+            x, y = wgs84_to_utm(F.col("lon"), F.col("lat"))
+            lon, lat = utm_to_wgs84(F.col("x_utm"), F.col("y_utm"))
+            meta = (
+                meta.withColumn(
+                    "x_utm", F.coalesce(F.col("x_utm"), F.round(x, 2))
+                )
+                .withColumn(
+                    "y_utm", F.coalesce(F.col("y_utm"), F.round(y, 2))
+                )
+                .withColumn(
+                    "lon", F.coalesce(F.col("lon"), F.round(lon, 6))
+                )
+                .withColumn(
+                    "lat", F.coalesce(F.col("lat"), F.round(lat, 6))
+                )
             )
         if "horizon" in meta.columns:
             meta = meta.withColumn("richter_class", richter_class(F.col("horizon")))
@@ -542,6 +658,24 @@ class Broker:
                 "left_anti",
             )
         self.write("meta", meta)
+
+    @_with_mutex
+    def upsert_meta(self, meta: DataFrame) -> None:
+        """Merge new meta rows into the existing dim by
+        (station_id, parameter) — the reference's ON CONFLICT meta upsert
+        (StationsBase.py:147-222) refreshes one station class without
+        touching the others' rows; :meth:`update_meta` by contrast
+        rewrites the whole dim. Existing rows with the same key are
+        replaced; rows of other parameters/stations pass through."""
+        if self.exists("meta"):
+            cur = self.read("meta")
+            keep = cur.join(
+                F.broadcast(meta.select("station_id", "parameter").distinct()),
+                ["station_id", "parameter"],
+                "left_anti",
+            )
+            meta = keep.unionByName(meta, allowMissingColumns=True)
+        self.update_meta(meta)
 
     @_with_mutex
     def drop_station(self, station_id: int, parameter: str,

@@ -50,10 +50,34 @@ def build_parser() -> argparse.ArgumentParser:
     wh(sub.add_parser("upgrade-db-schema",
                       help="migrate/validate the warehouse layout "
                            "(reference cli.py upgrade_db_schema)"))
+    wh(sub.add_parser("downgrade-db-schema",
+                      help="roll the warehouse layout back one revision "
+                           "(alembic downgrade twin): snapshots flatten "
+                           "into the table roots"))
     wh(sub.add_parser("set-db-version",
                       help="stamp the warehouse with the current package "
                            "version to prevent full recalculation "
                            "(reference cli.py set_db_version)"))
+
+    um = wh(sub.add_parser(
+        "update-meta",
+        help="upsert station meta from a DWD station-list text file "
+             "(offline tail of reference cli.py update-meta)",
+    ))
+    um.add_argument("--file", required=True, dest="meta_file")
+    um.add_argument("--parameters", nargs="+", default=["p"])
+
+    ur = wh(sub.add_parser(
+        "update-raw",
+        help="import raw data from a directory of DWD zips / produkt "
+             "files (offline tail of reference cli.py update-raw)",
+    ))
+    ur.add_argument("--dir", required=True, dest="raw_dir")
+    ur.add_argument("-p", "--parameter", default="p")
+    ur.add_argument("--incremental", action="store_true",
+                    help="merge into the existing table and set the "
+                         "last-import watermark (append_raw) instead of "
+                         "replacing the raw table")
 
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
@@ -123,9 +147,29 @@ def main(argv: list[str] | None = None) -> int:
         broker.force_deactivate_all()
     elif args.command == "upgrade-db-schema":
         broker.upgrade_db_schema()
+    elif args.command == "downgrade-db-schema":
+        broker.downgrade_db_schema()
     elif args.command == "set-db-version":
         broker.set_db_version()
         print(broker.get_db_version())
+    elif args.command == "update-meta":
+        from functools import reduce
+
+        from weatherdb_spark.sources.dwd import meta_from_dwd, read_meta_txt
+
+        parsed = read_meta_txt(spark, args.meta_file)
+        frames = [meta_from_dwd(parsed, p) for p in args.parameters]
+        broker.upsert_meta(reduce(lambda a, b: a.unionByName(b), frames))
+        print({"meta_rows": broker.read("meta").count()})
+    elif args.command == "update-raw":
+        from weatherdb_spark.sources.dwd import ingest_raw_dir
+
+        raw = ingest_raw_dir(spark, args.parameter, args.raw_dir)
+        if args.incremental:
+            broker.append_raw(args.parameter, raw)
+        else:
+            broker.update_raw(args.parameter, raw)
+        print({"raw_rows": broker.read(f"ts_{args.parameter}").count()})
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "update-period-meta":

@@ -23,6 +23,7 @@ regex separator (utils/dwd.py:210-350). Here:
 from __future__ import annotations
 
 import io
+import os
 import re
 
 import pandas as pd
@@ -31,6 +32,22 @@ from pyspark.sql import functions as F
 
 #: NA sentinels used across DWD tables (utils/dwd.py:185-188)
 DWD_NA_VALUES = ["-999", "-9999", "####", "#####", "######"]
+
+#: per-parameter CDC import column maps (reference _cdc_col_names_imp /
+#: _db_col_names_imp / _cdc_date_col: StationP.py:66-69, StationPD.py:38-40,
+#: StationT.py:35-37, StationET.py:32-34). ``scrub_negative`` mirrors the
+#: F6 negative scrub — P/ET measurements cannot be negative; T can.
+CDC_IMPORT_COLS: dict[str, dict] = {
+    "p": {"date": "MESS_DATUM", "cols": {"RWS_10": "raw"},
+          "scrub_negative": True},
+    "p_d": {"date": "MESS_DATUM", "cols": {"RSK": "raw"},
+            "scrub_negative": True},
+    "t": {"date": "MESS_DATUM",
+          "cols": {"TMK": "raw", "TNK": "raw_min", "TXK": "raw_max"},
+          "scrub_negative": False},
+    "et": {"date": "Datum", "cols": {"VPGFAO": "raw"},
+           "scrub_negative": True},
+}
 
 
 def parse_dwd_date(col: Column | str) -> Column:
@@ -171,3 +188,98 @@ def read_meta_txt(spark: SparkSession, path: str, encoding: str = "WINDOWS-1252"
             pdf[c] = pdf[c].astype(float)
     pdf.columns = [c.lower() for c in pdf.columns]
     return spark.createDataFrame(pdf)
+
+
+def extract_zip_dir(
+    src_dir: str, member_prefix: str = "produkt", out_dir: str | None = None
+) -> list[str]:
+    """Extract the ``produkt*`` members of every DWD per-station zip in
+    ``src_dir`` into a flat directory (offline tail of the reference's
+    download+unzip import, StationBases.py:1239-1308 ``_download_raw``).
+    Member names are prefixed with their archive's stem so overlapping
+    hist/recent archives stay distinct files (the F7 first-file dedup
+    keys on the filename). Returns the extracted file paths."""
+    import tempfile
+    import zipfile
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="dwd_extract_")
+    os.makedirs(out_dir, exist_ok=True)
+    extracted: list[str] = []
+    for fname in sorted(os.listdir(src_dir)):
+        if not fname.endswith(".zip"):
+            continue
+        stem = fname[:-4]
+        with zipfile.ZipFile(os.path.join(src_dir, fname)) as zf:
+            for member in zf.namelist():
+                base = os.path.basename(member)
+                if not base.startswith(member_prefix):
+                    continue
+                target = os.path.join(out_dir, f"{stem}__{base}")
+                with zf.open(member) as src, open(target, "wb") as dst:
+                    dst.write(src.read())
+                extracted.append(target)
+    return extracted
+
+
+def ingest_raw_dir(
+    spark: SparkSession, parameter: str, src_dir: str
+) -> DataFrame:
+    """Offline ``update-raw``: read a directory of DWD files — per-station
+    ``*.zip`` archives and/or already-extracted ``produkt*`` tables (plain
+    or ``.gz``) — and apply the parameter's import chain. Returns the
+    (station_id, timestamp, raw, ...) frame ``Broker.update_raw`` /
+    ``append_raw`` expect (reference cli.py:188-193 ``update_raw``, minus
+    the FTP download — SURVEY §7.4's declared non-goal)."""
+    if parameter not in CDC_IMPORT_COLS:
+        raise ValueError(
+            f"parameter {parameter!r} not in {sorted(CDC_IMPORT_COLS)}"
+        )
+    spec = CDC_IMPORT_COLS[parameter]
+    paths = [
+        os.path.join(src_dir, f)
+        for f in sorted(os.listdir(src_dir))
+        if os.path.basename(f).startswith("produkt")
+        and (f.endswith(".txt") or f.endswith(".gz") or f.endswith(".csv"))
+    ]
+    paths += extract_zip_dir(src_dir)
+    if not paths:
+        raise FileNotFoundError(
+            f"no produkt files or zips found in {src_dir}"
+        )
+    df = read_produkt_csv(spark, paths, date_cols=(spec["date"],))
+    if parameter == "p":
+        return ingest_p_raw(localize_p_timestamps(df))
+    # daily tables: F7 first-file dedup, column map, optional F6 scrub
+    first_file = df.groupBy("STATIONS_ID", spec["date"]).agg(
+        F.min("_src_file").alias("_first_file")
+    )
+    deduped = df.join(first_file, ["STATIONS_ID", spec["date"]]).filter(
+        F.col("_src_file") == F.col("_first_file")
+    )
+    out_cols = [
+        F.col("STATIONS_ID").cast("int").alias("station_id"),
+        F.col(spec["date"]).alias("timestamp"),
+    ]
+    for src, dst in spec["cols"].items():
+        v = F.col(src)
+        if spec["scrub_negative"]:
+            v = F.when(v < 0, None).otherwise(v)
+        out_cols.append(v.alias(dst))
+    return deduped.select(*out_cols)
+
+
+def meta_from_dwd(meta_txt: DataFrame, parameter: str) -> DataFrame:
+    """Map a parsed DWD station list (:func:`read_meta_txt`) onto the
+    warehouse meta schema for one parameter (the reference's per-class
+    meta upsert source, StationsBase.py:120-146): WGS84 coordinates stay
+    (lon, lat) — ``Broker.update_meta`` derives the UTM pair."""
+    return meta_txt.select(
+        F.col("stations_id").cast("int").alias("station_id"),
+        F.lit(parameter).alias("parameter"),
+        F.lit(True).alias("is_real"),
+        F.col("stationsname").alias("stationsname"),
+        F.col("geolaenge").cast("double").alias("lon"),
+        F.col("geobreite").cast("double").alias("lat"),
+        F.col("stationshoehe").cast("int").alias("stationshoehe"),
+    )

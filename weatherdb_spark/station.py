@@ -299,11 +299,20 @@ class Station:
         """Maximum available period over the kinds
         (StationBases.py:2133-2178): with ``nas_allowed`` the min/max
         timestamp of the series; else the intersection of the kinds'
-        non-null filled periods."""
+        non-null filled periods. Memoized for ~1 min like the
+        reference's period cache (StationBases.py:313-356) — entries pin
+        the table snapshot, so a write invalidates them immediately."""
+        table = f"ts_{self.parameter}"
+        key = ("max_period", self.id, tuple(kinds), nas_allowed)
+        cached = self.broker.cache_lookup(table, key)
+        if cached is not None:
+            return cached
         ts = self._ts.filter(F.col("station_id") == self.id)
         if nas_allowed:
             row = ts.agg(F.min("timestamp"), F.max("timestamp")).first()
-            return TimestampPeriod(row[0], row[1])
+            result = TimestampPeriod(row[0], row[1])
+            self.broker.cache_store(table, key, result)
+            return result
         # ONE aggregation job for all kinds (conditional min/max per
         # kind), intersected on the driver — not a per-kind job loop
         aggs = []
@@ -319,7 +328,9 @@ class Station:
                 lo = s
             if e is not None and (hi is None or e < hi):
                 hi = e
-        return TimestampPeriod(lo, hi)
+        result = TimestampPeriod(lo, hi)
+        self.broker.cache_store(table, key, result)
+        return result
 
     def get_last_imp_period(self) -> TimestampPeriod:
         """The pending last-import window from the pipeline state
@@ -330,14 +341,23 @@ class Station:
         return TimestampPeriod(*win)
 
     def get_period_meta(self, kind: str = "raw") -> TimestampPeriod:
-        """A8 — the station's (kind_from, kind_until) period."""
+        """A8 — the station's (kind_from, kind_until) period. Memoized
+        like :meth:`get_max_period`."""
+        table = f"ts_{self.parameter}"
+        key = ("period_meta", self.id, kind)
+        cached = self.broker.cache_lookup(table, key)
+        if cached is not None:
+            return cached
         row = (
             filled_period(self._ts.filter(F.col("station_id") == self.id), kind=kind)
             .first()
         )
         if row is None:
-            return TimestampPeriod(None, None)
-        return TimestampPeriod(row[f"{kind}_from"], row[f"{kind}_until"])
+            result = TimestampPeriod(None, None)
+        else:
+            result = TimestampPeriod(row[f"{kind}_from"], row[f"{kind}_until"])
+        self.broker.cache_store(table, key, result)
+        return result
 
     def count_holes(
         self,
@@ -489,6 +509,51 @@ class Stations:
         return hole_census(
             ts, gap_thresholds=gap_thresholds, value_col=kind, period=period
         )
+
+    def get_max_periods(
+        self, kinds: Sequence[str], nas_allowed: bool = False,
+        stids: Sequence[int] | None = None,
+    ) -> dict[int, TimestampPeriod]:
+        """Batch :meth:`Station.get_max_period` for every station in ONE
+        grouped aggregation job (a user looping get_stations() ->
+        get_max_period() would otherwise pay N driver jobs). Results are
+        seeded into the broker's period memo cache, so subsequent
+        per-Station calls are free."""
+        table = f"ts_{self.parameter}"
+        ts = self.broker.read(table)
+        if stids is not None:
+            ts = ts.filter(F.col("station_id").isin(list(stids)))
+        if nas_allowed:
+            rows = ts.groupBy("station_id").agg(
+                F.min("timestamp").alias("_from"),
+                F.max("timestamp").alias("_until"),
+            ).collect()
+            out = {
+                r["station_id"]: TimestampPeriod(r["_from"], r["_until"])
+                for r in rows
+            }
+        else:
+            aggs = []
+            for kind in kinds:
+                cond_ts = F.when(F.col(kind).isNotNull(), F.col("timestamp"))
+                aggs.append(F.min(cond_ts).alias(f"_{kind}_from"))
+                aggs.append(F.max(cond_ts).alias(f"_{kind}_until"))
+            rows = ts.groupBy("station_id").agg(*aggs).collect()
+            out = {}
+            for r in rows:
+                lo, hi = None, None
+                for kind in kinds:
+                    s, e = r[f"_{kind}_from"], r[f"_{kind}_until"]
+                    if s is not None and (lo is None or s > lo):
+                        lo = s
+                    if e is not None and (hi is None or e < hi):
+                        hi = e
+                out[r["station_id"]] = TimestampPeriod(lo, hi)
+        for stid, period in out.items():
+            self.broker.cache_store(
+                table, ("max_period", stid, tuple(kinds), nas_allowed), period
+            )
+        return out
 
     def get_stations(self, stids: Sequence[int] | None = None) -> list["Station"]:
         """Station objects of this parameter (StationsBase.get_stations)."""

@@ -152,3 +152,88 @@ def test_median_fill_overwrites_extra_cols_on_base_null(spark):
     assert r0.filled_min == 23.0    # median of donor raw_min 18, 28 — NOT 5.0
     r1 = [r for r in out if r.station_id == 1][0]
     assert r1.filled_min == 18.0    # base non-null: keeps its own raw_min
+
+
+def test_daily_adjust_chunked_window_exact_at_year_boundary(spark):
+    """daily_adjust_p's lag/lead window partitions by (station, year)
+    with boundary-row duplication (skew guard: a station-only window
+    puts a century of 10-min history in one task). The chunking must be
+    invisible: a peak test straddling midnight Dec 31 -> Jan 1 sees the
+    same adjacent rows as a station-wide window."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.fillup import daily_adjust_p
+
+    start = dt.datetime(2023, 12, 31, 20, 0)
+    rows = []
+    for i in range(72):  # 20:00 Dec 31 .. 07:50 Jan 1, crosses midnight
+        ts = start + dt.timedelta(minutes=10 * i)
+        # isolated peaks at the last slot of 2023 and the first of 2024:
+        # the peak cap must see the 0 neighbors ACROSS the year boundary
+        if ts == dt.datetime(2023, 12, 31, 23, 50):
+            v = 4.0
+        elif ts == dt.datetime(2024, 1, 1, 0, 10):
+            v = 6.0
+        else:
+            v = 0.0
+        rows.append((1, ts, v))
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, filled double"
+    )
+    # both shifted days (5h50 grouping) get a daily value -> coef != 1
+    ts_p_d = spark.createDataFrame(
+        [(1, dt.datetime(2023, 12, 31), 20.0),
+         (1, dt.datetime(2024, 1, 1), 30.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    out = {r["timestamp"]: r["corr_base"]
+           for r in daily_adjust_p(ts_p, ts_p_d).collect()}
+    assert len(out) == 72  # context duplicates dropped
+    # shifted day of both peaks is 2023-12-31 (22:00..05:40 window):
+    # day sum = 10.0, coef = 20/10 = 2 -> scaled = 8.0/12.0, but both are
+    # isolated peaks (0 on each side, across the boundary) -> cap at 5.0
+    assert out[dt.datetime(2023, 12, 31, 23, 50)] == 5.0
+    assert out[dt.datetime(2024, 1, 1, 0, 10)] == 5.0
+    # a zero row keeps its value (0 * coef = 0)
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] == 0.0
+
+
+def test_interpolate_gaps_chunked_window_exact_at_year_boundary(spark):
+    """interpolate_gaps partitions its bracket windows by (station, year)
+    with max_gap context overlap — a hole straddling midnight Dec 31 ->
+    Jan 1 must interpolate exactly as with a station-wide window, and a
+    bracket wider than max_gap must stay unfilled."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.fillup import interpolate_gaps
+
+    start = dt.datetime(2023, 12, 31, 22, 0)
+    rows = []
+    for i in range(48):  # 22:00 Dec 31 .. 05:50 Jan 1
+        ts = start + dt.timedelta(minutes=10 * i)
+        # hole 23:40 .. 00:10 (4 slots) bracketed by 23:30=3.0, 00:20=8.0
+        # (span 50 min <= 1 hour) and a WIDE hole 01:00..02:50 (span 2h)
+        if dt.datetime(2023, 12, 31, 23, 40) <= ts <= dt.datetime(2024, 1, 1, 0, 10):
+            v = None
+        elif dt.datetime(2024, 1, 1, 1, 0) <= ts <= dt.datetime(2024, 1, 1, 2, 50):
+            v = None
+        elif ts == dt.datetime(2023, 12, 31, 23, 30):
+            v = 3.0
+        elif ts == dt.datetime(2024, 1, 1, 0, 20):
+            v = 8.0
+        else:
+            v = 1.0
+        rows.append((1, ts, v))
+    facts = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, filled double"
+    )
+    out = {r["timestamp"]: (r["filled"], r["filled_by"])
+           for r in interpolate_gaps(facts, max_gap="1 hour").collect()}
+    assert len(out) == 48
+    # linear 3.0 -> 8.0 over 5 steps across the boundary, filled_by = -1
+    assert out[dt.datetime(2023, 12, 31, 23, 40)] == (4.0, -1)
+    assert out[dt.datetime(2023, 12, 31, 23, 50)] == (5.0, -1)
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] == (6.0, -1)
+    assert out[dt.datetime(2024, 1, 1, 0, 10)] == (7.0, -1)
+    # the 2-hour hole exceeds max_gap: stays NULL
+    assert out[dt.datetime(2024, 1, 1, 2, 0)] == (None, None)

@@ -289,7 +289,116 @@ def median_fill(
     # near-donor count decides whether a cascade phase-1 result is final
     aggs.append(F.sum(F.col("_near").cast("int")).alias("_n_near"))
 
-    if cascade_k is None:
+    if near_dist_m is not None:
+        # The near candidates (dist <= near_dist_m) are a DISTANCE-bounded
+        # per-station set — it does not grow with station count the way
+        # rank-k sets do — so the first-n-near selection runs over the
+        # COMPLETE near pair set in one pass: exact by construction, no
+        # cascade phase needed. The far single-donor rule only applies to
+        # hole timestamps with NO near donor at all; that search is
+        # quota-1 in rank order and cascades like rank_fill (the nearest
+        # cascade_k far candidates first, the rare still-empty tail
+        # against the rest). The old shape — finalize only at full near
+        # quota, rejoin the FULL O(n^2) pair set for everything else —
+        # degenerated to targets x all-pairs when near donors are sparse.
+        pairs = pairs.persist()
+        near_pairs = pairs.filter(F.col("dist_m") <= near_dist_m)
+        far_pairs = pairs.filter(F.col("dist_m") > near_dist_m)
+
+        # first-n-by-rank as a HASH AGGREGATE, not a sort window: the
+        # candidate set is |donor facts| x |near neighbors| (tens of
+        # millions at sf0.1, far more at scale), and a row_number window
+        # forces a total sort of it; collect_list + array_sort + slice
+        # computes the same top-n per (station, ts) group with partial
+        # aggregation and no global sort. Median/donor-list then come
+        # from the sliced array with JVM collection expressions.
+        def _reg_cand(cand: DataFrame) -> DataFrame:
+            for c in value_cols:
+                cand = cand.withColumn(
+                    f"_reg_{c}",
+                    _regionalize("add", F.col(f"_nbv_{c}"),
+                                 F.col("_ma_self"), F.col("_ma_nb"),
+                                 round_digits),
+                )
+            return cand
+
+        def _topn_best(cand: DataFrame, n: int) -> DataFrame:
+            struct_fields = [F.col("rank")] + [
+                F.col(f"_reg_{c}").alias(f"r_{c}") for c in value_cols
+            ] + [F.col("nb_station_id").cast("short").alias("nb")]
+            top = F.slice(
+                F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, n
+            )
+            out = _reg_cand(cand).groupBy("station_id", ts_col).agg(
+                top.alias("_top")
+            )
+            for c in value_cols:
+                vals = F.array_sort(F.filter(
+                    F.transform(F.col("_top"), lambda s: s[f"r_{c}"]),
+                    lambda v: v.isNotNull(),
+                ))
+                nsz = F.size(vals)
+                odd = F.element_at(vals, ((nsz + 1) / 2).cast("int"))
+                even = (
+                    F.element_at(vals, (nsz / 2).cast("int"))
+                    + F.element_at(vals, (nsz / 2 + 1).cast("int"))
+                ) / 2
+                med = (
+                    F.when(nsz == 0, F.lit(None).cast("double"))
+                    .when(nsz % 2 == 1, odd)
+                    .otherwise(even)
+                )
+                out = out.withColumn(f"_med_{c}", med)
+            return out.withColumn(
+                "_donors", F.transform(F.col("_top"), lambda s: s["nb"])
+            ).drop("_top")
+
+        # persisted: the union result AND the hole anti-join both consume
+        # it — without the cache the whole near aggregation re-runs for
+        # every cascade stage downstream of `targets`
+        best_near = _topn_best(
+            donor_facts.join(F.broadcast(near_pairs), "nb_station_id"),
+            n_donors,
+        ).persist()
+        targets = (
+            facts.filter(F.col(base_col).isNull())
+            .select("station_id", ts_col)
+            .join(best_near.select("station_id", ts_col),
+                  ["station_id", ts_col], "left_anti")
+            .persist()
+        )
+        if targets.isEmpty():
+            # every hole has at least one near donor (common: near_dist
+            # is generous, e.g. T's 100 km) — the far machinery would
+            # broadcast the big far-pair dim for nothing
+            best = best_near
+        elif cascade_k is None:
+            far_cand = targets.join(F.broadcast(far_pairs), "station_id").join(
+                donor_facts, ["nb_station_id", ts_col]
+            )
+            best = best_near.unionByName(_topn_best(far_cand, 1))
+        else:
+            wfar = W.partitionBy("station_id").orderBy("rank")
+            ranked_far = far_pairs.withColumn(
+                "_frank", F.row_number().over(wfar)
+            ).persist()
+            head = ranked_far.filter(F.col("_frank") <= cascade_k).drop("_frank")
+            tail = ranked_far.filter(F.col("_frank") > cascade_k).drop("_frank")
+            cand1 = targets.join(F.broadcast(head), "station_id").join(
+                donor_facts, ["nb_station_id", ts_col]
+            )
+            best_f1 = _topn_best(cand1, 1).persist()
+            targets2 = targets.join(
+                best_f1.select("station_id", ts_col),
+                ["station_id", ts_col], "left_anti",
+            )
+            cand2 = targets2.join(F.broadcast(tail), "station_id").join(
+                donor_facts, ["nb_station_id", ts_col]
+            )
+            best = best_near.unionByName(best_f1).unionByName(
+                _topn_best(cand2, 1)
+            )
+    elif cascade_k is None:
         best = (
             _select(donor_facts.join(F.broadcast(pairs), "nb_station_id"))
             .groupBy("station_id", ts_col)
@@ -356,6 +465,13 @@ def interpolate_gaps(
     the previous and next non-null (value, ts); fill
     ``prev + (next-prev) * (ts-prev_ts)/(next_ts-prev_ts)`` when the
     bracket span <= max_gap.
+
+    Skew guard: the windows partition by (station, year), not station
+    alone — a station-only window puts a multi-decade 10-min history in
+    one task. Rows within ``max_gap`` of a year boundary are duplicated
+    into the neighboring chunk as context, which is EXACT: a bracket
+    wider than ``max_gap`` never fills, so context beyond it cannot
+    change any output row.
     """
     if filled_by_col not in facts.columns:
         facts = facts.withColumn(filled_by_col, F.lit(None).cast("short"))
@@ -365,15 +481,39 @@ def interpolate_gaps(
         gap_s = int(num) * {"hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
                             "minute": 60, "minutes": 60}[unit]
 
-    wb = W.partitionBy("station_id").orderBy(ts_col).rowsBetween(W.unboundedPreceding, -1)
-    wf = W.partitionBy("station_id").orderBy(ts_col).rowsBetween(1, W.unboundedFollowing)
+    year_start = F.unix_timestamp(
+        F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
+    )
+    next_year_start = F.unix_timestamp(
+        F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
+    )
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    chunked = facts.withColumn("_chunk", F.year(ts_col)).withColumn(
+        "_ctx", F.lit(False)
+    )
+    ctx_up = chunked.filter(next_year_start - ts_s <= gap_s).withColumn(
+        "_chunk", F.col("_chunk") + 1
+    ).withColumn("_ctx", F.lit(True))
+    ctx_down = chunked.filter(ts_s - year_start < gap_s).withColumn(
+        "_chunk", F.col("_chunk") - 1
+    ).withColumn("_ctx", F.lit(True))
+    union = chunked.unionByName(ctx_up).unionByName(ctx_down)
+
+    wb = W.partitionBy("station_id", "_chunk").orderBy(ts_col).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wf = W.partitionBy("station_id", "_chunk").orderBy(ts_col).rowsBetween(
+        1, W.unboundedFollowing
+    )
     val_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
 
     out = (
-        facts.withColumn("_pv", F.last(value_col, ignorenulls=True).over(wb))
+        union.withColumn("_pv", F.last(value_col, ignorenulls=True).over(wb))
         .withColumn("_pt", F.last(val_ts, ignorenulls=True).over(wb))
         .withColumn("_nv", F.first(value_col, ignorenulls=True).over(wf))
         .withColumn("_nt", F.first(val_ts, ignorenulls=True).over(wf))
+        .filter(~F.col("_ctx"))
+        .drop("_chunk", "_ctx")
     )
     span = F.unix_timestamp("_nt") - F.unix_timestamp("_pt")
     frac = (F.unix_timestamp(ts_col) - F.unix_timestamp("_pt")) / span
@@ -431,8 +571,31 @@ def daily_adjust_p(
     out = with_day.join(
         coefs.select("station_id", "_day", "_coef"), ["station_id", "_day"], "left"
     )
-    # adjacent 10-min filled values (pre-adjustment), reference tsb/tsa joins
-    wts = W.partitionBy("station_id").orderBy("timestamp")
+    # adjacent 10-min filled values (pre-adjustment), reference tsb/tsa
+    # joins. Skew guard: a window partitioned by station alone puts a
+    # station's entire multi-decade 10-min history (~5M rows/century) in
+    # ONE task; since lag/lead only need the adjacent row, partition by
+    # (station, year) instead and duplicate each chunk's first/last row
+    # into the neighboring chunk as context — exact for arbitrary grids
+    # (the context row IS the globally adjacent row), one shuffle either
+    # way, max task ~52.6k rows per station-year.
+    chunked = out.withColumn("_chunk", F.year("timestamp"))
+    w_asc = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
+    w_desc = W.partitionBy("station_id", "_chunk").orderBy(
+        F.col("timestamp").desc()
+    )
+    marked = chunked.withColumn(
+        "_is_first", F.row_number().over(w_asc) == 1
+    ).withColumn("_is_last", F.row_number().over(w_desc) == 1)
+    real = marked.withColumn("_ctx", F.lit(False))
+    ctx_up = marked.filter(F.col("_is_last")).withColumn(
+        "_chunk", F.col("_chunk") + 1
+    ).withColumn("_ctx", F.lit(True))
+    ctx_down = marked.filter(F.col("_is_first")).withColumn(
+        "_chunk", F.col("_chunk") - 1
+    ).withColumn("_ctx", F.lit(True))
+    union = real.unionByName(ctx_up).unionByName(ctx_down)
+    wts = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
     prev_f = F.lag("filled").over(wts)
     next_f = F.lead("filled").over(wts)
     scaled = F.col("filled") * F.col("_coef")
@@ -445,4 +608,8 @@ def daily_adjust_p(
         F.col("filled").isNotNull() & F.col("_coef").isNotNull(),
         F.round(capped, round_digits),
     ).otherwise(F.col("filled"))
-    return out.withColumn("corr_base", adjusted).drop("_day", "_coef")
+    return (
+        union.withColumn("corr_base", adjusted)
+        .filter(~F.col("_ctx"))
+        .drop("_day", "_coef", "_chunk", "_ctx", "_is_first", "_is_last")
+    )

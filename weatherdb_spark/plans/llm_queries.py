@@ -557,6 +557,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multimodal decode plumbing: binary payload -> mapInPandas with "
         "explicit schema -> typed features (decoder is a deterministic "
         "fake; Spark-side schema/batching/partitioning is real).",
+    bench=True,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.multimodal import attach_binary_payload, decode_images
@@ -603,6 +604,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "representative per duplicate cluster. Spark: iterative min-label "
         "propagation, one keyed shuffle per round, lineage cut per round; "
         "oracle: recursive-CTE transitive closure ground truth.",
+    bench=True,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.dedup import connected_components, jaccard_pairs

@@ -1062,6 +1062,7 @@ def fillup_rank_fill_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single donor is used and only when no nearer one exists "
         "(StationBases.py:1467-1471). filled_by is the donor id list in "
         "neighbor-rank order. Spark runs the cascade (nearest-8 first).",
+    bench=True,
 )
 def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.fillup import median_fill

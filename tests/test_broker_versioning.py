@@ -130,3 +130,26 @@ def test_small_dim_writes_are_versioned(spark, tmp_path):
     b.drop_station(1, "p")
     assert b.table_version("dropped_stations") == 1
     assert b.read("dropped_stations").count() == 1
+
+
+def test_layout_upgrade_and_downgrade_roundtrip(spark, tmp_path):
+    """Alembic-twin migrations (reference supports downgrade too,
+    tests/test_emptyDB.py:38-53): upgrade moves a flat (layout-1) table
+    into a _v00001 snapshot behind a manifest; downgrade flattens the
+    current snapshot back so an older engine reads the warehouse
+    directly. Content preserved both ways."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    _fact(spark, 40, 1.0).write.parquet(b.path("ts_p"))  # flat layout 1
+    assert b.table_version("ts_p") is None
+    b.upgrade_db_schema()
+    assert b.table_version("ts_p") == 1
+    assert b.get_setting("layout") == "2"
+    assert b.read("ts_p").count() == 40
+    # a write on the upgraded layout makes a second snapshot
+    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    assert b.table_version("ts_p") == 2
+    b.downgrade_db_schema()
+    assert b.table_version("ts_p") is None
+    assert b.get_setting("layout") == "1"
+    assert not any(e.startswith("_v") for e in os.listdir(b.path("ts_p")))
+    assert b.read("ts_p").count() == 50  # current snapshot survived

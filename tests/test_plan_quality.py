@@ -49,10 +49,14 @@ def test_rank_fill_broadcasts_dims_not_facts(spark):
     knn, ma = _dims(spark)
     plan = _plan(rank_fill(_fact(spark), knn, ma, coef_sign="mult"))
     assert "BroadcastHashJoin" in plan
-    # every BroadcastExchange subtree must be dim-sized: none of them may
-    # scan the fact table (its marker column is `qc`)
+    # every BroadcastExchange subtree must be dim-sized or keys-only:
+    # none may carry fact VALUE rows. The hole-keys semi side (filter
+    # isnull(qc) projected to join keys) is allowed — it is keys-only
+    # and Catalyst picks broadcast vs shuffle for it by size.
     for sub in plan.split("BroadcastExchange")[1:]:
         head = sub.split("BroadcastHashJoin")[0]
+        if "isnull(qc" in head:
+            continue  # hole-keys semi side, keys-only
         assert "ExistingRDD" not in head or "qc" not in head, plan
 
 

@@ -153,3 +153,28 @@ def test_layout_upgrade_and_downgrade_roundtrip(spark, tmp_path):
     assert b.get_setting("layout") == "1"
     assert not any(e.startswith("_v") for e in os.listdir(b.path("ts_p")))
     assert b.read("ts_p").count() == 50  # current snapshot survived
+
+
+def test_merge_scoped_schema_change_falls_back_to_full_rewrite(spark, tmp_path):
+    """A scoped stage result that ADDS a column (e.g. the first-ever
+    fillup) cannot hard-link untouched buckets — per-bucket files must
+    not diverge in schema — so _merge_scoped falls back to one full
+    rewrite: touched stations carry the new values, untouched ones get
+    NULL in the new column, nothing is lost."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 50, 1.0), bucket_by_station=True)
+    out = (
+        b.read("ts_p").drop("station_bucket")
+        .filter(F.col("station_id") == 1)
+        .withColumn("qc", F.col("raw"))
+    )
+    b._merge_scoped("ts_p", out, [1])
+    df = b.read("ts_p")
+    assert "qc" in df.columns
+    assert df.count() == 50
+    assert df.filter((F.col("station_id") == 1)
+                     & (F.col("qc") != F.col("raw"))).count() == 0
+    assert df.filter((F.col("station_id") == 1)
+                     & F.col("qc").isNull()).count() == 0
+    assert df.filter((F.col("station_id") != 1)
+                     & F.col("qc").isNotNull()).count() == 0

@@ -192,3 +192,23 @@ def test_qc_t_broadcast_median_dim(spark):
     )
     plan = _plan(qc_t(ts_t, knn, ma, meta))
     assert "BroadcastHashJoin" in plan
+
+
+def test_median_fill_near_path_no_per_timestamp_window(spark):
+    """The near-distance median path must select its first-n-by-rank
+    donors with a hash aggregate, never a row_number window over the
+    (station, timestamp) candidate rows — a window forces a total sort
+    of the |donor facts| x |near neighbors| stream. Windows partitioned
+    by station alone (the dim-sized far-candidate ranking) are fine."""
+    from weatherdb_spark.operators.fillup import median_fill
+
+    knn, ma = _dims(spark, n=7)
+    plan = _plan(median_fill(
+        _fact(spark, 7), knn, ma, n_donors=5,
+        near_dist_m=25_000.0, cascade_k=3,
+    ))
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "timestamp" not in line, f"per-timestamp window:\n{line}"
+    # the top-n selection is the collect_list/array_sort hash aggregate
+    assert "ObjectHashAggregate" in plan, plan

@@ -33,6 +33,7 @@ __all__ = [
     "GroupStation",
     "GroupStations",
     "TimestampPeriod",
+    "config",
 ]
 __version__ = "0.1.0"
 
@@ -50,4 +51,9 @@ def __getattr__(name):
     if name == "TimestampPeriod":
         from weatherdb_spark.period import TimestampPeriod
         return TimestampPeriod
+    if name == "config":
+        # the reference exposes ``weatherdb.config`` (the ConfigParser
+        # instance); here it is the user-config singleton
+        from weatherdb_spark.userconfig import get_config
+        return get_config()
     raise AttributeError(f"module 'weatherdb_spark' has no attribute {name!r}")

@@ -32,9 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the compute stages in order: quality-check -> fillup -> "
              "richter-correct (reference cli.py update-db, minus downloads)",
     ))
-    wh(sub.add_parser("quality-check", help="QC stage for all parameters"))
-    wh(sub.add_parser("fillup", help="gap-filling stage for all parameters"))
-    wh(sub.add_parser("richter-correct", help="Richter correction (p)"))
+    for name, hlp in (
+        ("quality-check", "QC stage for all parameters"),
+        ("fillup", "gap-filling stage for all parameters"),
+        ("richter-correct", "Richter correction (p)"),
+    ):
+        sp = wh(sub.add_parser(name, help=hlp))
+        sp.add_argument(
+            "--stations", nargs="+", type=int, default=None,
+            help="recompute only these stations and merge them back "
+                 "(untouched station buckets are carried over unchanged)",
+        )
     wh(sub.add_parser("last-imp-quality-check",
                       help="incremental QC bounded to the last-import window"))
     wh(sub.add_parser("last-imp-fillup",
@@ -130,11 +138,11 @@ def main(argv: list[str] | None = None) -> int:
         broker.fillup()
         broker.richter_correct_stage()
     elif args.command == "quality-check":
-        broker.quality_check()
+        broker.quality_check(stids=args.stations)
     elif args.command == "fillup":
-        broker.fillup()
+        broker.fillup(stids=args.stations)
     elif args.command == "richter-correct":
-        broker.richter_correct_stage()
+        broker.richter_correct_stage(stids=args.stations)
     elif args.command == "last-imp-quality-check":
         broker.last_imp_quality_check()
     elif args.command == "last-imp-fillup":

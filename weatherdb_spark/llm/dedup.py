@@ -401,6 +401,11 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # materialized once: every propagation round joins the edges, and
+        # without the checkpoint each round would re-execute the entire
+        # upstream pair-generation pipeline (shingles, inverted index,
+        # verify joins) — O(rounds) re-runs of the expensive part
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -140,7 +140,11 @@ def rank_fill(
             donors.select(
                 "station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id"
             )
-            .join(all_holes, ["station_id", ts_col], "left_semi")
+            # shuffle-hash, not sort-merge: the candidate stream is the
+            # big side and must not be SORTED just for a semi join; the
+            # hash build is the per-partition hole-key slice (spillable)
+            .join(all_holes.hint("shuffle_hash"),
+                  ["station_id", ts_col], "left_semi")
             .groupBy("station_id", ts_col)
             .agg(
                 F.min_by("_reg", "rank").alias("_fill_val"),
@@ -257,7 +261,9 @@ def median_fill(
     )
 
     def _select(donors: DataFrame) -> DataFrame:
-        donors = donors.join(hole_keys, ["station_id", ts_col], "left_semi")
+        donors = donors.join(  # shuffle-hash: see rank_fill's _best note
+            hole_keys.hint("shuffle_hash"), ["station_id", ts_col], "left_semi"
+        )
         if near_dist_m is None:
             # first n non-null donors per timestamp, in rank order
             wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
@@ -354,7 +360,8 @@ def median_fill(
             )
             out = (
                 _reg_cand(cand)
-                .join(all_holes, ["station_id", ts_col], "left_semi")
+                .join(all_holes.hint("shuffle_hash"),
+                      ["station_id", ts_col], "left_semi")
                 .groupBy("station_id", ts_col)
                 .agg(top.alias("_top"))
             )

@@ -472,3 +472,44 @@ def test_qc_et_inversion_gate(spark):
     ts_et = spark.createDataFrame(rows, "station_id int, timestamp date, raw double")
     low = {r["station_id"]: r["qc"] for r in qc_et(ts_et, knn, ma, meta_low).collect()}
     assert low[1] is None
+
+
+def test_qc_p_chunked_window_exact_at_year_boundary(spark):
+    """qc_p's lag/lead windows partition by (station, year) with 2-row
+    boundary context (skew guard) — a 3-run and an isolated peak
+    straddling midnight Dec 31 -> Jan 1 must flag exactly as with a
+    station-wide window."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.qc import qc_p
+
+    start = dt.datetime(2023, 12, 31, 22, 0)
+    rows = []
+    for i in range(48):  # 22:00 Dec 31 .. 05:50 Jan 1
+        ts = start + dt.timedelta(minutes=10 * i)
+        # 3-run of equal values 23:50, 00:00, 00:10 (qn=1 -> flagged);
+        # isolated peak at 02:00 Jan 1 (0 neighbors)
+        if ts in (dt.datetime(2023, 12, 31, 23, 50),
+                  dt.datetime(2024, 1, 1, 0, 0),
+                  dt.datetime(2024, 1, 1, 0, 10)):
+            v = 0.7
+        elif ts == dt.datetime(2024, 1, 1, 2, 0):
+            v = 9.0
+        else:
+            v = 0.0
+        rows.append((1, ts, v, 1))
+    ts_p = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double, qn short"
+    )
+    ts_p_d = spark.createDataFrame(
+        [], "station_id int, timestamp timestamp, raw double"
+    )
+    out = {r["timestamp"]: r["qc"] for r in qc_p(ts_p, ts_p_d).collect()}
+    assert len(out) == 48
+    # all three run members flagged, including across the boundary
+    assert out[dt.datetime(2023, 12, 31, 23, 50)] is None
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] is None
+    assert out[dt.datetime(2024, 1, 1, 0, 10)] is None
+    # isolated peak flagged; plain zeros survive
+    assert out[dt.datetime(2024, 1, 1, 2, 0)] is None
+    assert out[dt.datetime(2024, 1, 1, 1, 0)] == 0.0

@@ -68,8 +68,29 @@ def qc_p(
         .select("station_id", "date")
     )
 
-    # (b) window flags (J1/J2/W1/W2)
-    win = W.partitionBy("station_id").orderBy("timestamp")
+    # (b) window flags (J1/J2/W1/W2). Skew guard: a station-only window
+    # puts a station's full multi-decade 10-min history in ONE task; the
+    # lag/lead here only reach 2 rows, so the window partitions by
+    # (station, year) with each chunk's first/last two rows duplicated
+    # into the neighboring chunk as context — exact, the context rows
+    # ARE the globally adjacent ones (same pattern as daily_adjust_p).
+    win = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
+    w_asc = win
+    w_desc = W.partitionBy("station_id", "_chunk").orderBy(
+        F.col("timestamp").desc()
+    )
+    chunked = ts_p.withColumn("_chunk", F.year("timestamp"))
+    marked = chunked.withColumn(
+        "_rn_a", F.row_number().over(w_asc)
+    ).withColumn("_rn_d", F.row_number().over(w_desc))
+    real = marked.withColumn("_ctx", F.lit(False))
+    ctx_up = marked.filter(F.col("_rn_d") <= 2).withColumn(
+        "_chunk", F.col("_chunk") + 1
+    ).withColumn("_ctx", F.lit(True))
+    ctx_down = marked.filter(F.col("_rn_a") <= 2).withColumn(
+        "_chunk", F.col("_chunk") - 1
+    ).withColumn("_ctx", F.lit(True))
+    union = real.unionByName(ctx_up).unionByName(ctx_down)
     # the reference joins the triple on strictly increasing timestamps with
     # qn != 3 evaluated on the run-HEAD row only, then UNIONs the three
     # shifted timestamp columns so every member is flagged
@@ -84,7 +105,7 @@ def qc_p(
            & (F.col("raw") == F.col("_vn")) & (F.col("raw") == F.col("_vn2")))
     )
     flagged = (
-        ts_p.withColumn("_v1", F.lag("raw", 1).over(win))
+        union.withColumn("_v1", F.lag("raw", 1).over(win))
         .withColumn("_v2", F.lag("raw", 2).over(win))
         .withColumn("_vn", F.lead("raw", 1).over(win))
         .withColumn("_vn2", F.lead("raw", 2).over(win))
@@ -96,6 +117,8 @@ def qc_p(
             "_peak",
             (F.col("raw") > peak_value) & (F.col("_v1") == 0) & (F.col("_vn") == 0),
         )
+        .filter(~F.col("_ctx"))
+        .drop("_chunk", "_ctx", "_rn_a", "_rn_d")
     )
 
     out = flagged.withColumn("_day", day).join(

@@ -513,3 +513,32 @@ def test_qc_p_chunked_window_exact_at_year_boundary(spark):
     # isolated peak flagged; plain zeros survive
     assert out[dt.datetime(2024, 1, 1, 2, 0)] is None
     assert out[dt.datetime(2024, 1, 1, 1, 0)] == 0.0
+
+
+def test_hole_census_chunked_gaps_across_empty_years(spark):
+    """hole_census partitions its gap window by (station, year) with a
+    per-year min/max summary supplying the cross-chunk gaps — a gap
+    spanning a wholly-empty year must still count once, exactly."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.aggregate import hole_census
+
+    rows = [
+        # observations in 2020, nothing in 2021, resume mid-2022:
+        # one interior gap 2020-06-10 .. 2022-03-01 (~630 days)
+        (1, dt.datetime(2020, 6, 1), 1.0),
+        (1, dt.datetime(2020, 6, 10), 1.0),
+        (1, dt.datetime(2022, 3, 1), 1.0),
+        (1, dt.datetime(2022, 3, 2), 1.0),
+        # within-year gap of 20 days in 2022
+        (1, dt.datetime(2022, 3, 22), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"
+    )
+    out = hole_census(
+        df, gap_thresholds=("2 weeks", "4 weeks", "600 days")
+    ).first()
+    assert out["holes_ge_2_weeks"] == 2      # 630d + 20d
+    assert out["holes_ge_4_weeks"] == 1      # 630d only
+    assert out["holes_ge_600_days"] == 1     # counted exactly once

@@ -150,8 +150,15 @@ def hole_census(
     Duplicate timestamps from sentinels that coincide with observations
     produce 0-second gaps, which no threshold counts — so no distinct is
     needed (the reference's UNION dedup is cosmetic here).
+
+    Skew guard: the gap window partitions by (group, year) — a
+    station-only window would put its full observation history in one
+    task. Gaps may span years (including wholly-empty ones), so the
+    cross-chunk gaps come from a per-(group, year) min/max summary
+    (dim-sized: groups x years) whose lag runs over consecutive
+    NON-EMPTY chunks — together with the within-chunk gaps this is
+    exactly the set of consecutive-observation gaps.
     """
-    w = W.partitionBy(*group_cols).orderBy(ts_col)
     present = df.filter(F.col(value_col).isNotNull()).select(*group_cols, ts_col)
     if period is not None:
         lo, hi = (F.lit(b).cast(dict(present.dtypes)[ts_col]) for b in period)
@@ -180,8 +187,23 @@ def hole_census(
             ]
         for s in sentinels:
             present = present.unionByName(s)
-    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
-    gapped = present.withColumn("_gap_s", gap_s)
+    chunked = present.withColumn("_chunk", F.year(ts_col))
+    wc = W.partitionBy(*group_cols, "_chunk").orderBy(ts_col)
+    within = chunked.withColumn(
+        "_gap_s",
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lag(ts_col).over(wc)),
+    ).select(*group_cols, "_gap_s")
+    summary = chunked.groupBy(*group_cols, "_chunk").agg(
+        F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
+    )
+    ws = W.partitionBy(*group_cols).orderBy("_chunk")
+    cross = summary.withColumn(
+        "_gap_s",
+        F.unix_timestamp(F.col("_mn"))
+        - F.unix_timestamp(F.lag("_mx").over(ws)),
+    ).select(*group_cols, "_gap_s")
+    gapped = within.unionByName(cross)
 
     def _secs(th: str) -> int:
         n, unit = th.split()

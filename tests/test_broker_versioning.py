@@ -178,3 +178,33 @@ def test_merge_scoped_schema_change_falls_back_to_full_rewrite(spark, tmp_path):
                      & F.col("qc").isNull()).count() == 0
     assert df.filter((F.col("station_id") != 1)
                      & F.col("qc").isNotNull()).count() == 0
+
+
+def test_crashed_write_leftover_is_overwritten(spark, tmp_path):
+    """A writer that died after materializing its snapshot dir but
+    before flipping the manifest leaves an orphan _vNNNNN; the next
+    write computes the same target version and mode=overwrite clears
+    the leftover — no manual cleanup, readers never saw the orphan."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 30, 1.0), bucket_by_station=True)
+    orphan = os.path.join(b.path("ts_p"), "_v00002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    assert b.table_version("ts_p") == 1  # manifest never flipped
+    assert b.read("ts_p").count() == 30
+    b.write("ts_p", _fact(spark, 40, 2.0), bucket_by_station=True)
+    assert b.table_version("ts_p") == 2
+    assert b.read("ts_p").count() == 40  # junk gone, snapshot clean
+
+
+def test_time_travel_read_previous_snapshot(spark, tmp_path):
+    """read(table, version=N) pins a snapshot still on disk — the write
+    path retains the previous one until vacuum, so a stage's output can
+    be diffed against its input."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 30, 1.0), bucket_by_station=True)
+    b.write("ts_p", _fact(spark, 45, 2.0), bucket_by_station=True)
+    assert b.read("ts_p").count() == 45
+    assert b.read("ts_p", version=1).count() == 30
+    assert b.read("ts_p", version=2).count() == 45

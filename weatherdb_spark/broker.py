@@ -466,8 +466,12 @@ class Broker:
             value,
         )
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.data_path(table))
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the table's current snapshot, or — time-travel — a pinned
+        ``version`` that is still on disk (the write path retains the
+        immediately previous snapshot until vacuum; useful to diff a
+        stage's output against its input)."""
+        return self.spark.read.parquet(self.data_path(table, version))
 
     def write(
         self,

@@ -208,3 +208,30 @@ def test_time_travel_read_previous_snapshot(spark, tmp_path):
     assert b.read("ts_p").count() == 45
     assert b.read("ts_p", version=1).count() == 30
     assert b.read("ts_p", version=2).count() == 45
+
+
+def test_downgrade_with_legacy_leftovers_and_crashed_upgrade(spark, tmp_path):
+    """Two migration edge cases: (a) downgrading a table whose root still
+    holds pre-versioning 'snapshot 0' leftovers (kept by the write path
+    for in-flight readers) must clear them first — otherwise the flatten
+    collides on bucket dirs or unions duplicate part-files; (b) an
+    upgrade over a partial _v00001 left by a crashed write must clear
+    the orphan, not merge legacy rows with partial ones."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    # (a) legacy flat table + ONE versioned write -> legacy kept as v0
+    _fact(spark, 40, 1.0).write.parquet(b.path("ts_p"))
+    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    assert any(f.endswith(".parquet") for f in os.listdir(b.path("ts_p")))
+    b.downgrade_db_schema()
+    assert b.table_version("ts_p") is None
+    assert b.read("ts_p").count() == 50  # no legacy duplicates
+
+    # (b) crashed write: orphan _v00001 beside a flat layout
+    c = Broker(spark, str(tmp_path / "wh2"))
+    _fact(spark, 30, 1.0).write.parquet(c.path("ts_d"))
+    orphan = os.path.join(c.path("ts_d"), "_v00001")
+    os.makedirs(orphan)
+    _fact(spark, 99, 9.0).write.mode("overwrite").parquet(orphan)
+    c.upgrade_db_schema()
+    assert c.table_version("ts_d") == 1
+    assert c.read("ts_d").count() == 30  # legacy rows only, orphan gone

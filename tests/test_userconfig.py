@@ -89,3 +89,62 @@ def test_broker_and_timeline_honor_config(cfg, tmp_path, spark):
     lo = out.agg(F.min("timestamp")).first()[0]
     assert lo == dt.datetime(2024, 1, 5)
     assert out.count() == 6  # days 5..10
+
+
+def test_config_knobs_reach_the_engine(cfg, tmp_path, spark):
+    """The documented knobs are WIRED, not decorative: n_station_buckets
+    shapes a new warehouse's bucket layout (and is pinned in its
+    settings so later config changes can't corrupt bucket pruning);
+    coverage_gate reaches the A1 resampling; the fillup distances
+    resolve through user_setting."""
+    import os
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.config import user_setting
+    from weatherdb_spark.operators.aggregate import coverage_gated_agg
+
+    cfg.create_user_config(tmp_path / "user.ini")
+    cfg.update_user_config("engine", "n_station_buckets", "4")
+    cfg.update_user_config("aggregation", "coverage_gate", "0.99")
+    cfg.update_user_config("fillup", "max_fillup_distance_km", "55.5")
+    userconfig.get_config(reload=True)
+
+    assert user_setting("fillup", "max_fillup_distance_km", 130.0) == 55.5
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    assert b.bucket_count == 4
+    # 9 of 10 slots non-null: passes the default 0.8 gate, fails 0.99
+    rows = [(s, dt.datetime(2024, 1, 1, h), None if h == 9 else 1.0)
+            for s in range(10) for h in range(10)]
+    b.write(
+        "ts_p",
+        spark.createDataFrame(
+            rows, "station_id int, timestamp timestamp, raw double"
+        ),
+        bucket_by_station=True,
+    )
+    buckets = sorted(
+        e for e in os.listdir(b.data_path("ts_p"))
+        if e.startswith("station_bucket=")
+    )
+    assert len(buckets) == 4
+    # pinned: a config change does NOT re-bucket an existing warehouse
+    cfg.update_user_config("engine", "n_station_buckets", "8")
+    userconfig.get_config(reload=True)
+    assert Broker(spark, b.dir).bucket_count == 4
+    # stids reads prune against the PINNED modulus
+    from weatherdb_spark.station import Station
+
+    st_df = Station(b, 6, "p").get_raw()
+    assert st_df.count() == 10  # 6 % 4 = bucket 2; wrong modulus -> 0 rows
+
+    # coverage_gate 0.99: 9-of-10 coverage fails the raised gate -> NULL
+    day = coverage_gated_agg(
+        b.read("ts_p"), kinds=("raw",), agg_to="day"
+    )
+    assert day.filter(F.col("raw").isNotNull()).count() == 0
+    # explicit coverage argument still wins over the config
+    day_explicit = coverage_gated_agg(
+        b.read("ts_p"), kinds=("raw",), agg_to="day", coverage=0.8
+    )
+    assert day_explicit.filter(F.col("raw").isNotNull()).count() == 10

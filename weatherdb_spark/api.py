@@ -59,6 +59,7 @@ def get_df(
     na_share: bool = False,
     ts_col: str = "timestamp",
     db_unit: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Select kinds over a period with optional resampling.
 
@@ -91,10 +92,15 @@ def get_df(
         # partition PRUNING: Catalyst cannot derive the bucket directory
         # from a station_id predicate (bucket = pmod(station_id, N)), so
         # compute the bucket set on the driver — a warehouse read for a
-        # few stations then lists only those bucket dirs instead of all N
+        # few stations then lists only those bucket dirs instead of all N.
+        # ``n_buckets`` must be the modulus the warehouse was WRITTEN
+        # with (Broker.bucket_count) — the facade threads it through;
+        # direct callers fall back to the shipped default.
         from weatherdb_spark.broker import N_STATION_BUCKETS
 
-        buckets = sorted({s % N_STATION_BUCKETS for s in stids})
+        buckets = sorted({
+            s % (n_buckets or N_STATION_BUCKETS) for s in stids
+        })
         out = out.filter(F.col("station_bucket").isin(buckets))
     if stids is not None:
         out = out.filter(F.col("station_id").isin(list(stids)))

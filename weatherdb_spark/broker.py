@@ -134,6 +134,29 @@ class Broker:
 
         self.set_setting("version", version or __version__)
 
+    @property
+    def bucket_count(self) -> int:
+        """Station-bucket count of this warehouse's fact tables. PINNED in
+        settings.json on first use: read-path bucket pruning derives the
+        bucket from the station id, so the modulus must stay what the
+        data was written with — the user-config [engine] n_station_buckets
+        only seeds NEW warehouses."""
+        cached = getattr(self, "_bucket_count", None)
+        if cached is not None:
+            return cached
+        pinned = self.get_setting("n_station_buckets")
+        if pinned is not None:
+            self._bucket_count = int(pinned)
+            return self._bucket_count
+        from weatherdb_spark.config import user_setting
+
+        n = user_setting(
+            "engine", "n_station_buckets", N_STATION_BUCKETS, cast=int
+        )
+        self.set_setting("n_station_buckets", str(n))
+        self._bucket_count = n
+        return n
+
     def _needs_reinitiation(self) -> bool:
         """True when the warehouse was computed by an older package
         version (or never stamped) — the reference then recomputes the
@@ -308,6 +331,8 @@ class Broker:
         upgrade-db-schema CLI / alembic upgrade): flat (layout 1) tables
         move into a ``_v00001`` snapshot behind a manifest pointer
         (layout 2), then the key columns re-validate."""
+        import shutil
+
         for table in self._data_tables():
             if self.table_version(table) is not None:
                 continue
@@ -317,7 +342,12 @@ class Broker:
             if not entries:
                 continue
             vdir = os.path.join(root, self._version_dirname(1))
-            os.makedirs(vdir, exist_ok=True)
+            # a crashed write may have left a partial _v00001 with no
+            # manifest flip — clear it, or its part-files would merge
+            # with the legacy rows and double-count
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir)
+            os.makedirs(vdir)
             for e in entries:
                 os.rename(os.path.join(root, e), os.path.join(vdir, e))
             self._flip_manifest(table, 1)
@@ -340,6 +370,11 @@ class Broker:
                     continue
                 root = self.path(table)
                 vdir = self.data_path(table, v)
+                # pre-versioning "snapshot 0" leftovers (kept by the
+                # write path for in-flight readers) are superseded —
+                # clear them first, or the flatten would collide on
+                # bucket dirs / union duplicate part-files into the root
+                self._cleanup_versions(table, v, keep_previous=False)
                 for e in os.listdir(vdir):
                     os.rename(os.path.join(vdir, e), os.path.join(root, e))
                 for e in os.listdir(root):
@@ -494,12 +529,12 @@ class Broker:
         path."""
         if bucket_by_station:
             df = df.withColumn(
-                "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+                "station_bucket", F.pmod(F.col("station_id"), self.bucket_count)
             )
             if compact:
                 # hash-partition on the bucket column: each bucket's rows
                 # land in exactly one task -> one file per partition dir
-                df = df.repartition(N_STATION_BUCKETS, "station_bucket")
+                df = df.repartition(self.bucket_count, "station_bucket")
             # local sort (no shuffle) so each parquet row group covers a
             # narrow (station_id, timestamp) range: single-station and
             # period reads then skip row groups via footer min/max stats.
@@ -547,7 +582,7 @@ class Broker:
                 n_before = self._n_parquet_files(table)
                 bucketed = table.startswith("ts_")
                 threshold = (
-                    max_files_per_bucket * N_STATION_BUCKETS if bucketed else 4
+                    max_files_per_bucket * self.bucket_count if bucketed else 4
                 )
                 if n_before > threshold:
                     df = self.read(table)
@@ -792,12 +827,17 @@ class Broker:
         candidate set until no holes remain (StationBases.py:1573-1638),
         so capping at 5 starves timestamps where the nearest donors are
         also null."""
+        from weatherdb_spark.config import user_setting
+
         cfg = PARAMETERS[parameter]
+        dist_km = user_setting(
+            "fillup", "max_fillup_distance_km", cfg["max_fillup_dist_km"]
+        )
         meta = self.read("meta").filter(F.col("parameter") == parameter)
         return knn_stations(
             meta,
             k=k,
-            max_dist_m=cfg["max_fillup_dist_km"] * 1000,
+            max_dist_m=dist_km * 1000,
             elevation_weighted=parameter in ("t", "et"),
         )
 
@@ -967,14 +1007,22 @@ class Broker:
             # the full candidate set; beyond _fillup_max_dist (100 km,
             # StationT.py:48) a donor is used alone and only when no
             # nearer one exists. additive, min/max in the same pass.
+            from weatherdb_spark.config import user_setting
+
             filled_t = median_fill(
                 facts, self._scope(self._knn("t", k=None), stids),
                 self._ma_values("t"),
-                n_donors=PARAMETERS["t"]["fillup_n_donors"],
+                n_donors=user_setting(
+                    "fillup", "t_n_donors",
+                    PARAMETERS["t"]["fillup_n_donors"], cast=int,
+                ),
                 base_col="qc",
                 value_cols=("qc", "raw_min", "raw_max"),
                 out_cols=("filled", "filled_min", "filled_max"),
-                near_dist_m=PARAMETERS["t"]["fillup_near_dist_km"] * 1000,
+                near_dist_m=user_setting(
+                    "fillup", "t_near_dist_km",
+                    PARAMETERS["t"]["fillup_near_dist_km"],
+                ) * 1000,
                 cascade_k=cascade_k, donor_facts=donor_facts,
             )
             filled_t = interpolate_gaps(
@@ -1242,7 +1290,7 @@ class Broker:
         import shutil
 
         stid_list = sorted({int(s) for s in stids})
-        buckets = {s % N_STATION_BUCKETS for s in stid_list}
+        buckets = {s % self.bucket_count for s in stid_list}
         cur_v = self.table_version(table)
         cur = self.read(table)
         out = self._scope(out, stid_list).drop("station_bucket")
@@ -1259,13 +1307,13 @@ class Broker:
             )
             return
         # rows of OTHER stations sharing a touched bucket carry over
-        bucket_of = F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+        bucket_of = F.pmod(F.col("station_id"), self.bucket_count)
         carry = cur.drop("station_bucket").filter(
             bucket_of.isin(list(buckets))
             & ~F.col("station_id").isin(stid_list)
         )
         merged = out.unionByName(carry).withColumn(
-            "station_bucket", F.pmod(F.col("station_id"), N_STATION_BUCKETS)
+            "station_bucket", F.pmod(F.col("station_id"), self.bucket_count)
         ).sortWithinPartitions("station_bucket", "station_id", "timestamp")
         new = cur_v + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
@@ -1298,16 +1346,15 @@ class Broker:
         timeserie, upserted into ``station_ma_timeserie``
         (StationBases.py:940-958, models.py:302-321). ``coverage``
         overrides the strict > 0.9 yearly gate."""
-        from weatherdb_spark.config import MA_COVERAGE_GATE
         from weatherdb_spark.operators.aggregate import yearly_ma
         from weatherdb_spark.sinks.merge import merge_upsert
 
         cfg = PARAMETERS[parameter]
         ts = self.read(f"ts_{parameter}")
         kinds = tuple(k for k in kinds if k in ts.columns)
+        # coverage=None resolves through the user config inside yearly_ma
         ma = yearly_ma(
-            ts, kinds=list(kinds), agg_fun=cfg["agg_fun"],
-            coverage=MA_COVERAGE_GATE if coverage is None else coverage,
+            ts, kinds=list(kinds), agg_fun=cfg["agg_fun"], coverage=coverage,
         )
         tall = None
         for k in kinds:

@@ -95,6 +95,24 @@ PARAMETERS: dict[str, dict] = {
 
 COVERAGE_GATE = 0.8        # A1 resampling gate
 MA_COVERAGE_GATE = 0.9     # A2 yearly MA gate
+
+
+def user_setting(section: str, option: str, fallback, cast=float):
+    """Resolve a knob through the user-config layer (userconfig.py) with
+    the module constant as fallback — the shipped config_default.ini
+    mirrors these constants, so the answer only changes when a user
+    config or env var overrides it."""
+    from weatherdb_spark.userconfig import get_config
+
+    try:
+        getter = {
+            float: "getfloat", int: "getint", bool: "getboolean",
+        }.get(cast)
+        if getter is None:
+            return cast(get_config().get(section, option))
+        return getattr(get_config(), getter)(section, option)
+    except Exception:
+        return fallback
 ELEV_WEIGHT_P1 = 250.0
 ELEV_WEIGHT_P2 = 1.5
 KNN_DEFAULT = 5

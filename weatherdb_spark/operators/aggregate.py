@@ -26,7 +26,7 @@ def coverage_gated_agg(
     agg_fun: str = "sum",
     ts_col: str = "timestamp",
     group_cols: Sequence[str] = ("station_id",),
-    coverage: float = COVERAGE_GATE,
+    coverage: float | None = None,
     filled_share: bool = False,
     na_share_kinds: Sequence[str] = (),
     round_digits: int | None = None,
@@ -41,7 +41,13 @@ def coverage_gated_agg(
 
     Reference: weatherdb/station/StationBases.py:2544-2616 (SQL assembly),
     agg funcs StationBases.py:95 / StationT.py:40.
+    ``coverage=None`` resolves through the user config
+    ([aggregation] coverage_gate, default COVERAGE_GATE).
     """
+    if coverage is None:
+        from weatherdb_spark.config import user_setting
+
+        coverage = user_setting("aggregation", "coverage_gate", COVERAGE_GATE)
     bucket = trunc_expr(F.col(ts_col), agg_to).alias(ts_col)
     n_all = F.count(F.lit(1))
 
@@ -76,16 +82,24 @@ def yearly_ma(
     agg_fun: str = "sum",
     ts_col: str = "timestamp",
     group_cols: Sequence[str] = ("station_id",),
-    coverage: float = MA_COVERAGE_GATE,
+    coverage: float | None = None,
 ) -> DataFrame:
     """A2 — multi-annual mean of a timeserie.
 
     Per year: ``sum(kind)/count(kind)*count(*)`` (gap-scaled yearly total;
     plain mean for avg parameters) kept only where coverage > 0.9; then
     average across years. Feeds ``station_ma_timeserie``.
+    ``coverage=None`` resolves through the user config
+    ([aggregation] ma_coverage_gate, default MA_COVERAGE_GATE).
 
     Reference: weatherdb/station/StationBases.py:940-958.
     """
+    if coverage is None:
+        from weatherdb_spark.config import user_setting
+
+        coverage = user_setting(
+            "aggregation", "ma_coverage_gate", MA_COVERAGE_GATE
+        )
     year = F.year(F.col(ts_col)).alias("_year")
     n_all = F.count(F.lit(1))
     per_year = df.groupBy(*group_cols, year).agg(

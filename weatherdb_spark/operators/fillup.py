@@ -261,34 +261,19 @@ def median_fill(
     )
 
     def _select(donors: DataFrame) -> DataFrame:
+        # plain (no near-distance) selection: first n non-null donors per
+        # timestamp, in rank order. The near_dist_m path never reaches
+        # this — it has its own complete-near-set + far-cascade pipeline
+        # below (the _fillup_max_dist exit condition of
+        # StationBases.py:1467-1471 lives there).
         donors = donors.join(  # shuffle-hash: see rank_fill's _best note
             hole_keys.hint("shuffle_hash"), ["station_id", ts_col], "left_semi"
         )
-        if near_dist_m is None:
-            # first n non-null donors per timestamp, in rank order
-            wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
-            return (
-                donors.withColumn("_rn", F.row_number().over(wrank))
-                .filter(F.col("_rn") <= n_donors)
-                .withColumn("_near", F.lit(True))
-            )
-        # near donors: up to n in rank order; far donors: the single
-        # nearest, used only when the timestamp has no near donor at all
-        # (_fillup_max_dist exit condition, StationBases.py:1467-1471)
-        wgrp = W.partitionBy("station_id", ts_col)
+        wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
         return (
-            donors.withColumn("_near", F.col("dist_m") <= near_dist_m)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    W.partitionBy("station_id", ts_col, "_near").orderBy("rank")
-                ),
-            )
-            .withColumn("_has_near", F.max(F.col("_near").cast("int")).over(wgrp))
-            .filter(
-                (F.col("_near") & (F.col("_rn") <= n_donors))
-                | (~F.col("_near") & (F.col("_rn") == 1) & (F.col("_has_near") == 0))
-            )
+            donors.withColumn("_rn", F.row_number().over(wrank))
+            .filter(F.col("_rn") <= n_donors)
+            .withColumn("_near", F.lit(True))
         )
 
     aggs = []

@@ -142,11 +142,15 @@ def ingest_p_raw(
     first file (F7), negative measurements null out (F6). Returns
     (station_id, timestamp, raw, qn)."""
     on_grid = df.filter(F.minute(ts_col) % 10 == 0)
+    # F7 keys on the file NAME, not the full path: zip-extracted members
+    # live in a staging dir whose path must not decide which duplicate
+    # wins against a plain file in the source dir
+    fname = F.substring_index(F.col(file_col), "/", -1)
     first_file = on_grid.groupBy(station_col, ts_col).agg(
-        F.min(file_col).alias("_first_file")
+        F.min(fname).alias("_first_file")
     )
     deduped = on_grid.join(first_file, [station_col, ts_col]).filter(
-        F.col(file_col) == F.col("_first_file")
+        fname == F.col("_first_file")
     )
     qn_col = "QN" if "QN" in df.columns else None
     return deduped.select(
@@ -198,12 +202,21 @@ def extract_zip_dir(
     download+unzip import, StationBases.py:1239-1308 ``_download_raw``).
     Member names are prefixed with their archive's stem so overlapping
     hist/recent archives stay distinct files (the F7 first-file dedup
-    keys on the filename). Returns the extracted file paths."""
+    keys on the file NAME, not the path). The default extraction dir is
+    deterministic per source dir and cleared on reuse, so repeated
+    imports don't leak a new temp copy per run. Returns the extracted
+    file paths."""
+    import hashlib
+    import shutil
     import tempfile
     import zipfile
 
     if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="dwd_extract_")
+        digest = hashlib.md5(os.path.abspath(src_dir).encode()).hexdigest()[:12]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"dwd_extract_{digest}"
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     extracted: list[str] = []
     for fname in sorted(os.listdir(src_dir)):
@@ -250,12 +263,14 @@ def ingest_raw_dir(
     df = read_produkt_csv(spark, paths, date_cols=(spec["date"],))
     if parameter == "p":
         return ingest_p_raw(localize_p_timestamps(df))
-    # daily tables: F7 first-file dedup, column map, optional F6 scrub
+    # daily tables: F7 first-file dedup (by file NAME — see ingest_p_raw),
+    # column map, optional F6 scrub
+    fname = F.substring_index(F.col("_src_file"), "/", -1)
     first_file = df.groupBy("STATIONS_ID", spec["date"]).agg(
-        F.min("_src_file").alias("_first_file")
+        F.min(fname).alias("_first_file")
     )
     deduped = df.join(first_file, ["STATIONS_ID", spec["date"]]).filter(
-        F.col("_src_file") == F.col("_first_file")
+        fname == F.col("_first_file")
     )
     out_cols = [
         F.col("STATIONS_ID").cast("int").alias("station_id"),

@@ -33,6 +33,30 @@ from weatherdb_spark.operators.export import create_ts as _create_ts
 from weatherdb_spark.period import TimestampPeriod
 
 
+def _max_period_aggs(kinds: Sequence[str]) -> list:
+    """Conditional min/max per kind — ONE aggregation job for all kinds
+    (not a per-kind job loop). Shared by Station.get_max_period and
+    Stations.get_max_periods so the intersection rule cannot drift."""
+    aggs = []
+    for kind in kinds:
+        cond_ts = F.when(F.col(kind).isNotNull(), F.col("timestamp"))
+        aggs.append(F.min(cond_ts).alias(f"_{kind}_from"))
+        aggs.append(F.max(cond_ts).alias(f"_{kind}_until"))
+    return aggs
+
+
+def _intersect_periods(row, kinds: Sequence[str]) -> TimestampPeriod:
+    """Driver-side intersection of the kinds' non-null spans."""
+    lo, hi = None, None
+    for kind in kinds:
+        s, e = row[f"_{kind}_from"], row[f"_{kind}_until"]
+        if s is not None and (lo is None or s > lo):
+            lo = s
+        if e is not None and (hi is None or e < hi):
+            hi = e
+    return TimestampPeriod(lo, hi)
+
+
 class Station:
     """One station of one parameter (reference StationBases.StationBase)."""
 
@@ -108,12 +132,13 @@ class Station:
                 return get_df(
                     self._ts, self.parameter, kinds=kinds,
                     period=(None, None), agg_to=agg_to, stids=[self.id],
-                    **kw,
+                    n_buckets=self.broker.bucket_count, **kw,
                 ).where(F.lit(False))
             period = clamped.strftime()
         return get_df(
             self._ts, self.parameter, kinds=kinds, period=period,
-            agg_to=agg_to, stids=[self.id], **kw,
+            agg_to=agg_to, stids=[self.id],
+            n_buckets=self.broker.bucket_count, **kw,
         )
 
     def drop(self, why: str = "No reason given") -> None:
@@ -313,22 +338,8 @@ class Station:
             result = TimestampPeriod(row[0], row[1])
             self.broker.cache_store(table, key, result)
             return result
-        # ONE aggregation job for all kinds (conditional min/max per
-        # kind), intersected on the driver — not a per-kind job loop
-        aggs = []
-        for kind in kinds:
-            cond_ts = F.when(F.col(kind).isNotNull(), F.col("timestamp"))
-            aggs.append(F.min(cond_ts).alias(f"_{kind}_from"))
-            aggs.append(F.max(cond_ts).alias(f"_{kind}_until"))
-        row = ts.agg(*aggs).first()
-        lo, hi = None, None
-        for kind in kinds:
-            s, e = row[f"_{kind}_from"], row[f"_{kind}_until"]
-            if s is not None and (lo is None or s > lo):
-                lo = s
-            if e is not None and (hi is None or e < hi):
-                hi = e
-        result = TimestampPeriod(lo, hi)
+        row = ts.agg(*_max_period_aggs(kinds)).first()
+        result = _intersect_periods(row, kinds)
         self.broker.cache_store(table, key, result)
         return result
 
@@ -483,6 +494,7 @@ class Stations:
             period=period,
             agg_to=agg_to,
             stids=list(stids) if stids is not None else None,
+            n_buckets=self.broker.bucket_count,
         )
         kind_cols = [c for c in tall.columns if c not in ("station_id", "timestamp")]
         piv = tall.groupBy("timestamp").pivot(
@@ -533,22 +545,10 @@ class Stations:
                 for r in rows
             }
         else:
-            aggs = []
-            for kind in kinds:
-                cond_ts = F.when(F.col(kind).isNotNull(), F.col("timestamp"))
-                aggs.append(F.min(cond_ts).alias(f"_{kind}_from"))
-                aggs.append(F.max(cond_ts).alias(f"_{kind}_until"))
-            rows = ts.groupBy("station_id").agg(*aggs).collect()
-            out = {}
-            for r in rows:
-                lo, hi = None, None
-                for kind in kinds:
-                    s, e = r[f"_{kind}_from"], r[f"_{kind}_until"]
-                    if s is not None and (lo is None or s > lo):
-                        lo = s
-                    if e is not None and (hi is None or e < hi):
-                        hi = e
-                out[r["station_id"]] = TimestampPeriod(lo, hi)
+            rows = ts.groupBy("station_id").agg(*_max_period_aggs(kinds)).collect()
+            out = {
+                r["station_id"]: _intersect_periods(r, kinds) for r in rows
+            }
         for stid, period in out.items():
             self.broker.cache_store(
                 table, ("max_period", stid, tuple(kinds), nas_allowed), period

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's streaming checkpoint file checksums await their
+        # background checksum-write futures inside the task thread; on
+        # some local filesystems those futures never complete and every
+        # stateful-stream task parks forever in
+        # ChecksumCheckpointFileManager.awaitResult. The checksums only
+        # guard against checkpoint corruption (a durability nicety);
+        # disable them for a hang-free default on local runs.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

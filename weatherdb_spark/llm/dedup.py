@@ -376,6 +376,15 @@ def simhash_pairs(
     )
 
 
+#: below this edge count the component labels are computed with a
+#: driver-side union-find over the collected edge list instead of the
+#: iterative distributed loop: near-dup edge sets are sketch-sized
+#: (pairs that SURVIVED verification), so at local/NB scale the loop's
+#: O(diameter) job overhead dwarfs the actual work. 2M edges ≈ 32 MB of
+#: longs on the driver — well under a collect that would matter.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -387,13 +396,23 @@ def connected_components(
     last step of a dedup pipeline: groups tell you which documents are
     interchangeable so one representative per group survives.
 
-    Iterative min-label propagation: every node starts as its own label;
-    each round every node takes the min label in its closed neighborhood;
-    stop when no label changes. Rounds needed = graph diameter (near-dup
-    graphs are shallow — duplicate clusters are dense), each round is one
-    keyed shuffle, and ``localCheckpoint`` cuts the lineage so the plan
-    does not grow with iterations. The driver loop is O(diameter)
-    distributed jobs, not a per-row loop.
+    Auto-sized like the Richter correction join: the edge list is
+    materialized once (``localCheckpoint`` — every propagation round
+    would otherwise re-execute the entire upstream pair-generation
+    pipeline), counted, and
+
+    - ``<= DRIVER_CC_MAX_EDGES``: collected and solved with union-find
+      on the driver — exact same min-label output, zero per-round job
+      overhead. Dedup edge lists are verified near-dup pairs, i.e.
+      sketch-sized even when the corpus is not.
+    - larger: iterative min-label propagation — every node takes the min
+      label in its closed neighborhood per round; stop when no label
+      changes. Rounds needed = graph diameter (near-dup graphs are
+      shallow — duplicate clusters are dense), each round is ONE job
+      (the change flag rides on the label frame; the lazy checkpoint
+      materializes during the change count) and one keyed shuffle, with
+      lineage cut per round. The driver loop is O(diameter) distributed
+      jobs, not a per-row loop.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -401,12 +420,39 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        # materialized once: every propagation round joins the edges, and
-        # without the checkpoint each round would re-execute the entire
-        # upstream pair-generation pipeline (shingles, inverted index,
-        # verify joins) — O(rounds) re-runs of the expensive part
         .localCheckpoint()
     )
+    n_edges = edges.count()  # cheap: counts the checkpointed partitions
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for src, dst in edges.toLocalIterator():
+            for node in (src, dst):
+                if node not in parent:
+                    parent[node] = node
+            ra, rb = find(src), find(dst)
+            if ra != rb:  # union by min so the root IS the min label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(node, find(node)) for node in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[a_col].dataType  # ids may be long or str
+        schema = StructType([
+            StructField("doc_id", id_type),
+            StructField("component_id", id_type),
+        ])
+        return pairs.sparkSession.createDataFrame(rows, schema)
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -431,17 +477,13 @@ def connected_components(
                 F.least(
                     F.col("component_id"), F.coalesce("_min_nb", F.col("component_id"))
                 ).alias("component_id"),
+                (F.coalesce("_min_nb", F.col("component_id"))
+                 < F.col("component_id")).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component_id")

@@ -73,6 +73,31 @@ def _seasonal_filter(donors: DataFrame, ts_col: str, seasonal_ma: bool) -> DataF
     return donors
 
 
+#: above this measured hole fraction the hole-key semi join is skipped:
+#: the filter removes too few candidate rows to repay its own
+#: shuffle-hash pass over the candidate stream (measured at sf0.1:
+#: 6x SLOWER at 89% holes, 1.7x faster at ~5% — production tables sit
+#: at 1-10%, where the semi join cuts the donor-join volume 10-100x)
+HOLE_SEMI_MAX_FRACTION = 0.35
+
+
+def _resolve_hole_semi(facts: DataFrame, base_col: str,
+                       hole_semi: bool | None) -> bool:
+    """Decide whether the donor candidate stream should semi-join to the
+    hole keys before the per-timestamp selection. ``None`` auto-sizes
+    with ONE cheap aggregate job (count + non-null count of the base
+    column — a single-column scan, negligible next to the fill itself);
+    an explicit bool skips the probe for callers that know their hole
+    regime (e.g. incremental stages over freshly imported windows)."""
+    if hole_semi is not None:
+        return hole_semi
+    row = facts.agg(
+        F.count(F.lit(1)).alias("_n"), F.count(base_col).alias("_nn")
+    ).first()
+    n = row["_n"]
+    return n > 0 and (1 - row["_nn"] / n) <= HOLE_SEMI_MAX_FRACTION
+
+
 def rank_fill(
     facts: DataFrame,
     knn: DataFrame,
@@ -84,6 +109,7 @@ def rank_fill(
     round_digits: int | None = 2,
     cascade_k: int | None = None,
     donor_facts: DataFrame | None = None,
+    hole_semi: bool | None = None,
 ) -> DataFrame:
     """P/ET/PD fillup: fill NULL ``base_col`` with the first non-null
     regionalized donor value in neighbor-rank order; record the donor in
@@ -110,6 +136,9 @@ def rank_fill(
     ``donor_facts``: donor pool override for per-station scoped runs
     (``Broker.fillup(stids=...)``) — targets narrow to ``facts`` while
     donors still draw from the full table. Defaults to ``facts``.
+    ``hole_semi``: semi-join the donor candidate stream to the hole keys
+    before the selection (``None`` auto-sizes via the measured hole
+    fraction — see :func:`_resolve_hole_semi`).
     Returns facts + ``filled``, ``filled_by``.
     """
     donor_src = donor_facts if donor_facts is not None else facts
@@ -124,28 +153,30 @@ def rank_fill(
         coef_sign, F.col("_nb_val"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
     )
 
-    # only NULL-base rows ever consume a fill, so the donor candidate
-    # stream is semi-joined to the hole keys BEFORE the per-timestamp
-    # selection: at production hole rates (1-10%) this cuts the donor-join
-    # volume 10-100x, and the semi join shuffles on the same
-    # (station, ts) keys the selection aggregates on, so the exchange is
-    # reused, not added
+    # only NULL-base rows ever consume a fill, so (below the hole-rate
+    # threshold) the donor candidate stream is semi-joined to the hole
+    # keys BEFORE the per-timestamp selection: at production hole rates
+    # (1-10%) this cuts the donor-join volume 10-100x, and the semi join
+    # shuffles on the same (station, ts) keys the selection aggregates
+    # on, so the exchange is reused, not added
+    hole_semi = _resolve_hole_semi(facts, base_col, hole_semi)
     all_holes = facts.filter(F.col(base_col).isNull()).select(
         "station_id", ts_col
     )
 
-    def _best(donors: DataFrame) -> DataFrame:
-        # first donor in rank order: min_by over (rank) per (station, ts)
-        return (
-            donors.select(
-                "station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id"
-            )
+    def _best(donors: DataFrame, semi: bool) -> DataFrame:
+        sel = donors.select(
+            "station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id"
+        )
+        if semi:
             # shuffle-hash, not sort-merge: the candidate stream is the
             # big side and must not be SORTED just for a semi join; the
             # hash build is the per-partition hole-key slice (spillable)
-            .join(all_holes.hint("shuffle_hash"),
-                  ["station_id", ts_col], "left_semi")
-            .groupBy("station_id", ts_col)
+            sel = sel.join(all_holes.hint("shuffle_hash"),
+                           ["station_id", ts_col], "left_semi")
+        # first donor in rank order: min_by over (rank) per (station, ts)
+        return (
+            sel.groupBy("station_id", ts_col)
             .agg(
                 F.min_by("_reg", "rank").alias("_fill_val"),
                 F.min_by("nb_station_id", "rank").alias("_fill_by"),
@@ -159,7 +190,8 @@ def rank_fill(
         best = _best(
             _seasonal_filter(
                 donor_facts.join(F.broadcast(pairs), "nb_station_id"), ts_col, seasonal_ma
-            )
+            ),
+            semi=hole_semi,
         )
     else:
         # the pair dim feeds three joins (near, holes anti-join target,
@@ -170,7 +202,8 @@ def rank_fill(
         best1 = _best(
             _seasonal_filter(
                 donor_facts.join(F.broadcast(near), "nb_station_id"), ts_col, seasonal_ma
-            )
+            ),
+            semi=hole_semi,
         )
         # holes that found no donor among the nearest k
         holes = all_holes.join(
@@ -178,13 +211,16 @@ def rank_fill(
         )
         far = pairs.filter(F.col("rank") > cascade_k)
         # join order matters: holes (small) x far-pairs first, THEN the
-        # donor facts — the blowup never materializes for non-hole rows
+        # donor facts — the blowup never materializes for non-hole rows.
+        # semi=False: this candidate stream is BUILT from hole keys
+        # already, a second hole filter would be pure overhead
         far_targets = holes.join(F.broadcast(far), "station_id")
         best2 = _best(
             _seasonal_filter(
                 far_targets.join(donor_facts, ["nb_station_id", ts_col]),
                 ts_col, seasonal_ma,
-            )
+            ),
+            semi=False,
         )
         best = best1.unionByName(best2)
 
@@ -215,6 +251,7 @@ def median_fill(
     near_dist_m: float | None = None,
     cascade_k: int | None = None,
     donor_facts: DataFrame | None = None,
+    hole_semi: bool | None = None,
 ) -> DataFrame:
     """T fillup: fill with the exact median of the first ``n_donors``
     non-null regionalized donors in rank order; ``filled_by`` is the array
@@ -245,6 +282,9 @@ def median_fill(
 
     ``donor_facts``: donor pool override for per-station scoped runs —
     see :func:`rank_fill`. Defaults to ``facts``.
+    ``hole_semi``: semi-join the candidate streams to the hole keys
+    (``None`` auto-sizes via the measured hole fraction — see
+    :func:`_resolve_hole_semi`).
     """
     donor_src = donor_facts if donor_facts is not None else facts
     donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
@@ -254,8 +294,10 @@ def median_fill(
     )
     pairs = _build_pairs(knn, ma, seasonal_ma=False)
 
-    # only NULL-base rows consume a fill — selection inputs semi-join to
-    # the hole keys (see the near-branch note below)
+    # only NULL-base rows consume a fill — below the hole-rate threshold
+    # the selection inputs semi-join to the hole keys (see the
+    # near-branch note below)
+    hole_semi = _resolve_hole_semi(facts, base_col, hole_semi)
     hole_keys = facts.filter(F.col(base_col).isNull()).select(
         "station_id", ts_col
     )
@@ -266,9 +308,10 @@ def median_fill(
         # this — it has its own complete-near-set + far-cascade pipeline
         # below (the _fillup_max_dist exit condition of
         # StationBases.py:1467-1471 lives there).
-        donors = donors.join(  # shuffle-hash: see rank_fill's _best note
-            hole_keys.hint("shuffle_hash"), ["station_id", ts_col], "left_semi"
-        )
+        if hole_semi:
+            donors = donors.join(  # shuffle-hash: see rank_fill's _best note
+                hole_keys.hint("shuffle_hash"), ["station_id", ts_col], "left_semi"
+            )
         wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
         return (
             donors.withColumn("_rn", F.row_number().over(wrank))
@@ -329,24 +372,28 @@ def median_fill(
                 )
             return cand
 
-        # only NULL-base rows consume a fill: semi-join the candidate
-        # stream to the hole keys before selecting — at production hole
-        # rates (1-10%) this cuts the donor-join volume 10-100x, and the
-        # semi join shuffles on the same keys the selection groups on,
-        # so the exchange is reused, not added
+        # only NULL-base rows consume a fill: below the hole-rate
+        # threshold the candidate stream semi-joins to the hole keys
+        # before selecting — at production hole rates (1-10%) this cuts
+        # the donor-join volume 10-100x, and the semi join shuffles on
+        # the same keys the selection groups on, so the exchange is
+        # reused, not added. The far/cascade candidate streams are BUILT
+        # from hole keys already and pass semi=False.
         all_holes = hole_keys
 
-        def _topn_best(cand: DataFrame, n: int) -> DataFrame:
+        def _topn_best(cand: DataFrame, n: int, semi: bool = False) -> DataFrame:
             struct_fields = [F.col("rank")] + [
                 F.col(f"_reg_{c}").alias(f"r_{c}") for c in value_cols
             ] + [F.col("nb_station_id").cast("short").alias("nb")]
             top = F.slice(
                 F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, n
             )
+            cand = _reg_cand(cand)
+            if semi:
+                cand = cand.join(all_holes.hint("shuffle_hash"),
+                                 ["station_id", ts_col], "left_semi")
             out = (
-                _reg_cand(cand)
-                .join(all_holes.hint("shuffle_hash"),
-                      ["station_id", ts_col], "left_semi")
+                cand
                 .groupBy("station_id", ts_col)
                 .agg(top.alias("_top"))
             )
@@ -376,7 +423,7 @@ def median_fill(
         # every cascade stage downstream of `targets`
         best_near = _topn_best(
             donor_facts.join(F.broadcast(near_pairs), "nb_station_id"),
-            n_donors,
+            n_donors, semi=hole_semi,
         ).persist()
         targets = all_holes.join(
             best_near.select("station_id", ts_col),

@@ -999,6 +999,10 @@ def fillup_rank_fill_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rank_fill(
         grid, knn, _ma_df(spark, sf_dir), coef_sign="mult", base_col="qty",
         ts_col="timestamp", round_digits=None, cascade_k=5,
+        # the starved fixture is ~90% holes on the expanded grid by
+        # construction — the hole semi join can't pay for itself, so
+        # skip the auto-size probe (callers with unknown regimes omit it)
+        hole_semi=False,
     )
     return out.select(
         F.col("station_id").cast("long").alias("station_id"),
@@ -1079,6 +1083,8 @@ def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid, knn, _ma_df(spark, sf_dir), n_donors=5, base_col="qty",
         value_cols=("qty",), out_cols=("filled",), ts_col="timestamp",
         round_digits=None, near_dist_m=4000.0, cascade_k=8,
+        # see fillup_rank_fill_deep: known ~90%-hole fixture
+        hole_semi=False,
     )
     return out.select(
         F.col("station_id").cast("long").alias("station_id"),

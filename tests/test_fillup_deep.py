@@ -237,3 +237,44 @@ def test_interpolate_gaps_chunked_window_exact_at_year_boundary(spark):
     assert out[dt.datetime(2024, 1, 1, 0, 10)] == (7.0, -1)
     # the 2-hour hole exceeds max_gap: stays NULL
     assert out[dt.datetime(2024, 1, 1, 2, 0)] == (None, None)
+
+
+def test_hole_semi_modes_identical_and_autosized(spark, starved):
+    """hole_semi True / False / auto produce identical fills (the semi
+    join is an optimization, never a semantic change), and the auto probe
+    picks the semi join exactly when the measured hole fraction is at or
+    below the documented threshold."""
+    from weatherdb_spark.operators.fillup import (
+        HOLE_SEMI_MAX_FRACTION,
+        _resolve_hole_semi,
+    )
+
+    meta, facts, ma = starved
+    knn_all = knn_stations(meta, k=None, elevation_weighted=False)
+    kw = dict(coef_sign="mult", base_col="qc", round_digits=None, cascade_k=2)
+    outs = [
+        sorted(map(tuple, rank_fill(facts, knn_all, ma, hole_semi=hs, **kw).collect()))
+        for hs in (True, False, None)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+    mkw = dict(n_donors=5, base_col="qc", value_cols=("qc",),
+               out_cols=("filled",), round_digits=None, near_dist_m=2500.0)
+    mouts = [
+        sorted(
+            (r.station_id, r.timestamp, r.filled,
+             tuple(r.filled_by) if r.filled_by is not None else None)
+            for r in median_fill(facts, knn_all, ma, hole_semi=hs, **mkw).collect()
+        )
+        for hs in (True, False, None)
+    ]
+    assert mouts[0] == mouts[1] == mouts[2]
+
+    # the starved fixture is 10/32 holes (31%) -> under the 35% threshold
+    assert _resolve_hole_semi(facts, "qc", None) is True
+    # explicit values bypass the probe entirely
+    assert _resolve_hole_semi(facts, "qc", False) is False
+    # an all-holes frame must not semi join
+    all_null = facts.withColumn("qc", F.lit(None).cast("double"))
+    assert _resolve_hole_semi(all_null, "qc", None) is False
+    assert 0.0 < HOLE_SEMI_MAX_FRACTION < 1.0

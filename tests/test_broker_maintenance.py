@@ -292,3 +292,52 @@ def test_vacuum_compacts_dim_table_and_skips_small_tables(spark, tmp_path):
     assert compacted["meta"][1] == 1
     assert "raw_files_like" not in compacted  # below threshold, untouched
     assert _rows(b.read("meta")) == sorted((i, "p", True) for i in range(100))
+
+
+def test_bucket_count_pins_legacy_default_for_existing_warehouse(
+    spark, tmp_path, monkeypatch
+):
+    """A warehouse whose fact tables predate the n_station_buckets
+    setting was written with the shipped default modulus — opening it
+    under a user config with a DIFFERENT bucket count must pin the
+    legacy default (the modulus is a property of the data), not the
+    knob; only a fresh warehouse takes the knob."""
+    from weatherdb_spark import userconfig
+    from weatherdb_spark.broker import N_STATION_BUCKETS
+
+    wh = tmp_path / "wh"
+    b = Broker(spark, str(wh))
+    df = spark.range(40).select(
+        (F.col("id") % 10).cast("int").alias("station_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.lit(1.0).alias("raw"),
+    )
+    b.write("ts_p", df, bucket_by_station=True)
+    # simulate the pre-pinning engine: the setting does not exist yet
+    settings = __import__("json").load(open(wh / "settings.json"))
+    settings.pop("n_station_buckets")
+    __import__("json").dump(settings, open(wh / "settings.json", "w"))
+
+    monkeypatch.setenv(
+        "WEATHERDB_SPARK_MAIN_CONFIG_DIR", str(tmp_path / "main")
+    )
+    cfg = userconfig.get_config(reload=True)
+    cfg.create_user_config(tmp_path / "user.ini")
+    cfg.update_user_config("engine", "n_station_buckets", "8")
+    try:
+        assert Broker(spark, str(wh)).bucket_count == N_STATION_BUCKETS
+        # a FRESH warehouse takes the user knob
+        assert Broker(spark, str(tmp_path / "wh_new")).bucket_count == 8
+    finally:
+        userconfig._config = None
+
+
+def test_upgrade_db_schema_respects_active_broker(spark, tmp_path):
+    """The layout migration renames files out of flat table roots, so it
+    must honor the warehouse mutex like every other mutating stage."""
+    wh = tmp_path / "wh"
+    a = Broker(spark, str(wh))
+    with a.activate():
+        with pytest.raises(RuntimeError):
+            Broker(spark, str(wh)).upgrade_db_schema()
+    Broker(spark, str(wh)).upgrade_db_schema()  # lock released -> fine

@@ -278,3 +278,36 @@ def test_hole_semi_modes_identical_and_autosized(spark, starved):
     all_null = facts.withColumn("qc", F.lit(None).cast("double"))
     assert _resolve_hole_semi(all_null, "qc", None) is False
     assert 0.0 < HOLE_SEMI_MAX_FRACTION < 1.0
+
+
+def test_interpolate_gaps_long_max_gap_spans_multiple_years(spark):
+    """max_gap beyond 365 days falls back to the plain per-station
+    window: a bracket spanning two year boundaries still interpolates
+    (the one-chunk context of the skew-guard path could not see it)."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.fillup import interpolate_gaps
+
+    rows = [
+        (1, dt.datetime(2022, 12, 1), 10.0),
+        # holes clear through 2023 into 2024
+        (1, dt.datetime(2023, 6, 1), None),
+        (1, dt.datetime(2024, 1, 10), None),
+        (1, dt.datetime(2024, 2, 4), 20.0),  # 430 days after the prev value
+    ]
+    facts = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, filled double"
+    )
+    out = {
+        r.timestamp: r.filled
+        for r in interpolate_gaps(facts, max_gap="500 days").collect()
+    }
+    assert out[dt.datetime(2023, 6, 1)] is not None
+    assert out[dt.datetime(2024, 1, 10)] is not None
+    assert 10.0 < out[dt.datetime(2023, 6, 1)] < out[dt.datetime(2024, 1, 10)] < 20.0
+    # and a SHORT max_gap must not fill a 430-day bracket
+    strict = {
+        r.timestamp: r.filled
+        for r in interpolate_gaps(facts, max_gap="2 days").collect()
+    }
+    assert strict[dt.datetime(2023, 6, 1)] is None

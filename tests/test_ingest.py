@@ -295,3 +295,29 @@ def test_windowed_stream_agg_late_data_semantics(spark, tmp_path):
     assert sums[dt.datetime(2024, 1, 1, 10, 0)] == [3.0]
     # 13:00 window finalized from batch-1 data only
     assert sums[dt.datetime(2024, 1, 1, 13, 0)] == [10.0]
+
+
+def test_f7_dedup_one_winner_when_basenames_collide(spark):
+    """Two distinct source files sharing a basename (e.g. a dir plus a
+    staging copy) must still yield exactly ONE row per (station, ts):
+    the dedup key is (file name, full path), name first so zip-staging
+    paths don't decide the winner, path as the deterministic tie-break."""
+    import datetime as dt
+
+    from weatherdb_spark.sources.dwd import ingest_p_raw
+
+    rows = [
+        (3, dt.datetime(2024, 1, 1, 0, 0), 1.5, 1, "/a/produkt_rr_003.txt"),
+        (3, dt.datetime(2024, 1, 1, 0, 0), 9.9, 1, "/b/produkt_rr_003.txt"),
+        # control: differing basenames keep the smaller NAME even when
+        # its full path sorts larger
+        (4, dt.datetime(2024, 1, 1, 0, 0), 2.5, 1, "/z/produkt_aa_004.txt"),
+        (4, dt.datetime(2024, 1, 1, 0, 0), 8.8, 1, "/a/produkt_zz_004.txt"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "STATIONS_ID int, MESS_DATUM timestamp, RWS_10 double, QN int, _src_file string",
+    )
+    out = {r.station_id: r.raw for r in ingest_p_raw(df).collect()}
+    assert out == {3: 1.5, 4: 2.5}
+    assert ingest_p_raw(df).count() == 2

@@ -148,3 +148,52 @@ def test_config_knobs_reach_the_engine(cfg, tmp_path, spark):
         b.read("ts_p"), kinds=("raw",), agg_to="day", coverage=0.8
     )
     assert day_explicit.filter(F.col("raw").isNotNull()).count() == 10
+
+
+def test_get_config_accessor_survives_submodule_import(cfg):
+    """weatherdb_spark.get_config() must reach the UserConfig singleton
+    even after the config.py constants SUBMODULE is bound as the package
+    'config' attribute by an engine import (module __getattr__ only
+    fires when normal lookup fails, so a lazy 'config' attribute would
+    be shadowed order-dependently)."""
+    import weatherdb_spark
+    import weatherdb_spark.broker  # noqa: F401 - binds the submodule attr
+    import weatherdb_spark.config as constants
+
+    assert weatherdb_spark.config is constants  # submodule wins, by design
+    got = weatherdb_spark.get_config()
+    assert got is userconfig.get_config()
+    assert got.get("engine", "n_station_buckets") == "16"
+
+
+def test_malformed_user_value_fails_loudly(cfg, tmp_path):
+    """A user override that cannot parse must raise, not silently run
+    the pipeline with the shipped default."""
+    from weatherdb_spark.config import COVERAGE_GATE, user_setting
+
+    cfg.create_user_config(tmp_path / "user.ini")
+    cfg.update_user_config("aggregation", "coverage_gate", "0,9")
+    with pytest.raises(ValueError, match=r"coverage_gate"):
+        user_setting("aggregation", "coverage_gate", COVERAGE_GATE)
+    # absent knobs still fall back silently
+    assert user_setting("aggregation", "no_such_option", 1.25) == 1.25
+
+
+def test_env_override_survives_user_config_reload(cfg, tmp_path, monkeypatch):
+    """'environment variables override last' must hold across explicit
+    load_user_config()/update_user_config() calls, not just __init__."""
+    path = cfg.create_user_config(tmp_path / "user.ini")
+    cfg.update_user_config("engine", "warehouse_dir", str(tmp_path / "from_ini"))
+    monkeypatch.setenv("WEATHERDB_SPARK_WAREHOUSE_DIR", str(tmp_path / "from_env"))
+    live = userconfig.get_config(reload=True)
+    assert live.get("engine", "warehouse_dir").endswith("from_env")
+    live.load_user_config()  # re-read the edited ini
+    assert live.get("engine", "warehouse_dir").endswith("from_env")
+    live.update_user_config("engine", "warehouse_dir", str(tmp_path / "from_ini2"))
+    assert live.get("engine", "warehouse_dir").endswith("from_env")
+    # the ini itself did record the update for env-less sessions
+    import configparser
+
+    raw = configparser.ConfigParser()
+    raw.read(path)
+    assert raw.get("engine", "warehouse_dir").endswith("from_ini2")

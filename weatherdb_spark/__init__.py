@@ -33,7 +33,7 @@ __all__ = [
     "GroupStation",
     "GroupStations",
     "TimestampPeriod",
-    "config",
+    "get_config",
 ]
 __version__ = "0.1.0"
 
@@ -51,9 +51,13 @@ def __getattr__(name):
     if name == "TimestampPeriod":
         from weatherdb_spark.period import TimestampPeriod
         return TimestampPeriod
-    if name == "config":
+    if name == "get_config":
         # the reference exposes ``weatherdb.config`` (the ConfigParser
-        # instance); here it is the user-config singleton
+        # instance); a lazy ``config`` attribute here would be shadowed
+        # by the ``weatherdb_spark.config`` constants SUBMODULE the
+        # moment any engine module imports it (module __getattr__ only
+        # fires when normal lookup fails), so the user-config singleton
+        # is exposed as the get_config() accessor instead
         from weatherdb_spark.userconfig import get_config
-        return get_config()
+        return get_config
     raise AttributeError(f"module 'weatherdb_spark' has no attribute {name!r}")

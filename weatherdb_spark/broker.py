@@ -148,14 +148,36 @@ class Broker:
         if pinned is not None:
             self._bucket_count = int(pinned)
             return self._bucket_count
-        from weatherdb_spark.config import user_setting
+        if self._has_bucketed_tables():
+            # pre-pinning warehouse: its fact tables were written with
+            # the shipped default modulus — pin THAT, never the user
+            # knob, or reads would prune against the wrong buckets and
+            # scoped merges would mix moduli
+            n = N_STATION_BUCKETS
+        else:
+            from weatherdb_spark.config import user_setting
 
-        n = user_setting(
-            "engine", "n_station_buckets", N_STATION_BUCKETS, cast=int
-        )
+            n = user_setting(
+                "engine", "n_station_buckets", N_STATION_BUCKETS, cast=int
+            )
         self.set_setting("n_station_buckets", str(n))
         self._bucket_count = n
         return n
+
+    def _has_bucketed_tables(self) -> bool:
+        """True when any fact table already holds station_bucket
+        partition dirs (in its current snapshot or the flat legacy
+        layout) — the bucket modulus is then a property of the data, not
+        of configuration."""
+        for table in os.listdir(self.dir) if os.path.isdir(self.dir) else []:
+            if not table.startswith("ts_"):
+                continue
+            data = self.data_path(table)
+            if os.path.isdir(data) and any(
+                e.startswith("station_bucket=") for e in os.listdir(data)
+            ):
+                return True
+        return False
 
     def _needs_reinitiation(self) -> bool:
         """True when the warehouse was computed by an older package
@@ -330,28 +352,35 @@ class Broker:
         """Migrate older warehouse layouts forward (reference
         upgrade-db-schema CLI / alembic upgrade): flat (layout 1) tables
         move into a ``_v00001`` snapshot behind a manifest pointer
-        (layout 2), then the key columns re-validate."""
+        (layout 2), then the key columns re-validate.
+
+        Runs under the broker mutex (like :meth:`downgrade_db_schema`):
+        the migration os.rename()s legacy parquet files out of the flat
+        table roots, which would yank files from under a stage another
+        broker is running — exactly the mid-scan hazard the snapshot
+        layer closes."""
         import shutil
 
-        for table in self._data_tables():
-            if self.table_version(table) is not None:
-                continue
-            root = self.path(table)
-            entries = [e for e in os.listdir(root)
-                       if not e.startswith(("_v", self._MANIFEST))]
-            if not entries:
-                continue
-            vdir = os.path.join(root, self._version_dirname(1))
-            # a crashed write may have left a partial _v00001 with no
-            # manifest flip — clear it, or its part-files would merge
-            # with the legacy rows and double-count
-            if os.path.isdir(vdir):
-                shutil.rmtree(vdir)
-            os.makedirs(vdir)
-            for e in entries:
-                os.rename(os.path.join(root, e), os.path.join(vdir, e))
-            self._flip_manifest(table, 1)
-        self.set_setting("layout", str(self.LAYOUT_VERSION))
+        with self.activate():
+            for table in self._data_tables():
+                if self.table_version(table) is not None:
+                    continue
+                root = self.path(table)
+                entries = [e for e in os.listdir(root)
+                           if not e.startswith(("_v", self._MANIFEST))]
+                if not entries:
+                    continue
+                vdir = os.path.join(root, self._version_dirname(1))
+                # a crashed write may have left a partial _v00001 with no
+                # manifest flip — clear it, or its part-files would merge
+                # with the legacy rows and double-count
+                if os.path.isdir(vdir):
+                    shutil.rmtree(vdir)
+                os.makedirs(vdir)
+                for e in entries:
+                    os.rename(os.path.join(root, e), os.path.join(vdir, e))
+                self._flip_manifest(table, 1)
+            self.set_setting("layout", str(self.LAYOUT_VERSION))
         self._db_schema_valid = False
         self.check_db_schema()
 

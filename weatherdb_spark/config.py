@@ -102,6 +102,8 @@ def user_setting(section: str, option: str, fallback, cast=float):
     the module constant as fallback — the shipped config_default.ini
     mirrors these constants, so the answer only changes when a user
     config or env var overrides it."""
+    import configparser
+
     from weatherdb_spark.userconfig import get_config
 
     try:
@@ -111,8 +113,16 @@ def user_setting(section: str, option: str, fallback, cast=float):
         if getter is None:
             return cast(get_config().get(section, option))
         return getattr(get_config(), getter)(section, option)
-    except Exception:
+    except (configparser.NoSectionError, configparser.NoOptionError):
+        # knob not in the shipped defaults or any user layer
         return fallback
+    except ValueError as exc:
+        # a malformed USER value must fail loudly, not silently run the
+        # pipeline with the shipped default the user believes overridden
+        raise ValueError(
+            f"user config [{section}] {option} is not a valid "
+            f"{cast.__name__}: {exc}"
+        ) from exc
 ELEV_WEIGHT_P1 = 250.0
 ELEV_WEIGHT_P2 = 1.5
 KNN_DEFAULT = 5

@@ -376,12 +376,15 @@ def simhash_pairs(
     )
 
 
-#: below this edge count the component labels are computed with a
-#: driver-side union-find over the collected edge list instead of the
-#: iterative distributed loop: near-dup edge sets are sketch-sized
-#: (pairs that SURVIVED verification), so at local/NB scale the loop's
-#: O(diameter) job overhead dwarfs the actual work. 2M edges ≈ 32 MB of
-#: longs on the driver — well under a collect that would matter.
+#: below this DIRECTED edge count (2x the undirected pairs) the
+#: component labels are computed with a driver-side union-find instead
+#: of the iterative distributed loop: near-dup edge sets are
+#: sketch-sized (pairs that SURVIVED verification), so at local/NB scale
+#: the loop's O(diameter) job overhead dwarfs the actual work. Only the
+#: undirected half transfers (Arrow columns, ~8 MB of int64 at the
+#: threshold); driver cost is the python dict of NODES (bounded by the
+#: edge count) plus one find() per edge — ~1 s/1M edges, comfortably
+#: under the several-job distributed floor it replaces.
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
@@ -434,7 +437,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for src, dst in edges.toLocalIterator():
+        # undirected half only (src <= dst, keeping self-loop NODES),
+        # via one Arrow transfer — row-at-a-time toLocalIterator would
+        # dominate near the threshold
+        half = edges.filter(F.col("src") <= F.col("dst")).toPandas()
+        for src, dst in zip(half["src"].tolist(), half["dst"].tolist()):
             for node in (src, dst):
                 if node not in parent:
                     parent[node] = node

@@ -535,7 +535,10 @@ def interpolate_gaps(
     one task. Rows within ``max_gap`` of a year boundary are duplicated
     into the neighboring chunk as context, which is EXACT: a bracket
     wider than ``max_gap`` never fills, so context beyond it cannot
-    change any output row.
+    change any output row. The one-chunk context covers at most one
+    year-boundary crossing, so a ``max_gap`` over 365 days (far beyond
+    any shipped knob) falls back to the plain per-station window — data
+    that coarse cannot skew a partition anyway.
     """
     if filled_by_col not in facts.columns:
         facts = facts.withColumn(filled_by_col, F.lit(None).cast("short"))
@@ -545,28 +548,41 @@ def interpolate_gaps(
         gap_s = int(num) * {"hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
                             "minute": 60, "minutes": 60}[unit]
 
-    year_start = F.unix_timestamp(
-        F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
-    )
-    next_year_start = F.unix_timestamp(
-        F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
-    )
-    ts_s = F.unix_timestamp(F.col(ts_col))
-    chunked = facts.withColumn("_chunk", F.year(ts_col)).withColumn(
-        "_ctx", F.lit(False)
-    )
-    ctx_up = chunked.filter(next_year_start - ts_s <= gap_s).withColumn(
-        "_chunk", F.col("_chunk") + 1
-    ).withColumn("_ctx", F.lit(True))
-    ctx_down = chunked.filter(ts_s - year_start < gap_s).withColumn(
-        "_chunk", F.col("_chunk") - 1
-    ).withColumn("_ctx", F.lit(True))
-    union = chunked.unionByName(ctx_up).unionByName(ctx_down)
+    if gap_s <= 365 * 86400:
+        # (station, year) chunking with one-chunk context is exact only
+        # while a fill-eligible bracket (span <= max_gap) can cross at
+        # most ONE year boundary — guaranteed up to a 365-day max_gap
+        year_start = F.unix_timestamp(
+            F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
+        )
+        next_year_start = F.unix_timestamp(
+            F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
+        )
+        ts_s = F.unix_timestamp(F.col(ts_col))
+        chunked = facts.withColumn("_chunk", F.year(ts_col)).withColumn(
+            "_ctx", F.lit(False)
+        )
+        ctx_up = chunked.filter(next_year_start - ts_s <= gap_s).withColumn(
+            "_chunk", F.col("_chunk") + 1
+        ).withColumn("_ctx", F.lit(True))
+        ctx_down = chunked.filter(ts_s - year_start < gap_s).withColumn(
+            "_chunk", F.col("_chunk") - 1
+        ).withColumn("_ctx", F.lit(True))
+        union = chunked.unionByName(ctx_up).unionByName(ctx_down)
+        part_cols = ("station_id", "_chunk")
+    else:
+        # a >1-year max_gap (no shipped config comes close — the knobs
+        # are minutes to days) implies coarse data where a per-station
+        # partition cannot skew; the plain window is then the exact path
+        union = facts.withColumn("_chunk", F.lit(0)).withColumn(
+            "_ctx", F.lit(False)
+        )
+        part_cols = ("station_id",)
 
-    wb = W.partitionBy("station_id", "_chunk").orderBy(ts_col).rowsBetween(
+    wb = W.partitionBy(*part_cols).orderBy(ts_col).rowsBetween(
         W.unboundedPreceding, -1
     )
-    wf = W.partitionBy("station_id", "_chunk").orderBy(ts_col).rowsBetween(
+    wf = W.partitionBy(*part_cols).orderBy(ts_col).rowsBetween(
         1, W.unboundedFollowing
     )
     val_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))

@@ -142,15 +142,20 @@ def ingest_p_raw(
     first file (F7), negative measurements null out (F6). Returns
     (station_id, timestamp, raw, qn)."""
     on_grid = df.filter(F.minute(ts_col) % 10 == 0)
-    # F7 keys on the file NAME, not the full path: zip-extracted members
-    # live in a staging dir whose path must not decide which duplicate
-    # wins against a plain file in the source dir
-    fname = F.substring_index(F.col(file_col), "/", -1)
+    # F7 keys on the file NAME first (zip-extracted members live in a
+    # staging dir whose path must not decide which duplicate wins
+    # against a plain file in the source dir), with the full path as the
+    # tie-break so two distinct files sharing a basename still yield
+    # exactly ONE winner per (station, ts)
+    file_key = F.struct(
+        F.substring_index(F.col(file_col), "/", -1).alias("name"),
+        F.col(file_col).alias("path"),
+    )
     first_file = on_grid.groupBy(station_col, ts_col).agg(
-        F.min(fname).alias("_first_file")
+        F.min(file_key).alias("_first_file")
     )
     deduped = on_grid.join(first_file, [station_col, ts_col]).filter(
-        fname == F.col("_first_file")
+        file_key == F.col("_first_file")
     )
     qn_col = "QN" if "QN" in df.columns else None
     return deduped.select(
@@ -263,14 +268,17 @@ def ingest_raw_dir(
     df = read_produkt_csv(spark, paths, date_cols=(spec["date"],))
     if parameter == "p":
         return ingest_p_raw(localize_p_timestamps(df))
-    # daily tables: F7 first-file dedup (by file NAME — see ingest_p_raw),
-    # column map, optional F6 scrub
-    fname = F.substring_index(F.col("_src_file"), "/", -1)
+    # daily tables: F7 first-file dedup (name-first key with full-path
+    # tie-break — see ingest_p_raw), column map, optional F6 scrub
+    file_key = F.struct(
+        F.substring_index(F.col("_src_file"), "/", -1).alias("name"),
+        F.col("_src_file").alias("path"),
+    )
     first_file = df.groupBy("STATIONS_ID", spec["date"]).agg(
-        F.min(fname).alias("_first_file")
+        F.min(file_key).alias("_first_file")
     )
     deduped = df.join(first_file, ["STATIONS_ID", spec["date"]]).filter(
-        fname == F.col("_first_file")
+        file_key == F.col("_first_file")
     )
     out_cols = [
         F.col("STATIONS_ID").cast("int").alias("station_id"),

@@ -700,6 +700,7 @@ class GroupStations:
             tall = get_df(
                 self.broker.read(f"ts_{para}"), para, kinds=(kind,),
                 stids=list(stids), period=period, agg_to=agg_to,
+                n_buckets=self.broker.bucket_count,
             )
             value_col = [
                 c for c in tall.columns if c not in ("station_id", "timestamp")

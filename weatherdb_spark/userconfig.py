@@ -154,6 +154,9 @@ class UserConfig(configparser.ConfigParser):
         path = Path(self.user_config_file)
         if path.exists():
             self.read(path, encoding="utf-8")
+            # environment variables override LAST (the module contract):
+            # re-layering the user ini must not bury an env-derived value
+            self.load_environment_variables()
         elif if_not_existing[0].lower() == "r":
             self.remove_option("main", "user_config_file")
         elif if_not_existing[0].lower() != "i":
@@ -178,6 +181,8 @@ class UserConfig(configparser.ConfigParser):
         if not self.has_section(section):
             self.add_section(section)
         self.set(section, option, value)
+        # env vars stay the topmost layer even over a just-written option
+        self.load_environment_variables()
 
     # -------------------------------------------------------- environment
     def load_environment_variables(self) -> None:

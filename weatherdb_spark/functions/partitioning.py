@@ -47,3 +47,75 @@ def spread(df: DataFrame, *key_cols: str, target: int | None = None) -> DataFram
     if key_cols:
         return df.repartition(tgt, *[F.col(c) for c in key_cols])
     return df.repartition(tgt)
+
+
+def year_chunked(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    group_col: str = "station_id",
+    context_rows: int | None = None,
+    context_seconds: int | None = None,
+) -> DataFrame:
+    """Split a per-``group_col`` timeseries into (group, year) chunks
+    for skew-safe window functions, duplicating boundary rows into the
+    neighboring chunk as context.
+
+    A window partitioned by station alone puts a station's entire
+    multi-decade history (~5M rows/century at 10-min resolution) in ONE
+    task; most QC/fill windows only reach a bounded distance — a fixed
+    number of adjacent rows (lag/lead) or a bounded time span — so the
+    window can run per (station, year) instead, with each chunk seeded
+    by just enough neighboring-chunk context to make the chunked result
+    EXACT:
+
+    - ``context_rows=n``: each chunk's first/last ``n`` rows are
+      duplicated into the previous/next chunk — exact for windows whose
+      frame reaches at most ``n`` rows either way, on arbitrary time
+      grids (the context rows ARE the globally adjacent ones).
+    - ``context_seconds=s``: rows within ``s`` of a year boundary are
+      duplicated — exact for windows whose *effect* is bounded to
+      brackets of span <= ``s`` (s must stay <= one year so a bracket
+      crosses at most the one duplicated boundary).
+
+    Returns ``df`` plus ``_chunk`` (partition the window on
+    ``(group_col, "_chunk")``) and ``_ctx`` (True on duplicated context
+    rows — filter them out AFTER the window functions, then drop both
+    columns).
+    """
+    from pyspark.sql import Window as W
+
+    if (context_rows is None) == (context_seconds is None):
+        raise ValueError("pass exactly one of context_rows/context_seconds")
+    chunked = df.withColumn("_chunk", F.year(ts_col))
+    if context_rows is not None:
+        w_asc = W.partitionBy(group_col, "_chunk").orderBy(ts_col)
+        w_desc = W.partitionBy(group_col, "_chunk").orderBy(
+            F.col(ts_col).desc()
+        )
+        marked = chunked.withColumn(
+            "_rn_a", F.row_number().over(w_asc)
+        ).withColumn("_rn_d", F.row_number().over(w_desc))
+        first = F.col("_rn_a") <= context_rows
+        last = F.col("_rn_d") <= context_rows
+    else:
+        year_start = F.unix_timestamp(
+            F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
+        )
+        next_year_start = F.unix_timestamp(
+            F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
+        )
+        ts_s = F.unix_timestamp(F.col(ts_col))
+        marked = chunked
+        first = ts_s - year_start < context_seconds
+        last = next_year_start - ts_s <= context_seconds
+    real = marked.withColumn("_ctx", F.lit(False))
+    ctx_up = marked.filter(last).withColumn(
+        "_chunk", F.col("_chunk") + 1
+    ).withColumn("_ctx", F.lit(True))
+    ctx_down = marked.filter(first).withColumn(
+        "_chunk", F.col("_chunk") - 1
+    ).withColumn("_ctx", F.lit(True))
+    union = real.unionByName(ctx_up).unionByName(ctx_down)
+    if context_rows is not None:
+        union = union.drop("_rn_a", "_rn_d")
+    return union

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from weatherdb_spark.functions.partitioning import year_chunked
 from weatherdb_spark.functions.temporal import is_winter, shifted_date
 
 
@@ -552,23 +553,7 @@ def interpolate_gaps(
         # (station, year) chunking with one-chunk context is exact only
         # while a fill-eligible bracket (span <= max_gap) can cross at
         # most ONE year boundary — guaranteed up to a 365-day max_gap
-        year_start = F.unix_timestamp(
-            F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
-        )
-        next_year_start = F.unix_timestamp(
-            F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
-        )
-        ts_s = F.unix_timestamp(F.col(ts_col))
-        chunked = facts.withColumn("_chunk", F.year(ts_col)).withColumn(
-            "_ctx", F.lit(False)
-        )
-        ctx_up = chunked.filter(next_year_start - ts_s <= gap_s).withColumn(
-            "_chunk", F.col("_chunk") + 1
-        ).withColumn("_ctx", F.lit(True))
-        ctx_down = chunked.filter(ts_s - year_start < gap_s).withColumn(
-            "_chunk", F.col("_chunk") - 1
-        ).withColumn("_ctx", F.lit(True))
-        union = chunked.unionByName(ctx_up).unionByName(ctx_down)
+        union = year_chunked(facts, ts_col=ts_col, context_seconds=gap_s)
         part_cols = ("station_id", "_chunk")
     else:
         # a >1-year max_gap (no shipped config comes close — the knobs
@@ -652,29 +637,11 @@ def daily_adjust_p(
         coefs.select("station_id", "_day", "_coef"), ["station_id", "_day"], "left"
     )
     # adjacent 10-min filled values (pre-adjustment), reference tsb/tsa
-    # joins. Skew guard: a window partitioned by station alone puts a
-    # station's entire multi-decade 10-min history (~5M rows/century) in
-    # ONE task; since lag/lead only need the adjacent row, partition by
-    # (station, year) instead and duplicate each chunk's first/last row
-    # into the neighboring chunk as context — exact for arbitrary grids
-    # (the context row IS the globally adjacent row), one shuffle either
-    # way, max task ~52.6k rows per station-year.
-    chunked = out.withColumn("_chunk", F.year("timestamp"))
-    w_asc = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
-    w_desc = W.partitionBy("station_id", "_chunk").orderBy(
-        F.col("timestamp").desc()
-    )
-    marked = chunked.withColumn(
-        "_is_first", F.row_number().over(w_asc) == 1
-    ).withColumn("_is_last", F.row_number().over(w_desc) == 1)
-    real = marked.withColumn("_ctx", F.lit(False))
-    ctx_up = marked.filter(F.col("_is_last")).withColumn(
-        "_chunk", F.col("_chunk") + 1
-    ).withColumn("_ctx", F.lit(True))
-    ctx_down = marked.filter(F.col("_is_first")).withColumn(
-        "_chunk", F.col("_chunk") - 1
-    ).withColumn("_ctx", F.lit(True))
-    union = real.unionByName(ctx_up).unionByName(ctx_down)
+    # joins. Skew guard: lag/lead only need the adjacent row, so the
+    # window runs per (station, year) with 1-row boundary context
+    # (functions.partitioning.year_chunked) — max task ~52.6k rows per
+    # station-year instead of a station's full multi-decade history.
+    union = year_chunked(out, context_rows=1)
     wts = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
     prev_f = F.lag("filled").over(wts)
     next_f = F.lead("filled").over(wts)
@@ -691,5 +658,5 @@ def daily_adjust_p(
     return (
         union.withColumn("corr_base", adjusted)
         .filter(~F.col("_ctx"))
-        .drop("_day", "_coef", "_chunk", "_ctx", "_is_first", "_is_last")
+        .drop("_day", "_coef", "_chunk", "_ctx")
     )

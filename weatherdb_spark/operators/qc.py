@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from weatherdb_spark.functions.partitioning import year_chunked
 from weatherdb_spark.functions.temporal import is_winter, shifted_date
 
 
@@ -68,29 +69,12 @@ def qc_p(
         .select("station_id", "date")
     )
 
-    # (b) window flags (J1/J2/W1/W2). Skew guard: a station-only window
-    # puts a station's full multi-decade 10-min history in ONE task; the
-    # lag/lead here only reach 2 rows, so the window partitions by
-    # (station, year) with each chunk's first/last two rows duplicated
-    # into the neighboring chunk as context — exact, the context rows
-    # ARE the globally adjacent ones (same pattern as daily_adjust_p).
+    # (b) window flags (J1/J2/W1/W2). Skew guard: the lag/lead here only
+    # reach 2 rows, so the window runs per (station, year) with 2-row
+    # boundary context (functions.partitioning.year_chunked) instead of
+    # putting a station's full multi-decade 10-min history in ONE task.
     win = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
-    w_asc = win
-    w_desc = W.partitionBy("station_id", "_chunk").orderBy(
-        F.col("timestamp").desc()
-    )
-    chunked = ts_p.withColumn("_chunk", F.year("timestamp"))
-    marked = chunked.withColumn(
-        "_rn_a", F.row_number().over(w_asc)
-    ).withColumn("_rn_d", F.row_number().over(w_desc))
-    real = marked.withColumn("_ctx", F.lit(False))
-    ctx_up = marked.filter(F.col("_rn_d") <= 2).withColumn(
-        "_chunk", F.col("_chunk") + 1
-    ).withColumn("_ctx", F.lit(True))
-    ctx_down = marked.filter(F.col("_rn_a") <= 2).withColumn(
-        "_chunk", F.col("_chunk") - 1
-    ).withColumn("_ctx", F.lit(True))
-    union = real.unionByName(ctx_up).unionByName(ctx_down)
+    union = year_chunked(ts_p, context_rows=2)
     # the reference joins the triple on strictly increasing timestamps with
     # qn != 3 evaluated on the run-HEAD row only, then UNIONs the three
     # shifted timestamp columns so every member is flagged
@@ -118,7 +102,7 @@ def qc_p(
             (F.col("raw") > peak_value) & (F.col("_v1") == 0) & (F.col("_vn") == 0),
         )
         .filter(~F.col("_ctx"))
-        .drop("_chunk", "_ctx", "_rn_a", "_rn_d")
+        .drop("_chunk", "_ctx")
     )
 
     out = flagged.withColumn("_day", day).join(

@@ -94,3 +94,70 @@ def test_cli_update_meta_and_raw(spark, tmp_path, dwd_dirs):
     assert t44["2024-01-01T00:00:00"] == (1.5, -2.0, 5.0)  # negatives kept
     assert t44["2024-01-02T00:00:00"] == (None, None, None)
     assert ts_t.filter(F.col("station_id") == 71).count() == 1
+
+
+def test_cli_create_user_config(tmp_path, monkeypatch):
+    """create-user-config writes the commented defaults copy and records
+    its location — no warehouse or SparkSession involved."""
+    from weatherdb_spark import userconfig
+
+    monkeypatch.setenv("WEATHERDB_SPARK_MAIN_CONFIG_DIR", str(tmp_path / "main"))
+    try:
+        target = tmp_path / "cfg" / "user.ini"
+        assert main(["create-user-config", "--file", str(target)]) == 0
+        text = target.read_text()
+        assert "; warehouse_dir" in text or ";warehouse_dir" in text
+        # second run without on-exists fails; define only re-records
+        with pytest.raises(FileExistsError):
+            main(["create-user-config", "--file", str(target)])
+        assert main(["create-user-config", "--file", str(target),
+                     "--on-exists", "define"]) == 0
+    finally:
+        userconfig._config = None
+
+
+DEM_ASC = (
+    "ncols 4\n"
+    "nrows 3\n"
+    "xllcorner 500000\n"
+    "yllcorner 5600000\n"
+    "cellsize 10000\n"
+    "NODATA_value -9999\n"
+    "900 900 100 100\n"
+    "900 900 100 100\n"
+    "900 -9999 100 100\n"
+)
+
+
+def test_cli_update_richter_class_from_dem(spark, tmp_path):
+    """update-richter-class samples the DEM grid around each station and
+    writes horizon + richter_class into meta (S8+S9 offline tail)."""
+    wh = tmp_path / "wh"
+    b = Broker(spark, str(wh))
+    meta = spark.createDataFrame(
+        [(1, "p", 525000.0, 5615000.0, 100.0),
+         (2, "p", 505000.0, 5615000.0, 900.0)],
+        "station_id int, parameter string, x_utm double, y_utm double, "
+        "stationshoehe double",
+    )
+    b.update_meta(meta)
+    dem = tmp_path / "dem.asc"
+    dem.write_text(DEM_ASC)
+    rc = main([
+        "update-richter-class", "--warehouse", str(wh), "--dem", str(dem),
+        "--radius-m", "30000", "--sample-step-m", "5000",
+    ])
+    assert rc in (0, None)
+    rows = {
+        r["station_id"]: r
+        for r in b.read("meta").select(
+            "station_id", "horizon", "richter_class"
+        ).collect()
+    }
+    # station 1 sits low with a 800 m wall to the WEST (the scan covers
+    # azimuths 90-270 deg: north over west to south) -> some protection;
+    # station 2 sits on the high ground -> flat horizon
+    assert rows[1]["horizon"] is not None
+    assert rows[1]["horizon"] > rows[2]["horizon"]
+    assert rows[1]["richter_class"] is not None
+    assert rows[2]["richter_class"] == "no-protection"

@@ -87,6 +87,29 @@ def build_parser() -> argparse.ArgumentParser:
                          "last-import watermark (append_raw) instead of "
                          "replacing the raw table")
 
+    cu = sub.add_parser(
+        "create-user-config",
+        help="write a commented copy of the engine defaults as a user "
+             "config file and record its location (reference cli.py "
+             "create-user-config)",
+    )
+    cu.add_argument("--file", "-f", required=True, dest="config_file")
+    cu.add_argument("--on-exists", "-e", default="error",
+                    choices=["error", "overwrite", "define"])
+
+    rc = wh(sub.add_parser(
+        "update-richter-class",
+        help="recompute horizon angles + Richter classes for the "
+             "precipitation stations from a DEM grid file (offline tail "
+             "of reference cli.py update-richter-class)",
+    ))
+    rc.add_argument("--dem", required=True,
+                    help="ESRI ASCII DEM grid (.asc or .asc.gz), EPSG:25832")
+    rc.add_argument("-p", "--parameter", default="p")
+    rc.add_argument("--radius-m", type=float, default=75_000.0)
+    rc.add_argument("--step-deg", type=float, default=3.0)
+    rc.add_argument("--sample-step-m", type=float, default=100.0)
+
     ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
     ma.add_argument("-p", "--parameter", default="p")
 
@@ -127,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.command == "create-user-config":
+        # config-only: no warehouse, no SparkSession
+        from weatherdb_spark.userconfig import create_user_config
+
+        print(create_user_config(args.config_file, on_exists=args.on_exists))
+        return 0
+
     from weatherdb_spark.broker import Broker
     from weatherdb_spark.session import get_spark
 
@@ -178,6 +209,21 @@ def main(argv: list[str] | None = None) -> int:
         else:
             broker.update_raw(args.parameter, raw)
         print({"raw_rows": broker.read(f"ts_{args.parameter}").count()})
+    elif args.command == "update-richter-class":
+        from pyspark.sql import functions as F
+
+        from weatherdb_spark.sources.rasters import dem_sampler_from_grid
+
+        broker.update_horizon(
+            dem_sampler_from_grid(args.dem), args.parameter,
+            radius_m=args.radius_m, step_deg=args.step_deg,
+            sample_step_m=args.sample_step_m,
+        )
+        print(
+            broker.read("meta")
+            .filter(F.col("parameter") == args.parameter)
+            .groupBy("richter_class").count().toPandas().to_dict("records")
+        )
     elif args.command == "update-ma-timeserie":
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "update-period-meta":

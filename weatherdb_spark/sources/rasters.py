@@ -217,3 +217,37 @@ def ingest_ma_raster_dir(
         parameter, combined, x0=geometry[0], y0=geometry[1], res=geometry[2]
     )
     return [p.name for p in paths], geometry
+
+
+def dem_sampler_from_grid(path: str | Path):
+    """Build a picklable point sampler over one DEM ESRI-ASCII grid
+    (plain or ``.gz``) for :meth:`Broker.update_horizon` — the offline
+    tail of the reference's Copernicus DEM download (cli.py:117-157,
+    get_data.py:233-327): nearest-cell elevation at (x, y), NaN outside
+    the grid or on NODATA cells (operators/horizon.py treats NaN as
+    no-data)."""
+    import numpy as np
+
+    header, rows = read_ascii_grid(path)
+    arr = np.array(
+        [[np.nan if v is None else v for v in line] for line in rows],
+        dtype="float64",
+    )
+    x0 = float(header["xllcorner"])
+    res = float(header["cellsize"])
+    y_top = float(header["yllcorner"]) + len(rows) * res
+
+    def sampler(xs: "np.ndarray", ys: "np.ndarray") -> "np.ndarray":
+        xs = np.asarray(xs, dtype="float64")
+        ys = np.asarray(ys, dtype="float64")
+        cols = np.floor((xs - x0) / res).astype("int64")
+        rws = np.floor((y_top - ys) / res).astype("int64")
+        inside = (
+            (cols >= 0) & (cols < arr.shape[1])
+            & (rws >= 0) & (rws < arr.shape[0])
+        )
+        out = np.full(xs.shape, np.nan)
+        out[inside] = arr[rws[inside], cols[inside]]
+        return out
+
+    return sampler

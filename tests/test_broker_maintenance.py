@@ -341,3 +341,33 @@ def test_upgrade_db_schema_respects_active_broker(spark, tmp_path):
         with pytest.raises(RuntimeError):
             Broker(spark, str(wh)).upgrade_db_schema()
     Broker(spark, str(wh)).upgrade_db_schema()  # lock released -> fine
+
+
+def test_create_db_schema_lifecycle(spark, tmp_path):
+    """create_db_schema (parquet analog of the reference DDL,
+    broker.py:61-130): pins modulus + layout on a fresh warehouse;
+    existing tables require an explicit if_exists choice — drop clears
+    them and re-seeds the modulus, ignore keeps them, exit no-ops."""
+    wh = tmp_path / "wh"
+    b = Broker(spark, str(wh))
+    with pytest.raises(ValueError):
+        b.create_db_schema(silent=True)  # silent needs if_exists
+    b.create_db_schema()
+    assert b.get_setting("layout") == str(b.LAYOUT_VERSION)
+    assert b.get_setting("n_station_buckets") is not None
+
+    df = spark.range(10).select(
+        (F.col("id") % 3).cast("int").alias("station_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.lit(1.0).alias("raw"),
+    )
+    b.write("ts_p", df, bucket_by_station=True)
+    with pytest.raises(RuntimeError, match="ts_p"):
+        b.create_db_schema()  # existing tables need an explicit choice
+    b.create_db_schema(if_exists="exit")  # no-op
+    assert b.exists("ts_p")
+    b.create_db_schema(if_exists="ignore")
+    assert b.exists("ts_p")
+    b.create_db_schema(if_exists="drop")
+    assert not b.exists("ts_p")
+    assert b.get_setting("n_station_buckets") is not None

@@ -120,6 +120,18 @@ class Broker:
             json.dump(settings, fh, indent=1)
         os.replace(tmp, self._settings_path)
 
+    def drop_setting(self, key: str) -> None:
+        try:
+            with open(self._settings_path) as fh:
+                settings = json.load(fh)
+        except FileNotFoundError:
+            return
+        if settings.pop(key, None) is not None:
+            tmp = self._settings_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(settings, fh, indent=1)
+            os.replace(tmp, self._settings_path)
+
     @staticmethod
     def _parse_version(v: str) -> tuple[int, ...]:
         return tuple(int(x) for x in re.findall(r"\d+", v))
@@ -1157,6 +1169,48 @@ class Broker:
         )
         self._finish_stage("ts_p", out, stids)
         self._mark("p", "corr", "ts_p")
+
+    def create_db_schema(self, if_exists: str | None = None,
+                         silent: bool = False) -> None:
+        """Initialize the warehouse for first use — the parquet analog of
+        the reference's Postgres DDL ``create_db_schema``
+        (broker.py:61-130): ensure the directory, pin the bucket modulus
+        and layout revision into settings, and handle pre-existing
+        tables per ``if_exists``:
+
+        - ``'drop'``/``'D'``: clear them and start fresh,
+        - ``'ignore'``/``'I'``: keep them,
+        - ``'exit'``/``'E'``: return without touching anything,
+        - ``None``: raise when tables exist (the reference prompts
+          interactively; this engine has no prompts, so the choice must
+          be explicit — ``silent`` keeps the reference's argument check).
+
+        The reference's ``owner`` grant is Postgres-specific and has no
+        parquet counterpart (directory ownership is the filesystem's)."""
+        import shutil
+
+        if silent and if_exists is None:
+            raise ValueError(
+                "silent can only be True if if_exists is not None."
+            )
+        existing = self._data_tables()
+        if existing and if_exists is not None and if_exists[0].upper() == "E":
+            return
+        if existing and if_exists is None:
+            raise RuntimeError(
+                f"warehouse already has tables {existing}; pass "
+                "if_exists='drop' to recreate or 'ignore' to keep them"
+            )
+        if existing and if_exists[0].upper() == "D":
+            with self.activate():
+                for table in existing:
+                    shutil.rmtree(self.path(table))
+            # a dropped warehouse is a FRESH one: clear the pinned
+            # modulus so the user-config knob can seed the recreate
+            self._bucket_count = None
+            self.drop_setting("n_station_buckets")
+        self.set_setting("layout", str(self.LAYOUT_VERSION))
+        _ = self.bucket_count  # pin the modulus before any data lands
 
     def initiate_db(
         self,

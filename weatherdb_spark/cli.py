@@ -87,6 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "last-import watermark (append_raw) instead of "
                          "replacing the raw table")
 
+    cs = wh(sub.add_parser(
+        "create-db-schema",
+        help="initialize the warehouse for first use (reference cli.py "
+             "create-db-schema): pin bucket modulus + layout, handle "
+             "pre-existing tables per --if-exists",
+    ))
+    cs.add_argument("--if-exists", "-e", default=None,
+                    choices=["drop", "ignore", "exit"])
+
     cu = sub.add_parser(
         "create-user-config",
         help="write a commented copy of the engine defaults as a user "
@@ -209,6 +218,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             broker.update_raw(args.parameter, raw)
         print({"raw_rows": broker.read(f"ts_{args.parameter}").count()})
+    elif args.command == "create-db-schema":
+        broker.create_db_schema(if_exists=args.if_exists)
+        print({"warehouse": args.warehouse,
+               "n_station_buckets": broker.bucket_count,
+               "layout": broker.get_setting("layout")})
     elif args.command == "update-richter-class":
         from pyspark.sql import functions as F
 

@@ -419,3 +419,97 @@ def test_daily_adjust_p_matches_reference_case(spark, data):
             assert g is None, f"row {i}: got {g}, want None"
         else:
             assert g == pytest.approx(w, abs=1e-9), f"row {i}: got {g}, want {w}"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # station
+        st.integers(min_value=0, max_value=1500),         # day offset
+        st.one_of(st.none(), st.floats(0, 50, allow_nan=False, width=16)),
+    ),
+    min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1]),
+))
+def test_year_chunked_windows_equal_unchunked(spark, data):
+    """Property: lag/lead over year_chunked(context_rows=n) chunks equals
+    the same window over plain per-station partitions, for random sparse
+    multi-year grids (the boundary-context duplication is exact)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.functions.partitioning import year_chunked
+
+    rows = [
+        (s, dt.datetime(2020, 1, 1) + dt.timedelta(days=d), v)
+        for s, d, v in data
+    ]
+    df = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, val double"
+    )
+
+    def lagged(frame, part_cols):
+        w = W.partitionBy(*part_cols).orderBy("timestamp")
+        return frame.select(
+            "station_id", "timestamp",
+            F.lag("val", 2).over(w).alias("_l2"),
+            F.lag("val", 1).over(w).alias("_l1"),
+            F.lead("val", 1).over(w).alias("_n1"),
+            F.lead("val", 2).over(w).alias("_n2"),
+        )
+
+    plain = lagged(df, ("station_id",))
+    chunked = (
+        lagged(year_chunked(df, context_rows=2), ("station_id", "_chunk"))
+        .filter(~F.col("_ctx"))
+        .drop("_chunk", "_ctx")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, chunked.collect())
+    )
+
+
+def test_year_chunked_exact_across_empty_and_sparse_years(spark):
+    """Deterministic pin of the two shapes the naive year+-1 context
+    shift got wrong: a station skipping a whole calendar year (lag/lead
+    adjacency spans two boundaries) and a single-row year (lag(2) must
+    reach through it into the year before)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.functions.partitioning import year_chunked
+
+    rows = [
+        # station 1: 2021 entirely empty
+        (1, dt.datetime(2020, 12, 30), 1.0),
+        (1, dt.datetime(2020, 12, 31), 2.0),
+        (1, dt.datetime(2022, 1, 1), 3.0),
+        # station 2: 2023 has a single row; lag(2) from 2024's first row
+        # must reach into 2022
+        (2, dt.datetime(2022, 6, 1), 10.0),
+        (2, dt.datetime(2023, 6, 1), 20.0),
+        (2, dt.datetime(2024, 6, 1), 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, val double"
+    )
+    wp = W.partitionBy("station_id").orderBy("timestamp")
+    plain = df.select(
+        "station_id", "timestamp",
+        F.lag("val", 2).over(wp).alias("_l2"),
+        F.lead("val", 1).over(wp).alias("_n1"),
+    )
+    wc = W.partitionBy("station_id", "_chunk").orderBy("timestamp")
+    chunked = (
+        year_chunked(df, context_rows=2)
+        .select(
+            "station_id", "timestamp", "_ctx",
+            F.lag("val", 2).over(wc).alias("_l2"),
+            F.lead("val", 1).over(wc).alias("_n1"),
+        )
+        .filter(~F.col("_ctx"))
+        .drop("_ctx")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, chunked.collect())
+    )

@@ -68,14 +68,18 @@ def year_chunked(
     by just enough neighboring-chunk context to make the chunked result
     EXACT:
 
-    - ``context_rows=n``: each chunk's first/last ``n`` rows are
-      duplicated into the previous/next chunk — exact for windows whose
-      frame reaches at most ``n`` rows either way, on arbitrary time
-      grids (the context rows ARE the globally adjacent ones).
+    - ``context_rows=n``: each chunk additionally receives the ``n``
+      rows globally preceding its first row and following its last —
+      exact for windows whose frame reaches at most ``n`` rows either
+      way, on arbitrary time grids, INCLUDING stations that skip whole
+      years or have years with fewer than ``n`` rows (the context rows
+      are located through a per-station edge dim, not a naive year+-1
+      shift that would lose adjacency across empty years).
     - ``context_seconds=s``: rows within ``s`` of a year boundary are
-      duplicated — exact for windows whose *effect* is bounded to
-      brackets of span <= ``s`` (s must stay <= one year so a bracket
-      crosses at most the one duplicated boundary).
+      duplicated into the neighboring year — exact for windows whose
+      *effect* is bounded to brackets of span <= ``s`` (s must stay <=
+      one year: a wider bracket, including any bracket across an empty
+      year, can then never take effect, so missing context is harmless).
 
     Returns ``df`` plus ``_chunk`` (partition the window on
     ``(group_col, "_chunk")``) and ``_ctx`` (True on duplicated context
@@ -88,6 +92,7 @@ def year_chunked(
         raise ValueError("pass exactly one of context_rows/context_seconds")
     chunked = df.withColumn("_chunk", F.year(ts_col))
     if context_rows is not None:
+        n = context_rows
         w_asc = W.partitionBy(group_col, "_chunk").orderBy(ts_col)
         w_desc = W.partitionBy(group_col, "_chunk").orderBy(
             F.col(ts_col).desc()
@@ -95,27 +100,56 @@ def year_chunked(
         marked = chunked.withColumn(
             "_rn_a", F.row_number().over(w_asc)
         ).withColumn("_rn_d", F.row_number().over(w_desc))
-        first = F.col("_rn_a") <= context_rows
-        last = F.col("_rn_d") <= context_rows
-    else:
-        year_start = F.unix_timestamp(
-            F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
+        # Edge set: each chunk's first/last n rows. Every row within n
+        # global steps of a chunk boundary is in here (fewer than n rows
+        # can sit between it and the boundary, so it is among the
+        # first/last n of its own chunk) — so consecutive positions in
+        # the edge set's per-station order ARE consecutive global rows
+        # around boundaries, and a per-station window over it is safe:
+        # the edge set is 2n x chunks per station, dim-sized.
+        edges = marked.filter(
+            (F.col("_rn_a") <= n) | (F.col("_rn_d") <= n)
+        ).drop("_rn_a", "_rn_d")
+        eidx = edges.withColumn(
+            "_eidx", F.row_number().over(W.partitionBy(group_col).orderBy(ts_col))
         )
-        next_year_start = F.unix_timestamp(
-            F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
+        bounds = eidx.groupBy(group_col, "_chunk").agg(
+            F.min("_eidx").alias("_first"), F.max("_eidx").alias("_last")
         )
-        ts_s = F.unix_timestamp(F.col(ts_col))
-        marked = chunked
-        first = ts_s - year_start < context_seconds
-        last = next_year_start - ts_s <= context_seconds
-    real = marked.withColumn("_ctx", F.lit(False))
-    ctx_up = marked.filter(last).withColumn(
+        # chunk c needs the edge rows at positions [first(c)-n, first(c))
+        # and (last(c), last(c)+n] — emit one (target chunk, position)
+        # row per needed slot and equi-join the edge rows to it
+        slots = F.array(
+            *[F.col("_first") - k for k in range(1, n + 1)],
+            *[F.col("_last") + k for k in range(1, n + 1)],
+        )
+        targets = bounds.select(
+            group_col,
+            F.col("_chunk").alias("_tchunk"),
+            F.explode(slots).alias("_eidx"),
+        )
+        ctx = (
+            eidx.withColumnRenamed("_chunk", "_schunk")
+            .join(targets, [group_col, "_eidx"])
+            .withColumn("_chunk", F.col("_tchunk"))
+            .drop("_schunk", "_tchunk", "_eidx")
+            .withColumn("_ctx", F.lit(True))
+        )
+        real = marked.drop("_rn_a", "_rn_d").withColumn("_ctx", F.lit(False))
+        return real.unionByName(ctx)
+
+    year_start = F.unix_timestamp(
+        F.make_date(F.year(ts_col), F.lit(1), F.lit(1)).cast("timestamp")
+    )
+    next_year_start = F.unix_timestamp(
+        F.make_date(F.year(ts_col) + 1, F.lit(1), F.lit(1)).cast("timestamp")
+    )
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    real = chunked.withColumn("_ctx", F.lit(False))
+    ctx_up = chunked.filter(next_year_start - ts_s <= context_seconds).withColumn(
         "_chunk", F.col("_chunk") + 1
     ).withColumn("_ctx", F.lit(True))
-    ctx_down = marked.filter(first).withColumn(
+    ctx_down = chunked.filter(ts_s - year_start < context_seconds).withColumn(
         "_chunk", F.col("_chunk") - 1
     ).withColumn("_ctx", F.lit(True))
-    union = real.unionByName(ctx_up).unionByName(ctx_down)
-    if context_rows is not None:
-        union = union.drop("_rn_a", "_rn_d")
-    return union
+    return real.unionByName(ctx_up).unionByName(ctx_down)

@@ -60,7 +60,14 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             times.append(min(runs))
-        sfs = [float(d.rstrip("/").rsplit("sf", 1)[-1]) for d in args.sf_dirs]
+        def _sf(d: str, i: int) -> float:
+            tail = d.rstrip("/").rsplit("sf", 1)[-1]
+            try:
+                return float(tail)
+            except ValueError:  # non-standard dir name: label by position
+                return float(10 ** i)
+
+        sfs = [_sf(d, i) for i, d in enumerate(args.sf_dirs)]
         slope = (
             math.log(times[-1] / times[-2]) / math.log(sfs[-1] / sfs[-2])
             if len(times) >= 2 and times[-2] > 0

@@ -352,6 +352,8 @@ def test_create_db_schema_lifecycle(spark, tmp_path):
     b = Broker(spark, str(wh))
     with pytest.raises(ValueError):
         b.create_db_schema(silent=True)  # silent needs if_exists
+    with pytest.raises(ValueError, match="if_exists"):
+        b.create_db_schema(if_exists="recreate")  # unknown policy
     b.create_db_schema()
     assert b.get_setting("layout") == str(b.LAYOUT_VERSION)
     assert b.get_setting("n_station_buckets") is not None

@@ -513,3 +513,20 @@ def test_year_chunked_exact_across_empty_and_sparse_years(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, chunked.collect())
     )
+
+
+def test_year_chunked_rejects_over_year_time_context(spark):
+    """context_seconds beyond 365 days would be silently inexact (a
+    bracket can span two year boundaries) -> the helper refuses."""
+    import pytest as _pytest
+
+    from weatherdb_spark.functions.partitioning import year_chunked
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 1.0)],
+        "station_id int, timestamp timestamp, val double",
+    )
+    with _pytest.raises(ValueError, match="365"):
+        year_chunked(df, context_seconds=400 * 86400)
+    with _pytest.raises(ValueError, match="exactly one"):
+        year_chunked(df)

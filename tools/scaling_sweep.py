@@ -70,7 +70,7 @@ def main() -> None:
         sfs = [_sf(d, i) for i, d in enumerate(args.sf_dirs)]
         slope = (
             math.log(times[-1] / times[-2]) / math.log(sfs[-1] / sfs[-2])
-            if len(times) >= 2 and times[-2] > 0
+            if len(times) >= 2 and times[-2] > 0 and sfs[-1] != sfs[-2]
             else None
         )
         report[name] = {

@@ -1193,6 +1193,12 @@ class Broker:
             raise ValueError(
                 "silent can only be True if if_exists is not None."
             )
+        if if_exists is not None and (
+            not if_exists or if_exists[0].upper() not in "DIE"
+        ):
+            raise ValueError(
+                f"if_exists {if_exists!r} not in ('drop', 'ignore', 'exit')"
+            )
         existing = self._data_tables()
         if existing and if_exists is not None and if_exists[0].upper() == "E":
             return
@@ -1209,7 +1215,13 @@ class Broker:
             # modulus so the user-config knob can seed the recreate
             self._bucket_count = None
             self.drop_setting("n_station_buckets")
-        self.set_setting("layout", str(self.LAYOUT_VERSION))
+        # 'ignore' may keep un-migrated flat (layout 1) tables around —
+        # the stamp must describe the on-disk format, not aspire to it,
+        # or an operator would skip the upgrade the flat files need
+        flat_left = any(
+            self.table_version(t) is None for t in self._data_tables()
+        )
+        self.set_setting("layout", "1" if flat_left else str(self.LAYOUT_VERSION))
         _ = self.bucket_count  # pin the modulus before any data lands
 
     def initiate_db(

@@ -90,6 +90,15 @@ def year_chunked(
 
     if (context_rows is None) == (context_seconds is None):
         raise ValueError("pass exactly one of context_rows/context_seconds")
+    if context_seconds is not None and context_seconds > 365 * 86400:
+        # the one-chunk time context covers at most one year-boundary
+        # crossing; beyond that the chunked result would silently differ
+        # from a plain per-station window — callers with a wider bound
+        # must use that window directly (data that coarse cannot skew)
+        raise ValueError(
+            "context_seconds must stay <= 365 days for the (group, year) "
+            "chunking to be exact; use a plain per-group window instead"
+        )
     chunked = df.withColumn("_chunk", F.year(ts_col))
     if context_rows is not None:
         n = context_rows

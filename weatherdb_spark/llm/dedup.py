@@ -450,7 +450,8 @@ def connected_components(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        rows = [(node, find(node)) for node in parent]
+        import pandas as pd
+
         from pyspark.sql.types import StructField, StructType
 
         id_type = pairs.schema[a_col].dataType  # ids may be long or str
@@ -458,7 +459,13 @@ def connected_components(
             StructField("doc_id", id_type),
             StructField("component_id", id_type),
         ])
-        return pairs.sparkSession.createDataFrame(rows, schema)
+        # upload through pandas/Arrow like the download leg — a plain
+        # list of tuples would pickle row-at-a-time at the threshold
+        out = pd.DataFrame({
+            "doc_id": list(parent),
+            "component_id": [find(node) for node in parent],
+        })
+        return pairs.sparkSession.createDataFrame(out, schema)
 
     labels = (
         edges.select(F.col("src").alias("id"))

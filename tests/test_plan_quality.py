@@ -212,3 +212,23 @@ def test_median_fill_near_path_no_per_timestamp_window(spark):
             assert "timestamp" not in line, f"per-timestamp window:\n{line}"
     # the top-n selection is the collect_list/array_sort hash aggregate
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
+    """Spark evaluates (k, UNBOUNDED FOLLOWING) window frames by
+    recomputing the aggregate from every row to the partition end —
+    O(rows^2) per partition (measured: ~10 min for ONE 52k-row
+    station-year). interpolate_gaps must express its forward bracket as
+    a running frame over descending order instead; pin the plan."""
+    import datetime as dt
+
+    from weatherdb_spark.operators.fillup import interpolate_gaps
+
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 2), None),
+         (1, dt.datetime(2024, 1, 3), 3.0)],
+        "station_id int, timestamp timestamp, filled double",
+    )
+    plan = interpolate_gaps(facts, max_gap="2 days")._jdf.queryExecution() \
+        .optimizedPlan().toString().lower()
+    assert "unboundedfollowing" not in plan.replace(" ", "")

@@ -103,12 +103,16 @@ def year_chunked(
     if context_rows is not None:
         n = context_rows
         w_asc = W.partitionBy(group_col, "_chunk").orderBy(ts_col)
-        w_desc = W.partitionBy(group_col, "_chunk").orderBy(
-            F.col(ts_col).desc()
-        )
+        # rank-from-the-end derives from the chunk size instead of a
+        # second row_number over DESCENDING order — the unordered count
+        # window reuses the ascending sort's partitioning, saving a full
+        # extra sort pass of the fact table
+        w_all = W.partitionBy(group_col, "_chunk")
         marked = chunked.withColumn(
             "_rn_a", F.row_number().over(w_asc)
-        ).withColumn("_rn_d", F.row_number().over(w_desc))
+        ).withColumn(
+            "_rn_d", F.count(F.lit(1)).over(w_all) - F.col("_rn_a") + 1
+        )
         # Edge set: each chunk's first/last n rows. Every row within n
         # global steps of a chunk boundary is in here (fewer than n rows
         # can sit between it and the boundary, so it is among the

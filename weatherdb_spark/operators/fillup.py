@@ -206,9 +206,11 @@ def rank_fill(
             ),
             semi=hole_semi,
         )
-        # holes that found no donor among the nearest k
+        # holes that found no donor among the nearest k (shuffle-hash:
+        # see median_fill's targets anti-join note)
         holes = all_holes.join(
-            best1.select("station_id", ts_col), ["station_id", ts_col], "left_anti"
+            best1.select("station_id", ts_col).hint("shuffle_hash"),
+            ["station_id", ts_col], "left_anti"
         )
         far = pairs.filter(F.col("rank") > cascade_k)
         # join order matters: holes (small) x far-pairs first, THEN the
@@ -225,7 +227,11 @@ def rank_fill(
         )
         best = best1.unionByName(best2)
 
-    out = facts.join(best, ["station_id", ts_col], "left")
+    # shuffle-hash, not sort-merge: neither the fact table nor the
+    # per-timestamp best-donor stream benefits from being sorted, and the
+    # best side is at most one row per fact row — hash-building it skips
+    # two full sorts of fact-sized data
+    out = facts.join(best.hint("shuffle_hash"), ["station_id", ts_col], "left")
     return (
         out.withColumn(
             "filled", F.coalesce(F.col(base_col), F.col("_fill_val"))
@@ -427,7 +433,9 @@ def median_fill(
             n_donors, semi=hole_semi,
         ).persist()
         targets = all_holes.join(
-            best_near.select("station_id", ts_col),
+            # shuffle-hash: sorting two fact-sized key streams for an
+            # anti join buys nothing
+            best_near.select("station_id", ts_col).hint("shuffle_hash"),
             ["station_id", ts_col], "left_anti",
         ).persist()
         if targets.isEmpty():
@@ -443,12 +451,25 @@ def median_fill(
             )
             best = best_near.unionByName(_topn_best(far_cand, 1))
         else:
-            wfar = W.partitionBy("station_id").orderBy("rank")
-            ranked_far = far_pairs.withColumn(
-                "_frank", F.row_number().over(wfar)
-            ).persist()
-            head = ranked_far.filter(F.col("_frank") <= cascade_k).drop("_frank")
-            tail = ranked_far.filter(F.col("_frank") > cascade_k).drop("_frank")
+            # far-rank = global rank - per-station near count: the knn rank
+            # orders by the SAME dist_m the near/far threshold splits on,
+            # so each station's far candidates hold exactly the contiguous
+            # ranks (n_near+1, ...). A dim-sized count + broadcast join
+            # replaces the row_number window this used to run — the window
+            # shuffled AND sorted the whole far pair set (|stations|^2-ish)
+            # just to renumber it.
+            ncnt = near_pairs.groupBy("station_id").agg(
+                F.count(F.lit(1)).alias("_ncnt")
+            )
+            far_aug = far_pairs.join(F.broadcast(ncnt), "station_id", "left").withColumn(
+                "_ncnt", F.coalesce(F.col("_ncnt"), F.lit(0))
+            )
+            head = far_aug.filter(
+                F.col("rank") <= F.col("_ncnt") + cascade_k
+            ).drop("_ncnt")
+            tail = far_aug.filter(
+                F.col("rank") > F.col("_ncnt") + cascade_k
+            ).drop("_ncnt")
             cand1 = targets.join(F.broadcast(head), "station_id").join(
                 donor_facts, ["nb_station_id", ts_col]
             )
@@ -495,7 +516,8 @@ def median_fill(
         best = done1.unionByName(best2)
     best = best.drop("_n_near")
 
-    out = facts.join(best, ["station_id", ts_col], "left")
+    # shuffle-hash: see rank_fill's final-join note
+    out = facts.join(best.hint("shuffle_hash"), ["station_id", ts_col], "left")
     for c, oc in zip(value_cols, out_cols):
         med = F.col(f"_med_{c}")
         if round_digits is not None:

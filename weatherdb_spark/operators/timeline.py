@@ -99,7 +99,10 @@ def expand_timeline(
         .cast(ts_type)
         .alias(ts_col),
     )
-    out = grid.join(df, on=[*group_cols, ts_col], how="left")
+    # shuffle-hash: the facts side is a subset of the grid keys by
+    # construction, so hash-building it beats sorting both fact-sized
+    # streams for a sort-merge join
+    out = grid.join(df.hint("shuffle_hash"), on=[*group_cols, ts_col], how="left")
     if min_date:
         out = out.filter(F.col(ts_col) >= F.lit(min_date).cast("timestamp"))
     return out

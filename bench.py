@@ -18,7 +18,11 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # min-of-3: on this shared sandbox iteration 1 pays cold parquet/page
+    # cache and iteration 2 still pays per-plan codegen compilation; the
+    # steady state only shows from the third run (measured on
+    # fillup_median_deep: 15.0 / 11.5 / 8.6 s)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY
     from weatherdb_spark.session import get_spark
 

@@ -40,15 +40,19 @@ def main() -> None:
     # sandbox contention with plan cost (round-2's 4x phantom regression)
     timings: dict[str, float] = {}
     iterations: dict[str, list[float]] = {}
+    from weatherdb_spark.functions.caching import cache_scope
+
     for name, spec in sorted(bench_specs.items()):
         runs = []
         for _ in range(max(1, iters)):
             t0 = time.perf_counter()
-            df = spec.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # scope releases the query's scoped_persist intermediates the
+            # way a long-lived session would; clearCache below stays as the
+            # backstop for anything persisted outside the scope
+            with cache_scope():
+                df = spec.spark_fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
-            # isolate queries: drop persisted intermediates (e.g. the LSH
-            # shingle cache) so later queries aren't charged for their memory
             spark.catalog.clearCache()
         iterations[name] = runs
         timings[name] = min(runs)

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weatherdb_spark.config import PARAMETERS
+from weatherdb_spark.functions.caching import cache_scope
 from weatherdb_spark.operators.fillup import (
     daily_adjust_p,
     interpolate_gaps,
@@ -1107,16 +1108,22 @@ class Broker:
             table = f"ts_{parameter}"
             if not self.exists(table):
                 continue
-            full = self.read(table)
-            ts_p_d = (
-                self._scope(self.read("ts_p_d"), stids)
-                if parameter == "p" else None
-            )
-            out = self._fillup_compute(
-                parameter, self._scope(full, stids), ts_p_d, stids=stids,
-                donor_facts=full if stids is not None else None,
-            )
-            self._finish_stage(table, out, stids)
+            # cache hygiene: rank_fill/median_fill persist fact-adjacent
+            # intermediates (pairs, best_near, targets) for their internal
+            # probe + write actions; the scope unpersists them once this
+            # parameter's stage result is written, so four fillup runs per
+            # update_db don't accumulate dead blocks in the storage pool
+            with cache_scope():
+                full = self.read(table)
+                ts_p_d = (
+                    self._scope(self.read("ts_p_d"), stids)
+                    if parameter == "p" else None
+                )
+                out = self._fillup_compute(
+                    parameter, self._scope(full, stids), ts_p_d, stids=stids,
+                    donor_facts=full if stids is not None else None,
+                )
+                self._finish_stage(table, out, stids)
             self._mark(parameter, "filled", table)
 
     def _est_station_days(
@@ -1577,23 +1584,27 @@ class Broker:
                 continue
             part, in_window = self._window_part(table, window, margin)
             ts_p_d = self.read("ts_p_d") if parameter == "p" else None
-            out = self._fillup_compute(parameter, part, ts_p_d)
-            if parameter == "p":
-                # the daily-adjust coefficient covers the whole 5h50-shifted
-                # day; a window starting mid-day changes the coef of every
-                # row of the straddling day, so merge at day granularity
-                from weatherdb_spark.functions.temporal import shifted_date
+            # see fillup(): release the fill operators' persisted
+            # intermediates once this window's merge is written
+            with cache_scope():
+                out = self._fillup_compute(parameter, part, ts_p_d)
+                if parameter == "p":
+                    # the daily-adjust coefficient covers the whole
+                    # 5h50-shifted day; a window starting mid-day changes
+                    # the coef of every row of the straddling day, so
+                    # merge at day granularity
+                    from weatherdb_spark.functions.temporal import shifted_date
 
-                sd = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
-                in_window = sd.between(
-                    shifted_date(F.lit(window[0]).cast("timestamp"),
-                                 "5 hours 50 minutes"),
-                    shifted_date(F.lit(window[1]).cast("timestamp"),
-                                 "5 hours 50 minutes"),
+                    sd = shifted_date(F.col("timestamp"), "5 hours 50 minutes")
+                    in_window = sd.between(
+                        shifted_date(F.lit(window[0]).cast("timestamp"),
+                                     "5 hours 50 minutes"),
+                        shifted_date(F.lit(window[1]).cast("timestamp"),
+                                     "5 hours 50 minutes"),
+                    )
+                self._merge_stage_cols(
+                    table, out.filter(in_window), self.FILLUP_COLS[parameter]
                 )
-            self._merge_stage_cols(
-                table, out.filter(in_window), self.FILLUP_COLS[parameter]
-            )
             self._mark(parameter, "filled", table)
 
     @_with_mutex

@@ -191,11 +191,12 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from weatherdb_spark.functions.caching import scoped_persist
+
     rows = num_perm // bands
-    sh = (
-        word_shingles(spread(df, id_col), text_col, n)
-        .select(id_col, "shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(
+        word_shingles(spread(df, id_col), text_col, n).select(id_col, "shingles"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     exploded = (
         sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from weatherdb_spark.functions.caching import scoped_persist
 from weatherdb_spark.functions.partitioning import year_chunked
 from weatherdb_spark.functions.temporal import is_winter, shifted_date
 
@@ -198,7 +199,7 @@ def rank_fill(
         # the pair dim feeds three joins (near, holes anti-join target,
         # far); persist so the knn x ma build runs once — it is dim-sized
         # (pairs of stations), never fact-sized
-        pairs = pairs.persist()
+        pairs = scoped_persist(pairs)
         near = pairs.filter(F.col("rank") <= cascade_k)
         best1 = _best(
             _seasonal_filter(
@@ -358,7 +359,7 @@ def median_fill(
         # against the rest). The old shape — finalize only at full near
         # quota, rejoin the FULL O(n^2) pair set for everything else —
         # degenerated to targets x all-pairs when near donors are sparse.
-        pairs = pairs.persist()
+        pairs = scoped_persist(pairs)
         near_pairs = pairs.filter(F.col("dist_m") <= near_dist_m)
         far_pairs = pairs.filter(F.col("dist_m") > near_dist_m)
 
@@ -428,16 +429,16 @@ def median_fill(
         # persisted: the union result AND the hole anti-join both consume
         # it — without the cache the whole near aggregation re-runs for
         # every cascade stage downstream of `targets`
-        best_near = _topn_best(
+        best_near = scoped_persist(_topn_best(
             donor_facts.join(F.broadcast(near_pairs), "nb_station_id"),
             n_donors, semi=hole_semi,
-        ).persist()
-        targets = all_holes.join(
+        ))
+        targets = scoped_persist(all_holes.join(
             # shuffle-hash: sorting two fact-sized key streams for an
             # anti join buys nothing
             best_near.select("station_id", ts_col).hint("shuffle_hash"),
             ["station_id", ts_col], "left_anti",
-        ).persist()
+        ))
         if targets.isEmpty():
             # every hole has at least one near donor (common: near_dist
             # is generous, e.g. T's 100 km) — the far machinery would
@@ -473,7 +474,7 @@ def median_fill(
             cand1 = targets.join(F.broadcast(head), "station_id").join(
                 donor_facts, ["nb_station_id", ts_col]
             )
-            best_f1 = _topn_best(cand1, 1).persist()
+            best_f1 = scoped_persist(_topn_best(cand1, 1))
             targets2 = targets.join(
                 best_f1.select("station_id", ts_col),
                 ["station_id", ts_col], "left_anti",
@@ -492,7 +493,7 @@ def median_fill(
         )
     else:
         # see rank_fill: the pair dim feeds three joins; build it once
-        pairs = pairs.persist()
+        pairs = scoped_persist(pairs)
         near_pairs = pairs.filter(F.col("rank") <= cascade_k)
         best1 = (
             _select(donor_facts.join(F.broadcast(near_pairs), "nb_station_id"))

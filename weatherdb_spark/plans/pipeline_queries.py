@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weatherdb_spark.functions.caching import scoped_persist
+
 from weatherdb_spark.plans.registry import (
     _register,
     _register_extra,
@@ -114,7 +116,7 @@ def qc_neighbor_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily is consumed twice (donor side of the median + the station's
     # own values); persisting the aggregate computes the fact scan+rollup
     # once — at scale the daily rollup is ~3 orders smaller than the facts
-    daily = _daily_df(spark, sf_dir).persist()
+    daily = scoped_persist(_daily_df(spark, sf_dir))
     knn = knn_stations(supplier_coords(spark, sf_dir), k=5, elevation_weighted=True)
     ma = _ma_df(spark, sf_dir)
     med = regionalized_neighbor_median(
@@ -193,9 +195,9 @@ def fillup_rank_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_df(spark, sf_dir)
     # the expanded grid is both the fill base and the donor source inside
     # rank_fill; persist computes scan+rollup+expansion once (dim-sized)
-    grid = expand_timeline(
+    grid = scoped_persist(expand_timeline(
         daily, interval="1 day", group_cols=("station_id",), min_date=None
-    ).persist()
+    ))
     knn = knn_stations(supplier_coords(spark, sf_dir), k=5, elevation_weighted=True)
     ma = _ma_df(spark, sf_dir)
     out = rank_fill(
@@ -992,9 +994,9 @@ def fillup_rank_fill_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     starved = _starved_df(spark, sf_dir)
     # consumed by the donor side, the hole anti-join, and the final join
-    grid = expand_timeline(
+    grid = scoped_persist(expand_timeline(
         starved, interval="1 day", group_cols=("station_id",), min_date=None
-    ).persist()
+    ))
     knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
     out = rank_fill(
         grid, knn, _ma_df(spark, sf_dir), coef_sign="mult", base_col="qty",
@@ -1075,9 +1077,9 @@ def fillup_median_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     starved = _starved_df(spark, sf_dir)
     # consumed by the donor side, the hole targets, and the final join
-    grid = expand_timeline(
+    grid = scoped_persist(expand_timeline(
         starved, interval="1 day", group_cols=("station_id",), min_date=None
-    ).persist()
+    ))
     knn = knn_stations(supplier_coords(spark, sf_dir), k=None, elevation_weighted=True)
     out = median_fill(
         grid, knn, _ma_df(spark, sf_dir), n_donors=5, base_col="qty",

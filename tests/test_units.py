@@ -103,3 +103,18 @@ def test_from_db_unit_roundtrip(double_ts):
     )
     bad = pairs.filter(F.abs(F.col("a") - F.col("b")) > 1.0 / 100).count()
     assert bad == 0
+
+
+def test_checkpoint_checksum_disable_scoped_to_local_masters(spark):
+    """The Spark 4.1 checkpoint-checksum hang workaround must not weaken
+    checkpoint durability on real clusters: only local[n] masters disable
+    the checksums; cluster masters keep Spark's default (enabled)."""
+    from weatherdb_spark.session import checkpoint_checksum_conf
+
+    key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    assert checkpoint_checksum_conf("local[32]") == {key: "false"}
+    assert checkpoint_checksum_conf("local[*]") == {key: "false"}
+    for master in ("yarn", "spark://host:7077", "k8s://https://host:443"):
+        assert checkpoint_checksum_conf(master) == {}
+    # the live (local) test session actually carries the workaround
+    assert spark.conf.get(key) == "false"

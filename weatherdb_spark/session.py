@@ -13,6 +13,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def checkpoint_checksum_conf(master: str) -> dict[str, str]:
+    """Streaming-checkpoint checksum setting for the given master.
+
+    Spark 4.1's checkpoint file checksums await their background
+    checksum-write futures inside the task thread; on some local
+    filesystems those futures never complete and every stateful-stream
+    task parks forever in ChecksumCheckpointFileManager.awaitResult.
+    The checksums only guard against checkpoint corruption (a durability
+    nicety), so LOCAL masters disable them for a hang-free default.
+
+    Cluster masters keep Spark's default (enabled): checkpoints there
+    live on real distributed storage where the hang has not been
+    observed and corruption detection is worth keeping. Callers that
+    hit the hang on a cluster can still override via ``extra_conf``.
+    """
+    if master.startswith("local"):
+        return {"spark.sql.streaming.checkpoint.fileChecksum.enabled": "false"}
+    return {}
+
+
 def get_spark(
     app_name: str = "weatherdb_spark",
     master: str | None = None,
@@ -43,15 +63,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        # Spark 4.1's streaming checkpoint file checksums await their
-        # background checksum-write futures inside the task thread; on
-        # some local filesystems those futures never complete and every
-        # stateful-stream task parks forever in
-        # ChecksumCheckpointFileManager.awaitResult. The checksums only
-        # guard against checkpoint corruption (a durability nicety);
-        # disable them for a hang-free default on local runs.
-        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
+    # local-master-only workaround — see checkpoint_checksum_conf
+    for k, v in checkpoint_checksum_conf(master).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

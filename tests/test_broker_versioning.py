@@ -235,3 +235,64 @@ def test_downgrade_with_legacy_leftovers_and_crashed_upgrade(spark, tmp_path):
     c.upgrade_db_schema()
     assert c.table_version("ts_d") == 1
     assert c.read("ts_d").count() == 30  # legacy rows only, orphan gone
+
+
+def test_layout_migration_registry_walks_rungs_in_order(spark, tmp_path):
+    """The ladder is additive (VERDICT r4 #5): a third rung registers via
+    register_layout_migration and the walkers apply/unwind it in strict
+    order — v1 -> v2 -> v3(dummy) -> v2 -> v1 — with one layout-settings
+    flip per rung (the engine twin of the reference's alembic chain,
+    alembic/versions/*)."""
+    import os
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        LayoutMigration,
+        register_layout_migration,
+    )
+
+    marker = "_LAYOUT3_MARKER"
+
+    def up3(broker):
+        for t in broker._data_tables():
+            open(os.path.join(broker.path(t), marker), "w").write("3")
+
+    def down3(broker):
+        for t in broker._data_tables():
+            p = os.path.join(broker.path(t), marker)
+            if os.path.exists(p):
+                os.remove(p)
+
+    # out-of-order registration is rejected (rung 4 before 3)
+    with pytest.raises(ValueError, match="out of order"):
+        register_layout_migration(LayoutMigration(4, "skip", up3, down3))
+
+    register_layout_migration(LayoutMigration(3, "dummy marker", up3, down3))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        _fact(spark, 30, 1.0).write.parquet(b.path("ts_p"))  # flat layout 1
+        assert b.LAYOUT_VERSION == 3
+        assert b._layout_revision() == 1
+
+        b.upgrade_db_schema()  # walks 1 -> 2 -> 3
+        assert b.get_setting("layout") == "3"
+        assert b.table_version("ts_p") == 1  # rung 2 ran
+        assert os.path.exists(os.path.join(b.path("ts_p"), marker))  # rung 3 ran
+        assert b.read("ts_p").count() == 30
+
+        b.downgrade_db_schema()  # one rung: 3 -> 2
+        assert b.get_setting("layout") == "2"
+        assert not os.path.exists(os.path.join(b.path("ts_p"), marker))
+        assert b.table_version("ts_p") == 1  # snapshots intact
+
+        b.downgrade_db_schema(target=1)  # 2 -> 1
+        assert b.get_setting("layout") == "1"
+        assert b.table_version("ts_p") is None
+        assert b.read("ts_p").count() == 30
+
+        # bounded upgrade: stop at 2, not head
+        b.upgrade_db_schema(target=2)
+        assert b.get_setting("layout") == "2"
+        assert not os.path.exists(os.path.join(b.path("ts_p"), marker))
+    finally:
+        LAYOUT_MIGRATIONS.pop(3, None)

@@ -63,6 +63,95 @@ from weatherdb_spark.operators.timeline import expand_timeline
 N_STATION_BUCKETS = 16  # partition count for fact-table writes
 
 
+class LayoutMigration:
+    """One rung of the warehouse layout ladder — the engine twin of an
+    alembic revision (reference weatherdb/alembic/versions/*, e.g.
+    V1.0.5_fix-ma-raster-values.py:1-152: every revision ships upgrade()
+    AND downgrade()). ``upgrade(broker)`` takes every table from layout
+    ``version - 1`` to ``version``; ``downgrade(broker)`` reverses it.
+    Both must be idempotent per table (skip tables already in the target
+    shape) so a crashed walk can re-run. The walkers own the broker
+    mutex and the ``layout`` settings flips — rungs only move files."""
+
+    def __init__(self, version: int, description: str, upgrade, downgrade):
+        self.version = version
+        self.description = description
+        self.upgrade = upgrade
+        self.downgrade = downgrade
+
+
+#: ordered registry of layout rungs, keyed by the revision they reach
+LAYOUT_MIGRATIONS: dict[int, LayoutMigration] = {}
+
+
+def register_layout_migration(migration: LayoutMigration) -> None:
+    """Append a rung to the ladder. Revisions must stay contiguous from 2
+    (rung N upgrades FROM N-1), so the walk can never skip a revision."""
+    expected = max(LAYOUT_MIGRATIONS, default=1) + 1
+    if migration.version != expected:
+        raise ValueError(
+            f"layout migration {migration.version} out of order; "
+            f"expected {expected}"
+        )
+    LAYOUT_MIGRATIONS[migration.version] = migration
+
+
+def _snapshots_upgrade(broker: "Broker") -> None:
+    """Layout 1 -> 2: flat table dirs move into a ``_v00001`` snapshot
+    behind an atomically-flipped manifest pointer."""
+    import shutil
+
+    for table in broker._data_tables():
+        if broker.table_version(table) is not None:
+            continue
+        root = broker.path(table)
+        entries = broker._flat_entries(table)
+        if not entries:
+            continue
+        vdir = os.path.join(root, broker._version_dirname(1))
+        # a crashed write may have left a partial _v00001 with no
+        # manifest flip — clear it, or its part-files would merge
+        # with the legacy rows and double-count
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+        os.makedirs(vdir)
+        for e in entries:
+            os.rename(os.path.join(root, e), os.path.join(vdir, e))
+        broker._flip_manifest(table, 1)
+
+
+def _snapshots_downgrade(broker: "Broker") -> None:
+    """Layout 2 -> 1: the current snapshot's files move up into the flat
+    table root; manifests and superseded snapshots are removed."""
+    import shutil
+
+    for table in broker._data_tables():
+        v = broker.table_version(table)
+        if v is None:
+            continue
+        root = broker.path(table)
+        vdir = broker.data_path(table, v)
+        # pre-versioning "snapshot 0" leftovers (kept by the
+        # write path for in-flight readers) are superseded —
+        # clear them first, or the flatten would collide on
+        # bucket dirs / union duplicate part-files into the root
+        broker._cleanup_versions(table, v, keep_previous=False)
+        for e in os.listdir(vdir):
+            os.rename(os.path.join(vdir, e), os.path.join(root, e))
+        for e in os.listdir(root):
+            p = os.path.join(root, e)
+            if e.startswith("_v") and e[2:].isdigit():
+                shutil.rmtree(p, ignore_errors=True)
+            elif e.startswith(broker._MANIFEST):
+                os.remove(p)
+
+
+register_layout_migration(LayoutMigration(
+    2, "flat table dirs -> versioned snapshots + manifest pointer",
+    _snapshots_upgrade, _snapshots_downgrade,
+))
+
+
 def _with_mutex(fn):
     """Run a Broker stage under the warehouse mutex — the reference wraps
     every public stage in ``with self.activate():`` and checks the schema
@@ -341,17 +430,26 @@ class Broker:
         self._db_schema_valid = False
         return removed
 
-    # Warehouse layout versions (the engine's alembic revisions):
+    # Warehouse layout versions (the engine's alembic revision chain —
+    # reference weatherdb/alembic/versions/*, five revisions each with
+    # upgrade() AND downgrade()):
     #   1 = flat table dirs (parquet files directly in <table>/)
     #   2 = versioned snapshots (<table>/_vNNNNN/ + _MANIFEST.json)
     # Reads handle both (data_path falls back to the root when no
     # manifest exists), so migration is optional — but explicit
-    # upgrade/downgrade mirrors the reference's alembic upgrade AND
-    # downgrade support (tests/test_emptyDB.py:38-53).
-    LAYOUT_VERSION = 2
+    # upgrade/downgrade keeps old warehouses and old engine versions
+    # interoperable. New rungs register via
+    # :func:`register_layout_migration`; the walkers below apply them
+    # strictly in order, one settings flip per rung, so a crash between
+    # rungs resumes from the recorded revision.
 
     #: tables appended to in place (no snapshot swap) — never migrated
     _APPEND_ONLY = {"export_telemetry"}
+
+    @property
+    def LAYOUT_VERSION(self) -> int:  # noqa: N802 (public constant-ish)
+        """Newest layout revision the installed engine knows."""
+        return max(LAYOUT_MIGRATIONS, default=1)
 
     def _data_tables(self) -> list[str]:
         return sorted(
@@ -361,71 +459,68 @@ class Broker:
             and t not in self._APPEND_ONLY
         )
 
-    def upgrade_db_schema(self) -> None:
+    def _flat_entries(self, table: str) -> list[str]:
+        """Entries of a table root that belong to the flat (layout-1)
+        format — anything that is not a snapshot dir or manifest."""
+        return [e for e in os.listdir(self.path(table))
+                if not e.startswith(("_v", self._MANIFEST))]
+
+    def _layout_revision(self) -> int:
+        """The warehouse's current layout rung.
+
+        Primary source is the ``layout`` setting; warehouses created
+        before the setting existed are detected from the manifests. A
+        straggler flat table (a crashed migration, or ``create_db_schema
+        (if_exists='ignore')`` keeping legacy dirs) pulls the effective
+        rung back to 1 so an upgrade re-runs the snapshot migration over
+        it — rung upgrades are idempotent per table."""
+        s = self.get_setting("layout")
+        if s is not None:
+            rev = int(s)
+        else:
+            rev = 2 if any(
+                self.table_version(t) is not None for t in self._data_tables()
+            ) else 1
+        if rev > 1 and any(
+            self.table_version(t) is None and self._flat_entries(t)
+            for t in self._data_tables()
+        ):
+            rev = 1
+        return rev
+
+    def upgrade_db_schema(self, target: int | None = None) -> None:
         """Migrate older warehouse layouts forward (reference
-        upgrade-db-schema CLI / alembic upgrade): flat (layout 1) tables
-        move into a ``_v00001`` snapshot behind a manifest pointer
-        (layout 2), then the key columns re-validate.
+        upgrade-db-schema CLI / ``alembic upgrade head``): apply every
+        registered rung above the current revision, in order, up to
+        ``target`` (default: newest), then re-validate the key columns.
 
         Runs under the broker mutex (like :meth:`downgrade_db_schema`):
-        the migration os.rename()s legacy parquet files out of the flat
-        table roots, which would yank files from under a stage another
-        broker is running — exactly the mid-scan hazard the snapshot
-        layer closes."""
-        import shutil
-
+        migrations os.rename() files out of live table roots, which would
+        yank them from under a stage another broker is running — exactly
+        the mid-scan hazard the snapshot layer closes."""
+        target = self.LAYOUT_VERSION if target is None else target
         with self.activate():
-            for table in self._data_tables():
-                if self.table_version(table) is not None:
-                    continue
-                root = self.path(table)
-                entries = [e for e in os.listdir(root)
-                           if not e.startswith(("_v", self._MANIFEST))]
-                if not entries:
-                    continue
-                vdir = os.path.join(root, self._version_dirname(1))
-                # a crashed write may have left a partial _v00001 with no
-                # manifest flip — clear it, or its part-files would merge
-                # with the legacy rows and double-count
-                if os.path.isdir(vdir):
-                    shutil.rmtree(vdir)
-                os.makedirs(vdir)
-                for e in entries:
-                    os.rename(os.path.join(root, e), os.path.join(vdir, e))
-                self._flip_manifest(table, 1)
-            self.set_setting("layout", str(self.LAYOUT_VERSION))
+            cur = self._layout_revision()
+            for v in range(cur + 1, target + 1):
+                LAYOUT_MIGRATIONS[v].upgrade(self)
+                self.set_setting("layout", str(v))
+            # normalize a missing/stale setting even when no rung ran
+            self.set_setting("layout", str(max(cur, target)))
         self._db_schema_valid = False
         self.check_db_schema()
 
-    def downgrade_db_schema(self) -> None:
-        """Roll the warehouse layout back one revision (reference alembic
-        downgrade, tests/test_emptyDB.py:38-53): the current snapshot's
-        files move up into the flat table root, manifests and superseded
-        snapshots are removed. Content-preserving — an older engine
-        version can then read the warehouse directly."""
-        import shutil
-
+    def downgrade_db_schema(self, target: int | None = None) -> None:
+        """Roll the warehouse layout back to ``target`` (default: one
+        revision — reference ``alembic downgrade -1``,
+        tests/test_emptyDB.py:38-53), applying each rung's downgrade in
+        reverse order. Content-preserving — an engine built for the
+        target revision can then read the warehouse directly."""
         with self.activate():
-            for table in self._data_tables():
-                v = self.table_version(table)
-                if v is None:
-                    continue
-                root = self.path(table)
-                vdir = self.data_path(table, v)
-                # pre-versioning "snapshot 0" leftovers (kept by the
-                # write path for in-flight readers) are superseded —
-                # clear them first, or the flatten would collide on
-                # bucket dirs / union duplicate part-files into the root
-                self._cleanup_versions(table, v, keep_previous=False)
-                for e in os.listdir(vdir):
-                    os.rename(os.path.join(vdir, e), os.path.join(root, e))
-                for e in os.listdir(root):
-                    p = os.path.join(root, e)
-                    if e.startswith("_v") and e[2:].isdigit():
-                        shutil.rmtree(p, ignore_errors=True)
-                    elif e.startswith(self._MANIFEST):
-                        os.remove(p)
-            self.set_setting("layout", "1")
+            cur = self._layout_revision()
+            target = max(1, cur - 1) if target is None else target
+            for v in range(cur, target, -1):
+                LAYOUT_MIGRATIONS[v].downgrade(self)
+                self.set_setting("layout", str(v - 1))
 
     # ---------------------------------------------------------------- io
     # Tables are MVCC-lite: each rewrite lands in a fresh `_vNNNNN`

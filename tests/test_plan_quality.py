@@ -232,3 +232,44 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
     plan = interpolate_gaps(facts, max_gap="2 days")._jdf.queryExecution() \
         .optimizedPlan().toString().lower()
     assert "unboundedfollowing" not in plan.replace(" ", "")
+
+
+@pytest.mark.parametrize(
+    "name,max_jobs",
+    [
+        # measured stable at sf0.001 (3 runs each, shuffle_partitions=8);
+        # the counts include AQE stage-materialization jobs, so the pin is
+        # an upper bound: an accidental extra ACTION (a new probe,
+        # isEmpty, eager persist, driver collect) adds whole jobs and
+        # trips it loudly, while plan-level improvements can only lower it
+        ("fillup_median_deep", 28),
+        ("fillup_rank_fill_deep", 21),
+        ("fillup_rank_fill", 15),
+        ("qc_neighbor_median", 13),
+    ],
+)
+def test_query_job_count_pinned(spark, name, max_jobs):
+    """Spark-UI-less job-count pin (round-4 ask #7): run the query under
+    a job group and count the jobs the whole build+execute launched via
+    statusTracker — the programmatic twin of reading the UI jobs page."""
+    import uuid
+
+    from tests.conftest import SF_DIR
+    from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY
+
+    spec = {**REGISTRY, **EXTRA_REGISTRY}[name]
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    group = f"jobpin_{uuid.uuid4().hex}"
+    sc.setJobGroup(group, f"job pin {name}", False)
+    try:
+        df = spec.spark_fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobGroup("", "")
+        spark.catalog.clearCache()
+    n = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert 2 <= n <= max_jobs, (
+        f"{name} launched {n} jobs (pin {max_jobs}): an extra action "
+        "(probe/isEmpty/persist/collect) crept into the query path"
+    )

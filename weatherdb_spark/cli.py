@@ -160,6 +160,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # configure the package logger from the [logging] user config before
+    # any work runs (the reference sets its handlers up on import,
+    # utils/logging.py:126-135; the engine defers to CLI entry so library
+    # embedders keep full control of logging)
+    from weatherdb_spark.logconfig import setup_logging_handlers
+
+    setup_logging_handlers()
+
     if args.command == "create-user-config":
         # config-only: no warehouse, no SparkSession
         from weatherdb_spark.userconfig import create_user_config

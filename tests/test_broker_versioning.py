@@ -142,13 +142,16 @@ def test_layout_upgrade_and_downgrade_roundtrip(spark, tmp_path):
     _fact(spark, 40, 1.0).write.parquet(b.path("ts_p"))  # flat layout 1
     assert b.table_version("ts_p") is None
     b.upgrade_db_schema()
-    assert b.table_version("ts_p") == 1
-    assert b.get_setting("layout") == "2"
-    assert b.read("ts_p").count() == 40
-    # a write on the upgraded layout makes a second snapshot
-    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    # rung 2 snapshotted the flat files (v1), rung 3 rewrote them into
+    # year-partitioned leaves (v2)
     assert b.table_version("ts_p") == 2
-    b.downgrade_db_schema()
+    assert b.get_setting("layout") == str(b.LAYOUT_VERSION)
+    assert b._is_year_partitioned("ts_p")
+    assert b.read("ts_p").count() == 40
+    # a write on the upgraded layout makes another snapshot
+    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    assert b.table_version("ts_p") == 3
+    b.downgrade_db_schema(target=1)  # walk all rungs back down
     assert b.table_version("ts_p") is None
     assert b.get_setting("layout") == "1"
     assert not any(e.startswith("_v") for e in os.listdir(b.path("ts_p")))
@@ -233,7 +236,9 @@ def test_downgrade_with_legacy_leftovers_and_crashed_upgrade(spark, tmp_path):
     os.makedirs(orphan)
     _fact(spark, 99, 9.0).write.mode("overwrite").parquet(orphan)
     c.upgrade_db_schema()
-    assert c.table_version("ts_d") == 1
+    # rung 2 cleared the orphan and snapshotted the legacy rows (v1);
+    # rung 3 rewrote them year-partitioned (v2)
+    assert c.table_version("ts_d") == 2
     assert c.read("ts_d").count() == 30  # legacy rows only, orphan gone
 
 
@@ -251,41 +256,42 @@ def test_layout_migration_registry_walks_rungs_in_order(spark, tmp_path):
         register_layout_migration,
     )
 
-    marker = "_LAYOUT3_MARKER"
+    marker = "_LAYOUT4_MARKER"
 
-    def up3(broker):
+    def up4(broker):
         for t in broker._data_tables():
-            open(os.path.join(broker.path(t), marker), "w").write("3")
+            open(os.path.join(broker.path(t), marker), "w").write("4")
 
-    def down3(broker):
+    def down4(broker):
         for t in broker._data_tables():
             p = os.path.join(broker.path(t), marker)
             if os.path.exists(p):
                 os.remove(p)
 
-    # out-of-order registration is rejected (rung 4 before 3)
+    # out-of-order registration is rejected (rung 5 before 4)
     with pytest.raises(ValueError, match="out of order"):
-        register_layout_migration(LayoutMigration(4, "skip", up3, down3))
+        register_layout_migration(LayoutMigration(5, "skip", up4, down4))
 
-    register_layout_migration(LayoutMigration(3, "dummy marker", up3, down3))
+    register_layout_migration(LayoutMigration(4, "dummy marker", up4, down4))
     try:
         b = Broker(spark, str(tmp_path / "wh"))
         _fact(spark, 30, 1.0).write.parquet(b.path("ts_p"))  # flat layout 1
-        assert b.LAYOUT_VERSION == 3
+        assert b.LAYOUT_VERSION == 4
         assert b._layout_revision() == 1
 
-        b.upgrade_db_schema()  # walks 1 -> 2 -> 3
-        assert b.get_setting("layout") == "3"
-        assert b.table_version("ts_p") == 1  # rung 2 ran
-        assert os.path.exists(os.path.join(b.path("ts_p"), marker))  # rung 3 ran
+        b.upgrade_db_schema()  # walks 1 -> 2 -> 3 -> 4
+        assert b.get_setting("layout") == "4"
+        assert b.table_version("ts_p") == 2  # rung 2 snapshotted, rung 3 rewrote
+        assert b._is_year_partitioned("ts_p")  # rung 3 ran
+        assert os.path.exists(os.path.join(b.path("ts_p"), marker))  # rung 4 ran
         assert b.read("ts_p").count() == 30
 
-        b.downgrade_db_schema()  # one rung: 3 -> 2
-        assert b.get_setting("layout") == "2"
+        b.downgrade_db_schema()  # one rung: 4 -> 3
+        assert b.get_setting("layout") == "3"
         assert not os.path.exists(os.path.join(b.path("ts_p"), marker))
-        assert b.table_version("ts_p") == 1  # snapshots intact
+        assert b.table_version("ts_p") == 2  # snapshots intact
 
-        b.downgrade_db_schema(target=1)  # 2 -> 1
+        b.downgrade_db_schema(target=1)  # 3 -> 2 -> 1
         assert b.get_setting("layout") == "1"
         assert b.table_version("ts_p") is None
         assert b.read("ts_p").count() == 30
@@ -295,4 +301,4 @@ def test_layout_migration_registry_walks_rungs_in_order(spark, tmp_path):
         assert b.get_setting("layout") == "2"
         assert not os.path.exists(os.path.join(b.path("ts_p"), marker))
     finally:
-        LAYOUT_MIGRATIONS.pop(3, None)
+        LAYOUT_MIGRATIONS.pop(4, None)

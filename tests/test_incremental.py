@@ -208,3 +208,67 @@ def test_incremental_fillup_corr_equals_full_recompute(spark, tmp_path):
     got_t = _stage_rows(inc, "ts_t", ["filled", "filled_min", "filled_max", "filled_by"])
     want_t = _stage_rows(full, "ts_t", ["filled", "filled_min", "filled_max", "filled_by"])
     assert got_t == want_t
+
+
+def test_incremental_merges_hardlink_untouched_years(spark, tmp_path):
+    """Layout 3: a one-day import into a multi-year table rewrites only
+    the touched year's (bucket, year) leaves — every other year's parquet
+    files carry into the new snapshot as hard links (same inode), so the
+    merge cost is O(touched years), not O(table)."""
+    import os
+
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(s, "p_d", True, f"st{s}", 1000.0 * s, 0.0, 100, None) for s in (1, 2, 3)],
+        "station_id int, parameter string, is_real boolean, stationsname string, "
+        "x_utm double, y_utm double, stationshoehe int, horizon double",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, "p_d", "year", 800.0 + s) for s in (1, 2, 3)],
+        "station_id int, parameter string, term string, value double",
+    ))
+    # two years of daily data for 3 stations
+    rows = []
+    for s in (1, 2, 3):
+        for d in range(730):
+            ts = dt.datetime(2023, 1, 1) + dt.timedelta(days=d)
+            rows.append((s, ts, float((d + s) % 9)))
+    b.update_raw("p_d", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"))
+    b.fillup()  # full stage once, so the incremental merge has its columns
+    assert b._is_year_partitioned("ts_p_d")
+
+    def leaf_inodes(table, year):
+        out = {}
+        root = b.data_path(table)
+        for sub, _dirs, files in os.walk(root):
+            if f"ts_year={year}" not in sub:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(sub, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        assert out, f"no parquet leaves for ts_year={year}"
+        return out
+
+    inodes_2023_before = leaf_inodes("ts_p_d", 2023)
+    # one-day import into 2024 only
+    new = spark.createDataFrame(
+        [(s, dt.datetime(2024, 12, 31), 5.0) for s in (1, 2, 3)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    b.append_raw("p_d", new)
+    assert leaf_inodes("ts_p_d", 2023) == inodes_2023_before  # hard-linked
+    # the import itself landed
+    got = b.read("ts_p_d").filter(
+        F.col("timestamp") == "2024-12-31").select("raw").collect()
+    assert [r["raw"] for r in got] == [5.0, 5.0, 5.0]
+    assert b.read("ts_p_d").count() == 3 * 731  # grid extended by one day
+
+    # window-bounded stage merges keep linking the untouched year too
+    b.last_imp_fillup(margin="2 days")
+    assert leaf_inodes("ts_p_d", 2023) == inodes_2023_before
+    filled = b.read("ts_p_d").filter(F.col("timestamp") == "2024-12-31")
+    assert filled.filter(F.col("filled").isNull()).count() == 0

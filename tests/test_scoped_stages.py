@@ -118,10 +118,15 @@ def _bucket_file_hashes(b: Broker, table: str, skip_bucket: int) -> dict:
             continue
         if int(entry.split("=", 1)[1]) == skip_bucket:
             continue
-        for fname in sorted(os.listdir(os.path.join(root, entry))):
-            if fname.endswith(".parquet"):
-                with open(os.path.join(root, entry, fname), "rb") as fh:
-                    out[(entry, fname)] = hashlib.md5(fh.read()).hexdigest()
+        # walk the bucket tree (nested ts_year leaves since layout 3)
+        bdir = os.path.join(root, entry)
+        for sub, _dirs, files in os.walk(bdir):
+            rel = os.path.relpath(sub, root)
+            for fname in sorted(files):
+                if fname.endswith(".parquet"):
+                    with open(os.path.join(sub, fname), "rb") as fh:
+                        out[(rel, fname)] = hashlib.md5(fh.read()).hexdigest()
+    assert out, f"{table}: no parquet files found under bucket dirs"
     return out
 
 

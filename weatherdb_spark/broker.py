@@ -152,6 +152,49 @@ register_layout_migration(LayoutMigration(
 ))
 
 
+def _year_partition_upgrade(broker: "Broker") -> None:
+    """Layout 2 -> 3: rewrite fact tables into (station_bucket, ts_year)
+    leaves so window-bounded incremental merges rewrite only touched
+    years. A Spark rewrite (one pass per table), not a file move —
+    optional as ever: the write path produces the new layout on the next
+    full-stage write anyway, and year-less snapshots read fine."""
+    for table in broker._data_tables():
+        if not table.startswith("ts_"):
+            continue
+        if not broker.exists(table) or broker._is_year_partitioned(table):
+            continue
+        broker.write(
+            table, broker.read(table).drop("station_bucket"),
+            bucket_by_station=True,
+        )
+
+
+def _year_partition_downgrade(broker: "Broker") -> None:
+    """Layout 3 -> 2: rewrite fact tables bucket-only (for engines that
+    predate the year split — their scoped merges link whole bucket dirs
+    and expect the files directly inside)."""
+    for table in broker._data_tables():
+        if not table.startswith("ts_"):
+            continue
+        if not broker.exists(table) or not broker._is_year_partitioned(table):
+            continue
+        df = broker.read(table).drop("station_bucket").withColumn(
+            "station_bucket",
+            F.pmod(F.col("station_id"), broker.bucket_count),
+        ).sortWithinPartitions("station_bucket", "station_id", "timestamp")
+        new = broker.table_version(table) + 1
+        vdir = os.path.join(broker.path(table), broker._version_dirname(new))
+        df.write.mode("overwrite").partitionBy("station_bucket").parquet(vdir)
+        broker._flip_manifest(table, new)
+        broker._cleanup_versions(table, new)
+
+
+register_layout_migration(LayoutMigration(
+    3, "fact tables gain ts_year partition leaves under each bucket",
+    _year_partition_upgrade, _year_partition_downgrade,
+))
+
+
 def _with_mutex(fn):
     """Run a Broker stage under the warehouse mutex — the reference wraps
     every public stage in ``with self.activate():`` and checks the schema
@@ -435,8 +478,11 @@ class Broker:
     # upgrade() AND downgrade()):
     #   1 = flat table dirs (parquet files directly in <table>/)
     #   2 = versioned snapshots (<table>/_vNNNNN/ + _MANIFEST.json)
-    # Reads handle both (data_path falls back to the root when no
-    # manifest exists), so migration is optional — but explicit
+    #   3 = fact snapshots partitioned (station_bucket, ts_year) so
+    #       incremental merges rewrite only touched years
+    # Reads handle all of them (data_path falls back to the root when no
+    # manifest exists; year-less snapshots just skip year pruning), so
+    # migration is optional — but explicit
     # upgrade/downgrade keeps old warehouses and old engine versions
     # interoperable. New rungs register via
     # :func:`register_layout_migration`; the walkers below apply them
@@ -638,12 +684,36 @@ class Broker:
             value,
         )
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
+    #: fact-table partition scheme: station bucket (scoped-stage merges,
+    #: single-station reads) x calendar year (window-bounded incremental
+    #: merges, period reads). At 100 TB a one-day import must not rewrite
+    #: the table — with the year split it rewrites only the touched
+    #: (bucket, year) leaves and hard-links the rest.
+    _FACT_PARTITION_COLS = ("station_bucket", "ts_year")
+
+    def _with_fact_partition_cols(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "station_bucket", F.pmod(F.col("station_id"), self.bucket_count)
+        ).withColumn("ts_year", F.year("timestamp"))
+
+    def read(self, table: str, version: int | None = None,
+             years: "list[int] | None" = None) -> DataFrame:
         """Read the table's current snapshot, or — time-travel — a pinned
         ``version`` that is still on disk (the write path retains the
         immediately previous snapshot until vacuum; useful to diff a
-        stage's output against its input)."""
-        return self.spark.read.parquet(self.data_path(table, version))
+        stage's output against its input).
+
+        ``years`` restricts a fact table to the given calendar years via
+        partition pruning — the scan never opens the other years' files.
+        The ``ts_year`` partition column itself is derived (it equals
+        year(timestamp)) and is dropped from the returned frame; legacy
+        snapshots written before the year split ignore ``years``."""
+        df = self.spark.read.parquet(self.data_path(table, version))
+        if "ts_year" in df.columns:
+            if years is not None:
+                df = df.filter(F.col("ts_year").isin([int(y) for y in years]))
+            df = df.drop("ts_year")
+        return df
 
     def write(
         self,
@@ -665,31 +735,29 @@ class Broker:
         station bucket (or one file total for dim tables) — the vacuum
         path."""
         if bucket_by_station:
-            df = df.withColumn(
-                "station_bucket", F.pmod(F.col("station_id"), self.bucket_count)
-            )
+            df = self._with_fact_partition_cols(df)
             if compact:
                 # hash-partition on the bucket column: each bucket's rows
                 # land in exactly one task -> one file per partition dir
+                # (the year split then gives one file per (bucket, year))
                 df = df.repartition(self.bucket_count, "station_bucket")
             # local sort (no shuffle) so each parquet row group covers a
             # narrow (station_id, timestamp) range: single-station and
             # period reads then skip row groups via footer min/max stats.
-            # station_bucket leads the order so the writer's required
-            # partition-column ordering is a satisfied prefix — otherwise
-            # FileFormatWriter inserts its own sort on station_bucket (a
-            # second pass) and the clustering survives only via sort
-            # stability, an implementation detail.
-            df = df.sortWithinPartitions(
-                "station_bucket", "station_id", "timestamp"
-            )
+            # The partition columns lead the order so the writer's
+            # required partition-column ordering is a satisfied prefix —
+            # otherwise FileFormatWriter inserts its own sort (a second
+            # pass) and the clustering survives only via sort stability,
+            # an implementation detail.
+            df = df.sortWithinPartitions(*self._FACT_PARTITION_COLS,
+                                         "station_id", "timestamp")
         elif compact:
             df = df.coalesce(1)
         new = (self.table_version(table) or 0) + 1
         target = os.path.join(self.path(table), self._version_dirname(new))
         w = df.write.mode("overwrite")  # overwrite clears crashed leftovers
         if bucket_by_station:
-            w = w.partitionBy("station_bucket")
+            w = w.partitionBy(*self._FACT_PARTITION_COLS)
         w.parquet(target)
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
@@ -1389,23 +1457,36 @@ class Broker:
         from weatherdb_spark.sinks.merge import merge_upsert
 
         table = f"ts_{parameter}"
+        cfg = PARAMETERS[parameter]
+        interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"
         if not self.exists(table):
             self.update_raw(parameter, new_raw)
             lo, hi = new_raw.agg(F.min("timestamp"), F.max("timestamp")).first()
         else:
-            cur = self.read(table).drop("station_bucket")
             value_cols = [c for c in new_raw.columns
                           if c not in ("station_id", "timestamp")]
+            years = (
+                self._append_years(table, new_raw)
+                if self._is_year_partitioned(table) else None
+            )
+            cur = self.read(table, years=years).drop("station_bucket")
             merged = merge_upsert(
                 cur, new_raw, keys=["station_id", "timestamp"],
                 value_cols=value_cols,
             ).drop("_merge_action")
-            cfg = PARAMETERS[parameter]
-            interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"
+            # re-expand within the (touched-years) slice: grids are
+            # contiguous inside every untouched year, and the slice spans
+            # from each touched station's pre-import edge (the gap-bridge
+            # years below), so expansion regenerates exactly the existing
+            # grid there and fills only the genuinely new range
             expanded = expand_timeline(
-                merged, interval=interval, group_cols=("station_id",), min_date=None
+                merged, interval=interval, group_cols=("station_id",),
+                min_date=None,
             )
-            self.write(table, expanded, bucket_by_station=True)
+            if years is not None:
+                self._write_years_partial(table, expanded, years)
+            else:
+                self.write(table, expanded, bucket_by_station=True)
             lo, hi = new_raw.agg(F.min("timestamp"), F.max("timestamp")).first()
         row = self.spark.createDataFrame(
             [(parameter, "last_imp", str(lo), str(hi),
@@ -1459,19 +1540,101 @@ class Broker:
         )
         return (r["watermark_from"], r["watermark_until"]) if r else None
 
+    def _is_year_partitioned(self, table: str) -> bool:
+        """Does the CURRENT snapshot carry the (station_bucket, ts_year)
+        leaf layout? Legacy rung-2/3 snapshots (bucket-only or flat) fall
+        back to full rewrites until their next full-stage write."""
+        root = self.data_path(table)
+        if not os.path.isdir(root):
+            return False
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            if entry.startswith("station_bucket=") and os.path.isdir(p):
+                return any(e.startswith("ts_year=") for e in os.listdir(p))
+        return False
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Mirror a partition-dir tree, hard-linking the parquet files
+        (byte-identical, no data pass; copy on no-hardlink filesystems)."""
+        import shutil
+
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out, exist_ok=True)
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(root, fname), os.path.join(out, fname))
+                except OSError:  # cross-device / no-hardlink filesystem
+                    shutil.copy2(os.path.join(root, fname), os.path.join(out, fname))
+
+    def _write_years_partial(
+        self, table: str, touched: DataFrame, years: list[int]
+    ) -> None:
+        """Write a new snapshot in which only the given calendar years'
+        (bucket, year) leaves are recomputed from ``touched``; every
+        other year's leaves hard-link to the previous snapshot —
+        byte-identical, no data pass (the parquet twin of a lakehouse
+        MERGE reusing unchanged files). ``touched`` must hold ALL rows of
+        the touched years and nothing else."""
+        cur_v = self.table_version(table)
+        year_set = {int(y) for y in years}
+        out = self._with_fact_partition_cols(
+            touched
+        ).sortWithinPartitions(*self._FACT_PARTITION_COLS, "station_id", "timestamp")
+        new = cur_v + 1
+        vdir = os.path.join(self.path(table), self._version_dirname(new))
+        out.write.mode("overwrite").partitionBy(*self._FACT_PARTITION_COLS).parquet(vdir)
+        prev = self.data_path(table, cur_v)
+        for bucket_entry in os.listdir(prev):
+            bsrc = os.path.join(prev, bucket_entry)
+            if not bucket_entry.startswith("station_bucket=") or not os.path.isdir(bsrc):
+                continue
+            for year_entry in os.listdir(bsrc):
+                ysrc = os.path.join(bsrc, year_entry)
+                if not year_entry.startswith("ts_year=") or not os.path.isdir(ysrc):
+                    continue
+                if int(year_entry.split("=", 1)[1]) in year_set:
+                    continue  # recomputed above
+                self._link_tree(ysrc, os.path.join(vdir, bucket_entry, year_entry))
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
+
     def _merge_stage_cols(
-        self, table: str, updated: DataFrame, cols: list[str]
+        self, table: str, updated: DataFrame, cols: list[str],
+        years: list[int] | None = None,
     ) -> None:
         """Merge recomputed stage columns for a window back into the full
-        table (change-detection merge, the IS DISTINCT FROM guard)."""
+        table (change-detection merge, the IS DISTINCT FROM guard).
+
+        With ``years`` (the window's calendar years) and a
+        year-partitioned snapshot, only the touched years are read,
+        merged, and rewritten — the other years' files hard-link into
+        the new snapshot. A one-day incremental import then costs
+        O(touched years), not O(table)."""
         from weatherdb_spark.sinks.merge import merge_upsert
 
-        cur = self.read(table).drop("station_bucket")
         upd = updated.select("station_id", "timestamp", *cols)
+        partial = years is not None and self._is_year_partitioned(table)
+        if partial:
+            # clamp: a row outside the touched years would land in a leaf
+            # that is ALSO hard-linked from the previous snapshot
+            # (duplicate files). Stage windows keep updates inside the
+            # margin-widened years by construction; this pins it.
+            upd = upd.filter(F.year("timestamp").isin([int(y) for y in years]))
+        cur = self.read(table, years=years if partial else None).drop(
+            "station_bucket"
+        )
         merged = merge_upsert(
             cur, upd, keys=["station_id", "timestamp"], value_cols=cols
         ).drop("_merge_action")
-        self.write(table, merged, bucket_by_station=True)
+        if partial:
+            self._write_years_partial(table, merged, years)
+        else:
+            self.write(table, merged, bucket_by_station=True)
 
     def _merge_scoped(self, table: str, out: DataFrame, stids) -> None:
         """Merge a per-station stage result back, rewriting ONLY the
@@ -1494,7 +1657,12 @@ class Broker:
         cur_types = {f.name: f.dataType for f in cur.schema.fields
                      if f.name != "station_bucket"}
         out_types = {f.name: f.dataType for f in out.schema.fields}
-        if cur_v is None or cur_types != out_types:
+        # legacy (bucket-only / flat) snapshots take the full rewrite —
+        # linking them next to year-partitioned leaves would mix partition
+        # depths in one snapshot, which Spark's discovery rejects; the
+        # rewrite itself migrates the table to the current layout
+        if (cur_v is None or cur_types != out_types
+                or not self._is_year_partitioned(table)):
             keep = cur.drop("station_bucket").filter(
                 ~F.col("station_id").isin(stid_list)
             )
@@ -1509,27 +1677,23 @@ class Broker:
             bucket_of.isin(list(buckets))
             & ~F.col("station_id").isin(stid_list)
         )
-        merged = out.unionByName(carry).withColumn(
-            "station_bucket", F.pmod(F.col("station_id"), self.bucket_count)
-        ).sortWithinPartitions("station_bucket", "station_id", "timestamp")
+        merged = self._with_fact_partition_cols(
+            out.unionByName(carry)
+        ).sortWithinPartitions(*self._FACT_PARTITION_COLS, "station_id", "timestamp")
         new = cur_v + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
-        merged.write.mode("overwrite").partitionBy("station_bucket").parquet(vdir)
+        merged.write.mode("overwrite").partitionBy(
+            *self._FACT_PARTITION_COLS
+        ).parquet(vdir)
         prev = self.data_path(table, cur_v)
         for entry in os.listdir(prev):
             if not entry.startswith("station_bucket="):
                 continue
             if int(entry.split("=", 1)[1]) in buckets:
                 continue
-            src, dst = os.path.join(prev, entry), os.path.join(vdir, entry)
-            os.makedirs(dst, exist_ok=True)
-            for fname in os.listdir(src):
-                if not fname.endswith(".parquet"):
-                    continue
-                try:
-                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
-                except OSError:  # cross-device / no-hardlink filesystem
-                    shutil.copy2(os.path.join(src, fname), os.path.join(dst, fname))
+            # untouched buckets hard-link wholesale (incl. their nested
+            # ts_year leaves)
+            self._link_tree(os.path.join(prev, entry), os.path.join(vdir, entry))
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
@@ -1622,6 +1786,44 @@ class Broker:
         )
         self.write("meta", meta.unionByName(virtual))
 
+    def _append_years(self, table: str, new_raw: DataFrame) -> list[int]:
+        """Calendar years an incremental import touches: the new rows'
+        own years, plus — per station — the bridge years between the new
+        rows and the station's existing grid edge (the timeline must stay
+        contiguous from the old max up to a later import, and from an
+        earlier backfill up to the old min). Bounds are scanned only for
+        the imported stations' buckets (partition-pruned)."""
+        new_bounds = new_raw.groupBy("station_id").agg(
+            F.min("timestamp").alias("_nlo"), F.max("timestamp").alias("_nhi")
+        )
+        stids = [r["station_id"] for r in new_bounds.select("station_id").collect()]
+        buckets = sorted({int(s) % self.bucket_count for s in stids})
+        old_bounds = (
+            self.read(table)
+            .filter(F.col("station_bucket").isin(buckets))
+            .filter(F.col("station_id").isin([int(s) for s in stids]))
+            .groupBy("station_id")
+            .agg(F.min("timestamp").alias("_olo"), F.max("timestamp").alias("_ohi"))
+        )
+        spans = (
+            new_bounds.join(old_bounds, "station_id", "left")
+            .select(
+                F.when(
+                    F.col("_ohi").isNotNull() & (F.col("_nhi") > F.col("_ohi")),
+                    F.least(F.year("_nlo"), F.year("_ohi")),
+                ).otherwise(F.year("_nlo")).alias("_ylo"),
+                F.when(
+                    F.col("_olo").isNotNull() & (F.col("_nlo") < F.col("_olo")),
+                    F.greatest(F.year("_nhi"), F.year("_olo")),
+                ).otherwise(F.year("_nhi")).alias("_yhi"),
+            )
+            .collect()
+        )
+        years: set[int] = set()
+        for r in spans:
+            years.update(range(r["_ylo"], r["_yhi"] + 1))
+        return sorted(years)
+
     @_with_mutex
     def last_imp_quality_check(self, margin: str = "2 days") -> None:
         """Incremental QC (broker.py:412-442): recompute qc only inside the
@@ -1631,12 +1833,13 @@ class Broker:
             window = self.last_imp(parameter)
             if window is None or not self.exists(f"ts_{parameter}"):
                 continue
-            lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
-            hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
             table = f"ts_{parameter}"
-            part = self.read(table).filter(F.col("timestamp").between(lo, hi))
+            part, _ = self._window_part(table, window, margin)
+            years = self._window_years(window, margin)
             if parameter == "p":
-                out = qc_p(part, self.read("ts_p_d"))
+                # one extra year low-side: the 5h50-shifted comparison day
+                # of an early-January timestamp falls in the prior year
+                out = qc_p(part, self.read("ts_p_d", years=[years[0] - 1, *years]))
             elif parameter == "t":
                 out = qc_t(
                     part, self._knn("t"), self._ma_values("t"),
@@ -1647,16 +1850,38 @@ class Broker:
                     part, self._knn("et"), self._ma_values("et"),
                     self.read("meta").filter(F.col("parameter") == "et"),
                 )
-            self._merge_stage_cols(table, out, ["qc"])
+            self._merge_stage_cols(table, out, ["qc"], years=years)
             self._mark(parameter, "qc", table)
+
+    @staticmethod
+    def _margin_delta(margin: str) -> "timedelta":
+        """'2 days' / '6 hours' / '30 minutes' -> timedelta (driver-side
+        twin of the INTERVAL literal the window predicates use)."""
+        from datetime import timedelta
+
+        num, unit = margin.split()
+        unit = unit.rstrip("s")
+        return timedelta(**{f"{unit}s": int(num)})
+
+    def _window_years(self, window: tuple[str, str], margin: str) -> list[int]:
+        """Calendar years the margin-widened window touches — the
+        partition-pruning key for incremental reads and merges."""
+        d = self._margin_delta(margin)
+        lo = datetime.fromisoformat(str(window[0])) - d
+        hi = datetime.fromisoformat(str(window[1])) + d
+        return list(range(lo.year, hi.year + 1))
 
     def _window_part(self, table: str, window: tuple[str, str], margin: str):
         """The fact rows inside the import window widened by ``margin``
         (context for windows/interpolation/day grouping), plus the pure
-        in-window predicate for the merge-back."""
+        in-window predicate for the merge-back. The read prunes to the
+        window's calendar years (the timestamp filter stays — year
+        pruning is an optimization, not the predicate)."""
         lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
         hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
-        part = self.read(table).filter(F.col("timestamp").between(lo, hi))
+        part = self.read(table, years=self._window_years(window, margin)).filter(
+            F.col("timestamp").between(lo, hi)
+        )
         in_window = F.col("timestamp").between(
             F.lit(window[0]).cast("timestamp"), F.lit(window[1]).cast("timestamp")
         )
@@ -1678,7 +1903,13 @@ class Broker:
             if window is None or not self.exists(table):
                 continue
             part, in_window = self._window_part(table, window, margin)
-            ts_p_d = self.read("ts_p_d") if parameter == "p" else None
+            years = self._window_years(window, margin)
+            ts_p_d = (
+                # extra year low-side: 5h50-shifted day grouping (see
+                # last_imp_quality_check)
+                self.read("ts_p_d", years=[years[0] - 1, *years])
+                if parameter == "p" else None
+            )
             # see fillup(): release the fill operators' persisted
             # intermediates once this window's merge is written
             with cache_scope():
@@ -1698,7 +1929,8 @@ class Broker:
                                      "5 hours 50 minutes"),
                     )
                 self._merge_stage_cols(
-                    table, out.filter(in_window), self.FILLUP_COLS[parameter]
+                    table, out.filter(in_window), self.FILLUP_COLS[parameter],
+                    years=years,
                 )
             self._mark(parameter, "filled", table)
 
@@ -1712,10 +1944,11 @@ class Broker:
         if window is None or not self.exists("ts_p"):
             return
         part, in_window = self._window_part("ts_p", window, margin)
+        years = self._window_years(window, margin)
         lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")
         hi = F.lit(window[1]).cast("timestamp") + F.expr(f"INTERVAL {margin}")
         ts_t = (
-            self.read("ts_t")
+            self.read("ts_t", years=years)
             .filter(F.col("timestamp").between(lo, hi))
             .select("station_id", "timestamp", "filled")
         )
@@ -1737,5 +1970,6 @@ class Broker:
             shifted_date(F.lit(window[0]).cast("timestamp"), "5 hours 50 minutes"),
             F.date_add(F.to_date(F.lit(window[1]).cast("timestamp")), 1),
         )
-        self._merge_stage_cols("ts_p", out.filter(in_window_days), ["corr"])
+        self._merge_stage_cols("ts_p", out.filter(in_window_days), ["corr"],
+                               years=years)
         self._mark("p", "corr", "ts_p")

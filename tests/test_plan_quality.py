@@ -273,3 +273,34 @@ def test_query_job_count_pinned(spark, name, max_jobs):
         f"{name} launched {n} jobs (pin {max_jobs}): an extra action "
         "(probe/isEmpty/persist/collect) crept into the query path"
     )
+
+
+def test_period_read_prunes_year_partitions(spark, tmp_path):
+    """A fully-bounded period read prunes the ts_year leaves (layout 3):
+    the scan's PartitionFilters carry the year predicate, so a two-year
+    query over a 50-year archive never opens the other 48 years."""
+    import datetime as ddt
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.station import Station
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    rows = [(s, ddt.datetime(2018 + y, 6, 1) + ddt.timedelta(days=d), float(d))
+            for s in (1, 2) for y in range(6) for d in range(10)]
+    b.write(
+        "ts_p_d",
+        spark.createDataFrame(
+            rows, "station_id int, timestamp timestamp, raw double"
+        ),
+        bucket_by_station=True,
+    )
+    df = Station(b, 1, "p_d").get_df(
+        kinds=("raw",), period=("2020-01-01", "2021-12-31")
+    )
+    plan = _plan(df)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "ts_year" in pf, plan
+    assert "station_bucket" in pf, plan
+    assert df.count() == 20  # 2 years x 10 rows, station 1 only

@@ -33,6 +33,22 @@ from weatherdb_spark.operators.export import create_ts as _create_ts
 from weatherdb_spark.period import TimestampPeriod
 
 
+def _period_years(period) -> list[int] | None:
+    """Calendar years a fully-bounded period touches (for ts_year
+    partition pruning); None when either bound is open."""
+    if isinstance(period, TimestampPeriod):
+        start, end = period.strftime() if not period.is_empty() else (None, None)
+    else:
+        start, end = period
+    if start is None or end is None:
+        return None
+    try:
+        y0, y1 = int(str(start)[:4]), int(str(end)[:4])
+    except ValueError:
+        return None
+    return list(range(y0, y1 + 1))
+
+
 def _max_period_aggs(kinds: Sequence[str]) -> list:
     """Conditional min/max per kind — ONE aggregation job for all kinds
     (not a per-kind job loop). Shared by Station.get_max_period and
@@ -70,6 +86,15 @@ class Station:
     @property
     def _ts(self) -> DataFrame:
         return self.broker.read(f"ts_{self.parameter}")
+
+    def _ts_for(self, period) -> DataFrame:
+        """Table read with partition pruning to the period's calendar
+        years (both bounds known; layout 3 ts_year leaves). The period
+        predicate itself still applies in get_df — pruning is an
+        optimization, never the filter."""
+        return self.broker.read(
+            f"ts_{self.parameter}", years=_period_years(period)
+        )
 
     def _check_period(
         self, period, kinds: Sequence[str], nas_allowed: bool = False
@@ -136,7 +161,7 @@ class Station:
                 ).where(F.lit(False))
             period = clamped.strftime()
         return get_df(
-            self._ts, self.parameter, kinds=kinds, period=period,
+            self._ts_for(period), self.parameter, kinds=kinds, period=period,
             agg_to=agg_to, stids=[self.id],
             n_buckets=self.broker.bucket_count, **kw,
         )
@@ -488,7 +513,7 @@ class Stations:
         pivot on station_id)."""
         kinds = (kind,) if isinstance(kind, str) else tuple(kind)
         tall = get_df(
-            self.broker.read(f"ts_{self.parameter}"),
+            self.broker.read(f"ts_{self.parameter}", years=_period_years(period)),
             self.parameter,
             kinds=kinds,
             period=period,

@@ -278,6 +278,35 @@ def test_vacuum_compacts_fact_table_and_preserves_content(spark, tmp_path):
     assert not b.is_any_active
 
 
+def test_vacuum_multi_year_table_compacts_once_then_stabilizes(spark, tmp_path):
+    """Fragmentation is per (station_bucket, ts_year) LEAF: a compacted
+    30-year table holds buckets x 30 files — far over any table-total
+    threshold — and must NOT be re-vacuumed forever. The first vacuum of
+    a fragmented multi-year table rewrites it; the second is a no-op."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    df = spark.range(3000).select(
+        (F.col("id") % 10).cast("int").alias("station_id"),
+        (F.lit("1995-01-01").cast("timestamp")
+         + (F.col("id") % 30) * F.expr("INTERVAL 367 DAY")  # 30 years
+         + (F.col("id") / 300).cast("int") * F.expr("INTERVAL 1 HOUR")
+         ).alias("timestamp"),
+        F.round(F.col("id") * 0.1, 1).alias("raw"),
+    ).repartition(12)  # 12 tasks touching every (bucket, year) leaf
+    b.write("ts_p_d", df, bucket_by_station=True)
+    assert b._max_files_per_leaf("ts_p_d") > 2
+    before_rows = _rows(b.read("ts_p_d"))
+
+    compacted = b.vacuum()
+    assert "ts_p_d" in compacted
+    assert b._max_files_per_leaf("ts_p_d") == 1  # one file per leaf
+    assert _rows(b.read("ts_p_d")) == before_rows
+
+    # already compact: the follow-up vacuum must not rewrite the table
+    v = b.table_version("ts_p_d")
+    assert "ts_p_d" not in b.vacuum()
+    assert b.table_version("ts_p_d") == v
+
+
 def test_vacuum_compacts_dim_table_and_skips_small_tables(spark, tmp_path):
     b = Broker(spark, str(tmp_path / "wh"))
     meta = spark.createDataFrame(

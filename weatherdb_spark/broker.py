@@ -768,17 +768,30 @@ class Broker:
             n += sum(f.endswith(".parquet") for f in files)
         return n
 
+    def _max_files_per_leaf(self, table: str) -> int:
+        """Most parquet files in any single leaf partition directory of
+        the current snapshot. Fragmentation is a per-leaf property now
+        that fact tables split into (station_bucket, ts_year) dirs — a
+        perfectly compacted 50-year table legitimately holds
+        buckets x 50 files, so a table-total threshold would declare it
+        fragmented forever and turn every vacuum into a full rewrite."""
+        mx = 0
+        for _root, _dirs, files in os.walk(self.data_path(table)):
+            mx = max(mx, sum(f.endswith(".parquet") for f in files))
+        return mx
+
     def vacuum(self, max_files_per_bucket: int = 2) -> dict[str, tuple[int, int]]:
         """Compact fragmented tables (the engine twin of the reference's
         ``VACUUM ANALYZE``, broker.py:547-551): repeated stage rewrites and
-        merges leave every fact-table bucket with one file per shuffle
-        task; when a table exceeds ``max_files_per_bucket`` files per
-        station bucket (or a dim table exceeds a few files), rewrite it to
-        one file per bucket. Content-preserving — only the file layout
-        changes. Also reclaims every superseded table snapshot — the
-        write path keeps the immediately previous one for in-flight
-        readers; vacuum is the declared safe point where those are
-        dropped. Returns {table: (files_before, files_after)}."""
+        merges leave every fact-table partition with one file per shuffle
+        task; when any (station_bucket, ts_year) leaf exceeds
+        ``max_files_per_bucket`` files (or a dim table exceeds a few
+        files), rewrite the table to one file per leaf.
+        Content-preserving — only the file layout changes. Also reclaims
+        every superseded table snapshot — the write path keeps the
+        immediately previous one for in-flight readers; vacuum is the
+        declared safe point where those are dropped.
+        Returns {table: (files_before, files_after)}."""
         compacted: dict[str, tuple[int, int]] = {}
         with self.activate():
             for table in sorted(os.listdir(self.dir)):
@@ -786,10 +799,11 @@ class Broker:
                     continue
                 n_before = self._n_parquet_files(table)
                 bucketed = table.startswith("ts_")
-                threshold = (
-                    max_files_per_bucket * self.bucket_count if bucketed else 4
+                fragmented = (
+                    self._max_files_per_leaf(table) > max_files_per_bucket
+                    if bucketed else n_before > 4
                 )
-                if n_before > threshold:
+                if fragmented:
                     df = self.read(table)
                     if bucketed:
                         df = df.drop("station_bucket")

@@ -36,6 +36,8 @@ from weatherdb_spark.period import TimestampPeriod
 def _period_years(period) -> list[int] | None:
     """Calendar years a fully-bounded period touches (for ts_year
     partition pruning); None when either bound is open."""
+    if period is None:
+        return None
     if isinstance(period, TimestampPeriod):
         start, end = period.strftime() if not period.is_empty() else (None, None)
     else:

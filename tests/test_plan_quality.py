@@ -275,6 +275,47 @@ def test_query_job_count_pinned(spark, name, max_jobs):
     )
 
 
+def test_fillup_p_caches_filled_series_before_daily_adjust(spark, tmp_path):
+    """The P fillup plan must read the filled+interpolated series from a
+    cache (InMemoryRelation/InMemoryTableScan): daily_adjust_p consumes
+    it from several NON-identical subtrees (daily-sum dim, row stream,
+    year_chunked edge/context branches), so exchange reuse cannot fire —
+    without the cache the whole rank_fill + interpolation chain
+    re-executes 3-4x (measured 150s -> 42s at 10.5M rows)."""
+    import datetime as ddt
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.functions.caching import cache_scope
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100), (2, "p", True, 5000.0, 0.0, 200)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, "p", t, 800.0) for s in (1, 2) for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    ))
+    b.update_raw("p", spark.createDataFrame(
+        [(s, ddt.datetime(2024, 1, 1) + ddt.timedelta(minutes=10 * i),
+          float(i % 3), 1)
+         for s in (1, 2) for i in range(288)],
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(s, ddt.datetime(2024, 1, 1) + ddt.timedelta(days=d), 20.0)
+         for s in (1, 2) for d in range(2)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    b.quality_check()
+    with cache_scope():
+        out = b._fillup_compute("p", b.read("ts_p"), b.read("ts_p_d"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan
+        assert out.count() == 2 * 288  # and it still computes
+
+
 def test_period_read_prunes_year_partitions(spark, tmp_path):
     """A fully-bounded period read prunes the ts_year leaves (layout 3):
     the scan's PartitionFilters carry the year predicate, so a two-year

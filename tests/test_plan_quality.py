@@ -41,6 +41,31 @@ def _dims(spark, n=4):
     return knn, ma
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The full subtree under every BroadcastExchange node, delimited by
+    the tree-art indentation (a following line at the same or shallower
+    ``+-`` depth ends the subtree) — substring-splitting the plan text
+    would swallow unrelated siblings printed after the exchange."""
+    def depth(ln: str) -> int:
+        j = ln.find("+-")
+        return j if j >= 0 else -1
+
+    lines = plan.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if 0 <= nd <= d:
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs
+
+
 def test_rank_fill_broadcasts_dims_not_facts(spark):
     """The (knn x ma) dim must be the broadcast side; the fact table must
     never appear under a BroadcastExchange."""
@@ -50,14 +75,13 @@ def test_rank_fill_broadcasts_dims_not_facts(spark):
     plan = _plan(rank_fill(_fact(spark), knn, ma, coef_sign="mult"))
     assert "BroadcastHashJoin" in plan
     # every BroadcastExchange subtree must be dim-sized or keys-only:
-    # none may carry fact VALUE rows. The hole-keys semi side (filter
+    # none may carry fact VALUE rows. The hole-keys side (filter
     # isnull(qc) projected to join keys) is allowed — it is keys-only
     # and Catalyst picks broadcast vs shuffle for it by size.
-    for sub in plan.split("BroadcastExchange")[1:]:
-        head = sub.split("BroadcastHashJoin")[0]
-        if "isnull(qc" in head:
-            continue  # hole-keys semi side, keys-only
-        assert "ExistingRDD" not in head or "qc" not in head, plan
+    for sub in _broadcast_subtrees(plan):
+        if "isnull(qc" in sub:
+            continue  # hole-keys side, keys-only
+        assert "ExistingRDD" not in sub or "qc" not in sub, plan
 
 
 def test_median_fill_single_fact_aggregate(spark):

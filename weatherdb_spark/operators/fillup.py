@@ -75,18 +75,21 @@ def _seasonal_filter(donors: DataFrame, ts_col: str, seasonal_ma: bool) -> DataF
     return donors
 
 
-#: above this measured hole fraction the hole-key semi join is skipped:
-#: the filter removes too few candidate rows to repay its own
-#: shuffle-hash pass over the candidate stream (measured at sf0.1:
-#: 6x SLOWER at 89% holes, 1.7x faster at ~5% — production tables sit
-#: at 1-10%, where the semi join cuts the donor-join volume 10-100x)
+#: above this measured hole fraction, hole-driven candidate generation
+#: (_hole_candidates) is skipped and the donor expansion streams through
+#: a map-side broadcast join instead: with most rows holed, holes x k
+#: approaches the full expansion AND adds a donor-side shuffle
+#: (measured: 1.9x SLOWER at 89% holes on the sf0.1 deep fixture;
+#: 1.4x faster at 26% holes on the 10.5M-row stress — production
+#: tables sit at 1-10% holes, where the win grows with the hole cut)
 HOLE_SEMI_MAX_FRACTION = 0.35
 
 
 def _resolve_hole_semi(facts: DataFrame, base_col: str,
                        hole_semi: bool | None) -> bool:
-    """Decide whether the donor candidate stream should semi-join to the
-    hole keys before the per-timestamp selection. ``None`` auto-sizes
+    """Decide whether the donor candidate stream should be built FROM
+    the hole keys (see :func:`_hole_candidates`) instead of streaming
+    every donor row through the selection. ``None`` auto-sizes
     with ONE cheap aggregate job (count + non-null count of the base
     column — a single-column scan, negligible next to the fill itself);
     an explicit bool skips the probe for callers that know their hole
@@ -98,6 +101,29 @@ def _resolve_hole_semi(facts: DataFrame, base_col: str,
     ).first()
     n = row["_n"]
     return n > 0 and (1 - row["_nn"] / n) <= HOLE_SEMI_MAX_FRACTION
+
+
+def _hole_candidates(holes: DataFrame, pairs_dim: DataFrame,
+                     donor_facts: DataFrame, ts_col: str) -> DataFrame:
+    """Donor candidate stream built FROM the hole keys: holes x the
+    broadcast pair dim, then the donor facts equi-joined on
+    (nb_station_id, ts). Only NULL-base rows ever consume a fill, so at
+    production hole rates (1-10%) this moves |donors| + |holes| x k rows
+    through the shuffles instead of streaming the full |donors| x k
+    candidate expansion through the selection exchange — the expansion
+    never materializes for non-hole timestamps at all. (The previous
+    shape semi-joined the full expansion to the hole keys, which still
+    shuffled every expanded row once.)
+
+    The donor join is deliberately UNHINTED: a shuffle-hash hint would
+    build an in-memory hash of holes x k rows per partition, which
+    cannot spill and OOMs the moment a caller forces this path on a
+    high-hole-rate table (measured at 89% holes, sf0.1). Sort-merge is
+    spill-safe, and AQE converts the join to broadcast/shuffled-hash at
+    runtime from the target side's ACTUAL size in exactly the low-hole
+    regime this path is chosen for."""
+    targets = holes.join(F.broadcast(pairs_dim), "station_id")
+    return targets.join(donor_facts, ["nb_station_id", ts_col])
 
 
 def rank_fill(
@@ -138,9 +164,9 @@ def rank_fill(
     ``donor_facts``: donor pool override for per-station scoped runs
     (``Broker.fillup(stids=...)``) — targets narrow to ``facts`` while
     donors still draw from the full table. Defaults to ``facts``.
-    ``hole_semi``: semi-join the donor candidate stream to the hole keys
-    before the selection (``None`` auto-sizes via the measured hole
-    fraction — see :func:`_resolve_hole_semi`).
+    ``hole_semi``: build the donor candidate stream FROM the hole keys
+    (``None`` auto-sizes via the measured hole fraction — see
+    :func:`_resolve_hole_semi` and :func:`_hole_candidates`).
     Returns facts + ``filled``, ``filled_by``.
     """
     donor_src = donor_facts if donor_facts is not None else facts
@@ -156,26 +182,31 @@ def rank_fill(
     )
 
     # only NULL-base rows ever consume a fill, so (below the hole-rate
-    # threshold) the donor candidate stream is semi-joined to the hole
-    # keys BEFORE the per-timestamp selection: at production hole rates
-    # (1-10%) this cuts the donor-join volume 10-100x, and the semi join
-    # shuffles on the same (station, ts) keys the selection aggregates
-    # on, so the exchange is reused, not added
+    # threshold) the donor candidate stream is BUILT from the hole keys
+    # (_hole_candidates) — the |donors| x k expansion never exists for
+    # non-hole timestamps; above the threshold the expansion is cheaper
+    # than hole-keyed generation and the donor side streams through a
+    # map-side broadcast join instead
     hole_semi = _resolve_hole_semi(facts, base_col, hole_semi)
     all_holes = facts.filter(F.col(base_col).isNull()).select(
         "station_id", ts_col
     )
 
-    def _best(donors: DataFrame, semi: bool) -> DataFrame:
+    def _candidates(pairs_dim: DataFrame) -> DataFrame:
+        # hole-driven below the threshold; donor-streamed above it
+        # (broadcast hint on the joined dim itself, or Spark may pick
+        # the facts as the build side and collect them to the driver)
+        cand = (
+            _hole_candidates(all_holes, pairs_dim, donor_facts, ts_col)
+            if hole_semi
+            else donor_facts.join(F.broadcast(pairs_dim), "nb_station_id")
+        )
+        return _seasonal_filter(cand, ts_col, seasonal_ma)
+
+    def _best(donors: DataFrame) -> DataFrame:
         sel = donors.select(
             "station_id", ts_col, "rank", reg.alias("_reg"), "nb_station_id"
         )
-        if semi:
-            # shuffle-hash, not sort-merge: the candidate stream is the
-            # big side and must not be SORTED just for a semi join; the
-            # hash build is the per-partition hole-key slice (spillable)
-            sel = sel.join(all_holes.hint("shuffle_hash"),
-                           ["station_id", ts_col], "left_semi")
         # first donor in rank order: min_by over (rank) per (station, ts)
         return (
             sel.groupBy("station_id", ts_col)
@@ -186,27 +217,14 @@ def rank_fill(
         )
 
     if cascade_k is None:
-        # stream the big donor-facts side; broadcast the (knn x ma) dim —
-        # hint on the joined dim itself, or Spark may pick the facts as the
-        # build side and collect them to the driver
-        best = _best(
-            _seasonal_filter(
-                donor_facts.join(F.broadcast(pairs), "nb_station_id"), ts_col, seasonal_ma
-            ),
-            semi=hole_semi,
-        )
+        best = _best(_candidates(pairs))
     else:
         # the pair dim feeds three joins (near, holes anti-join target,
         # far); persist so the knn x ma build runs once — it is dim-sized
         # (pairs of stations), never fact-sized
         pairs = scoped_persist(pairs)
         near = pairs.filter(F.col("rank") <= cascade_k)
-        best1 = _best(
-            _seasonal_filter(
-                donor_facts.join(F.broadcast(near), "nb_station_id"), ts_col, seasonal_ma
-            ),
-            semi=hole_semi,
-        )
+        best1 = _best(_candidates(near))
         # holes that found no donor among the nearest k (shuffle-hash:
         # see median_fill's targets anti-join note)
         holes = all_holes.join(
@@ -214,17 +232,14 @@ def rank_fill(
             ["station_id", ts_col], "left_anti"
         )
         far = pairs.filter(F.col("rank") > cascade_k)
-        # join order matters: holes (small) x far-pairs first, THEN the
-        # donor facts — the blowup never materializes for non-hole rows.
-        # semi=False: this candidate stream is BUILT from hole keys
-        # already, a second hole filter would be pure overhead
-        far_targets = holes.join(F.broadcast(far), "station_id")
+        # the far phase is ALWAYS hole-driven (holes here is the rare
+        # no-near-donor remainder): holes x far-pairs first, THEN the
+        # donor facts — the blowup never materializes for non-hole rows
         best2 = _best(
             _seasonal_filter(
-                far_targets.join(donor_facts, ["nb_station_id", ts_col]),
+                _hole_candidates(holes, far, donor_facts, ts_col),
                 ts_col, seasonal_ma,
-            ),
-            semi=False,
+            )
         )
         best = best1.unionByName(best2)
 
@@ -290,9 +305,9 @@ def median_fill(
 
     ``donor_facts``: donor pool override for per-station scoped runs —
     see :func:`rank_fill`. Defaults to ``facts``.
-    ``hole_semi``: semi-join the candidate streams to the hole keys
+    ``hole_semi``: build the candidate streams FROM the hole keys
     (``None`` auto-sizes via the measured hole fraction — see
-    :func:`_resolve_hole_semi`).
+    :func:`_resolve_hole_semi` and :func:`_hole_candidates`).
     """
     donor_src = donor_facts if donor_facts is not None else facts
     donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
@@ -303,12 +318,18 @@ def median_fill(
     pairs = _build_pairs(knn, ma, seasonal_ma=False)
 
     # only NULL-base rows consume a fill — below the hole-rate threshold
-    # the selection inputs semi-join to the hole keys (see the
-    # near-branch note below)
+    # the candidate streams are BUILT from the hole keys
+    # (_hole_candidates; see the near-branch note below)
     hole_semi = _resolve_hole_semi(facts, base_col, hole_semi)
     hole_keys = facts.filter(F.col(base_col).isNull()).select(
         "station_id", ts_col
     )
+
+    def _cand(pairs_dim: DataFrame) -> DataFrame:
+        # hole-driven below the threshold; donor-streamed above it
+        if hole_semi:
+            return _hole_candidates(hole_keys, pairs_dim, donor_facts, ts_col)
+        return donor_facts.join(F.broadcast(pairs_dim), "nb_station_id")
 
     def _select(donors: DataFrame) -> DataFrame:
         # plain (no near-distance) selection: first n non-null donors per
@@ -316,10 +337,6 @@ def median_fill(
         # this — it has its own complete-near-set + far-cascade pipeline
         # below (the _fillup_max_dist exit condition of
         # StationBases.py:1467-1471 lives there).
-        if hole_semi:
-            donors = donors.join(  # shuffle-hash: see rank_fill's _best note
-                hole_keys.hint("shuffle_hash"), ["station_id", ts_col], "left_semi"
-            )
         wrank = W.partitionBy("station_id", ts_col).orderBy("rank")
         return (
             donors.withColumn("_rn", F.row_number().over(wrank))
@@ -381,27 +398,22 @@ def median_fill(
             return cand
 
         # only NULL-base rows consume a fill: below the hole-rate
-        # threshold the candidate stream semi-joins to the hole keys
-        # before selecting — at production hole rates (1-10%) this cuts
-        # the donor-join volume 10-100x, and the semi join shuffles on
-        # the same keys the selection groups on, so the exchange is
-        # reused, not added. The far/cascade candidate streams are BUILT
-        # from hole keys already and pass semi=False.
+        # threshold the near candidate stream is BUILT from the hole
+        # keys (_hole_candidates) — at production hole rates (1-10%)
+        # the |donors| x near expansion never exists for non-hole
+        # timestamps. The far/cascade candidate streams are hole-driven
+        # by construction already.
         all_holes = hole_keys
 
-        def _topn_best(cand: DataFrame, n: int, semi: bool = False) -> DataFrame:
+        def _topn_best(cand: DataFrame, n: int) -> DataFrame:
             struct_fields = [F.col("rank")] + [
                 F.col(f"_reg_{c}").alias(f"r_{c}") for c in value_cols
             ] + [F.col("nb_station_id").cast("short").alias("nb")]
             top = F.slice(
                 F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, n
             )
-            cand = _reg_cand(cand)
-            if semi:
-                cand = cand.join(all_holes.hint("shuffle_hash"),
-                                 ["station_id", ts_col], "left_semi")
             out = (
-                cand
+                _reg_cand(cand)
                 .groupBy("station_id", ts_col)
                 .agg(top.alias("_top"))
             )
@@ -429,10 +441,7 @@ def median_fill(
         # persisted: the union result AND the hole anti-join both consume
         # it — without the cache the whole near aggregation re-runs for
         # every cascade stage downstream of `targets`
-        best_near = scoped_persist(_topn_best(
-            donor_facts.join(F.broadcast(near_pairs), "nb_station_id"),
-            n_donors, semi=hole_semi,
-        ))
+        best_near = scoped_persist(_topn_best(_cand(near_pairs), n_donors))
         targets = scoped_persist(all_holes.join(
             # shuffle-hash: sorting two fact-sized key streams for an
             # anti join buys nothing
@@ -487,7 +496,7 @@ def median_fill(
             )
     elif cascade_k is None:
         best = (
-            _select(donor_facts.join(F.broadcast(pairs), "nb_station_id"))
+            _select(_cand(pairs))
             .groupBy("station_id", ts_col)
             .agg(*aggs)
         )
@@ -496,7 +505,7 @@ def median_fill(
         pairs = scoped_persist(pairs)
         near_pairs = pairs.filter(F.col("rank") <= cascade_k)
         best1 = (
-            _select(donor_facts.join(F.broadcast(near_pairs), "nb_station_id"))
+            _select(_cand(near_pairs))
             .groupBy("station_id", ts_col)
             .agg(*aggs)
         )

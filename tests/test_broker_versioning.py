@@ -225,7 +225,9 @@ def test_downgrade_with_legacy_leftovers_and_crashed_upgrade(spark, tmp_path):
     _fact(spark, 40, 1.0).write.parquet(b.path("ts_p"))
     b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
     assert any(f.endswith(".parquet") for f in os.listdir(b.path("ts_p")))
-    b.downgrade_db_schema()
+    # the snapshot is year-partitioned, so the un-stamped warehouse
+    # detects as rung 3; walk all the way down to the flat layout
+    b.downgrade_db_schema(target=1)
     assert b.table_version("ts_p") is None
     assert b.read("ts_p").count() == 50  # no legacy duplicates
 
@@ -302,3 +304,50 @@ def test_layout_migration_registry_walks_rungs_in_order(spark, tmp_path):
         assert not os.path.exists(os.path.join(b.path("ts_p"), marker))
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)
+
+
+def test_downgrade_unwinds_versioned_tables_despite_flat_straggler(spark, tmp_path):
+    """A flat legacy table elsewhere in the warehouse pulls the
+    EFFECTIVE revision back to 1 (so upgrades re-run over it), but a
+    downgrade must still walk from the STAMPED revision and unwind the
+    versioned tables — otherwise it silently no-ops and an older engine
+    sees them as empty."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 50, 2.0), bucket_by_station=True)
+    b.set_setting("layout", str(b.LAYOUT_VERSION))
+    # straggler: a second table still in the pre-versioning flat layout
+    _fact(spark, 20, 1.0).write.parquet(b.path("ts_et"))
+    assert b._layout_revision() == 1  # pulled back by the straggler
+
+    b.downgrade_db_schema(target=1)
+    assert b.table_version("ts_p") is None  # actually flattened
+    assert b.read("ts_p").count() == 50
+    assert b.read("ts_et").count() == 20  # straggler passed through
+    assert b.get_setting("layout") == "1"
+
+
+def test_migration_target_out_of_range_raises(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 10, 1.0), bucket_by_station=True)
+    with pytest.raises(ValueError, match="outside the registered range"):
+        b.upgrade_db_schema(target=99)
+    with pytest.raises(ValueError, match="outside the registered range"):
+        b.downgrade_db_schema(target=0)
+
+
+def test_create_db_schema_ignore_stamps_actual_layout_rung(spark, tmp_path):
+    """create_db_schema(if_exists='ignore') must stamp the layout the
+    kept tables actually have: a versioned bucket-only (rung 2) fact
+    table is NOT rung 3, and stamping 3 would make upgrade_db_schema()
+    skip the year-split rewrite it still needs."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.write("ts_p", _fact(spark, 50, 1.0), bucket_by_station=True)
+    assert b._is_year_partitioned("ts_p")
+    b.downgrade_db_schema(target=2)  # back to bucket-only snapshots
+    assert not b._is_year_partitioned("ts_p")
+
+    b.create_db_schema(if_exists="ignore")
+    assert b.get_setting("layout") == "2"
+    b.upgrade_db_schema()  # now actually walks rung 3
+    assert b._is_year_partitioned("ts_p")
+    assert b.get_setting("layout") == str(b.LAYOUT_VERSION)

@@ -272,3 +272,61 @@ def test_incremental_merges_hardlink_untouched_years(spark, tmp_path):
     assert leaf_inodes("ts_p_d", 2023) == inodes_2023_before
     filled = b.read("ts_p_d").filter(F.col("timestamp") == "2024-12-31")
     assert filled.filter(F.col("filled").isNull()).count() == 0
+
+
+def test_append_raw_disjoint_years_no_duplicate_keys(spark, tmp_path):
+    """One import batch touching DISJOINT calendar years across stations
+    (a backfill for one, fresh data for another) must not corrupt the
+    gap years: the touched-years slice makes the expansion regenerate a
+    station's gap years as null grid rows, and those years' real rows
+    hard-link from the previous snapshot — the phantom rows must be
+    clamped away, or every (station, ts) key in the gap duplicates."""
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(s, "p_d", True, 1000.0 * s, 0.0, 100) for s in (1, 2)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    # six years of daily data for both stations (2020..2025)
+    rows = [
+        (s, dt.datetime(2020, 1, 1) + dt.timedelta(days=d), float(d % 7))
+        for s in (1, 2) for d in range(2192)
+    ]
+    b.update_raw("p_d", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"))
+    assert b._is_year_partitioned("ts_p_d")
+    n0 = b.read("ts_p_d").count()
+    assert n0 == 2 * 2192
+
+    # one batch: station 1 revises a 2020 row, station 2 a 2025 row —
+    # the touched years are disjoint, the 2021-2024 gap hard-links
+    new = spark.createDataFrame(
+        [(1, dt.datetime(2020, 6, 15), 99.0),
+         (2, dt.datetime(2025, 12, 31), 88.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    assert b._append_years("ts_p_d", new) == [2020, 2025]  # disjoint!
+    b.append_raw("p_d", new)
+
+    got = b.read("ts_p_d")
+    dupes = (
+        got.groupBy("station_id", "timestamp").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    assert got.count() == n0  # revisions only — no new grid rows
+    # the revision and the extension both landed
+    assert got.filter(
+        (F.col("station_id") == 1) & (F.col("timestamp") == "2020-06-15")
+    ).first()["raw"] == 99.0
+    assert got.filter(
+        (F.col("station_id") == 2) & (F.col("timestamp") == "2025-12-31")
+    ).first()["raw"] == 88.0
+    # gap-year rows untouched (no null-grid overwrite)
+    assert got.filter(
+        (F.col("timestamp") >= "2021-01-01")
+        & (F.col("timestamp") < "2025-01-01")
+        & F.col("raw").isNull()
+    ).count() == 0

@@ -100,3 +100,34 @@ def test_remove_old_logs(logging_cfg, tmp_path):
     assert sorted(p.name for p in d.iterdir()) == [
         f"c.log.{new_day}", "unrelated.txt",
     ]
+
+
+def test_reconfigure_keeps_file_handler_with_relative_dir(
+    logging_cfg, tmp_path, monkeypatch
+):
+    """FileHandler absolutizes baseFilename; the path-change check must
+    absolutize too, or a RELATIVE configured directory (the default
+    './logs') makes every reconfigure tear down and recreate the live
+    handler, resetting its rotation schedule."""
+    monkeypatch.chdir(tmp_path)
+    logging_cfg.set("logging", "directory", "logs")  # relative on purpose
+    logging_cfg.set("logging", "handlers", "file")
+    logconfig.setup_logging_handlers()
+    first = next(iter(_config_handlers()))
+    logconfig.setup_logging_handlers()
+    hs = _config_handlers()
+    assert len(hs) == 1
+    assert hs[0] is first  # same live handler, not a recreation
+
+
+def test_setup_prunes_old_rotated_logs(logging_cfg, tmp_path):
+    """setup_logging_handlers prunes rotated logs past max_days — the
+    rotating handler itself never deletes (backupCount=0), so without
+    this the gzip rotations accumulate forever."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    old_day = (dt.datetime.now() - dt.timedelta(days=30)).strftime("%Y-%m-%d")
+    (d / f"stale.log.{old_day}.gz").write_bytes(b"old")
+    logging_cfg.set("logging", "handlers", "file")
+    logconfig.setup_logging_handlers()
+    assert not (d / f"stale.log.{old_day}.gz").exists()

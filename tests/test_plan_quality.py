@@ -266,9 +266,12 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         # an upper bound: an accidental extra ACTION (a new probe,
         # isEmpty, eager persist, driver collect) adds whole jobs and
         # trips it loudly, while plan-level improvements can only lower it
-        ("fillup_median_deep", 28),
-        ("fillup_rank_fill_deep", 21),
-        ("fillup_rank_fill", 15),
+        # re-pinned after the unhinted timeline/hole-driven joins: AQE
+        # decomposes the sort-merge stages into one or two extra
+        # materialization jobs per query (still zero extra ACTIONS)
+        ("fillup_median_deep", 30),
+        ("fillup_rank_fill_deep", 23),
+        ("fillup_rank_fill", 16),
         ("qc_neighbor_median", 13),
     ],
 )

@@ -118,3 +118,26 @@ def test_checkpoint_checksum_disable_scoped_to_local_masters(spark):
         assert checkpoint_checksum_conf(master) == {}
     # the live (local) test session actually carries the workaround
     assert spark.conf.get(key) == "false"
+
+
+def test_margin_delta_compound_and_calendar_units():
+    """_margin_delta must accept every margin the INTERVAL expressions
+    accept: compound ('5 hours 50 minutes') and calendar units (month/
+    year, over-approximated — the delta only widens the year-pruning
+    span, where over-coverage is safe and under-coverage drops rows)."""
+    import datetime as dt
+
+    import pytest
+
+    from weatherdb_spark.broker import Broker
+
+    md = Broker._margin_delta
+    assert md("2 days") == dt.timedelta(days=2)
+    assert md("5 hours 50 minutes") == dt.timedelta(hours=5, minutes=50)
+    assert md("1 week") == dt.timedelta(days=7)
+    assert md("1 month") >= dt.timedelta(days=31)
+    assert md("1 year") >= dt.timedelta(days=366)
+    with pytest.raises(ValueError, match="not supported"):
+        md("3 fortnights")
+    with pytest.raises(ValueError, match="not"):
+        md("3")

@@ -524,9 +524,14 @@ class Broker:
         if s is not None:
             rev = int(s)
         else:
-            rev = 2 if any(
-                self.table_version(t) is not None for t in self._data_tables()
-            ) else 1
+            tables = self._data_tables()
+            versioned = [t for t in tables if self.table_version(t) is not None]
+            if not versioned:
+                rev = 1
+            elif any(self._is_year_partitioned(t) for t in versioned):
+                rev = 3
+            else:
+                rev = 2
         if rev > 1 and any(
             self.table_version(t) is None and self._flat_entries(t)
             for t in self._data_tables()
@@ -544,7 +549,12 @@ class Broker:
         migrations os.rename() files out of live table roots, which would
         yank them from under a stage another broker is running — exactly
         the mid-scan hazard the snapshot layer closes."""
-        target = self.LAYOUT_VERSION if target is None else target
+        target = self.LAYOUT_VERSION if target is None else int(target)
+        if not 1 <= target <= self.LAYOUT_VERSION:
+            raise ValueError(
+                f"layout target {target} outside the registered range "
+                f"1..{self.LAYOUT_VERSION}"
+            )
         with self.activate():
             cur = self._layout_revision()
             for v in range(cur + 1, target + 1):
@@ -560,10 +570,23 @@ class Broker:
         revision — reference ``alembic downgrade -1``,
         tests/test_emptyDB.py:38-53), applying each rung's downgrade in
         reverse order. Content-preserving — an engine built for the
-        target revision can then read the warehouse directly."""
+        target revision can then read the warehouse directly.
+
+        The walk starts from the STAMPED revision, not the effective one:
+        ``_layout_revision`` pulls the effective rung back to 1 when a
+        legacy flat straggler exists (so upgrades re-run over it), but a
+        downgrade must still unwind the versioned tables — each rung's
+        downgrade is idempotent per table, so the straggler just passes
+        through."""
         with self.activate():
-            cur = self._layout_revision()
-            target = max(1, cur - 1) if target is None else target
+            s = self.get_setting("layout")
+            cur = int(s) if s is not None else self._layout_revision()
+            target = max(1, cur - 1) if target is None else int(target)
+            if not 1 <= target <= self.LAYOUT_VERSION:
+                raise ValueError(
+                    f"layout target {target} outside the registered range "
+                    f"1..{self.LAYOUT_VERSION}"
+                )
             for v in range(cur, target, -1):
                 LAYOUT_MIGRATIONS[v].downgrade(self)
                 self.set_setting("layout", str(v - 1))
@@ -1407,13 +1430,22 @@ class Broker:
             # modulus so the user-config knob can seed the recreate
             self._bucket_count = None
             self.drop_setting("n_station_buckets")
-        # 'ignore' may keep un-migrated flat (layout 1) tables around —
-        # the stamp must describe the on-disk format, not aspire to it,
-        # or an operator would skip the upgrade the flat files need
-        flat_left = any(
-            self.table_version(t) is None for t in self._data_tables()
-        )
-        self.set_setting("layout", "1" if flat_left else str(self.LAYOUT_VERSION))
+        # 'ignore' may keep un-migrated tables around — the stamp must
+        # describe the on-disk format, not aspire to it, or an operator
+        # would skip the upgrade the kept files need: flat entries pin
+        # rung 1; versioned fact snapshots WITHOUT ts_year leaves are
+        # rung 2 (bucket-only) and still need the year-split rewrite
+        tables = self._data_tables()
+        if any(self.table_version(t) is None for t in tables):
+            stamp = 1
+        elif any(
+            t.startswith("ts_") and not self._is_year_partitioned(t)
+            for t in tables
+        ):
+            stamp = 2
+        else:
+            stamp = self.LAYOUT_VERSION
+        self.set_setting("layout", str(stamp))
         _ = self.bucket_count  # pin the modulus before any data lands
 
     def initiate_db(
@@ -1506,6 +1538,19 @@ class Broker:
                 min_date=None,
             )
             if years is not None:
+                # clamp: when the UNION of per-station year ranges is
+                # non-contiguous (one batch backfills station A in 2020
+                # and extends station B in 2025), a station with rows in
+                # both edge years gets its gap years regenerated as
+                # null grids by the expansion — those years are NOT in
+                # the set, their real rows hard-link from the previous
+                # snapshot, and writing the phantom rows next to them
+                # would duplicate every (station, ts) key there. Inside
+                # every touched year the slice is complete, so the
+                # clamp is exact.
+                expanded = expanded.filter(
+                    F.year("timestamp").isin([int(y) for y in years])
+                )
                 self._write_years_partial(table, expanded, years)
             else:
                 self.write(table, expanded, bucket_by_station=True)
@@ -1601,11 +1646,13 @@ class Broker:
         other year's leaves hard-link to the previous snapshot —
         byte-identical, no data pass (the parquet twin of a lakehouse
         MERGE reusing unchanged files). ``touched`` must hold ALL rows of
-        the touched years and nothing else."""
+        the touched years; rows OUTSIDE them are dropped here (their
+        year leaves hard-link from the previous snapshot — writing a
+        stray row next to a linked leaf would duplicate its key)."""
         cur_v = self.table_version(table)
         year_set = {int(y) for y in years}
         out = self._with_fact_partition_cols(
-            touched
+            touched.filter(F.year("timestamp").isin(list(year_set)))
         ).sortWithinPartitions(*self._FACT_PARTITION_COLS, "station_id", "timestamp")
         new = cur_v + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
@@ -1877,13 +1924,27 @@ class Broker:
 
     @staticmethod
     def _margin_delta(margin: str) -> "timedelta":
-        """'2 days' / '6 hours' / '30 minutes' -> timedelta (driver-side
-        twin of the INTERVAL literal the window predicates use)."""
+        """'2 days' / '5 hours 50 minutes' / '1 month' -> timedelta, the
+        driver-side twin of the INTERVAL literal the window predicates
+        use. Compound margins sum their parts; calendar units (month,
+        year) over-approximate (31/366 days) — the delta only widens the
+        year-pruning span, where over-coverage merely reads an extra
+        year and UNDER-coverage would drop merge rows."""
         from datetime import timedelta
 
-        num, unit = margin.split()
-        unit = unit.rstrip("s")
-        return timedelta(**{f"{unit}s": int(num)})
+        per_unit = {"week": 7 * 86400, "day": 86400, "hour": 3600,
+                    "minute": 60, "second": 1,
+                    "month": 31 * 86400, "year": 366 * 86400}
+        toks = margin.split()
+        if len(toks) % 2:
+            raise ValueError(f"margin {margin!r} is not 'N unit [N unit ...]'")
+        secs = 0
+        for num, unit in zip(toks[::2], toks[1::2]):
+            unit = unit.lower().rstrip("s")
+            if unit not in per_unit:
+                raise ValueError(f"margin unit {unit!r} not supported")
+            secs += int(num) * per_unit[unit]
+        return timedelta(seconds=secs)
 
     def _window_years(self, window: tuple[str, str], margin: str) -> list[int]:
         """Calendar years the margin-widened window touches — the

@@ -125,8 +125,14 @@ def setup_logging_handlers() -> None:
             ).format(user=user, host=host)
             handler = existing.get(name)
             # swap when the configured path changed (reference
-            # utils/logging.py:105-118)
-            if handler is not None and handler.baseFilename != str(log_file):
+            # utils/logging.py:105-118). FileHandler stores baseFilename
+            # absolutized, so the comparison must absolutize too — a
+            # relative configured path would otherwise never match and
+            # every reconfigure would churn the handler and its
+            # rotation schedule.
+            if handler is not None and handler.baseFilename != os.path.abspath(
+                str(log_file)
+            ):
                 log.removeHandler(handler)
                 handler.close()
                 handler = None
@@ -135,6 +141,12 @@ def setup_logging_handlers() -> None:
                     log_file,
                     cfg.getboolean("logging", "compression", fallback=True),
                 )
+            # the reference prunes rotated logs on every (re)setup
+            # (utils/logging.py:26-38 called from setup_logging_handlers);
+            # the rotating handler itself never deletes (backupCount=0)
+            remove_old_logs(
+                cfg.getint("logging", "max_days", fallback=14)
+            )
         else:
             raise ValueError(f"Handler {handler_type!r} not known.")
 

@@ -99,10 +99,12 @@ def expand_timeline(
         .cast(ts_type)
         .alias(ts_col),
     )
-    # shuffle-hash: the facts side is a subset of the grid keys by
-    # construction, so hash-building it beats sorting both fact-sized
-    # streams for a sort-merge join
-    out = grid.join(df.hint("shuffle_hash"), on=[*group_cols, ts_col], how="left")
+    # deliberately unhinted: a shuffle-hash hint would make the fact
+    # side the hash build side — |table|/shuffle_partitions rows in an
+    # in-memory hash that cannot spill, an executor-OOM hazard on a
+    # large archive. Sort-merge is spill-safe; AQE still picks the hash
+    # strategy at runtime when a partition is genuinely small.
+    out = grid.join(df, on=[*group_cols, ts_col], how="left")
     if min_date:
         out = out.filter(F.col(ts_col) >= F.lit(min_date).cast("timestamp"))
     return out

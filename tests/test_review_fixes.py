@@ -1,0 +1,168 @@
+"""Regression tests for the round-5 core-module review findings:
+TimestampPeriod unpack, character-iterated string arguments, hole-census
+bound handling, NULL-text exact dedup, connected-components convergence,
+split_date forwarding, and IVF sample training."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.broker import Broker
+from weatherdb_spark.operators.aggregate import hole_census
+from weatherdb_spark.period import TimestampPeriod
+from weatherdb_spark.station import GroupStation, Station, Stations
+
+
+@pytest.fixture(scope="module")
+def pe_broker(spark, tmp_path_factory):
+    """Mini warehouse with a multi-char parameter table (ts_et) so the
+    string-iteration class of bug is observable."""
+    wh = str(tmp_path_factory.mktemp("review_wh"))
+    b = Broker(spark, wh)
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100), (1, "et", True, 0.0, 0.0, 100),
+         (1, "t", True, 0.0, 0.0, 100)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    p_rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i), 0.1, 0.1)
+        for i in range(288)
+    ]
+    b.write("ts_p", spark.createDataFrame(
+        p_rows, "station_id int, timestamp timestamp, raw double, filled double"
+    ), bucket_by_station=True)
+    et_rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 2.0, 2.0)
+        for i in range(5)
+    ]
+    b.write("ts_et", spark.createDataFrame(
+        et_rows, "station_id int, timestamp timestamp, raw double, filled double"
+    ), bucket_by_station=True)
+    t_rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 5.0, 5.0)
+        for i in range(5)
+    ]
+    b.write("ts_t", spark.createDataFrame(
+        t_rows, "station_id int, timestamp timestamp, raw double, filled double"
+    ), bucket_by_station=True)
+    return b
+
+
+def test_get_df_accepts_timestampperiod_default_path(pe_broker):
+    """nas_allowed=True (default) forwards the period object into the
+    facade, which unpacks it — a TimestampPeriod must behave like the
+    (start, end) tuple the annotation also allows."""
+    st = Station(pe_broker, 1, "p")
+    per = TimestampPeriod("2024-01-01", "2024-01-01 12:00:00")
+    got = st.get_df(kinds=("raw",), period=per)
+    want = st.get_df(kinds=("raw",), period=("2024-01-01", "2024-01-01 12:00:00"))
+    assert got.count() == want.count() > 0
+    start, end = per  # tuple-unpack protocol itself
+    assert (start, end) == (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 12))
+
+
+def test_group_station_get_df_multichar_parameter_string(pe_broker):
+    """parameters='et' must select the ET series, not iterate to
+    ('e', 't') and silently return the T series."""
+    df = GroupStation(pe_broker, 1).get_df(
+        parameters="et", kinds=("raw",), agg_to=None
+    )
+    value_cols = [c for c in df.columns if c != "timestamp"]
+    assert value_cols == ["ET_raw"]
+    assert df.first()["ET_raw"] == 2.0  # ET value, not T's 5.0
+
+
+def test_get_meta_explanation_single_field_string():
+    exp = Stations.get_meta_explanation(infos="station_id")
+    assert set(exp) == {"station_id"}
+
+
+def test_group_station_create_ts_split_date_false(pe_broker, tmp_path):
+    GroupStation(pe_broker, 1).create_ts(
+        str(tmp_path / "exp"), parameters=("p",), kind="raw", split_date=False
+    )
+    path = tmp_path / "exp" / "1" / "P_00001.txt"
+    header = path.read_text().splitlines()[2]  # after Name/Lat meta rows
+    assert header.split("\t")[0] == "timestamp"  # no Jahr/Monat split
+
+
+def test_hole_census_half_open_period(spark):
+    """A single-bound period crops and sentinels only that bound —
+    previously the NULL-cast bound filtered out every row."""
+    obs = spark.createDataFrame(
+        [(1, dt.datetime(2024, 2, 1) + dt.timedelta(hours=i), 1.0)
+         for i in range(48)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    out = hole_census(
+        obs, gap_thresholds=("1 days",), period=("2024-01-01", None)
+    ).first()
+    assert out["holes_ge_1_days"] == 1  # the leading 31-day hole
+
+
+def test_hole_census_meta_and_period_bounds_intersect(spark):
+    """period wider than the station's meta period must not count the
+    station's non-existence as holes."""
+    obs = spark.createDataFrame(
+        [(1, dt.datetime(2010, 1, 1) + dt.timedelta(hours=i), 1.0)
+         for i in range(24 * 30)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    mp = spark.createDataFrame(
+        [(1, dt.datetime(2010, 1, 1), dt.datetime(2010, 1, 31))],
+        "station_id int, period_from timestamp, period_until timestamp",
+    )
+    out = hole_census(
+        obs, gap_thresholds=("2 weeks",),
+        period=("1990-01-01", "2025-01-01"), meta_period=mp,
+    ).first()
+    assert out["holes_ge_2_weeks"] == 0
+
+
+def test_exact_dedup_keeps_null_text_documents(spark):
+    from weatherdb_spark.llm.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # nothing silently dropped
+    assert out[3]["is_kept"] and not out[4]["is_kept"]
+    assert out[3]["group_size"] == 2
+
+
+def test_connected_components_raises_when_unconverged(spark, monkeypatch):
+    from weatherdb_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", -1)  # force distributed
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1).collect()
+    # ample rounds converge to one component
+    labels = dedup.connected_components(chain, max_iter=20).collect()
+    assert {r["component_id"] for r in labels} == {0}
+
+
+def test_ivf_topk_trains_on_sample(spark, monkeypatch):
+    """With the training cap below the corpus size the quantizer fits on
+    a sample; results still return k neighbors per query."""
+    import random
+
+    from weatherdb_spark.llm import similarity
+
+    monkeypatch.setattr(similarity, "IVF_TRAIN_MAX_ROWS", 50)
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.ivf_topk(emb, emb.limit(3), k=2, n_cells=4, n_probe=4)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries x k=2 — n_probe=all keeps recall 1

@@ -57,12 +57,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     groups = h.groupBy("_h").agg(
         F.min(id_col).alias("_keep"), F.count(F.lit(1)).alias("group_size")
     )
+    # eqNullSafe: NULL-text docs hash to a NULL key; a plain equi-join
+    # would drop them from the output entirely (NULL != NULL). groupBy
+    # already collects them into one group (SQL grouping semantics), so
+    # the null-safe join keeps them flowing through as one dedup group.
     return (
-        h.join(groups, "_h")
+        h.join(groups, h["_h"].eqNullSafe(groups["_h"]))
         .select(
-            id_col,
+            h[id_col].alias(id_col),
             "group_size",
-            (F.col(id_col) == F.col("_keep")).alias("is_kept"),
+            (h[id_col] == F.col("_keep")).alias("is_kept"),
         )
     )
 
@@ -501,4 +505,15 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # Falling through with labels still moving means a component is
+        # split across several ids — silently wrong downstream (multiple
+        # "representatives" of one duplicate group). Min-label propagation
+        # needs O(component diameter) rounds, so this only triggers on
+        # chain-shaped clusters longer than max_iter hops.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with a larger diameter — raise "
+            "max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component_id")

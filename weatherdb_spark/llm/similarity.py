@@ -128,6 +128,12 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (proj >= 0).cast("int")
 
 
+#: k-means coarse-quantizer training cap: above this corpus size the fit
+#: runs on a seeded sample — the centroids only sketch the distribution,
+#: while a full-corpus fit would pay several whole-corpus passes.
+IVF_TRAIN_MAX_ROWS = 100_000
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -149,13 +155,23 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    corp = spread(embeddings).select(
+    from weatherdb_spark.functions.caching import scoped_persist
+
+    corp = scoped_persist(spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
+    ))
+    # The coarse quantizer needs only a sketch of the distribution —
+    # training on the full corpus would make every k-means iteration a
+    # full-corpus pass. The count doubles as the persist materializer, so
+    # fit, transform, and the scored join all read the cached projection.
+    n = corp.count()
+    train = corp
+    if n > IVF_TRAIN_MAX_ROWS:
+        train = corp.sample(IVF_TRAIN_MAX_ROWS / n, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell")
-    model = km.fit(corp.select("_feat"))
+    model = km.fit(train.select("_feat"))
     corp = model.transform(corp).drop("_feat")
 
     centers = [

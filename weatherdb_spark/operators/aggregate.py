@@ -174,33 +174,51 @@ def hole_census(
     exactly the set of consecutive-observation gaps.
     """
     present = df.filter(F.col(value_col).isNotNull()).select(*group_cols, ts_col)
+    ts_type = dict(present.dtypes)[ts_col]
+    # Half-open periods crop (and sentinel) only the given bound; a
+    # NULL-cast bound would turn ``between`` into an all-NULL filter and
+    # silently return an empty census.
+    lo = hi = None
     if period is not None:
-        lo, hi = (F.lit(b).cast(dict(present.dtypes)[ts_col]) for b in period)
-        present = present.filter(F.col(ts_col).between(lo, hi))
+        lo, hi = (
+            F.lit(b).cast(ts_type) if b is not None else None for b in period
+        )
+    if lo is not None:
+        present = present.filter(F.col(ts_col) >= lo)
+    if hi is not None:
+        present = present.filter(F.col(ts_col) <= hi)
     if meta_period is not None:
-        mp = meta_period.select(*group_cols, "period_from", "period_until")
+        mp = meta_period.select(
+            *group_cols,
+            F.col("period_from").cast(ts_type).alias("period_from"),
+            F.col("period_until").cast(ts_type).alias("period_until"),
+        )
+        # With BOTH bound sets the effective range is their intersection:
+        # sentinels outside it would count the station's non-existence
+        # before meta period_from (or after period_until) as giant holes.
+        if lo is not None:
+            mp = mp.withColumn("period_from", F.greatest("period_from", lo))
+        if hi is not None:
+            mp = mp.withColumn("period_until", F.least("period_until", hi))
         present = (
             present.join(F.broadcast(mp), list(group_cols))
             .filter(F.col(ts_col).between(F.col("period_from"), F.col("period_until")))
             .select(*group_cols, ts_col)
         )
-    if period is not None or meta_period is not None:
-        groups = (
-            mp if meta_period is not None
-            else present.select(*group_cols).distinct()
-        )
+        sentinels = [
+            mp.select(*group_cols, F.col(b).alias(ts_col))
+            for b in ("period_from", "period_until")
+        ]
+    elif lo is not None or hi is not None:
+        groups = present.select(*group_cols).distinct()
+        sentinels = [
+            groups.select(*group_cols, b.alias(ts_col))
+            for b in (lo, hi) if b is not None
+        ]
+    else:
         sentinels = []
-        if period is not None:
-            lo, hi = (F.lit(b).cast(dict(present.dtypes)[ts_col]) for b in period)
-            sentinels += [groups.select(*group_cols, b.alias(ts_col)) for b in (lo, hi)]
-        if meta_period is not None:
-            sentinels += [
-                groups.select(*group_cols, F.col(b).cast(
-                    dict(present.dtypes)[ts_col]).alias(ts_col))
-                for b in ("period_from", "period_until")
-            ]
-        for s in sentinels:
-            present = present.unionByName(s)
+    for s in sentinels:
+        present = present.unionByName(s)
     chunked = present.withColumn("_chunk", F.year(ts_col))
     wc = W.partitionBy(*group_cols, "_chunk").orderBy(ts_col)
     within = chunked.withColumn(

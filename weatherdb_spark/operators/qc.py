@@ -147,15 +147,12 @@ def regionalized_neighbor_median(
     has data. The reference rounds regionalized values stage-wise
     (StationBases.py:1403,1422) — pass round_digits to reproduce.
     """
-    ma_self = ma.select(F.col("station_id"), F.col("value").alias("_ma_self"))
-    ma_nb = ma.select(
-        F.col("station_id").alias("nb_station_id"), F.col("value").alias("_ma_nb")
-    )
-    pairs = (
-        knn
-        .join(F.broadcast(ma_self), "station_id")
-        .join(F.broadcast(ma_nb), "nb_station_id")
-    )
+    # Same (knn x MA) dim build and regionalization formula as fillup —
+    # one source of truth so a rounding/coefficient change cannot drift
+    # between the QC and fillup stages.
+    from weatherdb_spark.operators.fillup import _build_pairs, _regionalize
+
+    pairs = _build_pairs(knn, ma, seasonal_ma=False)
     # facts are the big side: stream them, broadcast the (knn x ma) dim.
     # Hint goes on the joined pairs df — hinting only `knn` lets Spark pick
     # the facts as the build side once the hint is buried under two joins,
@@ -165,14 +162,10 @@ def regionalized_neighbor_median(
         F.col(ts_col),
         F.col(value_col).alias("_nb_val"),
     ).join(F.broadcast(pairs), "nb_station_id")
-    if coef_sign == "add":
-        reg = F.col("_nb_val") + (F.col("_ma_self") - F.col("_ma_nb"))
-    elif coef_sign == "mult":
-        reg = F.col("_nb_val") * F.col("_ma_self") / F.col("_ma_nb")
-    else:
-        raise ValueError(f"coef_sign {coef_sign!r} not in ('add', 'mult')")
-    if round_digits is not None:
-        reg = F.round(reg, round_digits)
+    reg = _regionalize(
+        coef_sign, F.col("_nb_val"), F.col("_ma_self"), F.col("_ma_nb"),
+        round_digits,
+    )
     return (
         nb_vals.withColumn("_reg", reg)
         .groupBy("station_id", ts_col)

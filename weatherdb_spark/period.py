@@ -81,6 +81,13 @@ class TimestampPeriod:
             self.end.strftime(fmt) if self.end else None,
         )
 
+    def __iter__(self):
+        """Unpack like the ``(start, end)`` tuples the read path also
+        accepts — ``start, end = period`` works for both shapes, so a
+        TimestampPeriod can flow into any ``period=`` parameter."""
+        yield self.start
+        yield self.end
+
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, TimestampPeriod)

@@ -497,6 +497,9 @@ class Stations:
 
         if infos == "all":
             return dict(META_EXPLANATIONS)
+        if isinstance(infos, str):
+            # a bare field name must not be iterated character-wise
+            infos = [infos]
         unknown = [i for i in infos if i not in META_EXPLANATIONS]
         if unknown:
             raise ValueError(f"unknown meta fields: {unknown}")
@@ -673,7 +676,7 @@ class GroupStations:
         self,
         stids: Sequence[int],
         out_dir: str,
-        parameters: Sequence[str] = ("p",),
+        parameters: Sequence[str] | str = ("p",),
         kind: str = "best",
         period: tuple = (None, None),
         agg_to: str | None = None,
@@ -681,6 +684,7 @@ class GroupStations:
         col_names: dict[str, str] | None = None,
         r_r0: float | None = None,
         add_meta: bool = True,
+        split_date: bool = True,
     ) -> dict:
         """Export every station's series — ONE Spark job per parameter
         (partitionBy(station_id) writes all stations' files in a single
@@ -720,12 +724,17 @@ class GroupStations:
             out_dir = out_dir[:-len(".zip")] + "_tmp_export"
         stids = self.get_valid_stids(stids)
         header_meta = self._export_meta(stids) if add_meta else None
+        if parameters == "all":
+            parameters = list(PARAMETERS)
+        elif isinstance(parameters, str):
+            parameters = [parameters]
         tele = {}
         for para in parameters:
             if not self.broker.exists(f"ts_{para}"):
                 continue  # paras="all" exports whatever tables exist
             tall = get_df(
-                self.broker.read(f"ts_{para}"), para, kinds=(kind,),
+                self.broker.read(f"ts_{para}", years=_period_years(period)),
+                para, kinds=(kind,),
                 stids=list(stids), period=period, agg_to=agg_to,
                 n_buckets=self.broker.bucket_count,
             )
@@ -742,7 +751,7 @@ class GroupStations:
             staging = f"{out_dir}/_staging_{para}"
             tele[para] = _create_ts(
                 tall, staging, value_cols=tuple(value_cols),
-                split=True, granularity=5 if para == "p" else 3,
+                split=split_date, granularity=5 if para == "p" else 3,
                 col_names=col_names,
             )
             tele[para]["files"] = finalize_station_files(
@@ -862,6 +871,10 @@ class GroupStation:
         if parameters == "all":
             parameters = [p for p in PARAMETERS
                           if self.broker.exists(f"ts_{p}")]
+        elif isinstance(parameters, str):
+            # a single parameter name must not be iterated character-wise
+            # ('et' -> 'e','t' would silently return the T series)
+            parameters = [parameters]
         out = None
         for para in parameters:
             if not self.broker.exists(f"ts_{para}"):
@@ -906,5 +919,6 @@ class GroupStation:
         GroupStations.create_ts restricted to this station
         (GroupStation.py:447-661)."""
         return GroupStations(self.broker).create_ts(
-            [self.id], out_dir, parameters=parameters, kind=kind
+            [self.id], out_dir, parameters=parameters, kind=kind,
+            split_date=split_date,
         )

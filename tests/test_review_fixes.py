@@ -166,3 +166,123 @@ def test_ivf_topk_trains_on_sample(spark, monkeypatch):
     out = similarity.ivf_topk(emb, emb.limit(3), k=2, n_cells=4, n_probe=4)
     rows = out.collect()
     assert len(rows) == 6  # 3 queries x k=2 — n_probe=all keeps recall 1
+
+
+def test_ingest_p_raw_within_file_duplicates_average(spark):
+    """Duplicate (station, ts) keys INSIDE the winning file collapse to
+    the mean (reference StationBases.py:1232-1243), with the F6 negative
+    scrub applied before averaging."""
+    import datetime as dt
+
+    from weatherdb_spark.sources.dwd import ingest_p_raw
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1.0, 1, "/a/produkt_rr.txt"),
+        (1, dt.datetime(2024, 1, 1, 0, 0), 3.0, 1, "/a/produkt_rr.txt"),
+        # a negative sentinel next to a real value must not drag the mean
+        (1, dt.datetime(2024, 1, 1, 0, 10), -999.0, 1, "/a/produkt_rr.txt"),
+        (1, dt.datetime(2024, 1, 1, 0, 10), 4.0, 1, "/a/produkt_rr.txt"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "STATIONS_ID int, MESS_DATUM timestamp, RWS_10 double, QN int, _src_file string",
+    )
+    out = {r.timestamp: r.raw for r in ingest_p_raw(df).collect()}
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] == 2.0
+    assert out[dt.datetime(2024, 1, 1, 0, 10)] == 4.0
+
+
+def test_ingest_p_raw_raises_on_tz_straddling_file(spark):
+    """A file straddling the 2000 MEZ/UTC boundary must fail loudly (the
+    reference raises) instead of importing hour-shifted timestamps."""
+    import datetime as dt
+
+    from weatherdb_spark.sources.dwd import ingest_p_raw, localize_p_timestamps
+
+    rows = [
+        (1, dt.datetime(1999, 12, 31, 22, 50), 1.0, 1, "/a/produkt_straddle.txt"),
+        (1, dt.datetime(2000, 1, 1, 1, 10), 2.0, 1, "/a/produkt_straddle.txt"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "STATIONS_ID int, MESS_DATUM timestamp, RWS_10 double, QN int, _src_file string",
+    )
+    with pytest.raises(Exception, match="MEZ/UTC boundary"):
+        ingest_p_raw(localize_p_timestamps(df)).collect()
+
+
+def test_frame_sample_empty_payload_yields_no_frames(spark):
+    from weatherdb_spark.llm.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 100), (2, b""), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = frame_sample(df, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+    assert by_doc == {1: [0, 1]}  # no spurious (0, -1) frames for 2 and 3
+
+
+def test_multimodal_udfs_tolerate_null_payload(spark):
+    from weatherdb_spark.llm.multimodal import (
+        decode_images, extract_features, resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, payload binary"
+    )
+    dec = {r["doc_id"]: r["n_bytes"] for r in decode_images(df).collect()}
+    assert dec == {1: 3, 2: 0}
+    assert extract_features(df).count() == 2
+    assert resize_images(df).count() == 2
+
+
+def test_station_zip_files_basename_prefix():
+    from weatherdb_spark.sources.ftp import station_zip_files
+
+    files = [
+        ("/climate/10_minutes/10minutenwerte_nieder_00044_hist.zip", None),
+        ("/climate/10_minutes/10minutenwerte_nieder_00055_hist.zip", None),
+    ]
+    got = station_zip_files(files, 44, zip_regex_prefix="10minutenwerte_nieder_")
+    assert [f for f, _ in got] == [files[0][0]]
+
+
+def test_sample_raster_boundary_station_takes_own_cell(spark):
+    """A station exactly on a cell boundary point-samples the single
+    half-open containing cell, not the average of the touching cells."""
+    from weatherdb_spark.operators.raster import sample_raster
+
+    stations = spark.createDataFrame(
+        [(1, 100.0, 200.0)], "station_id int, x_utm double, y_utm double"
+    )
+    # grid: res 100, x0=0, y0=1000 -> station (100, 200) sits on the
+    # boundary between cols 0|1 (x) and rows 7|8 (y); the half-open
+    # containing cell is (col 1, row 8)
+    raster = spark.createDataFrame(
+        [(c, r, "year", float(10 * c + r)) for c in (0, 1) for r in (7, 8)],
+        "col long, row long, term string, value double",
+    )
+    out = sample_raster(stations, raster, x0=0.0, y0=1000.0, res=100.0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 18.0  # cell (1, 8), no averaging
+    assert out[0]["sample_dist_m"] == 0.0
+
+
+def test_horizon_null_outside_dem(spark):
+    import numpy as np
+
+    from weatherdb_spark.operators.horizon import horizon_angles
+
+    meta = spark.createDataFrame(
+        [(1, 0.0, 0.0, 100)],
+        "station_id int, x_utm double, y_utm double, stationshoehe int",
+    )
+
+    def sampler(xs, ys):
+        return np.full(len(xs), np.nan)
+
+    row = horizon_angles(meta, sampler).first()
+    assert row["horizon"] is None

@@ -41,8 +41,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for an image decoder.
 
     Real deployment replaces this with e.g. PIL.Image.open(BytesIO(b)).
+    A missing payload (NULL binary column) decodes like an empty one —
+    a None must not fail the whole Spark task.
     """
-    n = len(payload)
+    n = len(payload) if payload is not None else 0
     width = n % 640
     height = (n * 7) % 480
     mean_byte = (sum(payload) / n) if n else 0.0
@@ -93,7 +95,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             embs = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                arr = np.frombuffer(bytes(b or b""), dtype=np.uint8)
                 hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype("float64")
                 norm = float(np.linalg.norm(hist)) or 1.0
                 # normalize in float64, quantize to float32 once at the end:
@@ -116,7 +118,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
-                raw = bytes(b)
+                raw = bytes(b or b"")
                 step = max(1, len(raw) // n)
                 resized = raw[::step][:n].ljust(n, b"\x00")
                 out.append(resized)
@@ -133,7 +135,11 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     chunks with (doc_id, frame_no) keys — the explode pattern a video
     pipeline uses per keyframe. Stub: chunk boundaries only, no decode."""
     n = F.length("payload")
-    frames = F.sequence(F.lit(0), F.floor((n - 1) / every_n_bytes).cast("int"))
+    # empty/NULL payloads yield ZERO frames: sequence(0, -1) would count
+    # DOWN and emit spurious frame_no 0 and -1 rows
+    frames = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / every_n_bytes).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     exploded = df.select("doc_id", "payload", F.explode(frames).alias("frame_no"))
     return exploded.select(
         "doc_id",

@@ -68,8 +68,12 @@ def create_ts(
             if old in out.columns:
                 out = out.withColumnRenamed(old, new)
     (
+        # station_id leads the sort: partitionBy(station_id) imposes a
+        # required ordering on station_id, and satisfying it here keeps
+        # Spark from inserting its own (non-stable) re-sort that could
+        # scramble the within-file date order on spill
         out.repartition("station_id")
-        .sortWithinPartitions(*[c for c in out.columns if c != "station_id"])
+        .sortWithinPartitions("station_id", *[c for c in out.columns if c != "station_id"])
         .write.mode("overwrite")
         .option("sep", sep)
         .option("header", True)

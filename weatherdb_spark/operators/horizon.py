@@ -62,12 +62,21 @@ def station_horizon(
         slope = np.degrees(np.arctan((elev - station_elev) / dists[None, :]))
         hab = np.nanmax(slope, axis=1)
     total = 0.0
+    any_data = False
     for w, lo, hi, lo_inc, hi_inc in _RICHTER_BANDS:
         lo_ok = angles >= lo if lo_inc else angles > lo
         hi_ok = angles <= hi if hi_inc else angles < hi
         band = hab[lo_ok & hi_ok]
+        band = band[~np.isnan(band)]  # rays sampled wholly outside the DEM
         if band.size:
-            total += w * float(np.nanmean(band))
+            total += w * float(np.mean(band))
+            any_data = True
+    if not any_data:
+        # every ray missed the DEM (station outside coverage): NaN, not a
+        # fake flat horizon — callers map it to a NULL horizon so the
+        # station visibly lacks a Richter class (the reference raises,
+        # StationP.py:418-426)
+        return float("nan")
     return max(0.0, total)
 
 
@@ -96,17 +105,14 @@ def horizon_angles(
                 stat_h = dem_sampler(np.array([x]), np.array([y]))[0]
                 if np.isnan(stat_h):
                     stat_h = float(getattr(r, elev_col))
+                h = station_horizon(
+                    x, y, stat_h, dem_sampler,
+                    radius_m, step_deg, sample_step_m,
+                )
+                # NaN (outside DEM coverage) becomes a NULL horizon, not
+                # a NaN double that silently poisons the Richter class
                 out.append(
-                    (
-                        int(r.station_id),
-                        round(
-                            station_horizon(
-                                x, y, stat_h, dem_sampler,
-                                radius_m, step_deg, sample_step_m,
-                            ),
-                            3,
-                        ),
-                    )
+                    (int(r.station_id), None if np.isnan(h) else round(h, 3))
                 )
             yield pd.DataFrame(out, columns=["station_id", "horizon"])
 

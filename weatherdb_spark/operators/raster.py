@@ -66,7 +66,7 @@ def sample_raster(
         F.floor((F.lit(y0) - F.col(y_col)) / F.lit(res)).alias("_r0"),
     )
     cand = st.select(
-        "station_id", "_sx", "_sy",
+        "station_id", "_sx", "_sy", "_c0", "_r0",
         F.explode(
             F.array(*[
                 F.struct(
@@ -76,7 +76,14 @@ def sample_raster(
                 for di, dj in offsets
             ])
         ).alias("_cell"),
-    ).select("station_id", "_sx", "_sy", "_cell.col", "_cell.row")
+    ).select(
+        "station_id", "_sx", "_sy", "_cell.col", "_cell.row",
+        # the ONE half-open containing cell (floor convention) — a
+        # station on a cell boundary has box distance 0 to its neighbor
+        # too, so the point sample must not key on distance
+        ((F.col("_cell.col") == F.col("_c0"))
+         & (F.col("_cell.row") == F.col("_r0"))).alias("_own"),
+    )
 
     # exact distance from the station point to the cell's box
     box_xmin = F.lit(x0) + F.col("col") * F.lit(res)
@@ -106,7 +113,7 @@ def sample_raster(
         # conditional-on-aggregate form, so collect (step, v) pairs cheaply
         # via two passes over the same grouped rows: min step, then mean of
         # values whose step <= that min -- expressed with min_by arrays
-        F.avg(F.when(F.col("_step") == 0, F.col("_v"))).alias("_point_v"),
+        F.avg(F.when(F.col("_own"), F.col("_v"))).alias("_point_v"),
         F.collect_list(F.struct("_step", "_v")).alias("_cells"),
     )
     zonal = F.aggregate(

@@ -139,30 +139,44 @@ def ingest_p_raw(
 ) -> DataFrame:
     """P raw-import chain (StationP.py:208-224): keep on-grid rows
     (minute % 10 == 0, F5), duplicate timestamps across files take the
-    first file (F7), negative measurements null out (F6). Returns
-    (station_id, timestamp, raw, qn)."""
+    first file (F7, :func:`~weatherdb_spark.operators.imports.first_file_rows`),
+    within-file duplicates collapse to the mean (StationBases.py:1232-1243),
+    negative measurements null out (F6, before the mean so a sentinel
+    next to a real value doesn't drag it down). Returns
+    (station_id, timestamp, raw, qn).
+
+    A ``_tz_error`` column (:func:`localize_p_timestamps` boundary
+    straddle) raises on evaluation — the reference refuses such files
+    rather than importing shifted timestamps."""
+    from weatherdb_spark.operators.imports import first_file_rows
+
     on_grid = df.filter(F.minute(ts_col) % 10 == 0)
-    # F7 keys on the file NAME first (zip-extracted members live in a
-    # staging dir whose path must not decide which duplicate wins
-    # against a plain file in the source dir), with the full path as the
-    # tie-break so two distinct files sharing a basename still yield
-    # exactly ONE winner per (station, ts)
-    file_key = F.struct(
-        F.substring_index(F.col(file_col), "/", -1).alias("name"),
-        F.col(file_col).alias("path"),
-    )
-    first_file = on_grid.groupBy(station_col, ts_col).agg(
-        F.min(file_key).alias("_first_file")
-    )
-    deduped = on_grid.join(first_file, [station_col, ts_col]).filter(
-        file_key == F.col("_first_file")
-    )
+    deduped = first_file_rows(on_grid, [station_col, ts_col], file_col)
+    if "_tz_error" in deduped.columns:
+        # the guard rides on the timestamp key so column pruning can
+        # never drop it; any action over a straddling file fails loudly
+        deduped = deduped.withColumn(
+            ts_col,
+            F.when(
+                F.col("_tz_error"),
+                F.raise_error(F.concat(
+                    F.lit("P file straddles the 2000 MEZ/UTC boundary: "),
+                    F.col(file_col),
+                )),
+            ).otherwise(F.col(ts_col)),
+        )
     qn_col = "QN" if "QN" in df.columns else None
-    return deduped.select(
-        F.col(station_col).cast("int").alias("station_id"),
-        F.col(ts_col).alias("timestamp"),
-        F.when(F.col(value_col) < 0, None).otherwise(F.col(value_col)).alias("raw"),
-        (F.col(qn_col).cast("short") if qn_col else F.lit(None).cast("short")).alias("qn"),
+    scrubbed = F.when(F.col(value_col) < 0, None).otherwise(F.col(value_col))
+    return (
+        deduped.groupBy(
+            F.col(station_col).cast("int").alias("station_id"),
+            F.col(ts_col).alias("timestamp"),
+        )
+        .agg(
+            F.avg(scrubbed).alias("raw"),
+            (F.min(qn_col) if qn_col else F.min(F.lit(None)))
+            .cast("short").alias("qn"),
+        )
     )
 
 
@@ -268,28 +282,22 @@ def ingest_raw_dir(
     df = read_produkt_csv(spark, paths, date_cols=(spec["date"],))
     if parameter == "p":
         return ingest_p_raw(localize_p_timestamps(df))
-    # daily tables: F7 first-file dedup (name-first key with full-path
-    # tie-break — see ingest_p_raw), column map, optional F6 scrub
-    file_key = F.struct(
-        F.substring_index(F.col("_src_file"), "/", -1).alias("name"),
-        F.col("_src_file").alias("path"),
-    )
-    first_file = df.groupBy("STATIONS_ID", spec["date"]).agg(
-        F.min(file_key).alias("_first_file")
-    )
-    deduped = df.join(first_file, ["STATIONS_ID", spec["date"]]).filter(
-        file_key == F.col("_first_file")
-    )
-    out_cols = [
-        F.col("STATIONS_ID").cast("int").alias("station_id"),
-        F.col(spec["date"]).alias("timestamp"),
-    ]
+    # daily tables: F7 first-file dedup (shared helper — name-first key
+    # with full-path tie-break), column map, optional F6 scrub, then the
+    # within-file duplicates collapse to the mean like the P chain
+    from weatherdb_spark.operators.imports import first_file_rows
+
+    deduped = first_file_rows(df, ["STATIONS_ID", spec["date"]], "_src_file")
+    aggs = []
     for src, dst in spec["cols"].items():
         v = F.col(src)
         if spec["scrub_negative"]:
             v = F.when(v < 0, None).otherwise(v)
-        out_cols.append(v.alias(dst))
-    return deduped.select(*out_cols)
+        aggs.append(F.avg(v).alias(dst))
+    return deduped.groupBy(
+        F.col("STATIONS_ID").cast("int").alias("station_id"),
+        F.col(spec["date"]).alias("timestamp"),
+    ).agg(*aggs)
 
 
 def meta_from_dwd(meta_txt: DataFrame, parameter: str) -> DataFrame:

@@ -79,7 +79,10 @@ def get_ftp_file_list(
     try:
         ftp_conn.voidcmd("NOOP")
     except ftplib.all_errors:
+        # a bare connect() reopens the socket UNAUTHENTICATED — without
+        # the login every later dir() would fail with 530 Not logged in
         ftp_conn.connect()
+        ftp_conn.login()
     files: list[tuple[str, dt.datetime]] = []
     for folder in ftp_folders:
         lines: list[str] = []
@@ -111,8 +114,14 @@ def station_zip_files(
     id_str = str(station_id).rjust(id_digits, "0")
     if zip_regex_prefix is not None:
         comp = re.compile(zip_regex_prefix + id_str + r"[_\.].*")
-    else:
-        comp = re.compile(r".*_" + id_str + r"[_\.].*")
+        # a file-name prefix ('10minutenwerte_nieder_') must match the
+        # basename — anchoring it at the full listing path matches
+        # nothing; full-path matching stays for callers that pass one
+        return [
+            f for f in files
+            if comp.match(f[0].rsplit("/", 1)[-1]) or comp.match(f[0])
+        ]
+    comp = re.compile(r".*_" + id_str + r"[_\.].*")
     return [f for f in files if comp.match(f[0])]
 
 

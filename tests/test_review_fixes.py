@@ -286,3 +286,89 @@ def test_horizon_null_outside_dem(spark):
 
     row = horizon_angles(meta, sampler).first()
     assert row["horizon"] is None
+
+
+def test_stream_run_gate_per_window_head(spark, tmp_path):
+    """[qn=3, 1, 1, 1] equal values: the batch rule flags rows 2-4 (the
+    window headed at row 2) — the stream must agree, not gate the whole
+    run on its first row. A NULL qn head never flags (SQL semantics)."""
+    import pandas as pd
+
+    from weatherdb_spark.streaming.stateful import consec_run_flags
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({
+        "station_id": [1, 1, 1, 1, 2, 2, 2],
+        "timestamp": ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                      "2024-01-01 00:20:00", "2024-01-01 00:30:00",
+                      "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                      "2024-01-01 00:20:00"],
+        "raw": [0.5, 0.5, 0.5, 0.5, 0.7, 0.7, 0.7],
+        "qn": [3, 1, 1, 1, None, 1, 1],  # station 2: NULL head
+    }).to_csv(src / "a.csv", index=False)
+    stream = (
+        # qn double: a None in the pandas column makes to_csv write
+        # '3.0'-style floats, which an int schema would null out wholesale
+        spark.readStream.schema(
+            "station_id int, timestamp timestamp, raw double, qn double"
+        ).option("header", "true").csv(str(src))
+    )
+    q = (
+        consec_run_flags(stream)
+        .writeStream.format("memory").queryName("gate_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["station_id"], r["timestamp"].strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM gate_flags").collect()
+    }
+    assert got == {(1, "00:10"), (1, "00:20"), (1, "00:30")}
+
+
+def test_to_db_units_half_even(spark):
+    from weatherdb_spark.functions.units import to_db_unit, to_db_units
+
+    df = spark.createDataFrame([(0.125,), (0.135,)], "raw double")
+    col_form = df.select(to_db_units(F.col("raw"), 100).alias("v")).collect()
+    frame_form = to_db_unit(df, "p").collect()  # p decimals = 100
+    assert [r["v"] for r in col_form] == [12, 14]  # half-even, like pandas
+    assert [r["raw"] for r in frame_form] == [12, 14]
+
+
+def test_merge_upsert_null_key_match_not_insert(spark):
+    from weatherdb_spark.sinks.merge import merge_upsert
+
+    cur = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k int, v double")
+    upd = spark.createDataFrame([(None, 9.0)], "k int, v double")
+    out = {r["k"]: r for r in merge_upsert(cur, upd, keys=["k"]).collect()}
+    assert out[None]["_merge_action"] == "update"  # eqNullSafe matched it
+    assert out[None]["v"] == 9.0
+    assert out[1]["_merge_action"] == "keep"
+
+
+def test_write_merged_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from weatherdb_spark.sinks.merge import merge_upsert, write_merged
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 1, 2.0)], "k int, part int, v double"
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = files(1)
+    upd = spark.createDataFrame([(1, 0, 9.0)], "k int, part int, v double")
+    merged = merge_upsert(spark.read.parquet(path).select("k", "part", "v"),
+                          upd, keys=["k"], value_cols=["v"])
+    write_merged(merged, path, partition_cols=("part",))
+    assert files(1) == before  # untouched partition kept its files
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 9.0, 2: 2.0}

@@ -197,3 +197,31 @@ def test_env_override_survives_user_config_reload(cfg, tmp_path, monkeypatch):
     raw = configparser.ConfigParser()
     raw.read(path)
     assert raw.get("engine", "warehouse_dir").endswith("from_ini2")
+
+
+def test_empty_env_var_is_not_a_user_config(cfg, monkeypatch):
+    """WEATHERDB_SPARK_USER_CONFIG_FILE='' must behave like unset —
+    previously has_user_config was True while user_config_file was None
+    and load_user_config crashed on Path(None)."""
+    monkeypatch.setenv("WEATHERDB_SPARK_USER_CONFIG_FILE", "")
+    assert not cfg.has_user_config
+    cfg.load_user_config(raise_undefined_error=False)  # no TypeError
+
+
+def test_load_user_config_remove_persists(cfg, tmp_path):
+    """'remove' must clear the recorded location ON DISK, or the next
+    process hits the same FileNotFoundError."""
+    path = tmp_path / "user.ini"
+    cfg.create_user_config(path)
+    path.unlink()
+    cfg.load_user_config(if_not_existing="remove")
+    assert not cfg.has_option("main", "user_config_file")
+    # a fresh parser reading the main config sees no stale pointer
+    fresh = userconfig.UserConfig()
+    assert not fresh.has_user_config
+
+
+def test_create_user_config_validates_on_exists_upfront(cfg, tmp_path):
+    with pytest.raises(ValueError, match="on_exists"):
+        cfg.create_user_config(tmp_path / "new.ini", on_exists="replace")
+    assert not (tmp_path / "new.ini").exists()

@@ -34,10 +34,14 @@ from weatherdb_spark.config import KINDS_NOT_DECIMAL, PARAMETERS
 # (used for ingest from reference database dumps and stage-wise rounding)
 
 def to_db_units(col: Column, decimals: int, kind: str = "raw") -> Column:
-    """value -> round(value * decimals) as int (ingest direction)."""
+    """value -> round(value * decimals) as long (ingest direction).
+
+    Half-even (bround) and long, matching :func:`to_db_unit` and the
+    reference's pandas ``.round(0).astype('Int64')`` — HALF_UP here would
+    store 12.5 as 13 where the DataFrame form stores 12."""
     if kind in KINDS_NOT_DECIMAL:
         return col
-    return F.round(col * decimals).cast("int")
+    return F.bround(col * decimals, 0).cast("long")
 
 
 def from_db_units(col: Column, decimals: int, kind: str = "raw") -> Column:

@@ -39,13 +39,18 @@ def merge_upsert(
     actually changed (IS DISTINCT FROM semantics), else 'keep'.
     """
     value_cols = list(value_cols or [c for c in updates.columns if c not in keys])
-    cur = current.alias("cur")
-    upd = updates.alias("upd")
+    # presence indicators, not key-isNull checks: the join condition is
+    # null-SAFE, so a NULL-keyed match would otherwise classify as insert
+    cur = current.withColumn("_cur_present", F.lit(True)).alias("cur")
+    upd = updates.withColumn("_upd_present", F.lit(True)).alias("upd")
     cond = [F.col(f"cur.{k}").eqNullSafe(F.col(f"upd.{k}")) for k in keys]
     joined = cur.join(upd, cond, "full_outer")
 
-    matched = F.col(f"upd.{keys[0]}").isNotNull() & F.col(f"cur.{keys[0]}").isNotNull()
-    inserted = F.col(f"cur.{keys[0]}").isNull()
+    matched = (
+        F.col("upd._upd_present").isNotNull()
+        & F.col("cur._cur_present").isNotNull()
+    )
+    inserted = F.col("cur._cur_present").isNull()
     changed = F.lit(False)
     for c in value_cols:
         changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
@@ -75,10 +80,24 @@ def write_merged(
     path: str,
     partition_cols: Sequence[str] = (),
 ) -> None:
-    """Persist a merge result as parquet. With ``partition_cols`` the write
-    uses dynamic partition overwrite so only touched partitions rewrite —
-    the parquet-level analog of the reference's per-station UPDATE."""
-    w = merged.drop("_merge_action").write.mode("overwrite")
+    """Persist a merge result as parquet. With ``partition_cols`` the
+    write set is pruned to the partitions that contain an insert/update
+    (the merge result carries every 'keep' row, so without the prune
+    dynamic partition overwrite would rewrite EVERY partition) — the
+    parquet-level analog of the reference's per-station UPDATE. The
+    merge plan executes twice (touched-partition probe + write); persist
+    ``merged`` first when it is expensive."""
+    out = merged
+    if partition_cols and "_merge_action" in merged.columns:
+        touched = (
+            merged.filter(F.col("_merge_action") != "keep")
+            .select(*partition_cols)
+            .distinct()
+        )
+        out = merged.join(
+            F.broadcast(touched), list(partition_cols), "left_semi"
+        )
+    w = out.drop("_merge_action").write.mode("overwrite")
     if partition_cols:
         w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_cols)
     w.parquet(path)

@@ -1,18 +1,27 @@
 """Custom stateful streaming operator (SURVEY.md §2.10):
 online QC-P consecutive-run detection via ``applyInPandasWithState``.
 
-The batch QC flags every member of a run of >= 3 equal values > 0.1 mm
-whose head row has qn != 3 (StationP.py:145-166; the batch form lives in
-operators/qc.qc_p). Streaming twin: per-station GroupState carries the
-open run (its value, head-qn gate, and member timestamps) across
-micro-batches, so a run that straddles a batch boundary is still flagged.
-Rows are emitted as soon as the run reaches length 3 (the first 3 members
-retroactively, every extension immediately) — the online form of the
-reference's UNION of shifted timestamps.
+The batch QC flags every member of a TRIPLE of consecutive equal values
+> 0.1 mm whose head row has qn != 3 (StationP.py:145-166; the batch form
+lives in operators/qc.qc_p as a UNION of three shifted-timestamp
+disjuncts). Streaming twin: per-station GroupState carries the last
+``run_len - 1`` rows plus an emitted-until watermark across micro-batches,
+so a qualifying window that straddles a batch boundary is still flagged,
+and every member is emitted exactly once. The head-qn gate is evaluated
+per overlapping window exactly like the batch rule — a run
+[qn=3, qn=1, qn=1, qn=1] flags rows 2-4 (the window headed at row 2),
+not nothing; SQL semantics for the gate mean a NULL qn head never flags.
+
+Rows within one micro-batch are globally time-sorted per station before
+processing (Arrow may split a group into several chunks — sorting each
+chunk alone would corrupt runs at chunk boundaries). Late rows arriving
+in a LATER micro-batch than their successors are an inherent streaming
+limit: the watermark prevents double emission, but a window only forms
+from rows seen in order.
 
 This is the ``applyInPandasWithState`` shape: grouped Arrow batches, an
-explicit state schema, append output. State per station is O(run length
-<= 3) — bounded regardless of stream length.
+explicit state schema, append output. State per station is
+O(run_len) — bounded regardless of stream length.
 """
 
 from __future__ import annotations
@@ -27,11 +36,13 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("timestamp", T.TimestampType()),
     T.StructField("run_value", T.DoubleType()),
 ])
+# sliding window of the last run_len - 1 rows; qn rides as double so a
+# missing qn survives the round-trip as NaN/None
 _STATE_SCHEMA = T.StructType([
-    T.StructField("run_val", T.DoubleType()),
-    T.StructField("run_n", T.IntegerType()),
-    T.StructField("qn_ok", T.BooleanType()),
-    T.StructField("member_ts", T.ArrayType(T.LongType())),  # epoch us
+    T.StructField("win_ts", T.ArrayType(T.LongType())),      # epoch us
+    T.StructField("win_raw", T.ArrayType(T.DoubleType())),
+    T.StructField("win_qn", T.ArrayType(T.DoubleType())),
+    T.StructField("emitted_until", T.LongType()),
 ])
 
 
@@ -44,43 +55,63 @@ def consec_run_flags(
 
     ``stream``: streaming DataFrame with (station_id, timestamp, raw, qn).
     Returns an append-mode stream of (station_id, timestamp, run_value)
-    — one row per flagged member, exactly the rows the batch rule nulls.
+    — one row per flagged member, exactly the rows the batch rule nulls
+    for data arriving in time order.
     """
     import pandas as pd
 
     def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
         (station_id,) = key
         if state.exists:
-            run_val, run_n, qn_ok, member_ts = state.get
-            member_ts = list(member_ts)
+            win_ts, win_raw, win_qn, emitted_until = state.get
+            window = [
+                (t, r, q)
+                for t, r, q in zip(list(win_ts), list(win_raw), list(win_qn))
+            ]
         else:
-            run_val, run_n, qn_ok, member_ts = None, 0, False, []
+            window, emitted_until = [], -(1 << 62)
+        # one global sort per station per micro-batch: Arrow may deliver
+        # the group as several chunks, each only internally ordered
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else pd.DataFrame(
+                columns=["timestamp", "raw", "qn"]
+            )
+        )
+        pdf = pdf.sort_values("timestamp")
         out_rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("timestamp")
-            for ts, raw, qn in zip(
-                pdf["timestamp"], pdf["raw"], pdf["qn"]
-            ):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if raw is not None and run_val is not None and raw == run_val:
-                    run_n += 1
-                    member_ts.append(ts_us)
-                    member_ts = member_ts[-run_len:]
-                    if run_val > consec_min and qn_ok:
-                        if run_n == run_len:
-                            out_rows += [
-                                (station_id, t, run_val) for t in member_ts
-                            ]
-                        elif run_n > run_len:
-                            out_rows.append((station_id, ts_us, run_val))
-                else:
-                    # new run starts here; the qn gate is evaluated on the
-                    # HEAD row only (StationP.py:152-159)
-                    run_val = raw if raw is not None else None
-                    run_n = 1 if raw is not None else 0
-                    qn_ok = bool(qn != 3) if raw is not None else False
-                    member_ts = [ts_us] if raw is not None else []
-        state.update((run_val, run_n, qn_ok, member_ts))
+        for ts, raw, qn in zip(pdf["timestamp"], pdf["raw"], pdf["qn"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            raw = None if pd.isna(raw) else float(raw)
+            qn = None if pd.isna(qn) else float(qn)
+            if len(window) == run_len - 1:
+                head_qn = window[0][2]
+                head_qn = None if pd.isna(head_qn) else head_qn
+                if (
+                    raw is not None
+                    and raw > consec_min
+                    and all(
+                        w_raw is not None and not pd.isna(w_raw)
+                        and w_raw == raw
+                        for _, w_raw, _ in window
+                    )
+                    # SQL `qn != 3` on the HEAD row: NULL never passes
+                    and head_qn is not None
+                    and head_qn != 3
+                ):
+                    for t in [w_ts for w_ts, _, _ in window] + [ts_us]:
+                        if t > emitted_until:
+                            out_rows.append((station_id, t, raw))
+                            emitted_until = t
+            window.append((ts_us, raw, qn))
+            window = window[-(run_len - 1):]
+        state.update((
+            [t for t, _, _ in window],
+            [r for _, r, _ in window],
+            [q for _, _, q in window],
+            emitted_until,
+        ))
         if out_rows:
             yield pd.DataFrame(
                 {

@@ -77,8 +77,11 @@ class UserConfig(configparser.ConfigParser):
         self._main_config_dir.mkdir(parents=True, exist_ok=True)
         main = configparser.ConfigParser()
         main.add_section("main")
-        main.set("main", "user_config_file",
-                 self.get("main", "user_config_file"))
+        # no recorded location (e.g. after a 'remove') writes an empty
+        # main section — the pointer is gone on disk too
+        if self.has_option("main", "user_config_file"):
+            main.set("main", "user_config_file",
+                     self.get("main", "user_config_file"))
         with open(self._main_config_file, "w") as fh:
             main.write(fh)
 
@@ -88,7 +91,9 @@ class UserConfig(configparser.ConfigParser):
         """Reference ConfigParser.has_user_config:308-316."""
         return (
             self.has_option("main", "user_config_file")
-            or "WEATHERDB_SPARK_USER_CONFIG_FILE" in os.environ
+            # an EMPTY env var means "not set" — counting it would make
+            # user_config_file return None and crash Path(None) below
+            or bool(os.environ.get("WEATHERDB_SPARK_USER_CONFIG_FILE"))
         )
 
     @property
@@ -112,6 +117,13 @@ class UserConfig(configparser.ConfigParser):
         'define' only records the location.
         Returns the file path and records it in the main config."""
         path = Path(user_config_file)
+        if not on_exists or on_exists[0].lower() not in ("e", "o", "d"):
+            # validate unconditionally — a typo'd policy must not be
+            # accepted on first creation and rejected on the second run
+            raise ValueError(
+                f"on_exists {on_exists!r} not in "
+                "('error', 'overwrite', 'define')"
+            )
         write = True
         if path.exists():
             if on_exists[0].lower() == "e":
@@ -120,11 +132,6 @@ class UserConfig(configparser.ConfigParser):
                 )
             if on_exists[0].lower() == "d":
                 write = False
-            elif on_exists[0].lower() != "o":
-                raise ValueError(
-                    f"on_exists {on_exists!r} not in "
-                    "('error', 'overwrite', 'define')"
-                )
         if write:
             path.parent.mkdir(parents=True, exist_ok=True)
             with open(_DEFAULT_CONFIG_FILE) as default_f, \
@@ -159,6 +166,9 @@ class UserConfig(configparser.ConfigParser):
             self.load_environment_variables()
         elif if_not_existing[0].lower() == "r":
             self.remove_option("main", "user_config_file")
+            # persist: the on-disk main config must stop pointing at the
+            # missing file, or the next process errors again
+            self._write_main_config()
         elif if_not_existing[0].lower() != "i":
             raise FileNotFoundError(f"user config file not found at {path}")
 

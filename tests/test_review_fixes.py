@@ -372,3 +372,136 @@ def test_write_merged_rewrites_only_touched_partitions(spark, tmp_path):
     assert files(1) == before  # untouched partition kept its files
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 9.0, 2: 2.0}
+
+
+def test_append_raw_widens_pending_last_imp(spark, tmp_path):
+    """Two appends before any incremental stage: the last_imp window
+    must span BOTH batches, or the first import is silently orphaned."""
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 1.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    b.update_raw("p_d", base)
+    b.append_raw("p_d", spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), 2.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    b.append_raw("p_d", spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1), 3.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    lo, hi = b.last_imp("p_d")
+    assert lo.startswith("2024-03-01")  # first pending batch still covered
+    assert hi.startswith("2024-06-01")
+    # consume the window (what last_imp_fillup stamps), then a new
+    # append REPLACES it instead of widening forever
+    b._mark("p_d", "filled", "ts_p_d")
+    b.append_raw("p_d", spark.createDataFrame(
+        [(1, dt.datetime(2024, 9, 1), 4.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    lo, hi = b.last_imp("p_d")
+    assert lo.startswith("2024-09-01")
+
+
+def test_last_imp_qc_keeps_margin_row_flags(spark, tmp_path):
+    """A qc flag set by the full QC on rows INSIDE the margin (but
+    outside the import window) must survive the incremental QC — margin
+    rows are context only, their truncated recomputation must not merge."""
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    rows = []
+    # a 3-run of equal 5.0 values (qn=1) early on day 1 — flagged by QC
+    for i in range(6):
+        ts = dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=10 * i)
+        rows.append((1, ts, 5.0 if i < 3 else float(i), 1))
+    # normal data near the later import window
+    for i in range(6):
+        ts = dt.datetime(2024, 1, 2, 10, 0) + dt.timedelta(minutes=10 * i)
+        rows.append((1, ts, float(i % 3), 1))
+    b.update_raw("p", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double, qn int"))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10.0), (1, dt.datetime(2024, 1, 2), 3.0)],
+        "station_id int, timestamp timestamp, raw double"))
+    b.quality_check()
+    flagged = (
+        b.read("ts_p")
+        .filter(F.col("raw").isNotNull() & F.col("qc").isNull())
+        .count()
+    )
+    assert flagged >= 3  # the run is nulled by the full QC
+    # incremental import well after the run, margin 2 days REACHES it
+    b.append_raw("p", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 12, 0), 0.5, 1)],
+        "station_id int, timestamp timestamp, raw double, qn int"))
+    b.last_imp_quality_check(margin="2 days")
+    flagged_after = (
+        b.read("ts_p")
+        .filter(F.col("raw").isNotNull() & F.col("qc").isNull())
+        .count()
+    )
+    assert flagged_after >= flagged  # margin rows kept their flags
+
+
+def test_expand_timeline_start_after_end_yields_no_rows(spark):
+    """A station whose archive wholly predates min_date must produce no
+    grid (not a descending-sequence explosion or a phantom row)."""
+    import datetime as dt
+    import time
+
+    from weatherdb_spark.operators.timeline import expand_timeline
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(1960, 1, 1) + dt.timedelta(minutes=10 * i), 1.0)
+         for i in range(10)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    t0 = time.time()
+    out = expand_timeline(df, "10 minutes", min_date="1994-01-01")
+    assert out.count() == 0
+    assert time.time() - t0 < 60  # no quadratic row generation
+
+
+def test_mark_footer_span_matches_scan(spark, tmp_path):
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(1, dt.datetime(2020, 5, 1), 1.0), (2, dt.datetime(2023, 11, 30), 2.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    lo, hi = b._table_span("ts_p_d")
+    assert str(lo).startswith("2020-05-01")
+    # expand_timeline extends the grid to the max observed timestamp
+    assert str(hi).startswith("2023-11-30")
+
+
+def test_quality_check_without_ts_p_d_fails_loudly(spark, tmp_path):
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_raw("p", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0, 1)],
+        "station_id int, timestamp timestamp, raw double, qn int",
+    ))
+    with pytest.raises(FileNotFoundError, match="ts_p_d"):
+        b.quality_check()
+
+
+def test_ma_stage_respects_broker_mutex(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    b1, b2 = Broker(spark, wh), Broker(spark, wh)
+    ma = spark.createDataFrame(
+        [(1, "p", "year", 800.0)],
+        "station_id int, parameter string, term string, value double",
+    )
+    with b1.activate():
+        with pytest.raises(RuntimeError, match="Another Broker"):
+            b2.update_ma_raster(ma)
+    b1.update_ma_raster(ma)  # lock released -> proceeds
+    assert b1.read("station_ma_raster").count() == 1

@@ -838,15 +838,65 @@ class Broker:
                     self._cleanup_versions(table, v, keep_previous=False)
         return compacted
 
+    def _table_span(self, table: str):
+        """min/max timestamp of the CURRENT snapshot from parquet footer
+        statistics — O(#files) driver-side metadata reads instead of a
+        full executor scan per stage completion (the scan was one extra
+        full table pass per stage per parameter). Falls back to the
+        Spark aggregation when any file lacks row-group statistics."""
+        import pyarrow.parquet as pq
+
+        root = self.data_path(table)
+        lo = hi = None
+        try:
+            for dirpath, _dirs, files in os.walk(root):
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(
+                        os.path.join(dirpath, fname)
+                    ).metadata
+                    idx = next(
+                        (
+                            i for i in range(md.num_columns)
+                            if md.schema.column(i).name == "timestamp"
+                        ),
+                        None,
+                    )
+                    if idx is None:
+                        raise ValueError("no timestamp column")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError("missing statistics")
+                        if lo is None or st.min < lo:
+                            lo = st.min
+                        if hi is None or st.max > hi:
+                            hi = st.max
+        except Exception:
+            row = self.read(table).agg(
+                F.min("timestamp"), F.max("timestamp")
+            ).first()
+            return row[0], row[1]
+
+        def _naive(ts):
+            # footer stats come back tz-aware (parquet adjusted-to-UTC);
+            # watermark strings are naive like the Spark-aggregate form
+            if ts is not None and ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            return ts
+
+        return _naive(lo), _naive(hi)
+
     def _mark(self, parameter: str, stage: str, table: str) -> None:
         """Record the stage watermark (the processed period) — the engine's
         form of ``last_imp_*`` flags + ``last_imp_from/until`` meta columns.
-        Reads the freshly written table: stage plans are lazy over the
-        files the write just replaced."""
-        df = self.read(table)
-        lo, hi = df.agg(
-            F.min("timestamp").cast("string"), F.max("timestamp").cast("string")
-        ).first()
+        Reads the freshly written table's parquet FOOTERS: stage plans are
+        lazy over the files the write just replaced, and a full scan per
+        stage would not survive the 100 TB design target."""
+        lo, hi = self._table_span(table)
+        lo = str(lo) if lo is not None else None
+        hi = str(hi) if hi is not None else None
         row = self.spark.createDataFrame(
             [(parameter, stage, lo, hi, datetime.now(timezone.utc).isoformat())],
             "parameter string, stage string, watermark_from string, "
@@ -881,6 +931,15 @@ class Broker:
 
     def state(self) -> DataFrame:
         return self.read("pipeline_state")
+
+    def _require(self, table: str, needed_for: str) -> None:
+        """Fail with a stage-level message instead of a raw path-does-
+        not-exist AnalysisException deep inside a lazy plan."""
+        if not self.exists(table):
+            raise FileNotFoundError(
+                f"table {table!r} is required for {needed_for} but is not "
+                "in the warehouse — run the corresponding update-raw first"
+            )
 
     # ------------------------------------------------------------- stages
     @_with_mutex
@@ -998,12 +1057,14 @@ class Broker:
         # tiny dim — single driver-side file, like pipeline_state
         self._write_small("dropped_stations", row)
 
+    @_with_mutex
     def update_ma_raster(self, ma: DataFrame) -> None:
         """S7 (pre-sampled path) — the multi-annual raster dim arrives
         already sampled as (station_id, parameter, term, value). For a
         gridded raster table use :meth:`update_ma_raster_from_grid`."""
         self.write("station_ma_raster", ma)
 
+    @_with_mutex
     def update_ma_raster_from_grid(
         self, parameter: str, raster: DataFrame,
         x0: float, y0: float, res: float,
@@ -1171,6 +1232,7 @@ class Broker:
         full-table stage. The neighbor-median checks still draw donor
         series from every station; only the checked set narrows."""
         if self.exists("ts_p"):
+            self._require("ts_p_d", "the P quality check's daily comparison")
             out_p = qc_p(
                 self._scope(self.read("ts_p"), stids),
                 self._scope(self.read("ts_p_d"), stids),
@@ -1323,6 +1385,8 @@ class Broker:
             # update_db don't accumulate dead blocks in the storage pool
             with cache_scope():
                 full = self.read(table)
+                if parameter == "p":
+                    self._require("ts_p_d", "the P fillup's daily adjustment")
                 ts_p_d = (
                     self._scope(self.read("ts_p_d"), stids)
                     if parameter == "p" else None
@@ -1555,6 +1619,14 @@ class Broker:
             else:
                 self.write(table, expanded, bucket_by_station=True)
             lo, hi = new_raw.agg(F.min("timestamp"), F.max("timestamp")).first()
+        # a pending (unprocessed) window must WIDEN, not be replaced: two
+        # appends before any last_imp_* stage would otherwise orphan the
+        # first batch — its rows would never get qc/filled/corr while the
+        # stage watermarks claim they were processed
+        pending = self.last_imp(parameter)
+        if pending is not None and not self._last_imp_consumed(parameter):
+            lo = min(str(lo), str(pending[0]))
+            hi = max(str(hi), str(pending[1]))
         row = self.spark.createDataFrame(
             [(parameter, "last_imp", str(lo), str(hi),
               datetime.now(timezone.utc).isoformat())],
@@ -1595,6 +1667,34 @@ class Broker:
             )
             new = prev.unionByName(new)
         self.write("raw_files", new)
+
+    #: incremental stages that consume a parameter's last_imp window
+    _INCR_STAGES = {
+        "p": ("qc", "filled", "corr"),
+        "t": ("qc", "filled"),
+        "et": ("qc", "filled"),
+        "p_d": ("filled",),
+    }
+
+    def _last_imp_consumed(self, parameter: str) -> bool:
+        """Has every incremental stage of this parameter run SINCE the
+        pending last_imp window was recorded? (Full stages stamp the
+        same stage names, so a full QC/fillup/correct also consumes.)"""
+        if not self.exists("pipeline_state"):
+            return True
+        marks = {
+            r["stage"]: r["updated_at"]
+            for r in self.state()
+            .filter(F.col("parameter") == parameter)
+            .collect()
+        }
+        imp_at = marks.get("last_imp")
+        if imp_at is None:
+            return True
+        return all(
+            marks.get(s) is not None and marks[s] > imp_at
+            for s in self._INCR_STAGES.get(parameter, ("qc", "filled"))
+        )
 
     def last_imp(self, parameter: str) -> tuple[str, str] | None:
         """The pending import window, or None."""
@@ -1766,6 +1866,7 @@ class Broker:
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
+    @_with_mutex
     def update_ma_timeserie(
         self,
         parameter: str,
@@ -1840,6 +1941,7 @@ class Broker:
             .createOrReplaceTempView("ma_quotient_kinds")
         )
 
+    @_with_mutex
     def create_virtual_stations(self, parameter: str) -> None:
         """J12 — materialize virtual T/ET/PD stations at every P location
         that has no station of ``parameter`` yet
@@ -1903,12 +2005,26 @@ class Broker:
             if window is None or not self.exists(f"ts_{parameter}"):
                 continue
             table = f"ts_{parameter}"
-            part, _ = self._window_part(table, window, margin)
+            part, in_window = self._window_part(table, window, margin)
             years = self._window_years(window, margin)
             if parameter == "p":
+                self._require(
+                    "ts_p_d", "the incremental P quality check"
+                )
                 # one extra year low-side: the 5h50-shifted comparison day
                 # of an early-January timestamp falls in the prior year
                 out = qc_p(part, self.read("ts_p_d", years=[years[0] - 1, *years]))
+                # the daily-sum rule covers whole 6h-shifted days, so
+                # merge at day granularity like last_imp_fillup does for
+                # its 5h50 shift — a window starting mid-day re-judges
+                # the straddling day's rows with their COMPLETE day
+                from weatherdb_spark.functions.temporal import shifted_date
+
+                sd = shifted_date(F.col("timestamp"), "6 hours")
+                in_window = sd.between(
+                    shifted_date(F.lit(window[0]).cast("timestamp"), "6 hours"),
+                    shifted_date(F.lit(window[1]).cast("timestamp"), "6 hours"),
+                )
             elif parameter == "t":
                 out = qc_t(
                     part, self._knn("t"), self._ma_values("t"),
@@ -1919,7 +2035,11 @@ class Broker:
                     part, self._knn("et"), self._ma_values("et"),
                     self.read("meta").filter(F.col("parameter") == "et"),
                 )
-            self._merge_stage_cols(table, out, ["qc"], years=years)
+            # margin rows are CONTEXT only: their lag/lead windows are
+            # truncated at the margin edge, so merging them back would
+            # overwrite correct full-series qc with edge recomputations
+            self._merge_stage_cols(table, out.filter(in_window), ["qc"],
+                                   years=years)
             self._mark(parameter, "qc", table)
 
     @staticmethod

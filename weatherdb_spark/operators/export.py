@@ -57,23 +57,32 @@ def create_ts(
     preset maps Jahr/Monat/... -> YYYY/MM/... (GroupStation.py:405-415).
 
     Returns an S11-style telemetry dict (models.py:354-386)."""
+    import os
+
     t0 = time.time()
     out = (
         split_date(df, ts_col=ts_col, value_cols=value_cols, granularity=granularity)
         if split
         else df
     )
+    # chronological within-file order: the split parts in significance
+    # order, or the raw timestamp — NOT "every column but station_id",
+    # which would sort by a value column first when it precedes the date
+    sort_cols = (
+        [name for name, _ in _SPLIT_COLS[:granularity]] if split else [ts_col]
+    )
     if col_names:
         for old, new in col_names.items():
             if old in out.columns:
                 out = out.withColumnRenamed(old, new)
+        sort_cols = [col_names.get(c, c) for c in sort_cols]
     (
         # station_id leads the sort: partitionBy(station_id) imposes a
         # required ordering on station_id, and satisfying it here keeps
         # Spark from inserting its own (non-stable) re-sort that could
         # scramble the within-file date order on spill
         out.repartition("station_id")
-        .sortWithinPartitions("station_id", *[c for c in out.columns if c != "station_id"])
+        .sortWithinPartitions("station_id", *sort_cols)
         .write.mode("overwrite")
         .option("sep", sep)
         .option("header", True)
@@ -81,7 +90,11 @@ def create_ts(
         .csv(out_dir)
     )
     return {
-        "quantity": df.select("station_id").distinct().count(),
+        # free from the partition layout — a distinct-count would
+        # re-execute the full input plan just for telemetry
+        "quantity": sum(
+            1 for e in os.listdir(out_dir) if e.startswith("station_id=")
+        ),
         "aggregate": granularity,
         "duration_s": round(time.time() - t0, 3),
         "out_dir": out_dir,

@@ -77,6 +77,12 @@ def expand_timeline(
     step_s = _interval_seconds(interval)
     chunk = 50_000
     bounds = bounds.select(*group_cols, start_c.alias("_start"), end_c.alias("_end"))
+    # a group whose whole archive predates min_date (or an explicit
+    # end < start) has a NEGATIVE step count — Spark's sequence(0, n<0)
+    # counts DOWN, exploding descending chunk ids into ~n^2/(2*chunk)
+    # spurious rows plus a phantom k=0 grid row; such groups produce no
+    # grid at all (their rows are all cut by the min_date filter anyway)
+    bounds = bounds.filter(F.col("_end") >= F.col("_start"))
     n_steps = F.floor(
         (F.unix_timestamp("_end") - F.unix_timestamp("_start")) / step_s
     )  # k ranges 0..n_steps inclusive

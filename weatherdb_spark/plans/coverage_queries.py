@@ -10,15 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weatherdb_spark.plans.pipeline_queries import _daily_df, _ma_df
-from weatherdb_spark.plans.registry import _register, load, supplier_coords
-
-_COORDS_SQL = """
-        SELECT s_suppkey,
-               CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
-               CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm,
-               CAST((s_suppkey * 31) % 1500 AS DOUBLE) AS elev
-        FROM supplier
-"""
+from weatherdb_spark.plans.registry import (
+    COORDS_SQL as _COORDS_SQL,
+    _register,
+    load,
+    supplier_coords,
+)
 
 
 # --------------------------------------------------------------------------

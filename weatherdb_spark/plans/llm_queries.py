@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weatherdb_spark.llm.hashing import MINHASH_P, md5_int64_sql, minhash_perm_sql
+from weatherdb_spark.llm.hashing import md5_int64_sql
 from weatherdb_spark.plans.registry import _register, _register_extra, load
 
 # word-3-gram distinct shingles per doc (DuckDB list comprehension)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from weatherdb_spark.functions.caching import scoped_persist
 
 from weatherdb_spark.plans.registry import (
+    COORDS_SQL as _COORDS_SQL,
     _register,
     _register_extra,
     load,
@@ -25,13 +26,6 @@ from weatherdb_spark.plans.registry import (
 
 # SQL fragment mirrored by _ma_df below
 _MA_SQL = "SELECT s_suppkey, CAST(s_suppkey % 20 + 40 AS DOUBLE) AS ma FROM supplier"
-_COORDS_SQL = """
-        SELECT s_suppkey,
-               CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
-               CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm,
-               CAST((s_suppkey * 31) % 1500 AS DOUBLE) AS elev
-        FROM supplier
-"""
 _KNN_SQL = f"""
     coords AS ({_COORDS_SQL}),
     knn AS (

@@ -200,7 +200,11 @@ def s6_timeline_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J8/W3 — kNN over station coordinates (deterministic synthetic coords)
 # --------------------------------------------------------------------------
 
-_KNN_COORDS = """
+# THE synthetic-coords fragment: every oracle that needs station
+# geometry builds on this one definition (its Spark twin is
+# supplier_coords below) — a tweak to the key-derived geometry must not
+# be able to diverge between query families
+COORDS_SQL = """
         SELECT s_suppkey,
                CAST((s_suppkey * 7919) % 10000 AS DOUBLE) AS x_utm,
                CAST((s_suppkey * 104729) % 10000 AS DOUBLE) AS y_utm,
@@ -211,7 +215,7 @@ _KNN_COORDS = """
 @_register(
     "j8_knn_stations",
     oracle=f"""
-    WITH coords AS ({_KNN_COORDS}),
+    WITH coords AS ({COORDS_SQL}),
     pairs AS (
         SELECT a.s_suppkey AS station_id,
                b.s_suppkey AS nb_station_id,
@@ -235,13 +239,9 @@ _KNN_COORDS = """
 def j8_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.operators.neighbors import knn_stations
 
-    coords = load(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").cast("int").alias("station_id"),
-        ((F.col("s_suppkey") * 7919) % 10000).cast("double").alias("x_utm"),
-        ((F.col("s_suppkey") * 104729) % 10000).cast("double").alias("y_utm"),
-        ((F.col("s_suppkey") * 31) % 1500).cast("double").alias("stationshoehe"),
+    out = knn_stations(
+        supplier_coords(spark, sf_dir), k=3, elevation_weighted=True
     )
-    out = knn_stations(coords, k=3, elevation_weighted=True)
     return out.select(
         F.col("station_id").cast("long").alias("station_id"),
         F.col("nb_station_id").cast("long").alias("nb_station_id"),

@@ -481,6 +481,23 @@ def test_mark_footer_span_matches_scan(spark, tmp_path):
     assert str(hi).startswith("2023-11-30")
 
 
+def test_table_span_handles_date_typed_column(spark, tmp_path):
+    """Parquet footer stats for DATE columns come back as datetime.date
+    (no tzinfo attribute) — _table_span must not assume tz-aware
+    datetimes (regression: AttributeError in the stress pipeline)."""
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, dt.date(2020, 5, 1), 1.0), (2, dt.date(2023, 11, 30), 2.0)],
+        "station_id int, timestamp date, raw double",
+    )
+    b.write("ts_p_d", df, bucket_by_station=False)
+    lo, hi = b._table_span("ts_p_d")
+    assert str(lo) == "2020-05-01"
+    assert str(hi) == "2023-11-30"
+
+
 def test_quality_check_without_ts_p_d_fails_loudly(spark, tmp_path):
     import datetime as dt
 

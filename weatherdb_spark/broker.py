@@ -881,8 +881,9 @@ class Broker:
 
         def _naive(ts):
             # footer stats come back tz-aware (parquet adjusted-to-UTC);
-            # watermark strings are naive like the Spark-aggregate form
-            if ts is not None and ts.tzinfo is not None:
+            # watermark strings are naive like the Spark-aggregate form.
+            # DATE-typed columns yield datetime.date (no tzinfo) — pass.
+            if ts is not None and getattr(ts, "tzinfo", None) is not None:
                 ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
             return ts
 

@@ -321,3 +321,51 @@ def test_f7_dedup_one_winner_when_basenames_collide(spark):
     out = {r.station_id: r.raw for r in ingest_p_raw(df).collect()}
     assert out == {3: 1.5, 4: 2.5}
     assert ingest_p_raw(df).count() == 2
+
+
+def test_stream_into_broker_two_drops(spark, tmp_path):
+    """foreachBatch -> Broker.append_raw bridge: two CSV drops processed
+    as separate availableNow runs merge into the versioned fact table and
+    the pending last_imp window widens across both (neither drop is
+    orphaned when the stages run later). A full replay of the stream
+    (fresh checkpoint) must be idempotent — the sink is a keyed merge."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.streaming.ingest import stream_into_broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    src = tmp_path / "drops"
+    src.mkdir()
+    day0 = dt.datetime(2024, 1, 1)
+    for part, d0 in ((0, 0), (1, 4)):
+        pd.DataFrame({
+            "station_id": [1] * 4,
+            "timestamp": [day0 + dt.timedelta(days=d0 + k) for k in range(4)],
+            "raw": [20.0 + d0 + k for k in range(4)],
+        }).to_csv(src / f"drop_{part}.csv", index=False, sep=";")
+
+    def run(ckpt):
+        stream_into_broker(
+            spark, str(src), b, "t", str(tmp_path / ckpt),
+            schema="station_id int, timestamp timestamp, raw double",
+        )
+
+    # two sequential availableNow runs over a shared checkpoint: run 1
+    # sees only drop_0, run 2 drains drop_1 — the two-batch append path
+    (src / "drop_1.csv").rename(tmp_path / "stash.csv")
+    run("ckpt")
+    (tmp_path / "stash.csv").rename(src / "drop_1.csv")
+    run("ckpt")
+
+    got = b.read("ts_t")
+    vals = {r["raw"] for r in got.filter(F.col("raw").isNotNull()).collect()}
+    assert vals == {20.0 + i for i in range(8)}
+    assert b.last_imp("t") == ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+
+    # full replay with a fresh checkpoint: keyed merge -> same state
+    run("ckpt2")
+    assert b.read("ts_t").count() == got.count()
+    assert b.last_imp("t") == ("2024-01-01 00:00:00", "2024-01-08 00:00:00")

@@ -60,6 +60,71 @@ def stream_raw_files(
     return q
 
 
+def stream_into_broker(
+    spark: SparkSession,
+    source_dir: str,
+    broker,
+    parameter: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    sep: str = ";",
+    transform=None,
+    run_stages: bool = False,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Tail CSV drops straight into the broker's incremental pipeline:
+    each micro-batch lands via :meth:`Broker.append_raw` (keyed merge
+    into the versioned fact table + ``last_imp`` window bookkeeping), so
+    the reference's "download, import, re-run the stages" loop
+    (cli.py update_db) becomes one continuously-runnable stream.
+
+    Exactly-once note: ``foreachBatch`` may replay a batch after a
+    failure, and that is SAFE here — the sink is a keyed
+    (station_id, timestamp) merge (a replay upserts identical rows) and
+    the pending ``last_imp`` window only ever widens, so a replayed
+    batch cannot shrink the span the incremental stages will process.
+
+    ``run_stages=True`` additionally runs the bounded incremental stages
+    (last_imp_quality_check / fillup / corr) after each batch — the
+    streaming twin of the reference's per-import stage chain. Leave it
+    False to batch several drops per stage pass (cheaper: the widened
+    window makes one stage pass cover them all).
+
+    ``transform`` maps the raw stream to (station_id, timestamp, raw[,
+    qn]) rows before the merge, e.g. the
+    :func:`~weatherdb_spark.sources.dwd.ingest_p_raw` projection.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("sep", sep)
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .csv(source_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        broker.append_raw(parameter, batch_df)
+        if run_stages:
+            broker.last_imp_quality_check()
+            broker.last_imp_fillup()
+            if parameter == "p":
+                broker.last_imp_corr()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def windowed_stream_agg(
     stream: DataFrame,
     window: str = "1 day",

@@ -522,3 +522,39 @@ def test_ma_stage_respects_broker_mutex(spark, tmp_path):
             b2.update_ma_raster(ma)
     b1.update_ma_raster(ma)  # lock released -> proceeds
     assert b1.read("station_ma_raster").count() == 1
+
+
+def test_write_small_pins_schema_for_all_null_columns(spark, tmp_path):
+    """An EMPTY import writes pipeline_state with NULL watermarks; a
+    plain pandas.to_parquet would re-infer that column's type, and the
+    next _mark's read-union would cast real timestamp strings into it
+    (CAST_INVALID_INPUT). The empty-then-real sequence must work."""
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame(
+        [], "station_id int, timestamp timestamp, raw double"
+    )
+    b.update_raw("t", empty)
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 20.0 + i)
+            for i in range(3)]
+    b.update_raw("t", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"
+    ))
+    b.append_raw("t", empty)  # empty batch: no-op, no corruption
+    marks = {r["stage"]: r["watermark_from"] for r in b.state().collect()}
+    assert marks["raw"] == "2024-01-01 00:00:00"
+    # the no-op must not record a "None"-bounded last_imp window
+    assert b.last_imp("t") is None
+
+
+def test_fillup_without_dims_fails_loudly(spark, tmp_path):
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_raw("t", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    with pytest.raises(FileNotFoundError, match="update-meta|station_ma_raster"):
+        b.fillup()

@@ -921,25 +921,42 @@ class Broker:
     def _write_small(self, table: str, df: DataFrame) -> None:
         """Driver-side single-file snapshot write for tiny dims
         (pipeline_state, dropped_stations) — same manifest-flip
-        visibility rules as :meth:`write`, without a Spark job."""
+        visibility rules as :meth:`write`, without a Spark job.
+
+        The parquet schema is pinned to the DataFrame's declared schema:
+        a plain ``pandas.to_parquet`` re-infers types per column, so an
+        all-NULL string column (an empty import's watermarks) would land
+        as a null/int64 column and every later read-union of the dim
+        would try to cast real values into it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self._ensure_dir(table)
         new = (self.table_version(table) or 0) + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
         os.makedirs(vdir, exist_ok=True)
-        df.toPandas().to_parquet(os.path.join(vdir, "data.parquet"))
+        tbl = pa.Table.from_pandas(
+            df.toPandas(), schema=to_arrow_schema(df.schema),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, os.path.join(vdir, "data.parquet"))
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
     def state(self) -> DataFrame:
         return self.read("pipeline_state")
 
-    def _require(self, table: str, needed_for: str) -> None:
+    def _require(
+        self, table: str, needed_for: str,
+        hint: str = "run the corresponding update-raw first",
+    ) -> None:
         """Fail with a stage-level message instead of a raw path-does-
         not-exist AnalysisException deep inside a lazy plan."""
         if not self.exists(table):
             raise FileNotFoundError(
                 f"table {table!r} is required for {needed_for} but is not "
-                "in the warehouse — run the corresponding update-raw first"
+                f"in the warehouse — {hint}"
             )
 
     # ------------------------------------------------------------- stages
@@ -1111,6 +1128,8 @@ class Broker:
         self.update_period_meta(parameter)
 
     def _ma_values(self, parameter: str, term: str = "year") -> DataFrame:
+        self._require("station_ma_raster", "neighbor regionalization",
+                      hint="run update-ma-raster first")
         return (
             self.read("station_ma_raster")
             .filter((F.col("parameter") == parameter) & (F.col("term") == term))
@@ -1118,6 +1137,8 @@ class Broker:
         )
 
     def _ma_seasonal(self, parameter: str) -> DataFrame:
+        self._require("station_ma_raster", "seasonal adjustment factors",
+                      hint="run update-ma-raster first")
         return (
             self.read("station_ma_raster")
             .filter((F.col("parameter") == parameter) & F.col("term").isin("wihy", "suhy"))
@@ -1137,6 +1158,8 @@ class Broker:
         dist_km = user_setting(
             "fillup", "max_fillup_distance_km", cfg["max_fillup_dist_km"]
         )
+        self._require("meta", "the neighbor (kNN) dim",
+                      hint="run update-meta first")
         meta = self.read("meta").filter(F.col("parameter") == parameter)
         return knn_stations(
             meta,
@@ -1575,6 +1598,11 @@ class Broker:
         ``last_imp_from/until`` meta columns)."""
         from weatherdb_spark.sinks.merge import merge_upsert
 
+        # an empty batch (a drained stream trigger, an all-filtered file)
+        # is a no-op: proceeding would rewrite the table and record a
+        # "None"-bounded last_imp window for the stages to choke on
+        if new_raw.isEmpty():
+            return
         table = f"ts_{parameter}"
         cfg = PARAMETERS[parameter]
         interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"

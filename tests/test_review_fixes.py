@@ -558,3 +558,38 @@ def test_fillup_without_dims_fails_loudly(spark, tmp_path):
     ))
     with pytest.raises(FileNotFoundError, match="update-meta|station_ma_raster"):
         b.fillup()
+
+
+def test_update_raw_rejects_duplicate_keys(spark, tmp_path):
+    """The engine twin of the reference raw tables' timestamp PK: an
+    import batch with duplicate (station_id, timestamp) keys fails
+    loudly instead of corrupting downstream keyed merges."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    dup = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 1), 2.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        b.update_raw("t", dup)
+    ok = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 2), 2.0)],
+        "station_id int, timestamp timestamp, raw double",
+    )
+    b.update_raw("t", ok)
+    with pytest.raises(ValueError, match="append_raw"):
+        b.append_raw("t", dup)
+
+
+def test_station_isin_meta_check(spark, tmp_path):
+    from weatherdb_spark.station import Station
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    assert Station(b, 1, "p").check_isin_meta().isin_meta()
+    assert not Station(b, 2, "p").isin_meta()
+    with pytest.raises(KeyError, match="not in the"):
+        Station(b, 999, "p").check_isin_meta()

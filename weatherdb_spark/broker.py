@@ -959,6 +959,27 @@ class Broker:
                 f"in the warehouse — {hint}"
             )
 
+    def _assert_unique_keys(self, df: DataFrame, what: str) -> None:
+        """Raise on duplicate (station_id, timestamp) keys in an import
+        batch — the engine twin of the reference raw tables' primary-key
+        constraint (db/models.py timestamp PKs): duplicate keys would
+        silently corrupt every downstream keyed merge. One map-side
+        partial agg over the BATCH (not the archive), dwarfed by the
+        write shuffle it precedes."""
+        dup = (
+            df.groupBy("station_id", "timestamp")
+            .count().filter(F.col("count") > 1).take(3)
+        )
+        if dup:
+            ex = ", ".join(
+                f"({r['station_id']}, {r['timestamp']})" for r in dup
+            )
+            raise ValueError(
+                f"duplicate (station_id, timestamp) keys in {what}: {ex} — "
+                "collapse duplicates first (the ingest chain averages "
+                "within-file duplicates; see sources.dwd.ingest_p_raw)"
+            )
+
     # ------------------------------------------------------------- stages
     @_with_mutex
     def update_meta(self, meta: DataFrame) -> None:
@@ -1115,6 +1136,7 @@ class Broker:
         equivalent). Expands the timeline so every grid timestamp exists
         (S6) and maintains meta raw periods."""
         cfg = PARAMETERS[parameter]
+        self._assert_unique_keys(raw, f"update_raw({parameter!r})")
         interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"
         expanded = expand_timeline(
             raw, interval=interval, group_cols=("station_id",), min_date=None
@@ -1603,6 +1625,7 @@ class Broker:
         # "None"-bounded last_imp window for the stages to choke on
         if new_raw.isEmpty():
             return
+        self._assert_unique_keys(new_raw, f"append_raw({parameter!r})")
         table = f"ts_{parameter}"
         cfg = PARAMETERS[parameter]
         interval = "10 minutes" if cfg["min_agg_to"] == "10 min" else "1 day"

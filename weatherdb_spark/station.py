@@ -85,6 +85,30 @@ class Station:
         self.id = stid
         self.parameter = parameter
 
+    def isin_meta(self) -> bool:
+        """Is this station in the meta table for its parameter?
+        (reference StationBases.isin_meta, StationBases.py:713-720)."""
+        return bool(
+            self.broker.read("meta")
+            .filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == self.parameter)
+            )
+            .take(1)
+        )
+
+    def check_isin_meta(self) -> "Station":
+        """Raise if the station is unknown — the reference runs this check
+        on every construction (StationBases.py:151,160-167); here it is
+        opt-in so bulk construction does not pay one lookup job per
+        station. Returns self for chaining."""
+        if not self.isin_meta():
+            raise KeyError(
+                f"station {self.id} ({self.parameter!r}) is not in the "
+                "meta table — run update-meta first"
+            )
+        return self
+
     @property
     def _ts(self) -> DataFrame:
         return self.broker.read(f"ts_{self.parameter}")

@@ -593,3 +593,56 @@ def test_station_isin_meta_check(spark, tmp_path):
     assert not Station(b, 2, "p").isin_meta()
     with pytest.raises(KeyError, match="not in the"):
         Station(b, 999, "p").check_isin_meta()
+
+
+def test_cosine_zero_norm_vector_is_null_not_error(spark):
+    """A zero embedding (padding doc) must not kill the task with an
+    ANSI DIVIDE_BY_ZERO; NULL similarity ranks last / fails thresholds."""
+    from weatherdb_spark.llm.similarity import brute_topk, cosine
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = emb.select(
+        cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    assert got[0]["c"] == 1.0 and got[1]["c"] is None
+    zero_q = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert brute_topk(emb, zero_q, k=2).count() == 2  # no task failure
+
+
+def test_quality_score_empty_text(spark):
+    from weatherdb_spark.llm.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the quick brown fox is here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert rows[1] is not None and 0.0 <= rows[1] <= 1.0
+    assert rows[3] > rows[1]  # real text outranks empty
+
+
+def test_sample_raster_fine_resolution_plan_stays_small(spark):
+    """The candidate offsets are generated by sequence-explode, not a
+    literal struct array — res=1 m with a 1 km buffer implies ~4M
+    offsets and a literal plan hung the driver before the first task.
+    Also: a station far outside the raster is absent, not an error."""
+    import time
+
+    from weatherdb_spark.operators.raster import sample_raster
+
+    st = spark.createDataFrame(
+        [(1, -5000.0, -5000.0), (2, 1.5, 8.5)],
+        "station_id int, x_utm double, y_utm double",
+    )
+    grid = spark.createDataFrame(
+        [(i, j, "year", 1.0) for i in range(3) for j in range(3)],
+        "col int, row int, term string, value double",
+    )
+    t0 = time.time()
+    rows = sample_raster(st, grid, x0=0.0, y0=10.0, res=1.0).collect()
+    assert time.time() - t0 < 120
+    assert [(r["station_id"], r["value"]) for r in rows] == [(2, 1.0)]

@@ -24,9 +24,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL for zero-norm vectors (padding docs, empty media embed to
+    all-zeros at corpus scale): a plain divide is a DIVIDE_BY_ZERO task
+    failure under ANSI mode. NULL similarity ranks last in the top-k
+    window (DESC puts NULLs last) and fails every >= threshold — the
+    right semantics for an undefined angle."""
     na = F.sqrt(_dot(a, a))
     nb = F.sqrt(_dot(b, b))
-    return _dot(a, b) / (na * nb)
+    return F.try_divide(_dot(a, b), na * nb)
 
 
 def brute_topk(

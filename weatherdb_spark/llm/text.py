@@ -45,7 +45,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_wlen = (F.length(F.col(text_col)) - (n - 1)) / n  # chars minus spaces
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_ratio = F.size(F.array_intersect(F.array_distinct(words), en_stops)) / F.lit(8.0)
-    alpha_ratio = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]")) / F.length(F.col(text_col))
+    # try_divide: an empty document has length 0 and a plain divide is
+    # an ANSI DIVIDE_BY_ZERO task failure; score it as zero alpha share
+    alpha_ratio = F.coalesce(
+        F.try_divide(
+            F.regexp_count(F.col(text_col), F.lit("[A-Za-z]")),
+            F.length(F.col(text_col)),
+        ),
+        F.lit(0.0),
+    )
     score = (
         F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.4).otherwise(0.1)
         + F.least(stop_ratio, F.lit(1.0)) * 0.2

@@ -53,10 +53,12 @@ def sample_raster(
     — recover them with a left join against the station dim if needed).
     """
     # candidate cell offsets around the station's own cell, with nothing
-    # data-dependent: the exact box distance is computed per station below
+    # data-dependent: the exact box distance is computed per station
+    # below. Two sequence-explodes, NOT a literal offsets array — the
+    # offset count is (2*ceil(max_buffer/res)+3)^2, and baking it into
+    # the plan as literal structs makes plan construction itself blow up
+    # for fine rasters (res=1 m -> 4M expressions before the first task).
     r_cells = int(math.ceil(max_buffer_m / res)) + 1
-    offsets = [(di, dj) for di in range(-r_cells, r_cells + 1)
-               for dj in range(-r_cells, r_cells + 1)]
 
     st = stations.select(
         "station_id",
@@ -65,24 +67,21 @@ def sample_raster(
         F.floor((F.col(x_col) - F.lit(x0)) / F.lit(res)).alias("_c0"),
         F.floor((F.lit(y0) - F.col(y_col)) / F.lit(res)).alias("_r0"),
     )
-    cand = st.select(
-        "station_id", "_sx", "_sy", "_c0", "_r0",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("_c0") + F.lit(di)).alias("col"),
-                    (F.col("_r0") + F.lit(dj)).alias("row"),
-                )
-                for di, dj in offsets
-            ])
-        ).alias("_cell"),
-    ).select(
-        "station_id", "_sx", "_sy", "_cell.col", "_cell.row",
-        # the ONE half-open containing cell (floor convention) — a
-        # station on a cell boundary has box distance 0 to its neighbor
-        # too, so the point sample must not key on distance
-        ((F.col("_cell.col") == F.col("_c0"))
-         & (F.col("_cell.row") == F.col("_r0"))).alias("_own"),
+    span = F.sequence(F.lit(-r_cells), F.lit(r_cells))
+    cand = (
+        st.select("station_id", "_sx", "_sy", "_c0", "_r0",
+                  F.explode(span).alias("_di"))
+        .select("station_id", "_sx", "_sy", "_c0", "_r0", "_di",
+                F.explode(span).alias("_dj"))
+        .select(
+            "station_id", "_sx", "_sy",
+            (F.col("_c0") + F.col("_di")).alias("col"),
+            (F.col("_r0") + F.col("_dj")).alias("row"),
+            # the ONE half-open containing cell (floor convention) — a
+            # station on a cell boundary has box distance 0 to its
+            # neighbor too, so the point sample must not key on distance
+            ((F.col("_di") == 0) & (F.col("_dj") == 0)).alias("_own"),
+        )
     )
 
     # exact distance from the station point to the cell's box

@@ -646,3 +646,47 @@ def test_sample_raster_fine_resolution_plan_stays_small(spark):
     rows = sample_raster(st, grid, x0=0.0, y0=10.0, res=1.0).collect()
     assert time.time() - t0 < 120
     assert [(r["station_id"], r["value"]) for r in rows] == [(2, 1.0)]
+
+
+def test_fillup_t_without_minmax_columns(spark, tmp_path):
+    """A mean-only T table (no raw_min/raw_max import) still fills —
+    the min/max series ride along only when the import carried them."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(s, "t", True, 1000.0 * s, 0.0, 100) for s in (1, 2)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, "t", "year", 9.0) for s in (1, 2)],
+        "station_id int, parameter string, term string, value double",
+    ))
+    rows = [(s, dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+             None if (s, d) == (1, 2) else 5.0 + d)
+            for s in (1, 2) for d in range(5)]
+    b.update_raw("t", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"
+    ))
+    b.quality_check()
+    b.fillup()
+    out = b.read("ts_t")
+    assert "filled" in out.columns and "filled_min" not in out.columns
+    hole = out.filter("station_id = 1 AND timestamp = '2024-01-03'").first()
+    assert hole["filled"] is not None  # donor-filled from station 2
+
+
+def test_get_df_unbuilt_stage_kind_is_typed_null(spark, tmp_path):
+    """kind='corr' before richter-correct ran: the reference's schema
+    carries the column as NULL from day one — the read must return typed
+    NULLs, not fail on a valid-but-unbuilt kind."""
+    from weatherdb_spark.station import Station
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_raw("p", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0, 1)],
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    df = Station(b, 1, "p").get_df(kinds=("raw", "corr"))
+    row = df.first()
+    assert row["raw"] == 1.0 and row["corr"] is None
+    assert dict(df.dtypes)["corr"] == "double"

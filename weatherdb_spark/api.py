@@ -83,6 +83,20 @@ def get_df(
     cfg = PARAMETERS[parameter]
 
     out = ts
+    # Stage columns the pipeline has not produced yet (qc before
+    # quality-check, corr before richter-correct) materialize as typed
+    # NULLs: the reference's Postgres schema carries every stage column
+    # from day one, NULL until its stage runs (db/models.py) — a parquet
+    # warehouse only gains columns per stage, so reads pin the declared
+    # schema here instead of failing on a valid-but-unbuilt kind.
+    from weatherdb_spark import schemas
+
+    declared = getattr(schemas, f"TS_{parameter.upper()}", None)
+    if declared is not None:
+        types = {f.name: f.dataType for f in declared.fields}
+        for k in kinds:
+            if k not in out.columns and k in types:
+                out = out.withColumn(k, F.lit(None).cast(types[k]))
     if not db_unit:
         out = from_db_unit(out, parameter, value_cols=[
             k for k in kinds

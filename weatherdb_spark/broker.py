@@ -1367,6 +1367,9 @@ class Broker:
             # nearer one exists. additive, min/max in the same pass.
             from weatherdb_spark.config import user_setting
 
+            # min/max series ride along only when the import carried them
+            # (DWD kl has TNK/TXK; a mean-only T table is still fillable)
+            has_minmax = {"raw_min", "raw_max"} <= set(facts.columns)
             filled_t = median_fill(
                 facts, self._scope(self._knn("t", k=None), stids),
                 self._ma_values("t"),
@@ -1375,8 +1378,13 @@ class Broker:
                     PARAMETERS["t"]["fillup_n_donors"], cast=int,
                 ),
                 base_col="qc",
-                value_cols=("qc", "raw_min", "raw_max"),
-                out_cols=("filled", "filled_min", "filled_max"),
+                value_cols=(
+                    ("qc", "raw_min", "raw_max") if has_minmax else ("qc",)
+                ),
+                out_cols=(
+                    ("filled", "filled_min", "filled_max") if has_minmax
+                    else ("filled",)
+                ),
                 near_dist_m=user_setting(
                     "fillup", "t_near_dist_km",
                     PARAMETERS["t"]["fillup_near_dist_km"],

@@ -161,3 +161,49 @@ def test_cli_update_richter_class_from_dem(spark, tmp_path):
     assert rows[1]["horizon"] > rows[2]["horizon"]
     assert rows[1]["richter_class"] is not None
     assert rows[2]["richter_class"] == "no-protection"
+
+
+def test_cli_update_db_and_create_ts_end_to_end(spark, tmp_path):
+    """Stage CLI smoke on a fresh warehouse: update-db runs QC -> fillup
+    (all parameters, incl. a mean-only T table) -> richter no-op, and
+    create-ts exports kind='best' (corr for P) with the NULL-until-
+    computed corr column, matching the reference's pre-correction
+    exports."""
+    import datetime as dt
+
+    wh = str(tmp_path / "wh")
+    b = Broker(spark, wh)
+    b.update_meta(spark.createDataFrame(
+        [(s, p, True, 1000.0 * s, 1000.0 * s, 100 + s)
+         for s in (1, 2) for p in ("p", "p_d", "t")],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, p, t, 800.0 + s) for s in (1, 2)
+         for p in ("p", "p_d", "t") for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    ))
+    start = dt.datetime(2024, 1, 1)
+    b.update_raw("p", spark.createDataFrame(
+        [(s, start + dt.timedelta(minutes=10 * i),
+          0.1 if i % 7 else None, 1) for s in (1, 2) for i in range(288)],
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    for p in ("p_d", "t"):
+        b.update_raw(p, spark.createDataFrame(
+            [(s, start + dt.timedelta(days=d), 14.4)
+             for s in (1, 2) for d in range(3)],
+            "station_id int, timestamp timestamp, raw double",
+        ))
+
+    assert main(["update-db", "--warehouse", wh]) == 0
+    stages = {(r["parameter"], r["stage"]) for r in b.state().collect()}
+    assert {("p", "qc"), ("p", "filled"), ("p_d", "filled"),
+            ("t", "qc"), ("t", "filled")} <= stages
+
+    out = str(tmp_path / "exp")
+    assert main(["create-ts", "--warehouse", wh, "--out-dir", out,
+                 "--stations", "1", "2"]) == 0
+    text = (tmp_path / "exp" / "1" / "P_00001.txt").read_text()
+    assert "corr" in text.splitlines()[2]  # best kind for P is corr

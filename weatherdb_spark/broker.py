@@ -1491,11 +1491,19 @@ class Broker:
         drives the precip type — so scoping cuts the whole compute)."""
         if not (self.exists("ts_p") and self.exists("ts_t")):
             return
+        meta_p = self.read("meta").filter(F.col("parameter") == "p")
+        # same prerequisite class as the missing tables: no station has a
+        # Richter class yet (update-richter-class never ran) or T was
+        # never filled -> nothing to correct; running anyway would write
+        # an all-NULL corr over every wet interval
+        if "richter_class" not in meta_p.columns:
+            return
+        if "filled" not in self.read("ts_t").columns:
+            return
         ts_p = self._scope(self.read("ts_p"), stids)
         ts_t = self._scope(
             self.read("ts_t"), stids
         ).select("station_id", "timestamp", "filled")
-        meta_p = self.read("meta").filter(F.col("parameter") == "p")
         out = richter_correct(
             ts_p, ts_t, meta_p, richter_parameters_df(self.spark),
             est_station_days=self._est_station_days("p"),

@@ -207,3 +207,41 @@ def test_cli_update_db_and_create_ts_end_to_end(spark, tmp_path):
                  "--stations", "1", "2"]) == 0
     text = (tmp_path / "exp" / "1" / "P_00001.txt").read_text()
     assert "corr" in text.splitlines()[2]  # best kind for P is corr
+
+
+def test_cli_stream_import(spark, tmp_path):
+    """stream-import drains CSV drops into append_raw via the
+    checkpointed file source; a second run with a new drop processes
+    only the new file and widens the pending window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    wh = str(tmp_path / "wh")
+    src = tmp_path / "drops"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    day0 = dt.datetime(2024, 1, 1)
+
+    def drop(name, d0):
+        pd.DataFrame({
+            "station_id": [7] * 2,
+            "timestamp": [day0 + dt.timedelta(days=d0 + k) for k in range(2)],
+            "raw": [1.0 + d0 + k for k in range(2)],
+        }).to_csv(src / name, index=False, sep=";")
+
+    drop("a.csv", 0)
+    assert main(["stream-import", "--warehouse", wh, "--dir", str(src),
+                 "-p", "t", "--checkpoint", ckpt,
+                 "--schema", "station_id int, timestamp timestamp, raw double"
+                 ]) == 0
+    b = Broker(spark, wh)
+    assert b.read("ts_t").filter(F.col("raw").isNotNull()).count() == 2
+
+    drop("b.csv", 3)
+    assert main(["stream-import", "--warehouse", wh, "--dir", str(src),
+                 "-p", "t", "--checkpoint", ckpt,
+                 "--schema", "station_id int, timestamp timestamp, raw double"
+                 ]) == 0
+    assert b.read("ts_t").filter(F.col("raw").isNotNull()).count() == 4
+    assert b.last_imp("t") == ("2024-01-01 00:00:00", "2024-01-05 00:00:00")

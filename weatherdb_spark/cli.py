@@ -87,6 +87,27 @@ def build_parser() -> argparse.ArgumentParser:
                          "last-import watermark (append_raw) instead of "
                          "replacing the raw table")
 
+    si = wh(sub.add_parser(
+        "stream-import",
+        help="tail a directory of CSV drops into the incremental "
+             "pipeline: each micro-batch merges via append_raw "
+             "(Trigger.AvailableNow — processes what is there, then "
+             "exits; re-runs resume from the checkpoint)",
+    ))
+    si.add_argument("--dir", required=True, dest="stream_dir")
+    si.add_argument("-p", "--parameter", default="p")
+    si.add_argument("--checkpoint", required=True,
+                    help="checkpoint directory (tracks processed files "
+                         "across runs)")
+    si.add_argument("--schema",
+                    default="station_id int, timestamp timestamp, "
+                            "raw double, qn short",
+                    help="DDL schema of the CSV drops")
+    si.add_argument("--sep", default=";")
+    si.add_argument("--run-stages", action="store_true",
+                    help="run the bounded incremental stages "
+                         "(qc/fillup/corr) after each micro-batch")
+
     cs = wh(sub.add_parser(
         "create-db-schema",
         help="initialize the warehouse for first use (reference cli.py "
@@ -197,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
         broker.last_imp_fillup()
     elif args.command == "last-imp-corr":
         broker.last_imp_corr()
+    elif args.command == "stream-import":
+        from weatherdb_spark.streaming.ingest import stream_into_broker
+
+        stream_into_broker(
+            spark, args.stream_dir, broker, args.parameter,
+            args.checkpoint, schema=args.schema, sep=args.sep,
+            run_stages=args.run_stages,
+        )
     elif args.command == "vacuum":
         print(broker.vacuum())
     elif args.command == "force-deactivate":

@@ -369,3 +369,35 @@ def test_stream_into_broker_two_drops(spark, tmp_path):
     run("ckpt2")
     assert b.read("ts_t").count() == got.count()
     assert b.last_imp("t") == ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+
+
+def test_stream_dedup_exact_drops_within_watermark(spark, tmp_path):
+    """Same content hash arriving twice inside the watermark window (even
+    with different event times) emits once; distinct hashes all pass."""
+    import pandas as pd
+
+    from weatherdb_spark.streaming.ingest import stream_dedup_exact
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "content_hash": ["aaa", "aaa", "bbb", "ccc"],
+        "event_ts": ["2024-01-01 10:00:00", "2024-01-01 10:20:00",
+                     "2024-01-01 10:05:00", "2024-01-01 10:06:00"],
+    }).to_csv(src / "a.csv", index=False)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, content_hash string, event_ts timestamp"
+        ).option("header", "true").csv(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT content_hash FROM dedup_stream").collect()
+    hashes = sorted(r["content_hash"] for r in rows)
+    assert hashes == ["aaa", "bbb", "ccc"]

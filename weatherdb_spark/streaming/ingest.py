@@ -152,3 +152,26 @@ def windowed_stream_agg(
             f"{value_col}_count",
         )
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "event_ts",
+    id_cols: tuple[str, ...] = ("content_hash",),
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    :func:`weatherdb_spark.llm.dedup.exact_dedup` for a document feed.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``id_cols`` (e.g. an
+    md5 of the document text computed upstream) and expires it once the
+    event-time watermark passes — bounded state regardless of stream
+    length, which an unbounded ``dropDuplicates`` on a stream is not.
+    Duplicates arriving within the watermark window are dropped even
+    when their event times differ (the point of the WithinWatermark
+    variant); duplicates farther apart than the watermark are an
+    at-least-once residue for the batch dedup to sweep.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

@@ -692,7 +692,13 @@ def daily_adjust_p(
     ).otherwise(F.least(F.col("filled") + add_cap, F.lit(hard_cap)))
     adjusted = F.when(
         F.col("filled").isNotNull() & F.col("_coef").isNotNull(),
-        F.round(capped, round_digits),
+        # bround (half-even): the reference assigns the CASE result into
+        # the scaled-INT filled column (StationP.py:703-713), an implicit
+        # float->int cast that PostgreSQL performs with rint() — ties to
+        # even. (Its explicit round()::int donor roundings are ties-away,
+        # which F.round matches in _regionalize.) Property-tested against
+        # the literal Python transcription of the CASE expression.
+        F.bround(capped, round_digits),
     ).otherwise(F.col("filled"))
     return (
         union.withColumn("corr_base", adjusted)

@@ -623,6 +623,10 @@ def interpolate_gaps(
     frac = (F.unix_timestamp(ts_col) - F.unix_timestamp("_pt")) / span
     interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
     if round_digits is not None:
+        # ties-away round: the reference's interpolation UPDATE computes
+        # in ::numeric and the numeric->int storage cast rounds ties away
+        # (StationBases.py:1547-1551) — unlike the daily adjust's
+        # float8->int rint cast (ties to even, see daily_adjust_p)
         interp = F.round(interp, round_digits)
     can = (
         F.col(value_col).isNull()

@@ -2009,6 +2009,53 @@ class Broker:
             .createOrReplaceTempView("ma_quotient_kinds")
         )
 
+    def register_views(self, include_quotients: bool = True) -> list[str]:
+        """Register every warehouse table as a Spark temp view — the
+        engine twin of the reference's direct-SQL database access
+        (``db_engine``, db/connections.py:374: users open a connection
+        and SELECT any table or view with raw SQL).
+
+        Each view reads the table's *current* snapshot; because views are
+        re-registered on every call, a manifest flip by a concurrent
+        writer is picked up the next time this runs (a registered view
+        itself stays pinned to the snapshot it was created over — the
+        same reader-stability guarantee :meth:`read` gives). The two MA
+        quotient views (db/views.py:77-165) come along whenever their
+        input tables exist. Returns the registered view names."""
+        names = []
+        tables = self._data_tables() + sorted(
+            t for t in self._APPEND_ONLY if os.path.isdir(self.path(t))
+        )
+        for t in tables:
+            if self.exists(t):
+                df = self.read(t)
+                if "station_bucket" in df.columns:
+                    # physical partition column (like ts_year, which
+                    # read() already hides) — not user schema
+                    df = df.drop("station_bucket")
+                df.createOrReplaceTempView(t)
+                names.append(t)
+        if (
+            include_quotients
+            and self.exists("station_ma_timeserie")
+            and self.exists("station_ma_raster")
+        ):
+            self.register_quotient_views()
+            names += ["ma_quotient_kinds", "ma_quotient_raster"]
+        return sorted(names)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run ANSI SQL over the warehouse — the reference's ad-hoc
+        query path (psql / ``db_engine.connect()`` + raw SELECTs,
+        db/connections.py:140-170) re-expressed on Spark SQL.
+
+        Views are refreshed first so the query always sees the current
+        snapshots; the returned DataFrame is lazy, so predicate pushdown,
+        column pruning and partition pruning all apply to the parquet
+        scans underneath exactly as for the DataFrame API."""
+        self.register_views()
+        return self.spark.sql(query)
+
     @_with_mutex
     def create_virtual_stations(self, parameter: str) -> None:
         """J12 — materialize virtual T/ET/PD stations at every P location

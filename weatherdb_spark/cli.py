@@ -62,6 +62,19 @@ def build_parser() -> argparse.ArgumentParser:
                       help="roll the warehouse layout back one revision "
                            "(alembic downgrade twin): snapshots flatten "
                            "into the table roots"))
+    sq = wh(sub.add_parser(
+        "sql",
+        help="run ANSI SQL over the warehouse tables and views "
+             "(reference: ad-hoc psql / db_engine access, "
+             "db/connections.py:374)",
+    ))
+    sq.add_argument("query", help="SQL text; every table is a view, "
+                                  "plus ma_quotient_raster/_kinds")
+    sq.add_argument("--limit", type=int, default=20,
+                    help="rows shown in table mode (default 20)")
+    sq.add_argument("--csv", action="store_true",
+                    help="stream ALL result rows to stdout as CSV "
+                         "(partition-at-a-time, no driver collect)")
     wh(sub.add_parser("set-db-version",
                       help="stamp the warehouse with the current package "
                            "version to prevent full recalculation "
@@ -255,6 +268,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             broker.update_raw(args.parameter, raw)
         print({"raw_rows": broker.read(f"ts_{args.parameter}").count()})
+    elif args.command == "sql":
+        df = broker.sql(args.query)
+        if args.csv:
+            import csv
+
+            w = csv.writer(sys.stdout)
+            w.writerow(df.columns)
+            # toLocalIterator pulls one partition at a time — a SELECT *
+            # over a big fact table streams instead of collect()ing into
+            # driver memory
+            for row in df.toLocalIterator():
+                w.writerow(row)
+        else:
+            df.show(args.limit, truncate=False)
     elif args.command == "create-db-schema":
         broker.create_db_schema(if_exists=args.if_exists)
         print({"warehouse": args.warehouse,

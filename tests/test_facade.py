@@ -83,6 +83,26 @@ def test_station_get_df_and_wrappers(mini_broker):
     assert agg.count() == 400 // 6 + (1 if 400 % 6 else 0)
 
 
+def test_station_plot_frame_and_gate(mini_broker):
+    st = Station(mini_broker, 1, "p")
+    pdf, title, unit = st._plot_frame(kinds=("filled", "corr"))
+    assert list(pdf.columns) == ["filled", "corr"]
+    assert pdf.index.name == "timestamp"
+    assert len(pdf) == 400
+    assert pdf.index.is_monotonic_increasing
+    assert title == "Precipitation Station 1"
+    assert unit == "mm/10min"
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(ImportError, match="matplotlib"):
+            # kinds kwarg dedups and overrides kind (StationBases.py:2819-2826)
+            st.plot(kinds=["filled", "filled", "corr"])
+
+
 def test_station_period_and_holes(mini_broker):
     st = Station(mini_broker, 1, "p")
     per = st.get_period_meta("raw")

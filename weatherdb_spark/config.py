@@ -34,6 +34,8 @@ PARAMETERS: dict[str, dict] = {
     "p": {
         "decimals": 100,
         "agg_fun": "sum",
+        "unit": "mm/10min",               # StationP.py:61
+        "long_name": "Precipitation",     # StationP.py:60
         "min_agg_to": "10 min",
         "kinds": ["raw", "qn", "qc", "filled", "filled_by", "corr"],
         "best_kind": "corr",
@@ -49,6 +51,8 @@ PARAMETERS: dict[str, dict] = {
     "p_d": {
         "decimals": 100,
         "agg_fun": "sum",
+        "unit": "mm/day",                   # StationPD.py:31
+        "long_name": "daily Precipitation", # StationPD.py:30
         "min_agg_to": "day",
         "kinds": ["raw", "filled", "filled_by"],
         "best_kind": "filled",
@@ -62,6 +66,8 @@ PARAMETERS: dict[str, dict] = {
     "t": {
         "decimals": 10,
         "agg_fun": "avg",
+        "unit": "°C",                    # StationT.py:27
+        "long_name": "Temperature",      # StationT.py:26
         "min_agg_to": "day",
         "kinds": ["raw", "raw_min", "raw_max", "qc", "filled",
                   "filled_min", "filled_max", "filled_by"],
@@ -81,6 +87,8 @@ PARAMETERS: dict[str, dict] = {
     "et": {
         "decimals": 10,
         "agg_fun": "sum",
+        "unit": "mm/Tag",                # StationET.py:26
+        "long_name": "potential Evapotranspiration",  # StationET.py:25
         "min_agg_to": "day",
         "kinds": ["raw", "qc", "filled", "filled_by"],
         "best_kind": "filled",

@@ -219,6 +219,56 @@ class Station:
         (StationBases.py:2100-2131)."""
         return self.get_period_meta(kind=kind)
 
+    def _plot_frame(
+        self,
+        kinds: Sequence[str] = ("filled",),
+        period: tuple = (None, None),
+        agg_to: str | None = None,
+    ):
+        """Data prep for :meth:`plot` — the single driver-side collect of
+        the plotted series. Split out so the series/labels are testable
+        without matplotlib. Returns ``(pandas_frame_indexed_on_timestamp,
+        title, ylabel)``; labels mirror the reference's
+        (StationBases.py:2830-2836)."""
+        pdf = (
+            self.get_df(kinds=kinds, period=period, agg_to=agg_to)
+            .toPandas()
+            .set_index("timestamp")
+            .sort_index()
+            .drop(columns=["station_id"], errors="ignore")
+        )
+        meta = PARAMETERS[self.parameter]
+        title = f"{meta['long_name']} Station {self.id}"
+        return pdf, title, meta["unit"]
+
+    def plot(
+        self,
+        period: tuple = (None, None),
+        kind: str = "filled",
+        agg_to: str | None = None,
+        **kwargs,
+    ):
+        """Plot this station's series (reference plot,
+        StationBases.py:2795-2836): ``kinds=[...]`` in kwargs overrides
+        ``kind`` with order-preserving dedup, labels are
+        Datum / unit / '<para_long> Station <id>'. Collects ONE station's
+        (optionally aggregated) series to the driver — bounded by that
+        station's history, never a whole-table collect. Requires
+        matplotlib (not shipped); raises ImportError with the get_df
+        escape hatch otherwise."""
+        kinds = list(dict.fromkeys(kwargs.pop("kinds", [kind])))
+        pdf, title, unit = self._plot_frame(
+            kinds=kinds, period=period, agg_to=agg_to
+        )
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "matplotlib is required for Station.plot(); use "
+                "get_df(...).toPandas() to plot manually"
+            ) from exc
+        return pdf.plot(xlabel="Datum", ylabel=unit, title=title, **kwargs)
+
     # ------------------------- membership predicates (StationBases.py:
     # 1848-1871 isin_db/isin_meta/isin_ma, 1875-1898 is_virtual/is_real)
     def isin_meta(self) -> bool:

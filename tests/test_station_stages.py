@@ -1,0 +1,155 @@
+"""Per-station stage wrappers on the Station facade — the reference runs
+QC/fillup/last-imp maintenance station-by-station
+(StationBases.py:779-809, 1289-1345, 1720-1766); the engine delegates to
+the broker's scoped stages (stids + parameters narrowing)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.broker import Broker
+from weatherdb_spark.station import Station
+
+
+@pytest.fixture(scope="module")
+def stage_broker(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("station_stage_wh"))
+    b = Broker(spark, wh)
+    meta = spark.createDataFrame(
+        [
+            (s, para, True, 10000.0 * i, 0.0, 100 + 50 * i)
+            for i, s in enumerate((1, 2, 3))
+            for para in ("t", "et")
+        ],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    )
+    b.update_meta(meta)
+    b.update_ma_raster(spark.createDataFrame(
+        [
+            (s, para, "year", 9.0 + s if para == "t" else 550.0 + s)
+            for s in (1, 2, 3)
+            for para in ("t", "et")
+        ],
+        "station_id int, parameter string, term string, value double",
+    ))
+    rows_t, rows_et = [], []
+    for s in (1, 2, 3):
+        for d in range(60):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            val = None if (s == 1 and d % 9 == 4) else round(d * 0.3 + s, 1)
+            rows_t.append((
+                s, ts, val,
+                None if val is None else val - 2.0,
+                None if val is None else val + 2.0,
+            ))
+            rows_et.append(
+                (s, ts, None if (s == 1 and d % 7 == 2) else round(d * 0.2 + s, 1))
+            )
+    b.update_raw("t", spark.createDataFrame(
+        rows_t,
+        "station_id int, timestamp timestamp, raw double, raw_min double, "
+        "raw_max double",
+    ))
+    b.update_raw("et", spark.createDataFrame(
+        rows_et, "station_id int, timestamp timestamp, raw double"
+    ))
+    return b
+
+
+def test_station_stage_wrappers_scope_parameter(stage_broker):
+    st = Station(stage_broker, 1, "t")
+    # a full load records no pending import window — nothing is owed
+    assert st.is_last_imp_done("qc")
+    # an incremental append opens one for each parameter
+    spark = stage_broker.spark
+    stage_broker.append_raw("t", spark.createDataFrame(
+        [
+            (s, dt.datetime(2024, 3, 1) + dt.timedelta(days=d),
+             5.0 + s, 3.0 + s, 7.0 + s)
+            for s in (1, 2, 3) for d in range(5)
+        ],
+        "station_id int, timestamp timestamp, raw double, raw_min double, "
+        "raw_max double",
+    ))
+    stage_broker.append_raw("et", spark.createDataFrame(
+        [
+            (s, dt.datetime(2024, 3, 1) + dt.timedelta(days=d), 1.0 + s)
+            for s in (1, 2, 3) for d in range(5)
+        ],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    assert not st.is_last_imp_done("qc")
+    st.quality_check()
+    marks = {
+        (r["parameter"], r["stage"]) for r in stage_broker.state().collect()
+    }
+    assert ("t", "qc") in marks
+    # parameter scoping: the et block must NOT have run
+    assert ("et", "qc") not in marks
+    assert st.is_last_imp_done("qc")
+    assert not Station(stage_broker, 1, "et").is_last_imp_done("qc")
+
+    assert not st.is_last_imp_done("filled")
+    st.fillup()
+    assert st.is_last_imp_done("filled")
+    marks = {
+        (r["parameter"], r["stage"]) for r in stage_broker.state().collect()
+    }
+    assert ("t", "filled") in marks and ("et", "filled") not in marks
+    filled = st.get_filled()
+    assert filled.filter(F.col("filled").isNull()).count() == 0
+
+    # last_imp_* wrappers are no-ops once the stage consumed the window
+    st.last_imp_quality_check()
+    st.last_imp_qc()
+    st.last_imp_fillup()
+
+    with pytest.raises(AttributeError, match="richter_correct"):
+        st.richter_correct()
+
+
+def test_station_meta_maintenance(stage_broker):
+    st = Station(stage_broker, 1, "t")
+    st.update_period_meta("filled")
+    row = (
+        stage_broker.read("meta")
+        .filter((F.col("station_id") == 1) & (F.col("parameter") == "t"))
+        .first()
+    )
+    assert row["raw_from"] == dt.datetime(2024, 1, 1)
+    # the append in the previous test extended the series to March 5
+    assert row["filled_until"] == dt.datetime(2024, 3, 5)
+
+    st.update_ma_timeseries("raw")
+    ma = (
+        stage_broker.read("station_ma_timeserie")
+        .filter(
+            (F.col("station_id") == 1)
+            & (F.col("parameter") == "t")
+            & (F.col("kind") == "raw")
+        )
+        .collect()
+    )
+    assert len(ma) == 1
+
+    assert st.get_multi_annual_raster() == st.get_ma_raster()
+    assert not st.isin_meta_p()  # no 10-min precipitation in this warehouse
+    with pytest.warns(PendingDeprecationWarning):
+        assert st.get_geom_shp().startswith("POINT (")
+
+
+def test_get_zipfiles_offline_listing(stage_broker):
+    listing = [
+        ("path/10minutenwerte_nieder_00001_now.zip", dt.datetime(2024, 1, 1)),
+        ("path/tageswerte_KL_00001_akt.zip", dt.datetime(2024, 1, 2)),
+        ("path/tageswerte_KL_00002_akt.zip", dt.datetime(2024, 1, 2)),
+    ]
+    st = Station(stage_broker, 1, "t")
+    got = st.get_zipfiles(listing, only_new=False)
+    assert got.count() == 2  # both _00001_ files, never station 2's
+    assert got.filter(F.col("filepath").contains("00002")).count() == 0
+    # with no raw_files manifest, only_new keeps everything
+    if not stage_broker.exists("raw_files"):
+        assert st.get_zipfiles(listing).count() == 2

@@ -1267,7 +1267,7 @@ class Broker:
             self._merge_scoped(table, out, stids)
 
     @_with_mutex
-    def quality_check(self, stids=None) -> None:
+    def quality_check(self, stids=None, parameters=None) -> None:
         """QC stage: p via window/daily rules, t/et via neighbor median
         (broker.py:412-442 runs p_d fillup first so the daily comparison
         has data; here ts_p_d raw is the comparison column).
@@ -1276,8 +1276,13 @@ class Broker:
         (reference ``StationsBase.quality_check(stids=...)``,
         StationsBase.py:824-857) — a re-imported station doesn't pay a
         full-table stage. The neighbor-median checks still draw donor
-        series from every station; only the checked set narrows."""
-        if self.exists("ts_p"):
+        series from every station; only the checked set narrows.
+
+        ``parameters``: run only the named parameters' blocks — the
+        per-station facade (``Station.quality_check``) scopes to its own
+        parameter like the reference's per-station method
+        (StationBases.py:1289-1345)."""
+        if self._param_wanted("p", parameters) and self.exists("ts_p"):
             self._require("ts_p_d", "the P quality check's daily comparison")
             out_p = qc_p(
                 self._scope(self.read("ts_p"), stids),
@@ -1286,7 +1291,7 @@ class Broker:
             self._finish_stage("ts_p", out_p, stids)
             self._mark("p", "qc", "ts_p")
 
-        if self.exists("ts_t"):
+        if self._param_wanted("t", parameters) and self.exists("ts_t"):
             out_t = qc_t(
                 self._scope(self.read("ts_t"), stids),
                 self._scope(self._knn("t"), stids),
@@ -1297,7 +1302,7 @@ class Broker:
             self._finish_stage("ts_t", out_t, stids)
             self._mark("t", "qc", "ts_t")
 
-        if self.exists("ts_et"):
+        if self._param_wanted("et", parameters) and self.exists("ts_et"):
             out_et = qc_et(
                 self._scope(self.read("ts_et"), stids),
                 self._scope(self._knn("et"), stids),
@@ -1419,7 +1424,7 @@ class Broker:
         raise ValueError(f"no fillup for parameter {parameter!r}")
 
     @_with_mutex
-    def fillup(self, stids=None) -> None:
+    def fillup(self, stids=None, parameters=None) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
         p_d first (raw base), then p (seasonal coefs + daily adjustment),
         t (5-donor median incl. min/max), et (multiplicative).
@@ -1427,9 +1432,15 @@ class Broker:
         ``stids``: fill only the given stations and merge them back
         (reference ``StationsBase.fillup(stids=...)``,
         StationsBase.py:931-966). The donor pool still reads all
-        stations — only the target set narrows."""
+        stations — only the target set narrows.
+
+        ``parameters``: fill only the named parameters (per-station
+        facade scoping; P still *reads* ts_p_d for its daily adjustment
+        — the _require below keeps that dependency loud)."""
         for parameter in ("p_d", "p", "t", "et"):
             table = f"ts_{parameter}"
+            if not self._param_wanted(parameter, parameters):
+                continue
             if not self.exists(table):
                 continue
             # cache hygiene: rank_fill/median_fill persist fact-adjacent
@@ -1743,6 +1754,30 @@ class Broker:
         "et": ("qc", "filled"),
         "p_d": ("filled",),
     }
+
+    @staticmethod
+    def _param_wanted(parameter: str, parameters) -> bool:
+        """Stage-scoping predicate: None means every parameter."""
+        return parameters is None or parameter in parameters
+
+    def last_imp_done(self, parameter: str, stage: str) -> bool:
+        """Has ``stage`` run since the pending last_imp window was
+        recorded for ``parameter``? The engine's form of the reference's
+        per-kind ``last_imp_qc/last_imp_filled/last_imp_corr`` meta flags
+        (StationBases.py:779-809) at per-parameter watermark granularity.
+        True with no pending window — nothing is owed."""
+        if not self.exists("pipeline_state"):
+            return True
+        marks = {
+            r["stage"]: r["updated_at"]
+            for r in self.state()
+            .filter(F.col("parameter") == parameter)
+            .collect()
+        }
+        imp_at = marks.get("last_imp")
+        if imp_at is None:
+            return True
+        return marks.get(stage) is not None and marks[stage] > imp_at
 
     def _last_imp_consumed(self, parameter: str) -> bool:
         """Has every incremental stage of this parameter run SINCE the

@@ -89,6 +89,9 @@ PARAMETERS: dict[str, dict] = {
         "agg_fun": "sum",
         "unit": "mm/Tag",                # StationET.py:26
         "long_name": "potential Evapotranspiration",  # StationET.py:25
+        # ET zips carry a version prefix in the CDC listing
+        # (StationET.py:31); other parameters match on _<stid>_ alone
+        "ftp_zip_regex_prefix": r".*_v2_",
         "min_agg_to": "day",
         "kinds": ["raw", "qc", "filled", "filled_by"],
         "best_kind": "filled",

@@ -269,6 +269,114 @@ class Station:
             ) from exc
         return pdf.plot(xlabel="Datum", ylabel=unit, title=title, **kwargs)
 
+    # ------------------------- per-station stage wrappers. The reference
+    # runs each stage station-by-station (StationBases.py:1289-1345); the
+    # engine's unit of work is the scoped broker stage, which recomputes
+    # only this station and merges it back while the donor pool stays at
+    # the full table — same result, one distributed job instead of a
+    # per-station SQL loop.
+    def quality_check(self) -> None:
+        """QC this station's series (reference quality_check,
+        StationBases.py:1289-1345)."""
+        self.broker.quality_check(
+            stids=[self.id], parameters=[self.parameter]
+        )
+
+    def fillup(self) -> None:
+        """Gap-fill this station from its neighbors (reference fillup,
+        StationBases.py:1347-1669)."""
+        self.broker.fillup(stids=[self.id], parameters=[self.parameter])
+
+    def richter_correct(self) -> None:
+        """Richter-correct this station (reference StationP
+        richter_correct, StationP.py:486-652; P only)."""
+        if self.parameter != "p":
+            raise AttributeError(
+                "richter_correct is only defined for 10-min precipitation "
+                f"stations, not parameter {self.parameter!r}"
+            )
+        self.broker.richter_correct_stage(stids=[self.id])
+
+    def is_last_imp_done(self, kind: str = "best") -> bool:
+        """Is the last import already worked into ``kind``'s stage?
+        (reference is_last_imp_done, StationBases.py:779-809). Engine
+        watermark granularity is the parameter, not the station — a
+        pending import window is owed by the whole parameter table."""
+        from weatherdb_spark.api import _check_kinds
+
+        kind = _check_kinds(self.parameter, [kind])[0]
+        stage = "corr" if kind == "corr" else ("qc" if kind == "qc" else "filled")
+        return self.broker.last_imp_done(self.parameter, stage)
+
+    def last_imp_quality_check(self) -> None:
+        """QC the pending import window if not yet done (reference
+        last_imp_quality_check, StationBases.py:1720-1734)."""
+        if not self.is_last_imp_done("qc"):
+            self.broker.last_imp_quality_check()
+
+    def last_imp_qc(self) -> None:
+        self.last_imp_quality_check()
+
+    def last_imp_fillup(self) -> None:
+        """Fill the pending import window if not yet done (reference
+        last_imp_fillup, StationBases.py:1736-1766)."""
+        if not self.is_last_imp_done("filled"):
+            self.broker.last_imp_fillup()
+
+    def update_period_meta(self, kind: str = "raw") -> None:
+        """Recompute this parameter's period columns in the meta dim
+        (reference update_period_meta, StationBases.py:812-848; the
+        engine computes every kind's span in the same aggregation job,
+        so ``kind`` only exists for signature parity)."""
+        del kind
+        self.broker.update_period_meta(self.parameter)
+
+    def update_ma_timeseries(self, kind="all") -> None:
+        """Refresh this parameter's own-series multi-annual values
+        (reference update_ma_timeseries, StationBases.py:916-967):
+        yearly aggregate gated at 90 % coverage, averaged over years,
+        upserted into ``station_ma_timeserie``."""
+        if kind == "all":
+            kinds = tuple(
+                k for k in PARAMETERS[self.parameter]["kinds"]
+                if k not in ("qn", "filled_by")
+                and not k.endswith(("_min", "_max"))
+            )
+        elif isinstance(kind, str):
+            kinds = (kind,)
+        else:
+            kinds = tuple(kind)
+        self.broker.update_ma_timeserie(self.parameter, kinds=kinds)
+
+    def get_zipfiles(self, ftp_file_list, only_new: bool = True) -> DataFrame:
+        """This station's CDC zip files to import, from an explicit
+        ``(filepath, modtime)`` listing (reference get_zipfiles,
+        StationBases.py:1143-1245 — there the listing defaults to a live
+        FTP fetch; live sockets are out of scope, so the listing is a
+        required argument here). ``only_new`` anti-joins the ``raw_files``
+        manifest on (filepath, newer modtime) like the reference's
+        zipfiles_CDC vs zipfiles_DB join."""
+        from weatherdb_spark.sources.ftp import (
+            files_to_update,
+            listing_df,
+            station_zip_files,
+        )
+
+        mine = station_zip_files(
+            ftp_file_list, self.id,
+            zip_regex_prefix=PARAMETERS[self.parameter].get(
+                "ftp_zip_regex_prefix"
+            ),
+        )
+        listing = listing_df(self.broker.spark, mine)
+        if not only_new:
+            return listing
+        manifest = (
+            self.broker.read("raw_files")
+            if self.broker.exists("raw_files") else None
+        )
+        return files_to_update(listing, manifest)
+
     # ------------------------- membership predicates (StationBases.py:
     # 1848-1871 isin_db/isin_meta/isin_ma, 1875-1898 is_virtual/is_real)
     def isin_meta(self) -> bool:
@@ -305,6 +413,19 @@ class Station:
 
     def is_virtual(self) -> bool:
         return not self.is_real()
+
+    def isin_meta_p(self) -> bool:
+        """Is the station in the 10-min precipitation meta? The anchor
+        set for virtual-station creation (reference isin_meta_p,
+        StationBases.py:2887-2898)."""
+        return bool(
+            self.broker.read("meta")
+            .filter(
+                (F.col("station_id") == self.id)
+                & (F.col("parameter") == "p")
+            )
+            .take(1)
+        )
 
     def get_horizon(self) -> float | None:
         """The Richter horizon angle from meta (StationP.py:264-271)."""
@@ -369,6 +490,19 @@ class Station:
         )
         return f"POINT ({round(lonlat[0], 6)} {round(lonlat[1], 6)})"
 
+    def get_geom_shp(self, crs: int | None = None) -> str:
+        """Deprecated alias of :meth:`get_geom` (the reference deprecates
+        it the same way, StationBases.py:1848-1871; returns WKT here —
+        shapely is not shipped)."""
+        import warnings
+
+        warnings.warn(
+            "get_geom_shp is deprecated, use get_geom instead",
+            PendingDeprecationWarning,
+            stacklevel=2,
+        )
+        return self.get_geom(crs=4326 if crs is None else crs)
+
     def get_ma_raster(self) -> list[float] | None:
         """The station's multi-annual raster values in term order
         (StationBases.py:2298-2360): [wihy, suhy] for P, [year]
@@ -388,6 +522,11 @@ class Station:
         if set(terms) - set(rows):
             return None
         return [rows[t] for t in terms]
+
+    def get_multi_annual_raster(self) -> list[float] | None:
+        """Reference name for :meth:`get_ma_raster`
+        (StationBases.py:2298-2330)."""
+        return self.get_ma_raster()
 
     def get_coef(
         self, other_stid: int, in_db_unit: bool = False

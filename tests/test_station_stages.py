@@ -140,6 +140,32 @@ def test_station_meta_maintenance(stage_broker):
         assert st.get_geom_shp().startswith("POINT (")
 
 
+def test_stations_collection_dispatch(stage_broker):
+    from weatherdb_spark.station import Stations
+
+    ets = Stations(stage_broker, "et")
+    # the et window opened in the first test is still pending
+    assert not Station(stage_broker, 1, "et").is_last_imp_done("qc")
+    ets.quality_check()
+    ets.fillup()
+    marks = {
+        (r["parameter"], r["stage"]) for r in stage_broker.state().collect()
+    }
+    assert ("et", "qc") in marks and ("et", "filled") in marks
+    assert Station(stage_broker, 1, "et").is_last_imp_done("qc")
+    ets.update_period_meta()
+    ets.update_ma_timeseries("raw")
+    assert (
+        stage_broker.read("station_ma_timeserie")
+        .filter((F.col("parameter") == "et") & (F.col("kind") == "raw"))
+        .count()
+        == 3
+    )
+    # incremental dispatchers are consumed-window no-ops at this point
+    ets.last_imp_quality_check()
+    ets.last_imp_fillup()
+
+
 def test_get_zipfiles_offline_listing(stage_broker):
     listing = [
         ("path/10minutenwerte_nieder_00001_now.zip", dt.datetime(2024, 1, 1)),

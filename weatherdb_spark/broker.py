@@ -2146,11 +2146,15 @@ class Broker:
         return sorted(years)
 
     @_with_mutex
-    def last_imp_quality_check(self, margin: str = "2 days") -> None:
+    def last_imp_quality_check(self, margin: str = "2 days",
+                               parameters=None) -> None:
         """Incremental QC (broker.py:412-442): recompute qc only inside the
         last-import window, widened by ``margin`` so window/daily rules see
-        full context, then merge the qc column back."""
+        full context, then merge the qc column back. ``parameters`` scopes
+        the loop (facade dispatch)."""
         for parameter in ("p", "t", "et"):
+            if not self._param_wanted(parameter, parameters):
+                continue
             window = self.last_imp(parameter)
             if window is None or not self.exists(f"ts_{parameter}"):
                 continue
@@ -2241,7 +2245,7 @@ class Broker:
         return part, in_window
 
     @_with_mutex
-    def last_imp_fillup(self, margin: str = "2 days") -> None:
+    def last_imp_fillup(self, margin: str = "2 days", parameters=None) -> None:
         """Incremental fillup (reference Broker.last_imp_fillup,
         broker.py:464-484; StationBases.last_imp_fillup via
         get_last_imp_period): recompute the fillup only inside the
@@ -2249,8 +2253,11 @@ class Broker:
         brackets and the 5h50-shifted day grouping have full context,
         then merge the stage columns of the IN-WINDOW rows back. Margin
         rows are context only — their stored values, computed from the
-        full series, stay untouched."""
+        full series, stay untouched. ``parameters`` scopes the loop
+        (facade dispatch)."""
         for parameter in ("p_d", "p", "t", "et"):
+            if not self._param_wanted(parameter, parameters):
+                continue
             window = self.last_imp(parameter)
             table = f"ts_{parameter}"
             if window is None or not self.exists(table):

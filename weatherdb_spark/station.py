@@ -312,7 +312,7 @@ class Station:
         """QC the pending import window if not yet done (reference
         last_imp_quality_check, StationBases.py:1720-1734)."""
         if not self.is_last_imp_done("qc"):
-            self.broker.last_imp_quality_check()
+            self.broker.last_imp_quality_check(parameters=[self.parameter])
 
     def last_imp_qc(self) -> None:
         self.last_imp_quality_check()
@@ -321,7 +321,7 @@ class Station:
         """Fill the pending import window if not yet done (reference
         last_imp_fillup, StationBases.py:1736-1766)."""
         if not self.is_last_imp_done("filled"):
-            self.broker.last_imp_fillup()
+            self.broker.last_imp_fillup(parameters=[self.parameter])
 
     def update_period_meta(self, kind: str = "raw") -> None:
         """Recompute this parameter's period columns in the meta dim
@@ -700,6 +700,60 @@ class Stations:
         if only_real and "is_real" in meta.columns:
             meta = meta.filter(F.col("is_real"))
         return meta
+
+    @staticmethod
+    def _stids_arg(stids) -> list[int] | None:
+        """Reference collection methods take ``stids="all"``
+        (StationsBase.py:97,824,931); the broker's scoping arg is
+        None-for-all."""
+        if stids is None or (isinstance(stids, str) and stids == "all"):
+            return None
+        return [int(s) for s in stids]
+
+    # ---------------- collection-level stage dispatchers (reference
+    # StationsBase.py:763-966 loops per-station methods through a process
+    # pool; the engine runs ONE scoped distributed stage instead)
+    def quality_check(self, stids="all") -> None:
+        self.broker.quality_check(
+            stids=self._stids_arg(stids), parameters=[self.parameter]
+        )
+
+    def fillup(self, stids="all") -> None:
+        self.broker.fillup(
+            stids=self._stids_arg(stids), parameters=[self.parameter]
+        )
+
+    def last_imp_quality_check(self) -> None:
+        """Consume the pending import window's QC for this parameter
+        (StationsBase.py:763-787); no-op without a pending window."""
+        self.broker.last_imp_quality_check(parameters=[self.parameter])
+
+    def last_imp_fillup(self) -> None:
+        self.broker.last_imp_fillup(parameters=[self.parameter])
+
+    def update_period_meta(self, stids="all") -> None:
+        """Recompute the parameter's meta period columns
+        (StationsBase.py:225-250; the engine's single aggregation job
+        covers every station, so ``stids`` only exists for signature
+        parity)."""
+        del stids
+        self.broker.update_period_meta(self.parameter)
+
+    def update_ma_timeseries(self, kind="all", stids="all") -> None:
+        """Refresh own-series multi-annual values for every station of
+        the parameter (StationsBase.py:891-929)."""
+        del stids
+        if kind == "all":
+            kinds = tuple(
+                k for k in PARAMETERS[self.parameter]["kinds"]
+                if k not in ("qn", "filled_by")
+                and not k.endswith(("_min", "_max"))
+            )
+        elif isinstance(kind, str):
+            kinds = (kind,)
+        else:
+            kinds = tuple(kind)
+        self.broker.update_ma_timeserie(self.parameter, kinds=kinds)
 
     @classmethod
     def get_meta_explanation(cls, infos: Sequence[str] | str = "all") -> dict[str, str]:

@@ -188,6 +188,22 @@ def test_group_stations_zip_export_and_telemetry(mini_broker, tmp_path):
     assert row["pc"]
 
 
+def test_group_stations_meta_and_para_objects(mini_broker):
+    from weatherdb_spark.station import GroupStations, Stations
+
+    gs = GroupStations(mini_broker)
+    stats = gs.get_para_stations()
+    assert [s.parameter for s in stats] == ["p", "t", "et"]
+    assert all(isinstance(s, Stations) for s in stats)
+    with pytest.raises(ValueError, match="p_d"):
+        gs.get_para_stations(paras=["p_d"])
+    meta = gs.get_meta()
+    # the fixture warehouse only has P stations
+    assert {r["parameter"] for r in meta.collect()} == {"p"}
+    assert gs.get_meta(stids=[1, 2]).count() == 2
+    assert "station_id" in gs.get_meta_explanation()
+
+
 def test_station_predicates_and_small_accessors(mini_broker):
     st = Station(mini_broker, 1, "p")
     assert st.isin_meta() and st.isin_db() and st.isin_ma()

@@ -166,6 +166,25 @@ def test_stations_collection_dispatch(stage_broker):
     ets.last_imp_fillup()
 
 
+def test_broker_paras_alias_and_richter_name(stage_broker):
+    before = {
+        (r["parameter"], r["stage"], r["updated_at"])
+        for r in stage_broker.state().collect()
+    }
+    # reference spelling: paras= scopes exactly like parameters=
+    stage_broker.quality_check(paras=[])
+    stage_broker.fillup(paras=[])
+    stage_broker.last_imp_quality_check(paras=[])
+    stage_broker.last_imp_fillup(paras=[])
+    after = {
+        (r["parameter"], r["stage"], r["updated_at"])
+        for r in stage_broker.state().collect()
+    }
+    assert before == after  # an empty scope runs no stage blocks
+    # reference Broker method name; no-op without 10-min precipitation
+    stage_broker.richter_correct()
+
+
 def test_get_zipfiles_offline_listing(stage_broker):
     listing = [
         ("path/10minutenwerte_nieder_00001_now.zip", dt.datetime(2024, 1, 1)),

@@ -1267,7 +1267,7 @@ class Broker:
             self._merge_scoped(table, out, stids)
 
     @_with_mutex
-    def quality_check(self, stids=None, parameters=None) -> None:
+    def quality_check(self, stids=None, parameters=None, paras=None) -> None:
         """QC stage: p via window/daily rules, t/et via neighbor median
         (broker.py:412-442 runs p_d fillup first so the daily comparison
         has data; here ts_p_d raw is the comparison column).
@@ -1281,7 +1281,9 @@ class Broker:
         ``parameters``: run only the named parameters' blocks — the
         per-station facade (``Station.quality_check``) scopes to its own
         parameter like the reference's per-station method
-        (StationBases.py:1289-1345)."""
+        (StationBases.py:1289-1345). ``paras`` is the reference Broker's
+        name for the same argument (broker.py:194-220)."""
+        parameters = parameters if parameters is not None else paras
         if self._param_wanted("p", parameters) and self.exists("ts_p"):
             self._require("ts_p_d", "the P quality check's daily comparison")
             out_p = qc_p(
@@ -1424,7 +1426,7 @@ class Broker:
         raise ValueError(f"no fillup for parameter {parameter!r}")
 
     @_with_mutex
-    def fillup(self, stids=None, parameters=None) -> None:
+    def fillup(self, stids=None, parameters=None, paras=None) -> None:
         """Fillup stage per parameter (StationBases.py:1346-1669):
         p_d first (raw base), then p (seasonal coefs + daily adjustment),
         t (5-donor median incl. min/max), et (multiplicative).
@@ -1436,7 +1438,9 @@ class Broker:
 
         ``parameters``: fill only the named parameters (per-station
         facade scoping; P still *reads* ts_p_d for its daily adjustment
-        — the _require below keeps that dependency loud)."""
+        — the _require below keeps that dependency loud). ``paras`` is
+        the reference Broker's name for the same argument."""
+        parameters = parameters if parameters is not None else paras
         for parameter in ("p_d", "p", "t", "et"):
             table = f"ts_{parameter}"
             if not self._param_wanted(parameter, parameters):
@@ -1490,6 +1494,11 @@ class Broker:
             self.read("meta").filter(F.col("parameter") == parameter).count()
         )
         return n_stations * max(n_days, 0)
+
+    def richter_correct(self, stids=None) -> None:
+        """Reference Broker's name for the Richter correction stage
+        (broker.py:486-498)."""
+        self.richter_correct_stage(stids=stids)
 
     @_with_mutex
     def richter_correct_stage(self, stids=None) -> None:
@@ -2147,11 +2156,12 @@ class Broker:
 
     @_with_mutex
     def last_imp_quality_check(self, margin: str = "2 days",
-                               parameters=None) -> None:
+                               parameters=None, paras=None) -> None:
         """Incremental QC (broker.py:412-442): recompute qc only inside the
         last-import window, widened by ``margin`` so window/daily rules see
         full context, then merge the qc column back. ``parameters`` scopes
-        the loop (facade dispatch)."""
+        the loop (facade dispatch; ``paras`` is the reference name)."""
+        parameters = parameters if parameters is not None else paras
         for parameter in ("p", "t", "et"):
             if not self._param_wanted(parameter, parameters):
                 continue
@@ -2245,7 +2255,8 @@ class Broker:
         return part, in_window
 
     @_with_mutex
-    def last_imp_fillup(self, margin: str = "2 days", parameters=None) -> None:
+    def last_imp_fillup(self, margin: str = "2 days", parameters=None,
+                        paras=None) -> None:
         """Incremental fillup (reference Broker.last_imp_fillup,
         broker.py:464-484; StationBases.last_imp_fillup via
         get_last_imp_period): recompute the fillup only inside the
@@ -2254,7 +2265,8 @@ class Broker:
         then merge the stage columns of the IN-WINDOW rows back. Margin
         rows are context only — their stored values, computed from the
         full series, stay untouched. ``parameters`` scopes the loop
-        (facade dispatch)."""
+        (facade dispatch; ``paras`` is the reference name)."""
+        parameters = parameters if parameters is not None else paras
         for parameter in ("p_d", "p", "t", "et"):
             if not self._param_wanted(parameter, parameters):
                 continue

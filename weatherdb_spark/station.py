@@ -903,6 +903,48 @@ class GroupStations:
         (GroupStations.get_group_stations, GroupStations.py:243-268)."""
         return [GroupStation(self.broker, s) for s in self.get_valid_stids(stids)]
 
+    #: the reference group covers the three 'group' parameters — daily
+    #: precipitation only feeds P internally (GroupStations.py:246)
+    GROUP_PARAS = ("p", "t", "et")
+
+    @staticmethod
+    def _check_paras(paras) -> list[str]:
+        if isinstance(paras, str) and paras == "all":
+            return list(GroupStations.GROUP_PARAS)
+        paras = [paras] if isinstance(paras, str) else list(paras)
+        bad = [p for p in paras if p not in GroupStations.GROUP_PARAS]
+        if bad:
+            raise ValueError(
+                f"paras {bad} not in {list(GroupStations.GROUP_PARAS)}"
+            )
+        return paras
+
+    def get_para_stations(self, paras="all") -> list["Stations"]:
+        """Collection objects per parameter
+        (GroupStations.get_para_stations, GroupStations.py:224-247)."""
+        return [Stations(self.broker, p) for p in self._check_paras(paras)]
+
+    def get_meta(self, paras="all", stids="all") -> DataFrame:
+        """Meta rows across the group parameters as ONE tall frame with a
+        ``parameter`` column (the reference concatenates per-parameter
+        pandas frames and multi-indexes, GroupStations.py:173-222 — the
+        engine's meta dim is already tall, so this is a filter, not a
+        per-parameter read loop)."""
+        meta = self.broker.read("meta").filter(
+            F.col("parameter").isin(self._check_paras(paras))
+        )
+        if not (isinstance(stids, str) and stids == "all"):
+            meta = meta.filter(
+                F.col("station_id").isin([int(s) for s in stids])
+            )
+        return meta
+
+    @classmethod
+    def get_meta_explanation(cls, infos: Sequence[str] | str = "all") -> dict[str, str]:
+        """Same explanation table as the per-parameter collections
+        (GroupStations.py:156-171)."""
+        return Stations.get_meta_explanation(infos)
+
     def joint_period(self, stids: Sequence[int], kind: str = "filled"):
         """Inner intersection of the stations' periods
         (GroupStations.py:62-85) — ONE grouped job (per-station min/max,

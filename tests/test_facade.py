@@ -38,6 +38,29 @@ def test_period_inside_contains_expand():
     assert e.end == dt.datetime(2020, 1, 31, 23, 59, 59, 999999)
 
 
+def test_period_accessors_and_comparisons():
+    a = TimestampPeriod("2020-02-01", "2020-03-01")
+    b = TimestampPeriod("2020-01-01", "2020-12-01")
+    # comparisons are containment, not ordering (TimestampPeriod.py:173-184)
+    assert a < b and a <= b and b > a and b >= a and a != b
+    assert not (b < a)
+    # raw tuples coerce like the reference's _check_period
+    assert a < ("2020-01-01", "2020-12-01")
+    assert a[0] == a["start"] == dt.datetime(2020, 2, 1)
+    assert a[1] == a["end"] == dt.datetime(2020, 3, 1)
+    assert a.get_period() == (a.start, a.end)
+    c = a.copy()
+    c["end"] = "2020-04-01"
+    assert c != a and a.end == dt.datetime(2020, 3, 1)
+    assert a.get_interval() == dt.timedelta(days=29)
+    assert a.get_middle() == dt.datetime(2020, 2, 15, 12)
+    assert TimestampPeriod(None, None).has_only_NaT()
+    assert TimestampPeriod(None, "2020-01-01").get_interval() is None
+    assert str(a) == "TimestampPeriod: 2020-02-01 00:00:00 - 2020-03-01 00:00:00"
+    with pytest.raises(KeyError):
+        a[2]
+
+
 # ------------------------------------------------------------------- facade
 
 @pytest.fixture(scope="module")

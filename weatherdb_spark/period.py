@@ -97,3 +97,75 @@ class TimestampPeriod:
 
     def __repr__(self) -> str:
         return f"TimestampPeriod({self.start!r}, {self.end!r})"
+
+    # ---------------- accessor/comparison parity with the reference
+    # value object (utils/TimestampPeriod.py:131-352). Comparison
+    # operators are CONTAINMENT, not ordering: a < b means "a inside b"
+    # (TimestampPeriod.py:173-184).
+    def get_period(self) -> tuple[Bound, Bound]:
+        return (self.start, self.end)
+
+    def __getitem__(self, key):
+        if key in (0, "start"):
+            return self.start
+        if key in (1, "end"):
+            return self.end
+        raise KeyError(key)
+
+    def __setitem__(self, key, value) -> None:
+        if key in (0, "start"):
+            self.start = _coerce(value)
+        elif key in (1, "end"):
+            self.end = _coerce(value)
+        else:
+            raise KeyError(key)
+
+    @staticmethod
+    def _as_period(other) -> "TimestampPeriod":
+        """The reference's _check_period coercion
+        (TimestampPeriod.py:212-230): comparisons accept raw
+        (start, end) tuples."""
+        if isinstance(other, TimestampPeriod):
+            return other
+        return TimestampPeriod(*other)
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+    def __lt__(self, other) -> bool:
+        return self.inside(self._as_period(other))
+
+    def __le__(self, other) -> bool:
+        return self.inside(self._as_period(other))
+
+    def __gt__(self, other) -> bool:
+        return self.contains(self._as_period(other))
+
+    def __ge__(self, other) -> bool:
+        return self.contains(self._as_period(other))
+
+    def __str__(self) -> str:
+        lo, hi = self.strftime()
+        return f"TimestampPeriod: {lo} - {hi}"
+
+    def has_only_NaT(self) -> bool:
+        """Reference name for :meth:`is_empty`
+        (TimestampPeriod.py:199-210)."""
+        return self.is_empty()
+
+    def copy(self) -> "TimestampPeriod":
+        return TimestampPeriod(self.start, self.end)
+
+    def get_interval(self) -> dt.timedelta | None:
+        """end − start (TimestampPeriod.py:304-313); None when a bound
+        is open — the reference's NaT arithmetic would yield NaT."""
+        if self.has_NaT():
+            return None
+        return self.end - self.start
+
+    def get_middle(self) -> dt.datetime | None:
+        """Midpoint timestamp (TimestampPeriod.py:315-329)."""
+        iv = self.get_interval()
+        if iv is None:
+            return None
+        return self.start + iv / 2

@@ -227,6 +227,41 @@ def test_group_stations_meta_and_para_objects(mini_broker):
     assert "station_id" in gs.get_meta_explanation()
 
 
+def test_typed_station_classes(mini_broker, monkeypatch):
+    import weatherdb_spark
+    from weatherdb_spark.station import (
+        StationET,
+        StationP,
+        StationsPD,
+        StationsT,
+        StationT,
+    )
+
+    st = StationP(1, mini_broker)
+    assert st.parameter == "p" and st.id == 1
+    assert st.get_raw().count() == 400
+    assert StationT(2, mini_broker).parameter == "t"
+    assert StationET(3, mini_broker).parameter == "et"
+    assert StationsT(mini_broker).parameter == "t"
+    assert StationsPD(mini_broker).parameter == "p_d"
+    # lazy top-level exports resolve (reference weatherdb/__init__.py)
+    for name in ("StationP", "StationPD", "StationT", "StationET",
+                 "StationsP", "StationsPD", "StationsT", "StationsET"):
+        assert getattr(weatherdb_spark, name).PARAMETER
+    # the no-broker constructor resolves the warehouse via user config
+    monkeypatch.setenv("WEATHERDB_SPARK_WAREHOUSE_DIR", mini_broker.dir)
+    from weatherdb_spark.userconfig import get_config
+
+    get_config(reload=True)
+    try:
+        st2 = StationP(1)
+        assert st2.broker.dir == mini_broker.dir
+        assert st2.get_raw().count() == 400
+    finally:
+        monkeypatch.delenv("WEATHERDB_SPARK_WAREHOUSE_DIR")
+        get_config(reload=True)
+
+
 def test_station_predicates_and_small_accessors(mini_broker):
     st = Station(mini_broker, 1, "p")
     assert st.isin_meta() and st.isin_db() and st.isin_ma()

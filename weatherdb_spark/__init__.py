@@ -32,6 +32,14 @@ __all__ = [
     "Stations",
     "GroupStation",
     "GroupStations",
+    "StationP",
+    "StationPD",
+    "StationT",
+    "StationET",
+    "StationsP",
+    "StationsPD",
+    "StationsT",
+    "StationsET",
     "TimestampPeriod",
     "get_config",
 ]
@@ -45,7 +53,11 @@ def __getattr__(name):
     if name == "Broker":
         from weatherdb_spark.broker import Broker
         return Broker
-    if name in ("Station", "Stations", "GroupStation", "GroupStations"):
+    if name in (
+        "Station", "Stations", "GroupStation", "GroupStations",
+        "StationP", "StationPD", "StationT", "StationET",
+        "StationsP", "StationsPD", "StationsT", "StationsET",
+    ):
         from weatherdb_spark import station
         return getattr(station, name)
     if name == "TimestampPeriod":

@@ -1231,3 +1231,73 @@ class GroupStation:
             [self.id], out_dir, parameters=parameters, kind=kind,
             split_date=split_date,
         )
+
+
+# --------------------------------------------------------------------------
+# Typed per-parameter classes — the reference's public surface
+# (weatherdb/__init__.py exports StationP/StationPD/StationT/StationET and
+# StationsP/StationsPD/StationsT/StationsET; station/StationP.py:55 etc.).
+# Constructed like the reference (``StationP(3)``): when no broker is
+# given, one is built on the active session with the warehouse directory
+# resolving through the user config ([engine] warehouse_dir /
+# WEATHERDB_SPARK_WAREHOUSE_DIR) — the engine's analogue of the
+# reference's implicit global DB connection.
+
+
+def _default_broker() -> Broker:
+    from weatherdb_spark.session import get_spark
+
+    return Broker(get_spark())
+
+
+class _TypedStation(Station):
+    PARAMETER: str = ""
+
+    def __init__(self, stid: int, broker: Broker | None = None):
+        super().__init__(
+            broker if broker is not None else _default_broker(),
+            stid,
+            type(self).PARAMETER,
+        )
+
+
+class StationP(_TypedStation):
+    PARAMETER = "p"
+
+
+class StationPD(_TypedStation):
+    PARAMETER = "p_d"
+
+
+class StationT(_TypedStation):
+    PARAMETER = "t"
+
+
+class StationET(_TypedStation):
+    PARAMETER = "et"
+
+
+class _TypedStations(Stations):
+    PARAMETER: str = ""
+
+    def __init__(self, broker: Broker | None = None):
+        super().__init__(
+            broker if broker is not None else _default_broker(),
+            type(self).PARAMETER,
+        )
+
+
+class StationsP(_TypedStations):
+    PARAMETER = "p"
+
+
+class StationsPD(_TypedStations):
+    PARAMETER = "p_d"
+
+
+class StationsT(_TypedStations):
+    PARAMETER = "t"
+
+
+class StationsET(_TypedStations):
+    PARAMETER = "et"

@@ -45,6 +45,25 @@ def test_period_inner_inside_outer(a, b):
         assert inner.inside(outer)
 
 
+@given(_periods(), _periods())
+def test_period_comparison_duality(a, b):
+    # containment comparisons mirror: a < b iff b > a, and both agree
+    # with inside/contains (TimestampPeriod.py:173-184)
+    assert (a < b) == (b > a) == a.inside(b)
+    assert (a <= b) == (b >= a)
+    # copies compare equal and mutate independently
+    c = a.copy()
+    assert c == a and (c != a) is False
+    c["start"] = dt.datetime(1970, 1, 1)
+    assert c.start != a.start or a.start == dt.datetime(1970, 1, 1)
+    # interval/middle bracket the bounds on fully-bounded ORDERED periods
+    # (the constructor, like the reference's, does not forbid start > end)
+    if not a.has_NaT() and a.start <= a.end:
+        mid = a.get_middle()
+        assert a.start <= mid <= a.end
+        assert a.get_interval() == a.end - a.start
+
+
 # ------------------------------------------------------- scaled-int units
 
 @settings(max_examples=20, deadline=None,

@@ -83,27 +83,52 @@ def _ma(spark, n_stations):
     return out
 
 
-def _ten_min_p(spark, n_stations, n_days):
-    grid = spark.range(n_days * 144).select(
-        (F.lit(START).cast("timestamp")
-         + F.col("id") * F.expr("INTERVAL 10 MINUTES")).alias("timestamp"),
-        F.col("id").alias("slot"),
-    )
-    st = spark.range(1, n_stations + 1).select(F.col("id").cast("int").alias("station_id"))
-    return st.crossJoin(grid).select(
-        "station_id", "timestamp",
+def _p_value():
+    """Deterministic 10-min P value from (slot, station_id) — holes for
+    fillup, 3-runs and spikes for QC."""
+    return (
         F.when((F.col("slot") + F.col("station_id") * 13) % 97 < 5, None)  # ~5% holes
         .when((F.col("slot") % 701).isin(13, 14, 15), 0.5)                 # 3-runs
         .when((F.col("slot") + F.col("station_id")) % 499 == 7, 9.0)      # spikes
         .when(F.col("slot") % 7 == 0,
               F.round(((F.col("slot") + F.col("station_id")) % 13) * 0.1, 1))
         .otherwise(0.0)
-        .alias("raw"),
-        F.lit(1).cast("short").alias("qn"),
+        .alias("raw")
     )
 
 
-def _daily(spark, n_stations, n_days, para):
+def _ten_min_p(spark, n_stations, n_days, skew=1):
+    grid = spark.range(n_days * 144).select(
+        (F.lit(START).cast("timestamp")
+         + F.col("id") * F.expr("INTERVAL 10 MINUTES")).alias("timestamp"),
+        F.col("id").alias("slot"),
+    )
+    st = spark.range(1, n_stations + 1).select(F.col("id").cast("int").alias("station_id"))
+    out = st.crossJoin(grid).select(
+        "station_id", "timestamp", _p_value(),
+        F.lit(1).cast("short").alias("qn"),
+    )
+    if skew > 1:
+        # station 1 alone carries (skew-1) extra YEARS of history BEFORE
+        # START — the hot-key shape a real archive has (one station with
+        # a multi-decade record among short-lived ones). The per-station
+        # (station, year) chunking must keep its tasks year-sized.
+        extra_days = (skew - 1) * n_days
+        grid2 = spark.range(extra_days * 144).select(
+            (F.lit(START).cast("timestamp")
+             - F.expr(f"INTERVAL {extra_days} DAYS")
+             + F.col("id") * F.expr("INTERVAL 10 MINUTES")).alias("timestamp"),
+            F.col("id").alias("slot"),
+        )
+        st1 = spark.createDataFrame([(1,)], "station_id int")
+        out = out.unionByName(st1.crossJoin(grid2).select(
+            "station_id", "timestamp", _p_value(),
+            F.lit(1).cast("short").alias("qn"),
+        ))
+    return out
+
+
+def _daily(spark, n_stations, n_days, para, skew=1):
     grid = spark.range(n_days).select(
         (F.lit(START).cast("timestamp")
          + F.col("id") * F.expr("INTERVAL 1 DAY")).alias("timestamp"),
@@ -111,6 +136,16 @@ def _daily(spark, n_stations, n_days, para):
     )
     st = spark.range(1, n_stations + 1).select(F.col("id").cast("int").alias("station_id"))
     base = st.crossJoin(grid)
+    if skew > 1:
+        extra_days = (skew - 1) * n_days
+        grid2 = spark.range(extra_days).select(
+            (F.lit(START).cast("timestamp")
+             - F.expr(f"INTERVAL {extra_days} DAYS")
+             + F.col("id") * F.expr("INTERVAL 1 DAY")).alias("timestamp"),
+            F.col("id").alias("d"),
+        )
+        st1 = spark.createDataFrame([(1,)], "station_id int")
+        base = base.unionByName(st1.crossJoin(grid2))
     hole = (F.col("d") + F.col("station_id") * 7) % 19 < 1  # ~5% holes
     if para == "p_d":
         val = F.round((F.col("d") % 29) * 0.7 + (F.col("station_id") % 7), 1)
@@ -132,6 +167,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=100)
     ap.add_argument("--years", type=float, default=2.0)
+    ap.add_argument(
+        "--skew", type=int, default=1,
+        help="station 1 gets this multiple of the base history (extra "
+             "years BEFORE the start) — a hot-key probe for the "
+             "(station, year) chunking; keep skew*years <= 19 so the "
+             "skewed archive stays past the 1999 min_date cut",
+    )
     ap.add_argument("--wh", default=None, help="warehouse dir (default: temp)")
     ap.add_argument("--keep", action="store_true", help="keep the warehouse")
     args = ap.parse_args()
@@ -153,10 +195,11 @@ def main() -> None:
         lap("update_meta", lambda: b.update_meta(_meta(spark, args.stations)))
         lap("update_ma_raster", lambda: b.update_ma_raster(_ma(spark, args.stations)))
         lap("update_raw_p", lambda: b.update_raw(
-            "p", _ten_min_p(spark, args.stations, n_days)))
+            "p", _ten_min_p(spark, args.stations, n_days, skew=args.skew)))
         for para in ("p_d", "t", "et"):
             lap(f"update_raw_{para}", lambda para=para: b.update_raw(
-                para, _daily(spark, args.stations, n_days, para)))
+                para, _daily(spark, args.stations, n_days, para,
+                             skew=args.skew)))
         lap("quality_check", b.quality_check)
         lap("fillup", b.fillup)
         lap("richter_correct", b.richter_correct_stage)
@@ -181,6 +224,7 @@ def main() -> None:
             "unit": "sec",
             "stations": args.stations,
             "years": args.years,
+            "skew": args.skew,
             "rows": rows,
             "rows_total": sum(rows.values()),
             "stages": stages,

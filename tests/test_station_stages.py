@@ -122,6 +122,10 @@ def test_station_meta_maintenance(stage_broker):
     # the append in the previous test extended the series to March 5
     assert row["filled_until"] == dt.datetime(2024, 3, 5)
 
+    with pytest.raises(ValueError, match="bogus"):
+        st.update_ma_timeseries("bogus")
+    with pytest.raises(ValueError, match="filled_by"):
+        st.update_ma_timeseries(["raw", "filled_by"])
     st.update_ma_timeseries("raw")
     ma = (
         stage_broker.read("station_ma_timeserie")

@@ -75,6 +75,27 @@ def _intersect_periods(row, kinds: Sequence[str]) -> TimestampPeriod:
     return TimestampPeriod(lo, hi)
 
 
+def _ma_ts_kinds(parameter: str, kind) -> tuple[str, ...]:
+    """Kind list for the own-series MA refresh: 'all' = every value kind
+    except the exempt ones (qn, filled_by, min/max companions —
+    reference valid_kinds, StationBases.py:929-937); unknown kinds raise
+    like the reference's _check_kinds instead of silently no-opping."""
+    valid = tuple(
+        k for k in PARAMETERS[parameter]["kinds"]
+        if k not in ("qn", "filled_by") and not k.endswith(("_min", "_max"))
+    )
+    if kind == "all":
+        return valid
+    kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+    bad = [k for k in kinds if k not in valid]
+    if bad:
+        raise ValueError(
+            f"kinds {bad} invalid for the {parameter!r} MA refresh; "
+            f"valid: {list(valid)}"
+        )
+    return kinds
+
+
 class Station:
     """One station of one parameter (reference StationBases.StationBase)."""
 
@@ -336,17 +357,9 @@ class Station:
         (reference update_ma_timeseries, StationBases.py:916-967):
         yearly aggregate gated at 90 % coverage, averaged over years,
         upserted into ``station_ma_timeserie``."""
-        if kind == "all":
-            kinds = tuple(
-                k for k in PARAMETERS[self.parameter]["kinds"]
-                if k not in ("qn", "filled_by")
-                and not k.endswith(("_min", "_max"))
-            )
-        elif isinstance(kind, str):
-            kinds = (kind,)
-        else:
-            kinds = tuple(kind)
-        self.broker.update_ma_timeserie(self.parameter, kinds=kinds)
+        self.broker.update_ma_timeserie(
+            self.parameter, kinds=_ma_ts_kinds(self.parameter, kind)
+        )
 
     def get_zipfiles(self, ftp_file_list, only_new: bool = True) -> DataFrame:
         """This station's CDC zip files to import, from an explicit
@@ -743,17 +756,9 @@ class Stations:
         """Refresh own-series multi-annual values for every station of
         the parameter (StationsBase.py:891-929)."""
         del stids
-        if kind == "all":
-            kinds = tuple(
-                k for k in PARAMETERS[self.parameter]["kinds"]
-                if k not in ("qn", "filled_by")
-                and not k.endswith(("_min", "_max"))
-            )
-        elif isinstance(kind, str):
-            kinds = (kind,)
-        else:
-            kinds = tuple(kind)
-        self.broker.update_ma_timeserie(self.parameter, kinds=kinds)
+        self.broker.update_ma_timeserie(
+            self.parameter, kinds=_ma_ts_kinds(self.parameter, kind)
+        )
 
     @classmethod
     def get_meta_explanation(cls, infos: Sequence[str] | str = "all") -> dict[str, str]:

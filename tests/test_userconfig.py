@@ -225,3 +225,19 @@ def test_create_user_config_validates_on_exists_upfront(cfg, tmp_path):
     with pytest.raises(ValueError, match="on_exists"):
         cfg.create_user_config(tmp_path / "new.ini", on_exists="replace")
     assert not (tmp_path / "new.ini").exists()
+
+
+def test_typed_getters(cfg):
+    # YYYY-MM-DD option -> UTC datetime / date (ConfigParser.py:191-203)
+    got = cfg.get_datetime("data", "min_date")
+    assert got == dt.datetime(1999, 1, 1, tzinfo=dt.timezone.utc)
+    assert cfg.get_date("data", "min_date") == dt.date(1999, 1, 1)
+    # unset option with a None fallback -> None, not a parse error
+    assert cfg.get_datetime("data", "_test_missing", fallback=None) is None
+    assert cfg.get_date("data", "_test_missing", fallback=None) is None
+    # comma list parsing with whitespace and blanks dropped
+    cfg.set("data", "_test_list", "a, b,\n c,,  ")
+    assert cfg.get_list("data", "_test_list") == ["a", "b", "c"]
+    assert cfg.get_list("data", "_test_missing") == []
+    with pytest.warns(FutureWarning):
+        assert cfg.getlist("data", "_test_list") == ["a", "b", "c"]

@@ -48,6 +48,47 @@ class UserConfig(configparser.ConfigParser):
                               if_not_existing="ignore")
         self.load_environment_variables()
 
+    # --------------------------------------------------- typed getters
+    # (reference config/ConfigParser.py:169-203)
+
+    def get_list(self, section: str, option: str) -> list[str]:
+        """Comma/newline-separated option as a list of stripped strings
+        (ConfigParser.py:169-177); missing option -> []."""
+        raw = self.get(section, option, fallback=None)
+        if not raw:
+            return []
+        return [
+            v.strip() for v in raw.replace("\n", "").split(",") if v.strip()
+        ]
+
+    def getlist(self, section: str, option: str) -> list[str]:
+        """Deprecated alias of :meth:`get_list` (ConfigParser.py:179-189)."""
+        import warnings
+
+        warnings.warn(
+            "getlist will become deprecated, please use get_list instead.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        return self.get_list(section, option)
+
+    def get_datetime(self, section: str, option: str, fallback=None):
+        """``YYYY-MM-DD`` option as a UTC datetime
+        (ConfigParser.py:191-197); None when unset."""
+        import datetime as dt
+
+        raw = self.get(section, option, fallback=fallback)
+        if not raw:
+            return None
+        return dt.datetime.strptime(raw, "%Y-%m-%d").replace(
+            tzinfo=dt.timezone.utc
+        )
+
+    def get_date(self, section: str, option: str, fallback=None):
+        """``YYYY-MM-DD`` option as a date (ConfigParser.py:199-203)."""
+        value = self.get_datetime(section, option, fallback=fallback)
+        return value.date() if value is not None else None
+
     # ------------------------------------------------------- main config
     # A tiny pointer file remembering where the user config lives — the
     # reference's config_main.ini (kept outside the package so installs

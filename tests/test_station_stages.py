@@ -189,6 +189,43 @@ def test_broker_paras_alias_and_richter_name(stage_broker):
     stage_broker.richter_correct()
 
 
+def test_richter_class_wrappers_and_meta_patch(spark, tmp_path):
+    import numpy as np
+
+    # lambda, not a module-level function: executors can't import the
+    # test module, but cloudpickle ships a lambda by value
+    flat_dem = lambda xs, ys: np.full(len(xs), 120.0)  # noqa: E731
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100, 8.2),
+         (2, "p", True, 50000.0, 0.0, 200, None)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int, horizon double",
+    ))
+    st = Station(b, 1, "p")
+    # update_meta already derived the class from the stored horizon
+    assert st.get_richter_class() == "protected"  # 8.2 in [7, 12)
+    assert st.update_richter_class() == "protected"  # skip_if_exist
+    # forced refresh re-derives from the stored horizon without a DEM
+    # (exercises the update_meta_fields dim patch)
+    assert st.update_richter_class(skip_if_exist=False) == "protected"
+    st2 = Station(b, 2, "p")
+    with pytest.raises(ValueError, match="no stored horizon"):
+        st2.update_richter_class()
+    # the DEM path, scoped to station 2: flat terrain -> horizon 0
+    assert st2.update_horizon(
+        flat_dem, radius_m=2000.0, sample_step_m=500.0
+    ) == 0.0
+    assert st2.get_richter_class() == "no-protection"
+    # station 1's stored values survived the scoped recompute
+    assert st.get_horizon() == 8.2
+    assert st.get_richter_class() == "protected"
+    # P-only gates
+    for method in ("corr", "last_imp_richter_correct", "update_richter_class"):
+        with pytest.raises(AttributeError):
+            getattr(Station(b, 1, "t"), method)()
+
+
 def test_get_zipfiles_offline_listing(stage_broker):
     listing = [
         ("path/10minutenwerte_nieder_00001_now.zip", dt.datetime(2024, 1, 1)),

@@ -1191,29 +1191,54 @@ class Broker:
         )
 
     @_with_mutex
-    def update_horizon(self, dem_sampler, parameter: str = "p", **kw) -> None:
+    def update_horizon(self, dem_sampler, parameter: str = "p",
+                       stids=None, **kw) -> None:
         """S8 as a maintenance stage: compute the horizon angle for every
         station of ``parameter`` from a DEM sampler and write it (plus
         the derived richter_class, S9) into meta — the engine form of
         StationP.update_horizon / update_richter_class
         (StationP.py:273-484). ``kw`` passes through to
-        operators.horizon.horizon_angles (radius_m, step_deg, ...)."""
+        operators.horizon.horizon_angles (radius_m, step_deg, ...).
+        ``stids`` scopes the recompute to the given stations; the other
+        stations keep their stored horizon/class."""
         from weatherdb_spark.operators.horizon import horizon_angles
 
         meta = self.read("meta")
         mine = meta.filter(F.col("parameter") == parameter)
-        angles = horizon_angles(mine, dem_sampler, **kw)
+        scoped = self._scope(mine, stids)
+        angles = horizon_angles(scoped, dem_sampler, **kw)
         updated = (
-            mine.drop("horizon", "richter_class")
+            scoped.drop("horizon", "richter_class")
             .join(angles, "station_id", "left")
             .withColumn("richter_class", richter_class(F.col("horizon")))
         )
+        keep = meta.filter(F.col("parameter") != parameter)
+        if stids is not None:
+            keep = keep.unionByName(
+                mine.filter(~F.col("station_id").isin(
+                    [int(s) for s in stids]
+                )),
+                allowMissingColumns=True,
+            )
         self.write(
-            "meta",
-            meta.filter(F.col("parameter") != parameter).unionByName(
-                updated, allowMissingColumns=True
-            ),
+            "meta", keep.unionByName(updated, allowMissingColumns=True)
         )
+
+    def update_meta_fields(self, parameter: str, stid: int,
+                           values: dict) -> None:
+        """Patch one meta row's columns (the engine form of the
+        reference's per-station ``_update_meta``,
+        StationBases.py:682-711) — a single dim rewrite, no fact scan."""
+        meta = self.read("meta")
+        cond = (F.col("parameter") == parameter) & (
+            F.col("station_id") == int(stid)
+        )
+        for col, val in values.items():
+            prev = F.col(col) if col in meta.columns else F.lit(None)
+            meta = meta.withColumn(
+                col, F.when(cond, F.lit(val)).otherwise(prev)
+            )
+        self.write("meta", meta)
 
     @_with_mutex
     def update_period_meta(self, parameter: str) -> None:

@@ -318,6 +318,84 @@ class Station:
             )
         self.broker.richter_correct_stage(stids=[self.id])
 
+    def corr(self) -> None:
+        """Reference alias of :meth:`richter_correct`
+        (StationP.py:654-656)."""
+        self.richter_correct()
+
+    def last_imp_richter_correct(self) -> None:
+        """Richter-correct the pending import window if not yet done
+        (reference last_imp_richter_correct, StationP.py:658-684)."""
+        if self.parameter != "p":
+            raise AttributeError(
+                "last_imp_richter_correct is only defined for 10-min "
+                f"precipitation stations, not parameter {self.parameter!r}"
+            )
+        if not self.is_last_imp_done("corr"):
+            self.broker.last_imp_corr()
+
+    def last_imp_corr(self) -> None:
+        self.last_imp_richter_correct()
+
+    def _require_p(self, what: str) -> None:
+        if self.parameter != "p":
+            raise AttributeError(
+                f"{what} is only defined for 10-min precipitation "
+                f"stations, not parameter {self.parameter!r}"
+            )
+
+    def update_horizon(self, dem_sampler, skip_if_exist: bool = True,
+                       **kw) -> float | None:
+        """Recompute this station's horizon angle (and the derived
+        Richter class) from a DEM sampler (reference update_horizon,
+        StationP.py:293-448; P only). ``skip_if_exist`` keeps a stored
+        value like the reference. Returns the (possibly pre-existing)
+        horizon."""
+        self._require_p("update_horizon")
+        if skip_if_exist:
+            existing = self.get_horizon()
+            if existing is not None:
+                return existing
+        self.broker.update_horizon(
+            dem_sampler, parameter="p", stids=[self.id], **kw
+        )
+        return self.get_horizon()
+
+    def update_richter_class(self, dem_sampler=None,
+                             skip_if_exist: bool = True) -> str | None:
+        """Refresh this station's Richter exposure class (reference
+        update_richter_class, StationP.py:450-484; P only). With a
+        stored horizon the class derives from it directly (one dim
+        rewrite); otherwise a ``dem_sampler`` is required to compute the
+        horizon first (the offline DEM path of the update-richter-class
+        CLI)."""
+        self._require_p("update_richter_class")
+        if skip_if_exist:
+            existing = self.get_richter_class()
+            if existing is not None:
+                return existing
+        horizon = self.get_horizon()
+        if horizon is None:
+            if dem_sampler is None:
+                raise ValueError(
+                    f"station {self.id} has no stored horizon — pass a "
+                    "dem_sampler (or run the update-richter-class CLI "
+                    "with a DEM grid)"
+                )
+            self.update_horizon(dem_sampler, skip_if_exist=False)
+            return self.get_richter_class()
+        from weatherdb_spark.config import RICHTER_CLASS_BINS
+
+        cls = next(
+            (name for name, lo, hi in RICHTER_CLASS_BINS
+             if lo <= horizon < hi),
+            None,
+        )
+        self.broker.update_meta_fields(
+            self.parameter, self.id, {"richter_class": cls}
+        )
+        return cls
+
     def is_last_imp_done(self, kind: str = "best") -> bool:
         """Is the last import already worked into ``kind``'s stage?
         (reference is_last_imp_done, StationBases.py:779-809). Engine

@@ -59,6 +59,10 @@ def test_period_accessors_and_comparisons():
     assert str(a) == "TimestampPeriod: 2020-02-01 00:00:00 - 2020-03-01 00:00:00"
     with pytest.raises(KeyError):
         a[2]
+    # equality coerces raw tuples like the reference's _check_period
+    assert a == ("2020-02-01", "2020-03-01")
+    assert a != ("2020-02-01", "2020-04-01")
+    assert (a == object()) is False
 
 
 # ------------------------------------------------------------------- facade

@@ -1235,9 +1235,12 @@ class Broker:
         )
         for col, val in values.items():
             prev = F.col(col) if col in meta.columns else F.lit(None)
-            meta = meta.withColumn(
-                col, F.when(cond, F.lit(val)).otherwise(prev)
-            )
+            new = F.lit(val)
+            if val is None and col not in meta.columns:
+                # two NULL void branches would leave an unwritable void
+                # column; string is the meta dim's patchable-column type
+                new = new.cast("string")
+            meta = meta.withColumn(col, F.when(cond, new).otherwise(prev))
         self.write("meta", meta)
 
     @_with_mutex

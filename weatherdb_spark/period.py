@@ -89,11 +89,14 @@ class TimestampPeriod:
         yield self.end
 
     def __eq__(self, other) -> bool:
-        return (
-            isinstance(other, TimestampPeriod)
-            and self.start == other.start
-            and self.end == other.end
-        )
+        # raw (start, end) tuples coerce like the reference's
+        # _check_period (TimestampPeriod.py:162-168)
+        if not isinstance(other, TimestampPeriod):
+            try:
+                other = self._as_period(other)
+            except (TypeError, ValueError):
+                return NotImplemented
+        return self.start == other.start and self.end == other.end
 
     def __repr__(self) -> str:
         return f"TimestampPeriod({self.start!r}, {self.end!r})"

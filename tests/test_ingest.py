@@ -401,3 +401,111 @@ def test_stream_dedup_exact_drops_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT content_hash FROM dedup_stream").collect()
     hashes = sorted(r["content_hash"] for r in rows)
     assert hashes == ["aaa", "bbb", "ccc"]
+
+
+def test_row_minhash_signature_matches_batch(spark):
+    """The stateless per-row signature is bit-identical to the batch
+    explode+agg signature — the property the streaming near-dup
+    operator's equivalence rests on."""
+    from weatherdb_spark.llm.dedup import minhash_signatures
+    from weatherdb_spark.streaming.neardup import row_minhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat today"),
+         (3, "completely different words in this document body here")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, num_perm=16).collect()
+    }
+    stream_style = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            row_minhash_signature(F.col("text"), num_perm=16).alias("sig"),
+        ).collect()
+    }
+    assert batch == stream_style
+
+
+def test_stream_neardup_pairs_across_batches(spark, tmp_path):
+    """A near-dup arriving in a LATER micro-batch than its twin still
+    pairs (bucket state crosses batch boundaries); distinct docs never
+    pair; the pair agrees with the batch signature estimate."""
+    import pandas as pd
+
+    from weatherdb_spark.streaming.neardup import stream_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1],
+        "text": [base],
+        "event_ts": ["2024-01-01 10:00:00"],
+    }).to_csv(src / "a.csv", index=False)
+    pd.DataFrame({
+        "doc_id": [2, 3],
+        "text": [base,  # exact twin -> est_jaccard 1.0
+                 "totally unrelated content about weather stations data"],
+        "event_ts": ["2024-01-01 10:05:00", "2024-01-01 10:06:00"],
+    }).to_csv(src / "b.csv", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_neardup_pairs(stream, threshold=0.8, num_perm=16, bands=4)
+        .writeStream.format("memory").queryName("neardup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    pairs = (
+        spark.sql("SELECT * FROM neardup_stream")
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_stream_neardup_bucket_cap_bounds_state(spark, tmp_path):
+    """max_bucket_docs=1: only the first arrival becomes a bucket
+    resident, later docs still pair against it on arrival (1-2, 1-3)
+    but never against each other (2-3) — state stays O(cap)."""
+    import pandas as pd
+
+    from weatherdb_spark.streaming.neardup import stream_neardup_pairs
+
+    text = "the quick brown fox jumps over the lazy dog near the river"
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [text, text, text],
+        "event_ts": ["2024-01-01 10:00:00", "2024-01-01 10:01:00",
+                     "2024-01-01 10:02:00"],
+    }).to_csv(src / "a.csv", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+        .option("header", "true").csv(str(src))
+    )
+    q = (
+        stream_neardup_pairs(
+            stream, threshold=0.8, num_perm=16, bands=4, max_bucket_docs=1
+        )
+        .writeStream.format("memory").queryName("neardup_cap")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT id_a, id_b FROM neardup_cap").collect()
+    }
+    assert pairs == {(1, 2), (1, 3)}

@@ -1,0 +1,205 @@
+"""Streaming MinHash-LSH near-duplicate detection (SURVEY.md §2.10 +
+the LLM-pipeline dedup family in ``llm/dedup.py``).
+
+The batch operator (``llm.dedup.minhash_lsh_pairs``) shuffles banded
+signatures and joins same-bucket documents. Its streaming twin cannot
+self-join an unbounded stream, so it keeps PER-BUCKET STATE instead: a
+custom ``applyInPandasWithState`` operator keyed on (band, key) whose
+state holds the first documents seen in that bucket. Each arriving
+document is compared against the bucket's residents by SIGNATURE
+AGREEMENT (matching minhash positions / num_perm — the standard unbiased
+Jaccard estimate; the full text never enters state), and qualifying
+(earlier_doc, new_doc) pairs are emitted append-mode.
+
+Scale/boundedness design:
+
+- The signature is computed STATELESSLY per row (``array_min`` /
+  ``transform`` expressions over the shingle array) with the same
+  md5-int64 + universal-hash constants as the batch pipeline
+  (``llm/hashing.py``), so a document's streaming signature is
+  bit-identical to its batch signature — the equivalence tests compare
+  the two pipelines directly. Batch prefers the explode+agg shape (it
+  whole-stage-codegens ~1.8x faster there); a stream cannot afford that
+  extra stateful aggregation, and per-row expressions are exactly the
+  stateless shape streaming wants.
+- Bucket state is doubly bounded: at most ``max_bucket_docs`` residents
+  per bucket (a crowded bucket is the stop-word-shingle degeneracy the
+  batch pipeline's document-frequency cap handles — extra residents stop
+  accumulating but still get compared on arrival), and event-time
+  timeout drops a bucket once the watermark passes ``ttl`` beyond the
+  last arrival. State per bucket is O(max_bucket_docs x num_perm) longs.
+- A pair colliding in several bands emits once per colliding band
+  (bands are independent state groups — coordinating them would need a
+  second stateful exchange). Downstream consumers take
+  ``dropDuplicates(["id_a", "id_b"])`` batch-side; the tests do.
+
+Late data: a document older than the watermark may find its bucket
+already expired — near-dups farther apart than ``ttl`` are an
+at-least-once residue for the batch sweep, the same contract as
+``stream_dedup_exact``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weatherdb_spark.llm.hashing import md5_int64, minhash_perm
+
+_OUT_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("est_jaccard", T.DoubleType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    # residents' signatures, flattened num_perm-per-doc
+    T.StructField("sigs", T.ArrayType(T.LongType())),
+])
+
+
+def row_minhash_signature(text_col: Column, num_perm: int = 32,
+                          n: int = 3) -> Column:
+    """Per-row minhash signature as a pure expression (no shuffle, no
+    state) — same shingling + hash constants as the batch
+    ``minhash_signatures``, so values are bit-identical. Documents with
+    fewer than ``n`` words get an all-NULL signature (no shingles)."""
+    words = F.split(text_col, " ")
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(1), n_words - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    shingles = F.when(
+        n_words >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(shingles, md5_int64)
+
+    def perm_fn(k):
+        # single-arg lambda per k: a `lambda h, k=k` would be called by
+        # F.transform with (element, INDEX) — arity 2 means the second
+        # arg is the array position, silently replacing the constant
+        return lambda h: minhash_perm(h, k)
+
+    return F.array(*[
+        F.array_min(F.transform(hashed, perm_fn(k))) for k in range(num_perm)
+    ])
+
+
+def stream_neardup_pairs(
+    stream: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    ttl: str = "1 hour",
+    max_bucket_docs: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Append-mode stream of near-duplicate candidate pairs.
+
+    Emits (id_a, id_b, band, est_jaccard) where ``id_a`` arrived first
+    in that (band, key) bucket and the signature-agreement estimate is
+    >= ``threshold``. See the module docstring for state bounds and the
+    per-band emission contract.
+    """
+    import pandas as pd
+
+    from weatherdb_spark.operators.timeline import _interval_seconds
+
+    ttl_ms = _interval_seconds(ttl) * 1000
+    rows = num_perm // bands
+    sig = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).alias("event_ts"),
+        row_minhash_signature(F.col(text_col), num_perm, n).alias("signature"),
+    ).filter(F.col("signature")[0].isNotNull())
+    banded = sig.select(
+        "doc_id", "event_ts", "signature",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[
+                    F.col("signature")[b * rows + r].cast("string")
+                    for r in range(rows)
+                ]).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "event_ts", "signature", "bk.band", "bk.key")
+
+    def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band = int(key[0])
+        if state.exists:
+            doc_ids, sigs = state.get
+            doc_ids = list(doc_ids)
+            sigs = list(sigs)
+        else:
+            doc_ids, sigs = [], []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else pd.DataFrame(
+                columns=["doc_id", "event_ts", "signature"]
+            )
+        )
+        # earlier event time = earlier resident; doc_id tiebreak keeps
+        # replays deterministic
+        pdf = pdf.sort_values(["event_ts", "doc_id"])
+        out = []
+        for doc_id, signature in zip(pdf["doc_id"], pdf["signature"]):
+            doc_id = int(doc_id)
+            if doc_id in doc_ids:
+                continue  # micro-batch replay of a known resident
+            new_sig = [int(v) for v in signature]
+            for i, resident in enumerate(doc_ids):
+                res_sig = sigs[i * num_perm:(i + 1) * num_perm]
+                est = sum(
+                    1 for a, b in zip(res_sig, new_sig) if a == b
+                ) / num_perm
+                if est >= threshold:
+                    out.append((resident, doc_id, band, est))
+            if len(doc_ids) < max_bucket_docs:
+                doc_ids.append(doc_id)
+                sigs.extend(new_sig)
+        state.update((doc_ids, sigs))
+        # expire once the watermark passes last arrival + ttl. Expiry is
+        # LAZY (evaluated per trigger for groups with no new data), so a
+        # resident can outlive ttl until the next trigger — extra recall,
+        # never lost pairs. The timestamp must stay above the current
+        # watermark or Spark rejects it.
+        last_ms = (
+            int(pd.Timestamp(pdf["event_ts"].max()).value // 1_000_000)
+            if len(pdf) else 0
+        )
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs() + 1000, last_ms + ttl_ms)
+        )
+        if out:
+            yield pd.DataFrame({
+                "id_a": [r[0] for r in out],
+                "id_b": [r[1] for r in out],
+                "band": [r[2] for r in out],
+                "est_jaccard": [r[3] for r in out],
+            })
+
+    return (
+        banded.withWatermark("event_ts", ttl)
+        .groupBy("band", "key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

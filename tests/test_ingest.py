@@ -509,3 +509,61 @@ def test_stream_neardup_bucket_cap_bounds_state(spark, tmp_path):
         for r in spark.sql("SELECT id_a, id_b FROM neardup_cap").collect()
     }
     assert pairs == {(1, 2), (1, 3)}
+
+
+def test_stream_embedding_neardup_across_batches(spark, tmp_path):
+    """Exact-cosine verify against bucket residents across micro-batch
+    boundaries; orthogonal vectors never pair; bucket keys reuse the
+    batch hyperplanes so the batch LSH would bucket them identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weatherdb_spark.streaming.neardup import stream_embedding_neardup
+
+    dim = 8
+    v1 = [1.0, 0.2, -0.3, 0.5, 0.0, 0.7, -0.1, 0.4]
+    v2 = [x * 2.0 for x in v1]          # cos = 1.0 with v1
+    v3 = [-x for x in v1]               # cos = -1.0, never pairs
+    src = tmp_path / "vecs"
+    src.mkdir()
+    schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float64())),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    t0 = np.datetime64("2024-01-01T10:00:00", "us")
+
+    def write(path, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+
+    write(src / "a.parquet", [
+        {"vec_id": 1, "embedding": v1, "event_ts": t0.item()},
+    ])
+    write(src / "b.parquet", [
+        {"vec_id": 2, "embedding": v2,
+         "event_ts": (t0 + np.timedelta64(60, "s")).item()},
+        {"vec_id": 3, "embedding": v3,
+         "event_ts": (t0 + np.timedelta64(90, "s")).item()},
+    ])
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, event_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        stream_embedding_neardup(
+            stream, threshold=0.4, planes=2, dim=dim, n_tables=4
+        )
+        .writeStream.format("memory").queryName("emb_neardup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    pairs = (
+        spark.sql("SELECT * FROM emb_neardup")
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert abs(pairs[0]["cos"] - 1.0) < 1e-9

@@ -203,3 +203,134 @@ def stream_neardup_pairs(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+_EMB_OUT_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("table", T.IntegerType()),
+    T.StructField("cos", T.DoubleType()),
+])
+_EMB_STATE_SCHEMA = T.StructType([
+    T.StructField("vec_ids", T.ArrayType(T.LongType())),
+    # residents' embeddings, flattened dim-per-vector
+    T.StructField("vecs", T.ArrayType(T.DoubleType())),
+])
+
+
+def stream_embedding_neardup(
+    stream: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 3,
+    dim: int = 64,
+    n_tables: int = 16,
+    ttl: str = "1 hour",
+    max_bucket_vecs: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming embedding-cosine near-dup pairs — the streaming twin of
+    ``llm.similarity.cosine_pairs_lsh`` with the SAME deterministic
+    hyperplanes (``_hyperplane_sign``), so a vector's (table, bucket)
+    keys match the batch pipeline's exactly.
+
+    Stateless hyperplane bucketing (n_tables keys per vector, pure
+    expressions) feeds per-(table, bucket) ``applyInPandasWithState``
+    groups whose state holds at most ``max_bucket_vecs`` resident
+    embeddings. Arriving vectors verify against residents by EXACT
+    cosine (precision 1, like batch; recall is the OR-construction
+    1-(1-p^planes)^n_tables), emitting (earlier, newer, cos) pairs
+    append-mode; a pair sharing several tables emits once per table
+    (consumers ``dropDuplicates(["id_a","id_b"])``). State per bucket is
+    O(max_bucket_vecs x dim) doubles; buckets expire lazily once the
+    watermark passes last arrival + ttl."""
+    import numpy as np
+    import pandas as pd
+
+    from weatherdb_spark.llm.similarity import _hyperplane_sign
+    from weatherdb_spark.operators.timeline import _interval_seconds
+
+    ttl_ms = _interval_seconds(ttl) * 1000
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    keyed = stream.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(ts_col).alias("event_ts"),
+        vec.alias("vec"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table"),
+                sum(
+                    [_hyperplane_sign(vec, t * planes + p, dim) * (2 ** p)
+                     for p in range(planes)],
+                    F.lit(0),
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("vec_id", "event_ts", "vec", "tb.table", "tb.bucket")
+
+    def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        table = int(key[0])
+        if state.exists:
+            vec_ids, vecs = state.get
+            vec_ids = list(vec_ids)
+            vecs = list(vecs)
+        else:
+            vec_ids, vecs = [], []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else pd.DataFrame(
+                columns=["vec_id", "event_ts", "vec"]
+            )
+        )
+        pdf = pdf.sort_values(["event_ts", "vec_id"])
+        out = []
+        for vec_id, v in zip(pdf["vec_id"], pdf["vec"]):
+            vec_id = int(vec_id)
+            if vec_id in vec_ids:
+                continue
+            nv = np.asarray(list(v), dtype=np.float64)
+            n_nv = float(np.linalg.norm(nv))
+            for i, resident in enumerate(vec_ids):
+                rv = np.asarray(vecs[i * dim:(i + 1) * dim], dtype=np.float64)
+                denom = n_nv * float(np.linalg.norm(rv))
+                if denom == 0.0:
+                    continue  # zero-norm vectors rank nowhere (try_divide twin)
+                cos = float(np.dot(rv, nv) / denom)
+                if cos >= threshold:
+                    out.append((resident, vec_id, table, cos))
+            if len(vec_ids) < max_bucket_vecs:
+                vec_ids.append(vec_id)
+                vecs.extend(float(x) for x in nv)
+        state.update((vec_ids, vecs))
+        last_ms = (
+            int(pd.Timestamp(pdf["event_ts"].max()).value // 1_000_000)
+            if len(pdf) else 0
+        )
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs() + 1000, last_ms + ttl_ms)
+        )
+        if out:
+            yield pd.DataFrame({
+                "id_a": [r[0] for r in out],
+                "id_b": [r[1] for r in out],
+                "table": [r[2] for r in out],
+                "cos": [r[3] for r in out],
+            })
+
+    return (
+        keyed.withWatermark("event_ts", ttl)
+        .groupBy("table", "bucket")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_EMB_OUT_SCHEMA,
+            stateStructType=_EMB_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

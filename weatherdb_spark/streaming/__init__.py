@@ -1,0 +1,41 @@
+"""Structured-Streaming operators: ingest bridge, windowed aggregation,
+exact dedup, stateful online QC, and MinHash/embedding near-dup.
+
+Lazy exports keep `import weatherdb_spark.streaming` free of the
+pyspark.sql.streaming import cost for batch-only callers.
+"""
+
+__all__ = [
+    "stream_raw_files",
+    "stream_into_broker",
+    "windowed_stream_agg",
+    "stream_dedup_exact",
+    "consec_run_flags",
+    "stream_neardup_pairs",
+    "stream_embedding_neardup",
+    "row_minhash_signature",
+]
+
+_HOMES = {
+    "stream_raw_files": "ingest",
+    "stream_into_broker": "ingest",
+    "windowed_stream_agg": "ingest",
+    "stream_dedup_exact": "ingest",
+    "consec_run_flags": "stateful",
+    "stream_neardup_pairs": "neardup",
+    "stream_embedding_neardup": "neardup",
+    "row_minhash_signature": "neardup",
+}
+
+
+def __getattr__(name):
+    if name in _HOMES:
+        import importlib
+
+        mod = importlib.import_module(
+            f"weatherdb_spark.streaming.{_HOMES[name]}"
+        )
+        return getattr(mod, name)
+    raise AttributeError(
+        f"module 'weatherdb_spark.streaming' has no attribute {name!r}"
+    )

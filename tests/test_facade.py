@@ -63,6 +63,15 @@ def test_period_accessors_and_comparisons():
     assert a == ("2020-02-01", "2020-03-01")
     assert a != ("2020-02-01", "2020-04-01")
     assert (a == object()) is False
+    # SQL literal dict with NULL for open bounds (TimestampPeriod.py:286)
+    d = a.get_sql_format_dict()
+    assert d == {"min_tstp": "'20200201 00:00'", "max_tstp": "'20200301 00:00'"}
+    assert TimestampPeriod(None, "2020-01-01").get_sql_format_dict()[
+        "min_tstp"] == "NULL"
+    # set_tz attaches tzinfo in place and returns self
+    z = TimestampPeriod("2020-01-01", "2020-02-01")
+    assert z.set_tz(dt.timezone.utc) is z
+    assert z.start.tzinfo is dt.timezone.utc and z.end.tzinfo is dt.timezone.utc
 
 
 # ------------------------------------------------------------------- facade

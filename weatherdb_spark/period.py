@@ -172,3 +172,25 @@ class TimestampPeriod:
         if iv is None:
             return None
         return self.start + iv / 2
+
+    def get_sql_format_dict(self, format: str = "'%Y%m%d %H:%M'") -> dict:
+        """{min_tstp, max_tstp} as quoted SQL literals, open bounds as
+        the string ``NULL`` (TimestampPeriod.py:286-302) — usable with
+        ``Broker.sql`` period predicates the way the reference templates
+        its Postgres statements."""
+        lo, hi = self.strftime(format)
+        return dict(
+            min_tstp="NULL" if lo is None else lo,
+            max_tstp="NULL" if hi is None else hi,
+        )
+
+    def set_tz(self, tzinfo) -> "TimestampPeriod":
+        """Attach a timezone to both bounds and return self
+        (TimestampPeriod.py:352-368). The engine stores tz-naive UTC
+        (the session timezone is pinned to UTC), so this only matters
+        when handing bounds to tz-aware consumers."""
+        if self.start is not None and self.start.tzinfo is None:
+            self.start = self.start.replace(tzinfo=tzinfo)
+        if self.end is not None and self.end.tzinfo is None:
+            self.end = self.end.replace(tzinfo=tzinfo)
+        return self

@@ -63,6 +63,9 @@ def test_period_accessors_and_comparisons():
     assert a == ("2020-02-01", "2020-03-01")
     assert a != ("2020-02-01", "2020-04-01")
     assert (a == object()) is False
+    # __ne__ propagates NotImplemented: Python's identity fallback makes
+    # != against a foreign object True, consistent with == being False
+    assert (a != object()) is True
     # SQL literal dict with NULL for open bounds (TimestampPeriod.py:286)
     d = a.get_sql_format_dict()
     assert d == {"min_tstp": "'20200201 00:00'", "max_tstp": "'20200301 00:00'"}

@@ -452,6 +452,11 @@ def test_stream_neardup_pairs_across_batches(spark, tmp_path):
                  "totally unrelated content about weather stations data"],
         "event_ts": ["2024-01-01 10:05:00", "2024-01-01 10:06:00"],
     }).to_csv(src / "b.csv", index=False)
+    # the file source orders batches by modification time; both files
+    # land within the same clock tick, so pin distinct mtimes or the
+    # "twin arrives later" premise flips at random
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
     stream = (
         spark.readStream.schema("doc_id long, text string, event_ts timestamp")
         .option("header", "true").option("maxFilesPerTrigger", 1)
@@ -546,6 +551,10 @@ def test_stream_embedding_neardup_across_batches(spark, tmp_path):
         {"vec_id": 3, "embedding": v3,
          "event_ts": (t0 + np.timedelta64(90, "s")).item()},
     ])
+    # pin distinct mtimes: the file source orders batches by mtime, and
+    # same-tick files flip the "v1 is the bucket resident" premise
+    os.utime(src / "a.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.parquet", (1_700_000_100, 1_700_000_100))
     stream = (
         spark.readStream.schema(
             "vec_id long, embedding array<double>, event_ts timestamp"

@@ -187,6 +187,13 @@ def test_broker_paras_alias_and_richter_name(stage_broker):
     assert before == after  # an empty scope runs no stage blocks
     # reference Broker method name; no-op without 10-min precipitation
     stage_broker.richter_correct()
+    # a bare-string scope is one parameter, not a substring match
+    assert Broker._param_wanted("et", "et")
+    assert not Broker._param_wanted("t", "et")
+    assert not Broker._param_wanted("p", "p_d")
+    # a valid-but-unbuilt kind fails loudly, not as a NoneType write
+    with pytest.raises(ValueError, match="none of the requested kinds"):
+        stage_broker.update_ma_timeserie("t", kinds=("corr",))
 
 
 def test_richter_class_wrappers_and_meta_patch(spark, tmp_path):

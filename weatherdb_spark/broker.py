@@ -1224,6 +1224,7 @@ class Broker:
             "meta", keep.unionByName(updated, allowMissingColumns=True)
         )
 
+    @_with_mutex
     def update_meta_fields(self, parameter: str, stid: int,
                            values: dict) -> None:
         """Patch one meta row's columns (the engine form of the
@@ -1794,8 +1795,14 @@ class Broker:
 
     @staticmethod
     def _param_wanted(parameter: str, parameters) -> bool:
-        """Stage-scoping predicate: None means every parameter."""
-        return parameters is None or parameter in parameters
+        """Stage-scoping predicate: None means every parameter. A bare
+        string coerces to a one-element scope — `in` on the raw string
+        would be a substring test ('t' in 'et' is True)."""
+        if parameters is None:
+            return True
+        if isinstance(parameters, str):
+            parameters = (parameters,)
+        return parameter in parameters
 
     def last_imp_done(self, parameter: str, stage: str) -> bool:
         """Has ``stage`` run since the pending last_imp window was
@@ -2023,6 +2030,14 @@ class Broker:
         cfg = PARAMETERS[parameter]
         ts = self.read(f"ts_{parameter}")
         kinds = tuple(k for k in kinds if k in ts.columns)
+        if not kinds:
+            # a valid-but-unbuilt kind (e.g. corr before richter-correct)
+            # must fail loudly here, not as a NoneType crash in the write
+            raise ValueError(
+                f"none of the requested kinds exist in ts_{parameter} yet "
+                "— run the stage that builds them first (quality-check / "
+                "fillup / richter-correct)"
+            )
         # coverage=None resolves through the user config inside yearly_ma
         ma = yearly_ma(
             ts, kinds=list(kinds), agg_fun=cfg["agg_fun"], coverage=coverage,

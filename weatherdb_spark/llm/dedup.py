@@ -16,20 +16,29 @@ from weatherdb_spark.functions.partitioning import spread
 from weatherdb_spark.llm.hashing import md5_int64, minhash_perm
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
-                  out_col: str = "shingles") -> DataFrame:
-    """Distinct word n-gram shingles per document (JVM-side transform,
-    no UDF). Documents with fewer than n words get an empty array."""
-    words = F.split(F.col(text_col), " ")
+def shingles_expr(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text Column as a PURE
+    expression (JVM-side, no UDF, no shuffle). The single source of the
+    shingling definition — the batch pipeline (word_shingles) and the
+    streaming near-dup signature (streaming/neardup.py) both build on
+    it, so their signatures cannot drift apart. Texts with fewer than n
+    words give an empty array."""
+    words = F.split(text_col, " ")
     n_words = F.size(words)
     idx = F.sequence(F.lit(1), n_words - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(n)]
     )
-    shingles = F.when(n_words >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
-    return df.withColumn(out_col, shingles)
+    return F.when(
+        n_words >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side transform,
+    no UDF). Documents with fewer than n words get an empty array."""
+    return df.withColumn(out_col, shingles_expr(F.col(text_col), n))
 
 
 def exploded_shingles(

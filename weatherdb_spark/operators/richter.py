@@ -33,6 +33,18 @@ def richter_class(horizon_col) -> F.Column:
     return expr
 
 
+def richter_class_scalar(horizon: float | None) -> str | None:
+    """Driver-side twin of :func:`richter_class` over the same bins —
+    one source of truth for both the stage recompute (Column form) and
+    the per-station meta patch (Station.update_richter_class)."""
+    if horizon is None:
+        return None
+    for name, lo, hi in RICHTER_CLASS_BINS:
+        if lo <= horizon < hi:
+            return name
+    return None
+
+
 def richter_parameters_df(spark: SparkSession) -> DataFrame:
     """The 4-row coefficient dim (db/fixtures/RichterParameters.json)."""
     rows = [

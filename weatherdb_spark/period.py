@@ -133,7 +133,10 @@ class TimestampPeriod:
         return TimestampPeriod(*other)
 
     def __ne__(self, other) -> bool:
-        return not self.__eq__(other)
+        eq = self.__eq__(other)
+        # propagate NotImplemented: `not NotImplemented` would claim
+        # equality with arbitrary objects (and TypeError on 3.14+)
+        return eq if eq is NotImplemented else not eq
 
     def __lt__(self, other) -> bool:
         return self.inside(self._as_period(other))

@@ -277,17 +277,19 @@ class Station:
         station's history, never a whole-table collect. Requires
         matplotlib (not shipped); raises ImportError with the get_df
         escape hatch otherwise."""
-        kinds = list(dict.fromkeys(kwargs.pop("kinds", [kind])))
-        pdf, title, unit = self._plot_frame(
-            kinds=kinds, period=period, agg_to=agg_to
-        )
         try:
             import matplotlib  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
+        except ImportError as exc:
+            # gate BEFORE the collect — paying the distributed read just
+            # to raise would waste the whole series scan
             raise ImportError(
                 "matplotlib is required for Station.plot(); use "
                 "get_df(...).toPandas() to plot manually"
             ) from exc
+        kinds = list(dict.fromkeys(kwargs.pop("kinds", [kind])))
+        pdf, title, unit = self._plot_frame(
+            kinds=kinds, period=period, agg_to=agg_to
+        )
         return pdf.plot(xlabel="Datum", ylabel=unit, title=title, **kwargs)
 
     # ------------------------- per-station stage wrappers. The reference
@@ -384,13 +386,9 @@ class Station:
                 )
             self.update_horizon(dem_sampler, skip_if_exist=False)
             return self.get_richter_class()
-        from weatherdb_spark.config import RICHTER_CLASS_BINS
+        from weatherdb_spark.operators.richter import richter_class_scalar
 
-        cls = next(
-            (name for name, lo, hi in RICHTER_CLASS_BINS
-             if lo <= horizon < hi),
-            None,
-        )
+        cls = richter_class_scalar(horizon)
         self.broker.update_meta_fields(
             self.parameter, self.id, {"richter_class": cls}
         )

@@ -65,19 +65,13 @@ _STATE_SCHEMA = T.StructType([
 def row_minhash_signature(text_col: Column, num_perm: int = 32,
                           n: int = 3) -> Column:
     """Per-row minhash signature as a pure expression (no shuffle, no
-    state) — same shingling + hash constants as the batch
-    ``minhash_signatures``, so values are bit-identical. Documents with
-    fewer than ``n`` words get an all-NULL signature (no shingles)."""
-    words = F.split(text_col, " ")
-    n_words = F.size(words)
-    idx = F.sequence(F.lit(1), n_words - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(n)]
-    )
-    shingles = F.when(
-        n_words >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = F.transform(shingles, md5_int64)
+    state) — built on the SAME shingle expression and hash constants as
+    the batch ``minhash_signatures`` (``llm.dedup.shingles_expr``), so
+    values are bit-identical by construction. Documents with fewer than
+    ``n`` words get an all-NULL signature (no shingles)."""
+    from weatherdb_spark.llm.dedup import shingles_expr
+
+    hashed = F.transform(shingles_expr(text_col, n), md5_int64)
 
     def perm_fn(k):
         # single-arg lambda per k: a `lambda h, k=k` would be called by
@@ -113,6 +107,14 @@ def stream_neardup_pairs(
 
     from weatherdb_spark.operators.timeline import _interval_seconds
 
+    if bands <= 0 or num_perm % bands != 0:
+        # silent truncation would weaken recall (dropped permutations);
+        # bands > num_perm would give empty band keys that collapse the
+        # whole stream into one state bucket per band
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     ttl_ms = _interval_seconds(ttl) * 1000
     rows = num_perm // bands
     sig = stream.select(
@@ -295,6 +297,13 @@ def stream_embedding_neardup(
             if vec_id in vec_ids:
                 continue
             nv = np.asarray(list(v), dtype=np.float64)
+            if len(nv) != dim:
+                # a wrong dim would silently mis-slice every resident's
+                # flattened embedding and emit garbage pairs
+                raise ValueError(
+                    f"embedding of vec_id {vec_id} has {len(nv)} "
+                    f"components, expected dim={dim}"
+                )
             n_nv = float(np.linalg.norm(nv))
             for i, resident in enumerate(vec_ids):
                 rv = np.asarray(vecs[i * dim:(i + 1) * dim], dtype=np.float64)

@@ -52,8 +52,10 @@ class UserConfig(configparser.ConfigParser):
     # (reference config/ConfigParser.py:169-203)
 
     def get_list(self, section: str, option: str) -> list[str]:
-        """Comma/newline-separated option as a list of stripped strings
-        (ConfigParser.py:169-177); missing option -> []."""
+        """COMMA-separated option as a list of stripped strings
+        (ConfigParser.py:169-177; newlines are removed before the split
+        exactly like the reference, so a multi-line value needs trailing
+        commas). Missing option -> []."""
         raw = self.get(section, option, fallback=None)
         if not raw:
             return []

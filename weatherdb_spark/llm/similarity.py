@@ -115,16 +115,28 @@ def recall_vs_brute(
     )
 
 
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Component signs of one deterministic hyperplane: +1/-1 by the
+    parity of a Knuth-multiplicative hash of (p*dim + i). Pure function
+    of (plane, i) — computed ONCE on the driver, not per row."""
+    return [
+        1.0 if ((plane * dim + i) * 2654435761) % 4294967296 < 2147483648
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component i of plane p is
-    +1/-1 by the parity of a Knuth-multiplicative hash of (p*dim + i)."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            ((F.lit(plane * dim) + i) * 2654435761 % 4294967296) < 2147483648,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """Deterministic pseudo-random hyperplane sign bit of ``vec``.
+
+    The signs are constants of (plane, i), so they enter the plan as a
+    literal array instead of a per-row sequence+transform. Measured at
+    sf0.1 this is wall-neutral (bucketing is ~0.3 s of the LSH pair
+    query; the exact-cosine verify of the candidate set dominates) but
+    it removes a per-row 64-element array allocation per plane that
+    would matter at real corpus sizes. The DuckDB oracle mirrors the
+    same formula, so bucket values are unchanged."""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),

@@ -330,6 +330,13 @@ def cosine_pairs_lsh(
         )
         for t in range(n_tables)
     ])
+    # The vectors deliberately RIDE THROUGH the bucket join: an
+    # ids-only candidate stream with a post-dedup join-back to fetch
+    # vectors measured 2x SLOWER at sf0.1 (two extra 1.5M-row joins
+    # cost more than the wider exchange, which compresses well). At a
+    # corpus where the per-pair vector payload dominates the exchange,
+    # revisit with an id-partitioned fetch — keep measuring, not
+    # guessing.
     bucketed = b.select("*", F.explode(tables).alias("_tb")).select(
         "_id", "_v",
         F.col("_tb._table").alias("_table"),

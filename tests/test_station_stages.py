@@ -246,3 +246,96 @@ def test_get_zipfiles_offline_listing(stage_broker):
     # with no raw_files manifest, only_new keeps everything
     if not stage_broker.exists("raw_files"):
         assert st.get_zipfiles(listing).count() == 2
+
+
+META_TXT_HIST = (
+    "Stations_id von_datum bis_datum Stationshoehe geoBreite geoLaenge Stationsname Bundesland\n"
+    "----------- --------- --------- ------------- --------- --------- ----------- ----------\n"
+    "00044 19900101 20191231            44     52.9336    8.2370 Großenkneten  Niedersachsen\n"
+)
+META_TXT_NOW = (
+    "Stations_id von_datum bis_datum Stationshoehe geoBreite geoLaenge Stationsname Bundesland\n"
+    "----------- --------- --------- ------------- --------- --------- ----------- ----------\n"
+    "00044 20200101 20240101            44     52.9336    8.2370 Großenkneten  Niedersachsen\n"
+    "00071 20091201 20191231           759     48.2156    8.9784 Albstadt-Badkap  Baden-Württemberg\n"
+)
+PRODUKT_P44 = (
+    "STATIONS_ID;MESS_DATUM;QN;RWS_DAU_10;RWS_10;RWS_IND_10;eor\n"
+    "  44;202401010000;3;10;0.10;1;eor\n"
+    "  44;202401010010;3;10;0.20;1;eor\n"
+    "  71;202401010000;3;10;0.50;1;eor\n"
+)
+
+
+def test_stations_offline_update_family(spark, tmp_path):
+    """Collection-level download_meta/update_meta/update_raw/
+    update_ma_raster/update — the offline tails of the reference's
+    StationsBase.py:59-1000 CDC loops."""
+    from weatherdb_spark.station import Stations
+
+    hist = tmp_path / "hist_Beschreibung_Stationen.txt"
+    hist.write_text(META_TXT_HIST, encoding="WINDOWS-1252")
+    now = tmp_path / "now_Beschreibung_Stationen.txt"
+    now.write_text(META_TXT_NOW, encoding="WINDOWS-1252")
+    p_dir = tmp_path / "p_files"
+    p_dir.mkdir()
+    (p_dir / "produkt_zehn_min_rr_00044.txt").write_text(PRODUKT_P44)
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    sts = Stations(b, "p")
+
+    # multi-file join: new station added, von/bis widened to the union
+    joined = sts.download_meta([str(hist), str(now)])
+    assert joined.count() == 2
+    r44 = joined.filter(F.col("stations_id") == "00044").first()
+    assert str(r44["von_datum"])[:4] == "1990"   # hist start kept
+    assert str(r44["bis_datum"])[:4] == "2024"   # widened by the now file
+
+    sts.update_meta(meta_files=[str(hist), str(now)])
+    meta = b.read("meta")
+    assert meta.count() == 2
+    assert meta.filter(F.col("station_id") == 71).first()["x_utm"] is not None
+
+    # scoped raw import: only station 44's rows land; watermark advances
+    sts.update_raw(stids=[44], raw_dir=str(p_dir))
+    ts = b.read("ts_p")
+    assert ts.filter(F.col("station_id") == 71).count() == 0
+    assert ts.filter(F.col("station_id") == 44).count() == 2
+
+    # ma raster: full sample, then a scoped resample leaves 71 untouched
+    raster = spark.createDataFrame(
+        [(c, r, "year", 100.0 + c) for c in range(2) for r in range(2)],
+        "col int, row int, term string, value double",
+    )
+    meta_xy = [(44, 50.0, 50.0), (71, 150.0, 50.0)]
+    b.update_meta(spark.createDataFrame(
+        [(s, "p", True, x, y, 100) for s, x, y in meta_xy],
+        "station_id int, parameter string, is_real boolean, "
+        "x_utm double, y_utm double, stationshoehe int",
+    ))
+    sts.update_ma_raster(raster=raster, x0=0.0, y0=200.0, res=100.0)
+    vals = {r["station_id"]: r["value"]
+            for r in b.read("station_ma_raster").collect()}
+    assert vals == {44: 100.0, 71: 101.0}
+    shifted = raster.withColumn("value", F.col("value") + 9)
+    sts.update_ma_raster(stids=[44], raster=shifted,
+                         x0=0.0, y0=200.0, res=100.0)
+    vals = {r["station_id"]: r["value"]
+            for r in b.read("station_ma_raster").collect()}
+    assert vals == {44: 109.0, 71: 101.0}  # 71 kept, 44 resampled
+
+    # the umbrella update: raw merge + incremental qc/fillup consume the
+    # pending window (P's QC compares against the daily table and the
+    # fillup regionalizes over seasonal MA values -> seed both dims)
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, "p", t, 800.0) for s in (44, 71)
+         for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    ))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(44, dt.datetime(2024, 1, 1), 0.3), (71, dt.datetime(2024, 1, 1), 0.5)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    sts.update(only_new=True, raw_dir=str(p_dir))
+    marks = {(r["parameter"], r["stage"]) for r in b.state().collect()}
+    assert ("p", "qc") in marks and ("p", "filled") in marks

@@ -1106,28 +1106,33 @@ class Broker:
     @_with_mutex
     def update_ma_raster_from_grid(
         self, parameter: str, raster: DataFrame,
-        x0: float, y0: float, res: float,
+        x0: float, y0: float, res: float, stids=None,
     ) -> None:
         """S7 — sample a gridded raster table (col, row, term, value) at
         every station of ``parameter`` and write the result into
         ``station_ma_raster`` (reference update_ma_raster loop,
         StationBases.py:848-913: point sample, then 50 m buffer growth to
         1000 m with all_touched zonal mean on NoData —
-        operators/raster.sample_raster)."""
+        operators/raster.sample_raster). ``stids`` scopes the resample to
+        the given stations (reference ``stids`` arg,
+        StationsBase.py:857-865); the others keep their stored values."""
         from weatherdb_spark.operators.raster import sample_raster
 
-        stations = self.read("meta").filter(
-            F.col("parameter") == parameter
+        stations = self._scope(
+            self.read("meta").filter(F.col("parameter") == parameter), stids
         ).select("station_id", "x_utm", "y_utm")
         sampled = sample_raster(stations, raster, x0=x0, y0=y0, res=res)
         out = sampled.select(
             "station_id", F.lit(parameter).alias("parameter"), "term", "value"
         )
         if self.exists("station_ma_raster"):
-            prev = self.read("station_ma_raster").filter(
-                F.col("parameter") != parameter
-            )
-            out = prev.unionByName(out)
+            prev = self.read("station_ma_raster")
+            replaced = F.col("parameter") == parameter
+            if stids is not None:
+                replaced = replaced & F.col("station_id").isin(
+                    [int(s) for s in stids]
+                )
+            out = prev.filter(~replaced).unionByName(out)
         self.write("station_ma_raster", out)
 
     @_with_mutex
@@ -1944,6 +1949,21 @@ class Broker:
         cur = self.read(table, years=years if partial else None).drop(
             "station_bucket"
         )
+        missing = [c for c in cols if c not in cur.columns]
+        if missing:
+            # first-ever incremental run of this stage on the table (a
+            # fresh warehouse goes straight to last_imp_* without a full
+            # stage pass): the stage columns don't exist yet. They appear
+            # now as typed NULLs (the NULL-until-computed contract) — and
+            # since adding them only to the touched years would fork the
+            # leaf schemas against the hard-linked untouched years, this
+            # one merge rewrites the whole table.
+            if partial:
+                partial = False
+                cur = self.read(table).drop("station_bucket")
+            upd_types = {f.name: f.dataType for f in upd.schema.fields}
+            for c in missing:
+                cur = cur.withColumn(c, F.lit(None).cast(upd_types[c]))
         merged = merge_upsert(
             cur, upd, keys=["station_id", "timestamp"], value_cols=cols
         ).drop("_merge_action")

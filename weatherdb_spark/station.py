@@ -466,6 +466,45 @@ class Station:
         )
         return files_to_update(listing, manifest)
 
+    def update_raw(self, only_new: bool = True, raw_dir=None) -> None:
+        """Import this station's raw data from a directory of DWD zips /
+        produkt files (reference update_raw, StationBases.py:1021-1141 —
+        minus the live download). Always a keyed merge scoped to this
+        station: other stations' rows are untouched. ``only_new=False``
+        merely signals that the caller re-supplies the full history —
+        the merge replaces matching (station, timestamp) keys either
+        way, like the reference's ON CONFLICT upsert."""
+        del only_new
+        if raw_dir is None:
+            raise ValueError(
+                "update_raw needs raw_dir= (live CDC download is out of "
+                "scope — pass the directory of DWD zip/produkt files)"
+            )
+        from weatherdb_spark.sources.dwd import ingest_raw_dir
+
+        raw = ingest_raw_dir(self.broker.spark, self.parameter, raw_dir)
+        self.broker.append_raw(
+            self.parameter, raw.filter(F.col("station_id") == self.id)
+        )
+
+    def update_ma_raster(self, raster=None, x0: float = 0.0,
+                         y0: float = 0.0, res: float = 1000.0,
+                         skip_if_exist: bool = True) -> None:
+        """Resample this station's multi-annual raster values (reference
+        update_ma_raster, StationBases.py:849-913; the raster arrives as
+        a gridded (col, row, term, value) DataFrame instead of a live
+        Zenodo file)."""
+        if skip_if_exist and self.isin_ma():
+            return
+        if raster is None:
+            raise ValueError(
+                "update_ma_raster needs raster= (a gridded "
+                "(col, row, term, value) DataFrame) plus its x0/y0/res"
+            )
+        self.broker.update_ma_raster_from_grid(
+            self.parameter, raster, x0=x0, y0=y0, res=res, stids=[self.id]
+        )
+
     # ------------------------- membership predicates (StationBases.py:
     # 1848-1871 isin_db/isin_meta/isin_ma, 1875-1898 is_virtual/is_real)
     def isin_meta(self) -> bool:
@@ -835,6 +874,133 @@ class Stations:
         self.broker.update_ma_timeserie(
             self.parameter, kinds=_ma_ts_kinds(self.parameter, kind)
         )
+
+    def download_meta(self, meta_files) -> DataFrame:
+        """Parse and join the parameter's DWD station-list file(s)
+        (reference download_meta, StationsBase.py:59-95 — there the files
+        come from a live CDC fetch; live sockets are out of scope, so the
+        file paths are a required argument). Later files only ADD unseen
+        stations, and widen ``von_datum``/``bis_datum`` where the newer
+        file covers a longer span — the reference's multi-folder join.
+        Returns the CDC-shaped frame (pre warehouse mapping)."""
+        from weatherdb_spark.sources.dwd import read_meta_txt
+
+        if isinstance(meta_files, str):
+            meta_files = [meta_files]
+        parsed = [read_meta_txt(self.broker.spark, p) for p in meta_files]
+        meta = parsed[0]
+        for extra in parsed[1:]:
+            unseen = extra.join(
+                meta.select("stations_id"), "stations_id", "left_anti"
+            )
+            meta = meta.unionByName(unseen, allowMissingColumns=True)
+            if "bis_datum" in meta.columns and "bis_datum" in extra.columns:
+                span = extra.select(
+                    "stations_id",
+                    F.col("von_datum").alias("_von_new"),
+                    F.col("bis_datum").alias("_bis_new"),
+                )
+                meta = (
+                    meta.join(span, "stations_id", "left")
+                    .withColumn(
+                        "von_datum",
+                        F.when(
+                            F.col("von_datum") > F.col("_von_new"),
+                            F.col("_von_new"),
+                        ).otherwise(F.col("von_datum")),
+                    )
+                    .withColumn(
+                        "bis_datum",
+                        F.when(
+                            F.col("bis_datum") < F.col("_bis_new"),
+                            F.col("_bis_new"),
+                        ).otherwise(F.col("bis_datum")),
+                    )
+                    .drop("_von_new", "_bis_new")
+                )
+        return meta
+
+    def update_meta(self, stids="all", meta_files=None) -> None:
+        """Upsert the parameter's meta rows from DWD station-list file(s)
+        (reference update_meta, StationsBase.py:97-160). The CDC
+        ``von_datum``/``bis_datum`` are deliberately NOT written — the
+        reference sets the period columns from the actual filled data
+        instead (``update_period_meta``); dropped stations are anti-joined
+        away inside ``Broker.update_meta``."""
+        if meta_files is None:
+            raise ValueError(
+                "update_meta needs meta_files= (live CDC download is out "
+                "of scope — pass the station-list text file paths)"
+            )
+        from weatherdb_spark.sources.dwd import meta_from_dwd
+
+        mapped = meta_from_dwd(self.download_meta(meta_files), self.parameter)
+        stids_l = self._stids_arg(stids)
+        if stids_l is not None:
+            mapped = mapped.filter(F.col("station_id").isin(stids_l))
+        self.broker.upsert_meta(mapped)
+
+    def update_raw(self, only_new=True, only_real=True, stids="all",
+                   raw_dir=None) -> None:
+        """Import the parameter's raw data from a directory of DWD zips /
+        produkt files (reference update_raw, StationsBase.py:687-763 —
+        minus the FTP download, SURVEY §7.4's declared non-goal).
+
+        ``only_new=True`` merges by (station, timestamp) and advances the
+        last-import watermark (``Broker.append_raw`` — the reference's
+        per-station ON CONFLICT upsert + last_imp bookkeeping). A scoped
+        (``stids``/``only_real``) or incremental run always merges;
+        only the unscoped ``only_new=False`` bootstrap replaces the raw
+        table wholesale like the reference's full re-download."""
+        if raw_dir is None:
+            raise ValueError(
+                "update_raw needs raw_dir= (live CDC download is out of "
+                "scope — pass the directory of DWD zip/produkt files)"
+            )
+        from weatherdb_spark.sources.dwd import ingest_raw_dir
+
+        raw = ingest_raw_dir(self.broker.spark, self.parameter, raw_dir)
+        stids_l = self._stids_arg(stids)
+        scoped = stids_l is not None
+        if scoped:
+            raw = raw.filter(F.col("station_id").isin(stids_l))
+        if only_real:
+            real = self.get_meta(only_real=True).select("station_id")
+            raw = raw.join(F.broadcast(real), "station_id", "left_semi")
+        if only_new or scoped:
+            self.broker.append_raw(self.parameter, raw)
+        else:
+            self.broker.update_raw(self.parameter, raw)
+
+    def update_ma_raster(self, stids="all", raster=None,
+                         x0: float = 0.0, y0: float = 0.0,
+                         res: float = 1000.0) -> None:
+        """Resample the multi-annual raster values for the parameter's
+        stations (reference update_ma_raster, StationsBase.py:857-865;
+        the raster arrives as a gridded DataFrame instead of a live
+        Zenodo download)."""
+        if raster is None:
+            raise ValueError(
+                "update_ma_raster needs raster= (a gridded "
+                "(col, row, term, value) DataFrame) plus its x0/y0/res"
+            )
+        self.broker.update_ma_raster_from_grid(
+            self.parameter, raster, x0=x0, y0=y0, res=res,
+            stids=self._stids_arg(stids),
+        )
+
+    def update(self, only_new=True, stids="all", raw_dir=None) -> None:
+        """Complete update of the parameter's stations: raw import, then
+        quality check and fillup — incremental (last-imp) when
+        ``only_new``, full otherwise (reference update,
+        StationsBase.py:967-987)."""
+        self.update_raw(only_new=only_new, stids=stids, raw_dir=raw_dir)
+        if only_new:
+            self.last_imp_quality_check()
+            self.last_imp_fillup()
+        else:
+            self.quality_check(stids=stids)
+            self.fillup(stids=stids)
 
     @classmethod
     def get_meta_explanation(cls, infos: Sequence[str] | str = "all") -> dict[str, str]:
@@ -1370,6 +1536,47 @@ class _TypedStations(Stations):
 
 class StationsP(_TypedStations):
     PARAMETER = "p"
+
+    def update_richter_class(self, stids="all", dem_sampler=None,
+                             **kw) -> None:
+        """Refresh the Richter exposure classes (reference
+        StationsP.update_richter_class, StationsP.py:21-46 — a
+        per-station process pool; here ONE distributed stage). With a
+        ``dem_sampler`` the horizon angles are recomputed first
+        (S8 + S9); without one the classes re-derive from the stored
+        horizon column inside the meta rewrite."""
+        if dem_sampler is not None:
+            self.broker.update_horizon(
+                dem_sampler, self.parameter,
+                stids=self._stids_arg(stids), **kw
+            )
+        else:
+            # Broker.update_meta re-derives richter_class from the
+            # stored horizon for every row that has one
+            self.broker.update_meta(self.broker.read("meta"))
+
+    def richter_correct(self, stids="all") -> None:
+        """Richter-correct the filled data (StationsP.py:49-71)."""
+        self.broker.richter_correct(stids=self._stids_arg(stids))
+
+    def last_imp_corr(self, stids="all") -> None:
+        """Richter-correct the pending import window
+        (StationsP.py:74-108); no-op without a pending window."""
+        del stids  # the engine's bounded stage covers every station
+        self.broker.last_imp_corr()
+
+    def last_imp_richter_correct(self, stids="all") -> None:
+        """Reference alias for :meth:`last_imp_corr`."""
+        self.last_imp_corr(stids)
+
+    def update(self, only_new=True, stids="all", raw_dir=None) -> None:
+        """P's complete update adds the Richter correction after the
+        fillup (StationsP.py:111-130)."""
+        super().update(only_new=only_new, stids=stids, raw_dir=raw_dir)
+        if only_new:
+            self.last_imp_richter_correct()
+        else:
+            self.richter_correct(stids=stids)
 
 
 class StationsPD(_TypedStations):

@@ -136,7 +136,10 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     it removes a per-row 64-element array allocation per plane that
     would matter at real corpus sizes. The DuckDB oracle mirrors the
     same formula, so bucket values are unchanged."""
-    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
+    # ONE literal-array call, not 64 F.lit() py4j round-trips: with
+    # planes x tables hyperplanes the per-element form alone cost ~5 s
+    # of driver time building the plan (measured at 48 planes)
+    signs = F.lit(_plane_signs(plane, dim))
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
@@ -317,16 +320,43 @@ def cosine_pairs_lsh(
     planes/n_tables per threshold (fewer planes -> bigger buckets ->
     higher recall, more candidates). Hot buckets are bounded by 2^planes
     buckets per table; at 100 TB add a per-bucket cap or more planes.
+
+    Cross-table dedup is a MAP-SIDE filter, not a dropDuplicates: both
+    sides carry their full ``n_tables`` bucket-signature array, and a
+    pair is kept only in the FIRST table whose buckets collide
+    (``array_position`` over the zipped equality). Same distinct pair
+    set, but the candidate stream — |pairs| x duplication x two
+    64-float payload vectors, the single biggest intermediate here —
+    is never exchanged for a grouping; only the dim-per-row bucketed
+    stream shuffles for the join.
     """
     b = spread(embeddings).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("_table"),
-            sum(
-                [_hyperplane_sign(F.col("_v"), t * planes + p, dim) * (2 ** p)
-                 for p in range(planes)],
-                F.lit(0),
-            ).alias("_bucket"),
+    # ONE nested sign-matrix literal + one transform for all
+    # (tables x planes) hyperplane bits — the same per-plane
+    # aggregate(zip_with(..)) float sums in the same order (bucket
+    # values unchanged, so the mirrored DuckDB oracle still
+    # hash-matches), but the plan builds with 3 higher-order
+    # expressions instead of 48: the per-plane form spent ~4 s of
+    # DRIVER time just assembling the expression tree over py4j
+    sign_matrix = F.lit([
+        _plane_signs(pl, dim) for pl in range(n_tables * planes)
+    ])
+    sign_bits = F.transform(
+        sign_matrix,
+        lambda plane: (
+            F.aggregate(
+                F.zip_with(F.col("_v"), plane,
+                           lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ) >= 0
+        ).cast("int"),
+    )
+    sig = F.array(*[
+        sum(
+            [F.element_at(F.col("_bits"), t * planes + p + 1) * (2 ** p)
+             for p in range(planes)],
+            F.lit(0),
         )
         for t in range(n_tables)
     ])
@@ -336,23 +366,42 @@ def cosine_pairs_lsh(
     # cost more than the wider exchange, which compresses well). At a
     # corpus where the per-pair vector payload dominates the exchange,
     # revisit with an id-partitioned fetch — keep measuring, not
-    # guessing.
-    bucketed = b.select("*", F.explode(tables).alias("_tb")).select(
-        "_id", "_v",
-        F.col("_tb._table").alias("_table"),
-        F.col("_tb._bucket").alias("_bucket"),
+    # guessing. The vector NORM rides too: computed once per corpus
+    # row, so the per-pair verify does ONE dot product instead of
+    # three — and since the division pairs the identical
+    # sqrt(dot(v, v)) factors, the cos values are bit-identical to the
+    # inline form.
+    bucketed = (
+        b.withColumn("_bits", sign_bits)
+        .withColumn("_sig", sig)
+        .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .select(
+            "_id", "_v", "_sig", "_norm",
+            F.posexplode(F.col("_sig")).alias("_table", "_bucket"),
+        )
     )
     lhs = bucketed.select(
-        "_table", "_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+        "_table", "_bucket", F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_sig").alias("_sa"),
+        F.col("_norm").alias("_na"),
     )
     rhs = bucketed.select(
-        "_table", "_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+        "_table", "_bucket", F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_sig").alias("_sb"),
+        F.col("_norm").alias("_nb"),
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, bb: a == bb),
+        True,
+    )
+    cos = F.try_divide(
+        _dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
     )
     return (
         lhs.join(rhs, ["_table", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(first_match == F.col("_table") + 1)
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -148,6 +148,47 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (proj >= 0).cast("int")
 
 
+def _with_bucket_signature(
+    df: DataFrame, vec: str, planes: int, n_tables: int, dim: int,
+    out: str = "_sig",
+) -> DataFrame:
+    """Add the ``n_tables``-element LSH bucket-signature array for
+    ``vec``: bucket t packs the sign bits of hyperplanes
+    [t*planes, (t+1)*planes).
+
+    All (tables x planes) sign bits come from ONE nested sign-matrix
+    literal + one transform — the same per-plane aggregate(zip_with(..))
+    float sums in the same order as :func:`_hyperplane_sign` (bucket
+    values identical; the streaming twin and the mirrored DuckDB oracles
+    still agree bit-for-bit), but the plan builds with 3 higher-order
+    expressions instead of tables x planes: the per-plane form spent
+    ~4 s of DRIVER time just assembling the expression tree over py4j
+    (measured at 48 planes)."""
+    sign_matrix = F.lit([
+        _plane_signs(pl, dim) for pl in range(n_tables * planes)
+    ])
+    bits = F.transform(
+        sign_matrix,
+        lambda plane: (
+            F.aggregate(
+                F.zip_with(F.col(vec), plane,
+                           lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ) >= 0
+        ).cast("int"),
+    )
+    sig = F.array(*[
+        sum(
+            [F.element_at(F.col("_bits"), t * planes + p + 1) * (2 ** p)
+             for p in range(planes)],
+            F.lit(0),
+        )
+        for t in range(n_tables)
+    ])
+    return df.withColumn("_bits", bits).withColumn(out, sig).drop("_bits")
+
+
 #: k-means coarse-quantizer training cap: above this corpus size the fit
 #: runs on a seeded sample — the centroids only sketch the distribution,
 #: while a full-corpus fit would pay several whole-corpus passes.
@@ -262,20 +303,9 @@ def lsh_bucket_topk(
     """
     def bucketed(df: DataFrame) -> DataFrame:
         # one row per table: bucket from that table's plane block
-        tables = F.array(*[
-            F.struct(
-                F.lit(t).alias("_table"),
-                sum(
-                    [_hyperplane_sign(F.col("_v"), t * planes + p, dim) * (2 ** p)
-                     for p in range(planes)],
-                    F.lit(0),
-                ).alias("_bucket"),
-            )
-            for t in range(n_tables)
-        ])
-        return df.select("*", F.explode(tables).alias("_tb")).select(
-            "*", F.col("_tb._table").alias("_table"), F.col("_tb._bucket").alias("_bucket")
-        ).drop("_tb")
+        return _with_bucket_signature(df, "_v", planes, n_tables, dim).select(
+            "*", F.posexplode(F.col("_sig")).alias("_table", "_bucket")
+        ).drop("_sig")
 
     c = bucketed(
         spread(embeddings).select(
@@ -331,35 +361,6 @@ def cosine_pairs_lsh(
     stream shuffles for the join.
     """
     b = spread(embeddings).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # ONE nested sign-matrix literal + one transform for all
-    # (tables x planes) hyperplane bits — the same per-plane
-    # aggregate(zip_with(..)) float sums in the same order (bucket
-    # values unchanged, so the mirrored DuckDB oracle still
-    # hash-matches), but the plan builds with 3 higher-order
-    # expressions instead of 48: the per-plane form spent ~4 s of
-    # DRIVER time just assembling the expression tree over py4j
-    sign_matrix = F.lit([
-        _plane_signs(pl, dim) for pl in range(n_tables * planes)
-    ])
-    sign_bits = F.transform(
-        sign_matrix,
-        lambda plane: (
-            F.aggregate(
-                F.zip_with(F.col("_v"), plane,
-                           lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ) >= 0
-        ).cast("int"),
-    )
-    sig = F.array(*[
-        sum(
-            [F.element_at(F.col("_bits"), t * planes + p + 1) * (2 ** p)
-             for p in range(planes)],
-            F.lit(0),
-        )
-        for t in range(n_tables)
-    ])
     # The vectors deliberately RIDE THROUGH the bucket join: an
     # ids-only candidate stream with a post-dedup join-back to fetch
     # vectors measured 2x SLOWER at sf0.1 (two extra 1.5M-row joins
@@ -372,8 +373,7 @@ def cosine_pairs_lsh(
     # sqrt(dot(v, v)) factors, the cos values are bit-identical to the
     # inline form.
     bucketed = (
-        b.withColumn("_bits", sign_bits)
-        .withColumn("_sig", sig)
+        _with_bucket_signature(b, "_v", planes, n_tables, dim)
         .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
         .select(
             "_id", "_v", "_sig", "_norm",

@@ -323,6 +323,17 @@ def test_stations_offline_update_family(spark, tmp_path):
     vals = {r["station_id"]: r["value"]
             for r in b.read("station_ma_raster").collect()}
     assert vals == {44: 109.0, 71: 101.0}  # 71 kept, 44 resampled
+    # a scoped resample that finds NO data for the station (point beyond
+    # the raster + buffer) must keep its stored values, not erase them
+    far_raster = spark.createDataFrame(
+        [(c, r, "year", 7.0) for c in range(2) for r in range(2)],
+        "col int, row int, term string, value double",
+    )
+    sts.update_ma_raster(stids=[44], raster=far_raster,
+                         x0=90000.0, y0=200.0, res=100.0)
+    vals = {r["station_id"]: r["value"]
+            for r in b.read("station_ma_raster").collect()}
+    assert vals == {44: 109.0, 71: 101.0}  # unchanged, nothing deleted
 
     # the umbrella update: raw merge + incremental qc/fillup consume the
     # pending window (P's QC compares against the daily table and the
@@ -339,3 +350,24 @@ def test_stations_offline_update_family(spark, tmp_path):
     sts.update(only_new=True, raw_dir=str(p_dir))
     marks = {(r["parameter"], r["stage"]) for r in b.state().collect()}
     assert ("p", "qc") in marks and ("p", "filled") in marks
+
+    # P-only warehouse (no ts_t): the incremental Richter correction is
+    # a contract no-op, so StationsP.update must not crash mid-umbrella
+    from weatherdb_spark.station import StationsP
+
+    psts = StationsP(b)
+    psts.last_imp_corr()  # pending window exists; ts_t does not
+    assert not b.exists("ts_t")
+    # update_richter_class without a stored horizon or DEM must fail
+    # loudly (the per-station wrapper's contract), never silently no-op
+    with pytest.raises(ValueError, match="horizon"):
+        psts.update_richter_class()
+
+    # the per-station wrappers delegate to the collection twins with a
+    # one-station scope: importing for station 71 leaves 44's rows alone
+    st71 = Station(b, 71, "p")
+    st71.update_raw(raw_dir=str(p_dir))
+    ts = b.read("ts_p")
+    assert ts.filter(F.col("station_id") == 71).count() == 1
+    assert ts.filter((F.col("station_id") == 44)
+                     & F.col("raw").isNotNull()).count() == 2

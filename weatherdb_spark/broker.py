@@ -1127,12 +1127,25 @@ class Broker:
         )
         if self.exists("station_ma_raster"):
             prev = self.read("station_ma_raster")
-            replaced = F.col("parameter") == parameter
             if stids is not None:
-                replaced = replaced & F.col("station_id").isin(
-                    [int(s) for s in stids]
+                # drop only the rows actually re-sampled: a scoped
+                # station whose point falls outside the raster (or is
+                # all-NoData beyond the buffer) is ABSENT from the
+                # sample result (operators/raster.sample_raster), and
+                # deleting its stored values would silently degrade the
+                # fillup regionalization — the reference keeps the row
+                keep = prev.join(
+                    F.broadcast(
+                        out.select("station_id", "parameter").distinct()
+                    ),
+                    ["station_id", "parameter"],
+                    "left_anti",
                 )
-            out = prev.filter(~replaced).unionByName(out)
+                out = keep.unionByName(out)
+            else:
+                out = prev.filter(
+                    F.col("parameter") != parameter
+                ).unionByName(out)
         self.write("station_ma_raster", out)
 
     @_with_mutex
@@ -2376,7 +2389,16 @@ class Broker:
         StationP.last_imp_richter_correct): window-bounded recompute of
         the corr column for P, merged back for in-window rows."""
         window = self.last_imp("p")
-        if window is None or not self.exists("ts_p"):
+        if window is None or not (self.exists("ts_p") and self.exists("ts_t")):
+            # same no-op contract as richter_correct_stage: a warehouse
+            # without temperature data (P-only deployments) must not
+            # crash the umbrella update with a path-not-found deep in a
+            # lazy plan
+            return
+        meta_p = self.read("meta").filter(F.col("parameter") == "p")
+        if "richter_class" not in meta_p.columns:
+            return
+        if "filled" not in self.read("ts_t").columns:
             return
         part, in_window = self._window_part("ts_p", window, margin)
         years = self._window_years(window, margin)
@@ -2387,7 +2409,6 @@ class Broker:
             .filter(F.col("timestamp").between(lo, hi))
             .select("station_id", "timestamp", "filled")
         )
-        meta_p = self.read("meta").filter(F.col("parameter") == "p")
         out = richter_correct(
             part, ts_t, meta_p, richter_parameters_df(self.spark),
             est_station_days=self._est_station_days("p", window),

@@ -473,18 +473,12 @@ class Station:
         station: other stations' rows are untouched. ``only_new=False``
         merely signals that the caller re-supplies the full history —
         the merge replaces matching (station, timestamp) keys either
-        way, like the reference's ON CONFLICT upsert."""
+        way, like the reference's ON CONFLICT upsert. Delegates to the
+        collection twin with a one-station scope (ONE implementation of
+        the ingest/merge decision)."""
         del only_new
-        if raw_dir is None:
-            raise ValueError(
-                "update_raw needs raw_dir= (live CDC download is out of "
-                "scope — pass the directory of DWD zip/produkt files)"
-            )
-        from weatherdb_spark.sources.dwd import ingest_raw_dir
-
-        raw = ingest_raw_dir(self.broker.spark, self.parameter, raw_dir)
-        self.broker.append_raw(
-            self.parameter, raw.filter(F.col("station_id") == self.id)
+        Stations(self.broker, self.parameter).update_raw(
+            stids=[self.id], only_real=False, raw_dir=raw_dir
         )
 
     def update_ma_raster(self, raster=None, x0: float = 0.0,
@@ -493,16 +487,12 @@ class Station:
         """Resample this station's multi-annual raster values (reference
         update_ma_raster, StationBases.py:849-913; the raster arrives as
         a gridded (col, row, term, value) DataFrame instead of a live
-        Zenodo file)."""
+        Zenodo file). Delegates to the collection twin with a
+        one-station scope."""
         if skip_if_exist and self.isin_ma():
             return
-        if raster is None:
-            raise ValueError(
-                "update_ma_raster needs raster= (a gridded "
-                "(col, row, term, value) DataFrame) plus its x0/y0/res"
-            )
-        self.broker.update_ma_raster_from_grid(
-            self.parameter, raster, x0=x0, y0=y0, res=res, stids=[self.id]
+        Stations(self.broker, self.parameter).update_ma_raster(
+            stids=[self.id], raster=raster, x0=x0, y0=y0, res=res
         )
 
     # ------------------------- membership predicates (StationBases.py:
@@ -965,6 +955,10 @@ class Stations:
         if scoped:
             raw = raw.filter(F.col("station_id").isin(stids_l))
         if only_real:
+            self.broker._require(
+                "meta", f"update_raw(only_real=True) on {self.parameter!r}",
+                hint="run update-meta first, or pass only_real=False",
+            )
             real = self.get_meta(only_real=True).select("station_id")
             raw = raw.join(F.broadcast(real), "station_id", "left_semi")
         if only_new or scoped:
@@ -1550,10 +1544,19 @@ class StationsP(_TypedStations):
                 dem_sampler, self.parameter,
                 stids=self._stids_arg(stids), **kw
             )
-        else:
-            # Broker.update_meta re-derives richter_class from the
-            # stored horizon for every row that has one
-            self.broker.update_meta(self.broker.read("meta"))
+            return
+        # Broker.update_meta re-derives richter_class from the stored
+        # horizon for every row that has one — a full-dim idempotent
+        # rewrite, so stids only scopes the DEM path above
+        meta = self.broker.read("meta")
+        if "horizon" not in meta.columns:
+            # same contract as Station.update_richter_class: never
+            # report success having computed nothing
+            raise ValueError(
+                "no stored horizon column in meta — pass a dem_sampler "
+                "(or run the update-richter-class CLI with a DEM grid)"
+            )
+        self.broker.update_meta(meta)
 
     def richter_correct(self, stids="all") -> None:
         """Richter-correct the filled data (StationsP.py:49-71)."""

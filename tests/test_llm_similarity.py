@@ -31,3 +31,38 @@ def test_lsh_pairs_precision_one_recall_gated(spark):
     recall = len(lsh & brute) / len(brute)
     # measured 0.88-0.93 at sf0.001/0.01 with the deterministic planes
     assert recall >= 0.7, f"LSH recall collapsed to {recall:.2f}"
+
+
+def test_bucket_signature_matches_per_plane_form(spark):
+    """The shared sign-matrix signature builder must produce exactly the
+    per-plane _hyperplane_sign buckets — the streaming twin
+    (streaming/neardup.py) and the mirrored DuckDB oracles both assume
+    this equality bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        _hyperplane_sign,
+        _with_bucket_signature,
+    )
+
+    planes, n_tables, dim = 3, 16, 64
+    emb = load(spark, SF_DIR, "embeddings").limit(50).select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    per_plane = F.array(*[
+        sum(
+            [_hyperplane_sign(F.col("_v"), t * planes + p, dim) * (2 ** p)
+             for p in range(planes)],
+            F.lit(0),
+        )
+        for t in range(n_tables)
+    ])
+    got = (
+        _with_bucket_signature(emb, "_v", planes, n_tables, dim)
+        .withColumn("_ref", per_plane)
+        .select("vec_id", "_sig", "_ref")
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert r["_sig"] == r["_ref"], f"vec {r['vec_id']} diverged"

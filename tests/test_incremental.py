@@ -330,3 +330,40 @@ def test_append_raw_disjoint_years_no_duplicate_keys(spark, tmp_path):
         & (F.col("timestamp") < "2025-01-01")
         & F.col("raw").isNull()
     ).count() == 0
+
+
+def test_pending_window_replaced_when_corr_inapplicable(spark, tmp_path):
+    """P-only warehouse (no ts_t / no richter_class): the Richter stage
+    is a contract no-op, so after qc + fillup the pending window counts
+    as CONSUMED and the next append REPLACES it. Before the shared
+    _richter_applicable predicate the un-markable 'corr' stage kept the
+    window pending forever, so every append widened it and the one-day
+    incremental recompute degraded to O(archive)."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100), (2, "p", True, 5000.0, 0.0, 200)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    b.update_ma_raster(spark.createDataFrame(
+        [(s, "p", t, 800.0) for s in (1, 2) for t in ("year", "wihy", "suhy")],
+        "station_id int, parameter string, term string, value double",
+    ))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(s, START + dt.timedelta(days=d), 10.0) for s in (1, 2) for d in range(4)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    b.append_raw("p", spark.createDataFrame(
+        _p_rows(0, 1), "station_id int, timestamp timestamp, raw double, qn short"
+    ))
+    assert not b._richter_applicable()
+    b.last_imp_quality_check()
+    b.last_imp_fillup()
+    b.last_imp_corr()  # contract no-op — must not leave the window owed
+    assert b._last_imp_consumed("p")
+    # next day's import: the window REPLACES (day 2 only), not widens
+    b.append_raw("p", spark.createDataFrame(
+        _p_rows(1, 1), "station_id int, timestamp timestamp, raw double, qn short"
+    ))
+    lo, hi = b.last_imp("p")
+    assert lo.startswith("2024-01-02"), f"window widened: {(lo, hi)}"

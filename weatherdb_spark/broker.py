@@ -581,6 +581,15 @@ class Broker:
         with self.activate():
             s = self.get_setting("layout")
             cur = int(s) if s is not None else self._layout_revision()
+            if cur > self.LAYOUT_VERSION:
+                # stamped by a newer engine (or a session with extra
+                # registered rungs): fail with the interop story, not a
+                # KeyError from the migration walk
+                raise ValueError(
+                    f"warehouse layout {cur} is newer than this engine's "
+                    f"registered revisions (1..{self.LAYOUT_VERSION}) — "
+                    "downgrade it with the engine that created it"
+                )
             target = max(1, cur - 1) if target is None else int(target)
             if not 1 <= target <= self.LAYOUT_VERSION:
                 raise ValueError(
@@ -1556,17 +1565,13 @@ class Broker:
         ``stids``: correct only the given stations and merge them back
         (the correction is per-station — T filled of the same station
         drives the precip type — so scoping cuts the whole compute)."""
-        if not (self.exists("ts_p") and self.exists("ts_t")):
+        # no ts_p/ts_t, no Richter class yet (update-richter-class never
+        # ran), or T never filled -> nothing to correct; running anyway
+        # would write an all-NULL corr over every wet interval. SHARED
+        # predicate with _last_imp_consumed — see _richter_applicable.
+        if not self._richter_applicable():
             return
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
-        # same prerequisite class as the missing tables: no station has a
-        # Richter class yet (update-richter-class never ran) or T was
-        # never filled -> nothing to correct; running anyway would write
-        # an all-NULL corr over every wet interval
-        if "richter_class" not in meta_p.columns:
-            return
-        if "filled" not in self.read("ts_t").columns:
-            return
         ts_p = self._scope(self.read("ts_p"), stids)
         ts_t = self._scope(
             self.read("ts_t"), stids
@@ -1841,10 +1846,28 @@ class Broker:
             return True
         return marks.get(stage) is not None and marks[stage] > imp_at
 
+    def _richter_applicable(self) -> bool:
+        """Can the Richter correction run on this warehouse at all?
+        (10-min P and T present, Richter classes computed, T filled.)
+        The stage no-op guards (richter_correct_stage / last_imp_corr)
+        and :meth:`_last_imp_consumed` must share this predicate — if
+        they disagreed, P's pending window would never count as consumed
+        on a P-only warehouse and every append would WIDEN it, degrading
+        the one-day incremental recompute to O(archive). Schema-only
+        checks: three parquet footer reads, no data scan."""
+        if not (self.exists("ts_p") and self.exists("ts_t")
+                and self.exists("meta")):
+            return False
+        if "richter_class" not in self.read("meta").columns:
+            return False
+        return "filled" in self.read("ts_t").columns
+
     def _last_imp_consumed(self, parameter: str) -> bool:
         """Has every incremental stage of this parameter run SINCE the
         pending last_imp window was recorded? (Full stages stamp the
-        same stage names, so a full QC/fillup/correct also consumes.)"""
+        same stage names, so a full QC/fillup/correct also consumes.
+        A stage that is a contract no-op on this warehouse — P's corr
+        without temperature data or Richter classes — is not owed.)"""
         if not self.exists("pipeline_state"):
             return True
         marks = {
@@ -1856,9 +1879,12 @@ class Broker:
         imp_at = marks.get("last_imp")
         if imp_at is None:
             return True
+        stages = self._INCR_STAGES.get(parameter, ("qc", "filled"))
+        if "corr" in stages and not self._richter_applicable():
+            stages = tuple(s for s in stages if s != "corr")
         return all(
             marks.get(s) is not None and marks[s] > imp_at
-            for s in self._INCR_STAGES.get(parameter, ("qc", "filled"))
+            for s in stages
         )
 
     def last_imp(self, parameter: str) -> tuple[str, str] | None:
@@ -2350,6 +2376,14 @@ class Broker:
             table = f"ts_{parameter}"
             if window is None or not self.exists(table):
                 continue
+            if parameter == "p":
+                # same stage-level message fillup() and
+                # last_imp_quality_check give, not a raw PATH_NOT_FOUND
+                # from the lazy read below
+                self._require(
+                    "ts_p_d", "the incremental P fillup (daily adjust)",
+                    hint="run update-raw -p p_d first",
+                )
             part, in_window = self._window_part(table, window, margin)
             years = self._window_years(window, margin)
             ts_p_d = (
@@ -2389,17 +2423,14 @@ class Broker:
         StationP.last_imp_richter_correct): window-bounded recompute of
         the corr column for P, merged back for in-window rows."""
         window = self.last_imp("p")
-        if window is None or not (self.exists("ts_p") and self.exists("ts_t")):
-            # same no-op contract as richter_correct_stage: a warehouse
-            # without temperature data (P-only deployments) must not
-            # crash the umbrella update with a path-not-found deep in a
-            # lazy plan
+        # same no-op contract as richter_correct_stage (SHARED predicate
+        # with _last_imp_consumed): a warehouse without temperature data
+        # (P-only deployments) must not crash the umbrella update with a
+        # path-not-found deep in a lazy plan — and the window must not
+        # stay pending over a stage that can never run
+        if window is None or not self._richter_applicable():
             return
         meta_p = self.read("meta").filter(F.col("parameter") == "p")
-        if "richter_class" not in meta_p.columns:
-            return
-        if "filled" not in self.read("ts_t").columns:
-            return
         part, in_window = self._window_part("ts_p", window, margin)
         years = self._window_years(window, margin)
         lo = F.lit(window[0]).cast("timestamp") - F.expr(f"INTERVAL {margin}")

@@ -200,6 +200,11 @@ def hole_census(
             mp = mp.withColumn("period_from", F.greatest("period_from", lo))
         if hi is not None:
             mp = mp.withColumn("period_until", F.least("period_until", hi))
+        # an EMPTY intersection (meta period disjoint from the requested
+        # period) inverts the clamped bounds; its two sentinels would
+        # then register the whole disjoint span as one phantom hole —
+        # the station simply has no census rows in that period
+        mp = mp.filter(F.col("period_from") <= F.col("period_until"))
         present = (
             present.join(F.broadcast(mp), list(group_cols))
             .filter(F.col(ts_col).between(F.col("period_from"), F.col("period_until")))

@@ -106,18 +106,6 @@ class Station:
         self.id = stid
         self.parameter = parameter
 
-    def isin_meta(self) -> bool:
-        """Is this station in the meta table for its parameter?
-        (reference StationBases.isin_meta, StationBases.py:713-720)."""
-        return bool(
-            self.broker.read("meta")
-            .filter(
-                (F.col("station_id") == self.id)
-                & (F.col("parameter") == self.parameter)
-            )
-            .take(1)
-        )
-
     def check_isin_meta(self) -> "Station":
         """Raise if the station is unknown — the reference runs this check
         on every construction (StationBases.py:151,160-167); here it is

@@ -367,3 +367,34 @@ def test_pending_window_replaced_when_corr_inapplicable(spark, tmp_path):
     ))
     lo, hi = b.last_imp("p")
     assert lo.startswith("2024-01-02"), f"window widened: {(lo, hi)}"
+
+
+def test_append_widens_period_meta_full_recompute_trues_up(spark, inc_broker):
+    """append_raw stamps period bounds from the batch's own spans
+    (O(batch), no archive scan); a revision that nulls the period edge
+    is only trued up by the explicit full recompute."""
+    b = inc_broker
+    row = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    until_before = row["raw_until"]
+    # revise the last raw value of station 1 to NULL (negative scrub)
+    b.append_raw("p", spark.createDataFrame(
+        [(1, until_before, None, 1)],
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    row = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    assert row["raw_until"] == until_before  # widening-only: no shrink
+    b.update_period_meta("p")  # the exact recompute shrinks it
+    row = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    assert row["raw_until"] < until_before

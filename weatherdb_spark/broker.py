@@ -1305,6 +1305,61 @@ class Broker:
             "meta", others.unionByName(mine, allowMissingColumns=True)
         )
 
+    def _widen_period_meta(self, parameter: str, batch: DataFrame) -> None:
+        """Widen the meta period columns with an import batch's own
+        per-station spans — the O(batch) twin of
+        :meth:`update_period_meta` for the incremental path.
+
+        least/greatest against the stored bounds only ever EXTEND them;
+        a revision that nulls a period-edge value is trued up by the
+        next full stage pass (full stages and the explicit
+        update-period-meta CLI keep running the exact recompute). The
+        reference's import path has the same shape: it stamps the
+        imported span, not a rescan (StationBases.py:969-1018)."""
+        if not self.exists("meta"):
+            return
+        kinds = [k for k in ("raw", "qc", "filled", "corr")
+                 if k in batch.columns]
+        if not kinds:
+            return
+        aggs = []
+        for k in kinds:
+            cond_ts = F.when(F.col(k).isNotNull(), F.col("timestamp"))
+            aggs.append(F.min(cond_ts).alias(f"_new_{k}_from"))
+            aggs.append(F.max(cond_ts).alias(f"_new_{k}_until"))
+        spans = batch.groupBy("station_id").agg(*aggs)
+        meta = self.read("meta")
+        others = meta.filter(F.col("parameter") != parameter)
+        mine = meta.filter(F.col("parameter") == parameter).join(
+            F.broadcast(spans), "station_id", "left"
+        )
+        for k in kinds:
+            lo, hi = f"{k}_from", f"{k}_until"
+            # least/greatest skip NULLs, so a first-ever import (no
+            # stored bounds yet) takes the batch span as-is
+            old_lo = F.col(lo) if lo in meta.columns else F.lit(None).cast(
+                "timestamp"
+            )
+            old_hi = F.col(hi) if hi in meta.columns else F.lit(None).cast(
+                "timestamp"
+            )
+            mine = mine.withColumn(
+                f"_w_{lo}", F.least(old_lo, F.col(f"_new_{lo}"))
+            ).withColumn(
+                f"_w_{hi}", F.greatest(old_hi, F.col(f"_new_{hi}"))
+            )
+        drop = [c for k in kinds for c in (
+            f"{k}_from", f"{k}_until", f"_new_{k}_from", f"_new_{k}_until"
+        ) if c in mine.columns]
+        mine = mine.drop(*drop)
+        for k in kinds:
+            mine = mine.withColumnRenamed(
+                f"_w_{k}_from", f"{k}_from"
+            ).withColumnRenamed(f"_w_{k}_until", f"{k}_until")
+        self.write(
+            "meta", others.unionByName(mine, allowMissingColumns=True)
+        )
+
     @staticmethod
     def _scope(df: DataFrame, stids) -> DataFrame:
         """Restrict a station-keyed frame to the given stations (no-op
@@ -1783,8 +1838,12 @@ class Broker:
         out = prev.unionByName(row) if prev is not None else row
         self._write_small("pipeline_state", out)
         # imports extend the raw periods — keep meta's bookkeeping fresh
-        # like the reference's import path (StationBases.py:969-1018)
-        self.update_period_meta(parameter)
+        # like the reference's import path (StationBases.py:969-1018).
+        # WIDENING-ONLY from the batch's own spans (O(batch)), not the
+        # full update_period_meta recompute: that is an O(table) grouped
+        # aggregation, which would put a whole-archive scan inside every
+        # one-day incremental import at warehouse scale
+        self._widen_period_meta(parameter, new_raw)
 
     def files_to_download(self, listing: DataFrame) -> DataFrame:
         """S1 — which server files need (re)importing: the listing rows

@@ -308,24 +308,34 @@ def lsh_bucket_topk(
     n_tables buckets instead of the full corpus.
     """
     def bucketed(df: DataFrame) -> DataFrame:
-        # one row per table: bucket from that table's plane block
+        # one row per table: bucket from that table's plane block; the
+        # full signature rides along for the map-side cross-table dedup
         return _with_bucket_signature(df, "_v", planes, n_tables, dim).select(
             "*", F.posexplode(F.col("_sig")).alias("_table", "_bucket")
-        ).drop("_sig")
+        )
 
     c = bucketed(
         spread(embeddings).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
-    ).withColumnRenamed("_v", "_cv")
+    ).withColumnsRenamed({"_v": "_cv", "_sig": "_cs"})
     q = bucketed(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
-    ).withColumnRenamed("_v", "_qv")
+    ).withColumnsRenamed({"_v": "_qv", "_sig": "_qs"})
+    # a (query, neighbor) pair colliding in several tables is kept only
+    # in its FIRST matching table — same distinct candidate set as a
+    # dropDuplicates, but as a map-side filter: the candidate stream
+    # with its two vector payloads is never exchanged for a grouping
+    # (see cosine_pairs_lsh)
+    first_match = F.array_position(
+        F.zip_with(F.col("_qs"), F.col("_cs"), lambda a, bb: a == bb),
+        True,
+    )
     candidates = (
         c.join(F.broadcast(q), ["_table", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(first_match == F.col("_table") + 1)
         .select("query_id", "_qv", "neighbor_id", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

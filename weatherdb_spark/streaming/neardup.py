@@ -250,27 +250,26 @@ def stream_embedding_neardup(
     import numpy as np
     import pandas as pd
 
-    from weatherdb_spark.llm.similarity import _hyperplane_sign
+    from weatherdb_spark.llm.similarity import _with_bucket_signature
     from weatherdb_spark.operators.timeline import _interval_seconds
 
     ttl_ms = _interval_seconds(ttl) * 1000
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    keyed = stream.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(ts_col).alias("event_ts"),
-        vec.alias("vec"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(t).alias("table"),
-                sum(
-                    [_hyperplane_sign(vec, t * planes + p, dim) * (2 ** p)
-                     for p in range(planes)],
-                    F.lit(0),
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])).alias("tb"),
-    ).select("vec_id", "event_ts", "vec", "tb.table", "tb.bucket")
+    # the batch pipeline's shared signature builder, so a vector's
+    # (table, bucket) keys are bit-identical to cosine_pairs_lsh's —
+    # and the plan builds with 3 higher-order expressions instead of
+    # tables x planes per-plane trees (see _with_bucket_signature)
+    keyed = _with_bucket_signature(
+        stream.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(ts_col).alias("event_ts"),
+            vec.alias("_v"),
+        ),
+        "_v", planes, n_tables, dim,
+    ).select(
+        "vec_id", "event_ts", F.col("_v").alias("vec"),
+        F.posexplode(F.col("_sig")).alias("table", "bucket"),
+    )
 
     def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:

@@ -398,3 +398,39 @@ def test_append_widens_period_meta_full_recompute_trues_up(spark, inc_broker):
         .first()
     )
     assert row["raw_until"] < until_before
+
+
+def test_stage_runs_refresh_stage_kind_period_meta(spark, inc_broker):
+    """Full stages end with the exact period recompute and incremental
+    merges widen from the window's own spans, so qc/filled period bounds
+    exist and stay fresh without anyone calling update-period-meta —
+    the bounds count_holes' between_meta_period relies on."""
+    b = inc_broker
+    b.quality_check()
+    b.fillup()
+    row = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    assert row["qc_from"] is not None and row["filled_until"] is not None
+    filled_until_before = row["filled_until"]
+    # a later import + incremental stages must ADVANCE the filled bound
+    last_day = int((filled_until_before - START).total_seconds() // 86400)
+    b.append_raw("p", spark.createDataFrame(
+        _p_rows(last_day + 1, 1),
+        "station_id int, timestamp timestamp, raw double, qn short",
+    ))
+    b.update_raw("p_d", spark.createDataFrame(
+        [(s, START + dt.timedelta(days=d), 20.0)
+         for s in (1, 2) for d in range(last_day + 2)],
+        "station_id int, timestamp timestamp, raw double",
+    ))
+    b.last_imp_quality_check()
+    b.last_imp_fillup()
+    row = (
+        b.read("meta")
+        .filter((F.col("parameter") == "p") & (F.col("station_id") == 1))
+        .first()
+    )
+    assert row["filled_until"] > filled_until_before

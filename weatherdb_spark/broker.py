@@ -37,6 +37,7 @@ import atexit
 import json
 import os
 import re
+from collections.abc import Sequence
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
@@ -1284,15 +1285,10 @@ class Broker:
         if not self.exists(table) or not self.exists("meta"):
             return
         ts = self.read(table)
-        kinds = [k for k in ("raw", "qc", "filled", "corr") if k in ts.columns]
+        kinds = self._period_kinds(ts)
         if not kinds:
             return
-        aggs = []
-        for k in kinds:
-            cond_ts = F.when(F.col(k).isNotNull(), F.col("timestamp"))
-            aggs.append(F.min(cond_ts).alias(f"{k}_from"))
-            aggs.append(F.max(cond_ts).alias(f"{k}_until"))
-        periods = ts.groupBy("station_id").agg(*aggs)
+        periods = ts.groupBy("station_id").agg(*self._period_aggs(kinds))
         meta = self.read("meta")
         others = meta.filter(F.col("parameter") != parameter)
         mine = meta.filter(F.col("parameter") == parameter)
@@ -1305,57 +1301,61 @@ class Broker:
             "meta", others.unionByName(mine, allowMissingColumns=True)
         )
 
-    def _widen_period_meta(self, parameter: str, batch: DataFrame) -> None:
-        """Widen the meta period columns with an import batch's own
-        per-station spans — the O(batch) twin of
-        :meth:`update_period_meta` for the incremental path.
+    @staticmethod
+    def _period_kinds(df: DataFrame) -> list[str]:
+        return [k for k in ("raw", "qc", "filled", "corr") if k in df.columns]
 
-        least/greatest against the stored bounds only ever EXTEND them;
-        a revision that nulls a period-edge value is trued up by the
-        next full stage pass (full stages and the explicit
-        update-period-meta CLI keep running the exact recompute). The
-        reference's import path has the same shape: it stamps the
-        imported span, not a rescan (StationBases.py:969-1018)."""
-        if not self.exists("meta"):
-            return
-        kinds = [k for k in ("raw", "qc", "filled", "corr")
-                 if k in batch.columns]
-        if not kinds:
-            return
+    @staticmethod
+    def _period_aggs(kinds: Sequence[str], prefix: str = "") -> list:
+        """min/max of the non-null timestamps per kind — ONE definition
+        shared by the exact recompute (:meth:`update_period_meta`) and
+        the incremental widening (:meth:`_widen_period_meta`), so the
+        approximation can never diverge from the semantics it widens."""
         aggs = []
         for k in kinds:
             cond_ts = F.when(F.col(k).isNotNull(), F.col("timestamp"))
-            aggs.append(F.min(cond_ts).alias(f"_new_{k}_from"))
-            aggs.append(F.max(cond_ts).alias(f"_new_{k}_until"))
-        spans = batch.groupBy("station_id").agg(*aggs)
+            aggs.append(F.min(cond_ts).alias(f"{prefix}{k}_from"))
+            aggs.append(F.max(cond_ts).alias(f"{prefix}{k}_until"))
+        return aggs
+
+    def _widen_period_meta(self, parameter: str, batch: DataFrame) -> None:
+        """Widen the meta period columns with a batch's own per-station
+        spans — the O(batch) twin of :meth:`update_period_meta` for the
+        incremental paths (raw imports AND the last_imp stage merges,
+        whose outputs carry the freshly computed qc/filled/corr columns).
+
+        least/greatest against the stored bounds only ever EXTEND them;
+        a revision that nulls a period-edge value is trued up by the
+        next full stage pass (full stages end with the exact
+        update_period_meta recompute) or the explicit update-period-meta
+        CLI. The reference's import path has the same shape: it stamps
+        the imported span, not a rescan (StationBases.py:969-1018)."""
+        if not self.exists("meta"):
+            return
+        kinds = self._period_kinds(batch)
+        if not kinds:
+            return
+        spans = batch.groupBy("station_id").agg(
+            *self._period_aggs(kinds, prefix="_new_")
+        )
         meta = self.read("meta")
         others = meta.filter(F.col("parameter") != parameter)
         mine = meta.filter(F.col("parameter") == parameter).join(
             F.broadcast(spans), "station_id", "left"
         )
         for k in kinds:
-            lo, hi = f"{k}_from", f"{k}_until"
-            # least/greatest skip NULLs, so a first-ever import (no
-            # stored bounds yet) takes the batch span as-is
-            old_lo = F.col(lo) if lo in meta.columns else F.lit(None).cast(
-                "timestamp"
-            )
-            old_hi = F.col(hi) if hi in meta.columns else F.lit(None).cast(
-                "timestamp"
-            )
-            mine = mine.withColumn(
-                f"_w_{lo}", F.least(old_lo, F.col(f"_new_{lo}"))
-            ).withColumn(
-                f"_w_{hi}", F.greatest(old_hi, F.col(f"_new_{hi}"))
-            )
-        drop = [c for k in kinds for c in (
-            f"{k}_from", f"{k}_until", f"_new_{k}_from", f"_new_{k}_until"
-        ) if c in mine.columns]
-        mine = mine.drop(*drop)
-        for k in kinds:
-            mine = mine.withColumnRenamed(
-                f"_w_{k}_from", f"{k}_from"
-            ).withColumnRenamed(f"_w_{k}_until", f"{k}_until")
+            for bound, pick in ((f"{k}_from", F.least),
+                                (f"{k}_until", F.greatest)):
+                # least/greatest skip NULLs, so a first-ever span (no
+                # stored bounds yet) is taken as-is; withColumn replaces
+                # the stored column in place while still reading it
+                old = (F.col(bound) if bound in meta.columns
+                       else F.lit(None).cast("timestamp"))
+                mine = mine.withColumn(
+                    bound, pick(old, F.col(f"_new_{bound}"))
+                )
+        mine = mine.drop(*[f"_new_{k}_{b}" for k in kinds
+                           for b in ("from", "until")])
         self.write(
             "meta", others.unionByName(mine, allowMissingColumns=True)
         )
@@ -1371,11 +1371,19 @@ class Broker:
     def _finish_stage(self, table: str, out: DataFrame, stids) -> None:
         """Persist a stage result: full snapshot rewrite, or — for a
         per-station scoped run — a bucket-level merge that leaves
-        untouched station buckets byte-identical."""
+        untouched station buckets byte-identical.
+
+        Every stage write ends with the EXACT period-meta recompute for
+        the parameter: the stage just computed/overwrote a kind column
+        (qc/filled/corr), and the incremental paths only ever WIDEN
+        bounds — this is the true-up those docstrings promise. One
+        grouped aggregation next to a stage that already passed over
+        the whole table."""
         if stids is None:
             self.write(table, out, bucket_by_station=True)
         else:
             self._merge_scoped(table, out, stids)
+        self.update_period_meta(table[3:])
 
     @_with_mutex
     def quality_check(self, stids=None, parameters=None, paras=None) -> None:
@@ -2069,6 +2077,10 @@ class Broker:
             self._write_years_partial(table, merged, years)
         else:
             self.write(table, merged, bucket_by_station=True)
+        # the stage just (re)computed kind columns for this window —
+        # widen the period meta from the window's own spans (O(window);
+        # the exact recompute runs at every full stage, _finish_stage)
+        self._widen_period_meta(table[3:], upd)
 
     def _merge_scoped(self, table: str, out: DataFrame, stids) -> None:
         """Merge a per-station stage result back, rewriting ONLY the

@@ -1373,17 +1373,25 @@ class Broker:
         per-station scoped run — a bucket-level merge that leaves
         untouched station buckets byte-identical.
 
-        Every stage write ends with the EXACT period-meta recompute for
-        the parameter: the stage just computed/overwrote a kind column
-        (qc/filled/corr), and the incremental paths only ever WIDEN
-        bounds — this is the true-up those docstrings promise. One
-        grouped aggregation next to a stage that already passed over
-        the whole table."""
+        Every FULL stage write ends with the EXACT period-meta recompute
+        for the parameter: the stage just computed/overwrote a kind
+        column (qc/filled/corr), and the incremental paths only ever
+        WIDEN bounds — this is the true-up those docstrings promise.
+        One grouped aggregation next to a stage that already passed
+        over the whole table. A per-station SCOPED run widens from its
+        own output instead — an exact recompute there would re-scan the
+        full table and defeat the O(touched-buckets) economy scoping
+        exists for."""
         if stids is None:
             self.write(table, out, bucket_by_station=True)
+            self.update_period_meta(table[3:])
         else:
             self._merge_scoped(table, out, stids)
-        self.update_period_meta(table[3:])
+            # from the freshly WRITTEN rows, not the `out` plan — a
+            # second action over the plan would recompute the stage
+            self._widen_period_meta(
+                table[3:], self._scope(self.read(table), stids)
+            )
 
     @_with_mutex
     def quality_check(self, stids=None, parameters=None, paras=None) -> None:
@@ -2078,9 +2086,15 @@ class Broker:
         else:
             self.write(table, merged, bucket_by_station=True)
         # the stage just (re)computed kind columns for this window —
-        # widen the period meta from the window's own spans (O(window);
-        # the exact recompute runs at every full stage, _finish_stage)
-        self._widen_period_meta(table[3:], upd)
+        # widen the period meta from the freshly WRITTEN touched-years
+        # slice (bounds from any subset of stored rows are valid
+        # widenings; re-aggregating `upd` would recompute the stage
+        # plan). A non-partial merge rewrote the whole table anyway, so
+        # it runs the exact recompute like the full stages do.
+        if partial:
+            self._widen_period_meta(table[3:], self.read(table, years=years))
+        else:
+            self.update_period_meta(table[3:])
 
     def _merge_scoped(self, table: str, out: DataFrame, stids) -> None:
         """Merge a per-station stage result back, rewriting ONLY the

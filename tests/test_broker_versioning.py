@@ -351,3 +351,13 @@ def test_create_db_schema_ignore_stamps_actual_layout_rung(spark, tmp_path):
     b.upgrade_db_schema()  # now actually walks rung 3
     assert b._is_year_partitioned("ts_p")
     assert b.get_setting("layout") == str(b.LAYOUT_VERSION)
+
+
+def test_downgrade_rejects_newer_than_engine_layout(spark, tmp_path):
+    """A warehouse stamped by a newer engine (layout revision above this
+    engine's registered range) gets the interop story, not a KeyError
+    from the migration walk."""
+    b = Broker(spark, str(tmp_path / "wh"))
+    b.set_setting("layout", str(b.LAYOUT_VERSION + 1))
+    with pytest.raises(ValueError, match="newer than this engine"):
+        b.downgrade_db_schema()

@@ -96,6 +96,56 @@ def test_cli_update_meta_and_raw(spark, tmp_path, dwd_dirs):
     assert ts_t.filter(F.col("station_id") == 71).count() == 1
 
 
+def test_station_download_raw_offline(spark, tmp_path, dwd_dirs):
+    """Station.download_raw parses without writing (StationBases.py:
+    1247-1268); only_new=True keeps rows past the raw watermark."""
+    from weatherdb_spark.station import Station
+
+    p_dir, _t_dir, meta_file = dwd_dirs
+    wh = str(tmp_path / "wh")
+    assert main(["update-meta", "--warehouse", wh, "--file", meta_file,
+                 "--parameters", "p"]) == 0
+    b = Broker(spark, wh)
+    st = Station(b, 44, "p")
+    raw = st.download_raw(p_dir)
+    assert raw.count() == 5 and not b.exists("ts_p")  # parse only, no write
+    assert main(["update-raw", "--warehouse", wh, "--dir", p_dir,
+                 "-p", "p"]) == 0
+    # everything already imported -> nothing newer than the watermark
+    assert st.download_raw(p_dir, only_new=True).count() == 0
+
+
+def test_broker_update_ma_timeseries_reference_spelling(mini_like_wh):
+    b = mini_like_wh
+    # t/et have no fact tables in this warehouse: the loop skips them
+    b.update_ma_timeseries(paras=["p", "t", "et"], kinds=("raw",),
+                           coverage=0.0)
+    ma = b.read("station_ma_timeserie")
+    assert ma.filter(F.col("parameter") == "p").count() > 0
+    assert ma.filter(F.col("parameter") != "p").count() == 0
+
+
+@pytest.fixture()
+def mini_like_wh(spark, tmp_path):
+    import datetime as dt
+
+    b = Broker(spark, str(tmp_path / "ma_wh"))
+    b.update_meta(spark.createDataFrame(
+        [(1, "p", True, 0.0, 0.0, 100)],
+        "station_id int, parameter string, is_real boolean, x_utm double, "
+        "y_utm double, stationshoehe int",
+    ))
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i),
+         round((i % 5) * 0.1, 1))
+        for i in range(200)
+    ]
+    b.write("ts_p", spark.createDataFrame(
+        rows, "station_id int, timestamp timestamp, raw double"
+    ), bucket_by_station=True)
+    return b
+
+
 def test_cli_create_user_config(tmp_path, monkeypatch):
     """create-user-config writes the commented defaults copy and records
     its location — no warehouse or SparkSession involved."""

@@ -229,7 +229,23 @@ def test_ingest_ma_raster_dir_geometry_mismatch_raises(spark, tmp_path):
         ingest_ma_raster_dir(b, "p", d)
 
 
-def test_cli_ingest_ma_rasters(spark, tmp_path):
+def test_select_dem_tiles_extent_and_name_filter():
+    from weatherdb_spark.sources.rasters import select_dem_tiles
+
+    files = [
+        {"nativeDemUrl": "https://x/Copernicus_DSM_10_N48_00_E008_00.tar"},
+        {"nativeDemUrl": "https://x/Copernicus_DSM_10_N60_00_E008_00.tar"},
+        {"nativeDemUrl": "https://x/Copernicus_DSM_10_N48_00_E030_00.tar"},
+        {"nativeDemUrl": "https://x/readme.txt"},
+    ]
+    # Germany-ish extent keeps only the N48/E008 tile; the 1-degree
+    # margin admits tiles whose west/south edge is just outside
+    picked = select_dem_tiles(files, (5.3, 46.1, 15.6, 55.4))
+    assert [(t["lat"], t["long"]) for t in picked] == [(48, 8)]
+
+
+@pytest.mark.parametrize("command", ["ingest-ma-rasters", "update-ma-raster"])
+def test_cli_ingest_ma_rasters(spark, tmp_path, command):
     from weatherdb_spark.broker import Broker
     from weatherdb_spark.cli import main
 
@@ -242,7 +258,7 @@ def test_cli_ingest_ma_rasters(spark, tmp_path):
         "station_id int, parameter string, is_real boolean, "
         "x_utm double, y_utm double, stationshoehe int",
     ))
-    assert main(["ingest-ma-rasters", "--warehouse", wh,
+    assert main([command, "--warehouse", wh,
                  "--dir", str(d), "-p", "p"]) == 0
     ma = Broker(spark, wh).read("station_ma_raster").first()
     assert ma["term"] == "year" and ma["value"] == 4.0

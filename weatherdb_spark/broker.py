@@ -2157,6 +2157,19 @@ class Broker:
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
+    def update_ma_timeseries(self, paras=("p_d", "p", "t", "et"),
+                             **kwargs) -> None:
+        """The reference Broker's spelling and shape (broker.py:340-356):
+        loop :meth:`update_ma_timeserie` over ``paras``; kwargs pass
+        through (kinds=, coverage=). Parameters whose fact table does
+        not exist yet are skipped like the reference's empty station
+        list."""
+        if isinstance(paras, str):
+            paras = [paras]
+        for parameter in paras:
+            if self.exists(f"ts_{parameter}"):
+                self.update_ma_timeserie(parameter, **kwargs)
+
     @_with_mutex
     def update_ma_timeserie(
         self,

@@ -153,8 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--step-deg", type=float, default=3.0)
     rc.add_argument("--sample-step-m", type=float, default=100.0)
 
-    ma = wh(sub.add_parser("update-ma-timeserie", help="A2 yearly MA upsert"))
-    ma.add_argument("-p", "--parameter", default="p")
+    for ma_name in ("update-ma-timeserie", "update-ma-timeseries"):
+        # second spelling = the reference CLI/broker name (broker.py:340)
+        ma = wh(sub.add_parser(ma_name, help="A2 yearly MA upsert"))
+        ma.add_argument("-p", "--parameter", default="p")
 
     pm = wh(sub.add_parser(
         "update-period-meta",
@@ -163,14 +165,38 @@ def build_parser() -> argparse.ArgumentParser:
     ))
     pm.add_argument("-p", "--parameter", default="p")
 
-    mr = wh(sub.add_parser(
-        "ingest-ma-rasters",
-        help="sample a directory of downloaded .asc/.asc.gz term grids "
-             "into station_ma_raster (offline tail of the reference's "
-             "download-ma-rasters)",
-    ))
-    mr.add_argument("--dir", required=True, dest="raster_dir")
-    mr.add_argument("-p", "--parameter", default="p")
+    for mr_name in ("ingest-ma-rasters", "update-ma-raster"):
+        # second spelling = the reference CLI command (cli.py update_ma_raster)
+        mr = wh(sub.add_parser(
+            mr_name,
+            help="sample a directory of downloaded .asc/.asc.gz term grids "
+                 "into station_ma_raster (offline tail of the reference's "
+                 "download-ma-rasters)",
+        ))
+        mr.add_argument("--dir", required=True, dest="raster_dir")
+        mr.add_argument("-p", "--parameter", default="p")
+
+    dl = sub.add_parser(
+        "download-ma-rasters",
+        help="fetch the published multi-annual raster files from Zenodo "
+             "(reference cli.py download_ma_rasters; NETWORK — offline "
+             "environments use ingest-ma-rasters on pre-downloaded grids)",
+    )
+    dl.add_argument("--out-dir", required=True)
+    dl.add_argument("--which", nargs="+", default=["dwd", "hyras", "regnie"])
+    dl.add_argument("--overwrite", action="store_true")
+
+    dd = sub.add_parser(
+        "download-dem",
+        help="fetch + mosaic the newest Copernicus DEM (reference cli.py "
+             "download_dem; NETWORK + rasterio — offline environments "
+             "pass a pre-downloaded .asc DEM to update-richter-class)",
+    )
+    dd.add_argument("--out-dir", required=True)
+    dd.add_argument("--extent", nargs=4, type=float,
+                    default=[5.3, 46.1, 15.6, 55.4],
+                    metavar=("MINLON", "MINLAT", "MAXLON", "MAXLAT"))
+    dd.add_argument("--overwrite", action="store_true")
 
     ct = wh(sub.add_parser("create-ts", help="export station timeseries CSVs"))
     ct.add_argument("--stations", nargs="+", type=int, required=True)
@@ -207,6 +233,25 @@ def main(argv: list[str] | None = None) -> int:
         from weatherdb_spark.userconfig import create_user_config
 
         print(create_user_config(args.config_file, on_exists=args.on_exists))
+        return 0
+
+    if args.command == "download-ma-rasters":
+        # acquisition-only: no warehouse, no SparkSession (network-gated)
+        from weatherdb_spark.sources.rasters import download_ma_rasters
+
+        written = download_ma_rasters(
+            args.out_dir, which=tuple(args.which), overwrite=args.overwrite,
+        )
+        print([str(p) for p in written])
+        return 0
+
+    if args.command == "download-dem":
+        from weatherdb_spark.sources.rasters import download_dem
+
+        print(str(download_dem(
+            args.out_dir, extent=tuple(args.extent),
+            overwrite=args.overwrite,
+        )))
         return 0
 
     from weatherdb_spark.broker import Broker
@@ -302,11 +347,11 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("parameter") == args.parameter)
             .groupBy("richter_class").count().toPandas().to_dict("records")
         )
-    elif args.command == "update-ma-timeserie":
+    elif args.command in ("update-ma-timeserie", "update-ma-timeseries"):
         broker.update_ma_timeserie(args.parameter)
     elif args.command == "update-period-meta":
         broker.update_period_meta(args.parameter)
-    elif args.command == "ingest-ma-rasters":
+    elif args.command in ("ingest-ma-rasters", "update-ma-raster"):
         from weatherdb_spark.sources.rasters import ingest_ma_raster_dir
 
         names, geometry = ingest_ma_raster_dir(

@@ -219,6 +219,106 @@ def ingest_ma_raster_dir(
     return [p.name for p in paths], geometry
 
 
+def select_dem_tiles(
+    ds_files: Sequence[dict], extent: tuple[float, float, float, float]
+) -> list[dict]:
+    """The reference's Copernicus tile selection (get_data.py:234-246):
+    keep catalog entries whose ``nativeDemUrl`` names a
+    ``Copernicus_DSM_xx_Nyy_xx_Ezz`` tile and whose 1-degree tile
+    touches ``extent`` = (min_long, min_lat, max_long, max_lat). Pure —
+    fixture-testable without the PRISM endpoint."""
+    import re
+
+    tile_re = re.compile(r".*/Copernicus_DSM_\d{2}_N\d*_\d{2}_E\d*.*")
+    out = []
+    for f in ds_files:
+        url = f.get("nativeDemUrl", "")
+        if not tile_re.match(url):
+            continue
+        stem = Path(url).stem.split("_")
+        lat, long = int(stem[3][1:]), int(stem[5][1:])
+        res_deg = 1  # tiles span one degree (get_data.py:241)
+        if (
+            (extent[0] - res_deg) < long < extent[2]
+            and (extent[1] - res_deg) < lat < extent[3]
+        ):
+            out.append({"lat": lat, "long": long, **f})
+    return out
+
+
+def download_dem(
+    out_dir: str | Path,
+    extent: tuple[float, float, float, float] = (5.3, 46.1, 15.6, 55.4),
+    overwrite: bool = False,
+) -> Path:
+    """Fetch + mosaic the newest Copernicus DEM over ``extent`` into one
+    GeoTIFF (reference cli.py:117-157 ``download_dem``,
+    get_data.py:189-327). NETWORK + rasterio: this environment has
+    neither, so the fetch is import-gated; the catalog selection
+    (:func:`select_newest_dem`, :func:`select_dem_tiles`) is the pure,
+    tested part. Offline users sample a pre-downloaded ESRI-ASCII DEM
+    via :func:`dem_sampler_from_grid` + ``Broker.update_horizon``."""
+    try:
+        import rasterio  # noqa: F401
+        import requests
+    except ImportError as exc:  # pragma: no cover - env without network libs
+        raise RuntimeError(
+            "download_dem needs the 'requests' and 'rasterio' packages "
+            "plus outbound network access; in offline environments point "
+            "dem_sampler_from_grid at a pre-downloaded .asc/.asc.gz DEM "
+            "and run Broker.update_horizon with it"
+        ) from exc
+    import json
+    import tarfile
+    from tempfile import TemporaryDirectory
+
+    from rasterio.merge import merge as rio_merge
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    catalog = json.loads(
+        requests.get(PRISM_URL, headers={"Accept": "json"}).text
+    )
+    ds_id = select_newest_dem(catalog)["id"]
+    dem_file = out_dir / f"{ds_id.replace('/', '__')}.tif"
+    if dem_file.exists() and not overwrite:
+        return dem_file
+    ds_files = json.loads(
+        requests.get(
+            f"{PRISM_URL}/{ds_id.replace('/', '__')}",
+            headers={"Accept": "json"},
+        ).text
+    )
+    tiles = select_dem_tiles(ds_files, extent)
+    with TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        for f in tiles:
+            name = Path(f["nativeDemUrl"]).name
+            (tmp / name).write_bytes(
+                requests.get(f["nativeDemUrl"]).content
+            )
+        for tar_fp in sorted(tmp.glob("*.tar")):
+            with tarfile.open(tar_fp) as t:
+                tif = next(
+                    n for n in t.getnames()
+                    if "/DEM/" in n and n.endswith(".tif")
+                )
+                (tmp / Path(tif).name).write_bytes(
+                    t.extractfile(tif).read()
+                )
+            tar_fp.unlink()
+        srcs = [rasterio.open(f) for f in sorted(tmp.glob("*.tif"))]
+        arr, transform = rio_merge(srcs)
+        meta = srcs[0].meta.copy()
+        meta.update(
+            driver="GTiff", height=arr.shape[1], width=arr.shape[2],
+            transform=transform,
+        )
+        with rasterio.open(dem_file, "w", **meta) as dst:
+            dst.write(arr)
+    return dem_file
+
+
 def dem_sampler_from_grid(path: str | Path):
     """Build a picklable point sampler over one DEM ESRI-ASCII grid
     (plain or ``.gz``) for :meth:`Broker.update_horizon` — the offline

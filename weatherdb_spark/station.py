@@ -469,6 +469,28 @@ class Station:
             stids=[self.id], only_real=False, raw_dir=raw_dir
         )
 
+    def download_raw(self, raw_dir, only_new: bool = False) -> DataFrame:
+        """Parse this station's raw timeserie from a directory of DWD
+        zips / produkt files WITHOUT updating the warehouse (reference
+        download_raw, StationBases.py:1247-1268 — there the files come
+        from a live CDC fetch; offline, the caller supplies the
+        directory). ``only_new=True`` keeps only timestamps past the
+        station's current raw watermark — the offline twin of the
+        reference's "only files not yet in the database"."""
+        from weatherdb_spark.sources.dwd import ingest_raw_dir
+
+        raw = ingest_raw_dir(self.broker.spark, self.parameter, raw_dir)
+        raw = raw.filter(F.col("station_id") == self.id)
+        if only_new and self.broker.exists(f"ts_{self.parameter}"):
+            have = (
+                self._ts.filter(F.col("station_id") == self.id)
+                .agg(F.max("timestamp").alias("m"))
+                .collect()[0]["m"]
+            )
+            if have is not None:
+                raw = raw.filter(F.col("timestamp") > F.lit(have))
+        return raw
+
     def update_ma_raster(self, raster=None, x0: float = 0.0,
                          y0: float = 0.0, res: float = 1000.0,
                          skip_if_exist: bool = True) -> None:

@@ -241,3 +241,58 @@ def test_typed_getters(cfg):
     assert cfg.get_list("data", "_test_missing") == []
     with pytest.warns(FutureWarning):
         assert cfg.getlist("data", "_test_list") == ["a", "b", "c"]
+
+
+def test_change_listeners_fire_only_on_change(cfg):
+    hits = []
+    cfg.add_listener("data", "_probe", lambda: hits.append("exact"))
+    cfg.add_listener("data", None, lambda: hits.append("section"))
+    cfg.add_listener(None, None, lambda: hits.append("any"))
+    cfg.set("data", "_probe", "1")
+    assert hits == ["exact", "section", "any"]
+    cfg.set("data", "_probe", "1")      # unchanged -> no callbacks
+    assert hits == ["exact", "section", "any"]
+    cfg.set("data", "_other", "x")      # different option
+    assert hits[3:] == ["section", "any"]
+    cfg.remove_listener("data", "_all_")
+    cfg.set("data", "_probe", "2")
+    assert hits[5:] == ["any"]
+    # list values join like the reference (ConfigParser.py:131-133)
+    cfg.set("data", "_lst", ["a", "b"])
+    assert cfg.get_list("data", "_lst") == ["a", "b"]
+
+
+def test_set_user_config_file_records_and_loads(cfg, tmp_path):
+    ini = tmp_path / "user.ini"
+    ini.write_text("[data]\nmin_date = 1999-09-09\n")
+    with pytest.raises(FileNotFoundError):
+        cfg.set_user_config_file(tmp_path / "missing.ini")
+    cfg.set_user_config_file(ini)
+    assert cfg.get("data", "min_date") == "1999-09-09"
+    # the pointer persists for the next process
+    assert userconfig.UserConfig().get("data", "min_date") == "1999-09-09"
+
+
+def test_cli_safe_entry_formats_errors(tmp_path, capsys):
+    from weatherdb_spark.cli import safe_entry
+
+    # unknown warehouse command path: update-ma-timeserie on an empty
+    # warehouse raises; safe_entry turns it into exit code 1 + stderr
+    rc = safe_entry(["update-ma-timeserie", "--warehouse",
+                     str(tmp_path / "nope"), "-p", "p"])
+    assert rc == 1
+    assert "An error occurred" in capsys.readouterr().err
+    with pytest.raises(Exception):
+        safe_entry(["--verbose", "update-ma-timeserie", "--warehouse",
+                    str(tmp_path / "nope"), "-p", "p"])
+
+
+def test_dwd_id_and_polar_line_helpers():
+    from weatherdb_spark.functions.spatial import polar_line
+    from weatherdb_spark.sources.dwd import dwd_id_to_str
+
+    assert dwd_id_to_str(44) == "00044"
+    assert dwd_id_to_str("7") == "00007"
+    (x0, y0), (x1, y1) = polar_line((10.0, 20.0), 5.0, 90.0)
+    assert (x0, y0) == (10.0, 20.0)
+    assert abs(x1 - 10.0) < 1e-9 and abs(y1 - 25.0) < 1e-9

@@ -21,6 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="weatherdb-spark",
         description="PySpark-native WeatherDB engine (reference cli.py twin)",
     )
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="full tracebacks from the safe_entry console "
+                        "script (reference cli.py:36-50)")
     sub = p.add_subparsers(dest="command", required=True)
 
     def wh(sp):
@@ -377,5 +380,25 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def safe_entry(argv: list[str] | None = None) -> int:
+    """Console-script entry that reports errors as one red line instead
+    of a traceback (reference cli.py:42-50 safe_entry); ``-v``/
+    ``--verbose`` anywhere in the argv re-raises for debugging."""
+    args = sys.argv[1:] if argv is None else argv
+    try:
+        return main(argv)
+    except Exception as e:  # noqa: BLE001 - the entry point's catch-all
+        if "-v" in args or "--verbose" in args:
+            raise
+        notes = (
+            "\n" + "\n".join(e.__notes__) if hasattr(e, "__notes__") else ""
+        )
+        print(
+            f"\033[31;1;4mAn error occurred: {e}{notes}\033[0m",
+            file=sys.stderr,
+        )
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(safe_entry())

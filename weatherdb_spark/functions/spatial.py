@@ -104,3 +104,23 @@ def utm_to_wgs84(x: Column, y: Column, zone: int = 32) -> tuple[Column, Column]:
         phi = phi + F.lit(d) * F.sin(2 * j * chi)
     lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
     return F.degrees(lam) + F.lit(lam0_deg), F.degrees(phi)
+
+
+def polar_line(
+    center_xy, radius: float, angle_deg: float
+) -> list[tuple[float, float]]:
+    """Endpoint pair of a ray from ``center_xy`` at ``angle_deg``
+    (0 = east, counter-clockwise) and length ``radius`` — the reference's
+    shapely LineString builder (utils/geometry.py:15-39) as plain
+    coordinate math; the horizon scan (operators/horizon.py) samples the
+    same rays vectorized, this is the standalone utility twin."""
+    import math
+
+    cx, cy = float(center_xy[0]), float(center_xy[1])
+    return [
+        (cx, cy),
+        (
+            cx + math.cos(math.radians(angle_deg)) * radius,
+            cy + math.sin(math.radians(angle_deg)) * radius,
+        ),
+    ]

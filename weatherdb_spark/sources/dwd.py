@@ -50,6 +50,12 @@ CDC_IMPORT_COLS: dict[str, dict] = {
 }
 
 
+def dwd_id_to_str(id) -> str:
+    """Station id in the DWD's zero-padded 5-char form (utils/dwd.py:
+    29-44) — the spelling inside CDC file names and meta listings."""
+    return f"{id:0>5}"
+
+
 def parse_dwd_date(col: Column | str) -> Column:
     """Parse DWD date strings by length: %Y%m%d, %Y%m%d%H or %Y%m%d%H%M
     (utils/dwd.py:46-76). Unknown lengths yield NULL (the reference

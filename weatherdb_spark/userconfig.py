@@ -42,11 +42,58 @@ class UserConfig(configparser.ConfigParser):
 
     def __init__(self) -> None:
         super().__init__(interpolation=configparser.ExtendedInterpolation())
+        self._user_listeners: list[tuple] = []
         self.read(_DEFAULT_CONFIG_FILE, encoding="utf-8")
         self._read_main_config()
         self.load_user_config(raise_undefined_error=False,
                               if_not_existing="ignore")
         self.load_environment_variables()
+
+    # ------------------------------------------------- change listeners
+    # (reference config/ConfigParser.py:57-97,138-143)
+
+    def add_listener(self, section, option, callback) -> None:
+        """Call ``callback()`` when a matching option CHANGES value.
+        ``section``/``option`` of None match every change (reference
+        add_listener, ConfigParser.py:57-72)."""
+        if (section, option, callback) not in self._user_listeners:
+            self._user_listeners.append((section, option, callback))
+
+    def remove_listener(self, section, option, callback="_all_") -> None:
+        """Remove matching callbacks; ``"_all_"`` wildcards any field
+        (reference remove_listener, ConfigParser.py:74-97)."""
+        keep = []
+        for cb in self._user_listeners:
+            matches = (
+                (section == "_all_" or cb[0] == section)
+                and (option == "_all_" or cb[1] == option)
+                and (callback == "_all_" or cb[2] == callback)
+            )
+            if not matches:
+                keep.append(cb)
+        self._user_listeners = keep
+
+    def set(self, section, option, value=None):  # type: ignore[override]
+        """Reference set (ConfigParser.py:125-143): lists join to
+        comma-newline strings; listeners fire only when the stored value
+        actually changes."""
+        if isinstance(value, (list, tuple)):
+            value = ",\n\t".join(str(v) for v in value)
+        elif value is not None and not isinstance(value, str):
+            value = str(value)
+        changed = (
+            not self.has_section(section)
+            or option not in self[section]
+            or (value is not None
+                and value.replace("\t", "") != super().get(section, option,
+                                                           raw=True))
+        )
+        super().set(section, option, value)
+        if changed:
+            for cb_section, cb_option, cb in self._user_listeners:
+                if cb_section is None or cb_section == section:
+                    if cb_option is None or cb_option == option:
+                        cb()
 
     # --------------------------------------------------- typed getters
     # (reference config/ConfigParser.py:169-203)
@@ -188,6 +235,22 @@ class UserConfig(configparser.ConfigParser):
         self.set("main", "user_config_file", str(path))
         self._write_main_config()
         return str(path)
+
+    def set_user_config_file(self, user_config_file) -> None:
+        """Record an EXISTING ini as the user config and load it
+        (reference set_user_config_file, ConfigParser.py:493-524 — minus
+        the tkinter file dialog; the path is a required argument here,
+        like every other interactive branch in this module)."""
+        path = Path(user_config_file)
+        if not path.exists():
+            raise FileNotFoundError(
+                f"user config file not found at {path}"
+            )
+        if not self.has_section("main"):
+            self.add_section("main")
+        self.set("main", "user_config_file", str(path))
+        self._write_main_config()
+        self.load_user_config()
 
     def load_user_config(self, raise_undefined_error: bool = True,
                          if_not_existing: str = "error") -> None:

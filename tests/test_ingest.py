@@ -576,3 +576,87 @@ def test_stream_embedding_neardup_across_batches(spark, tmp_path):
     )
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert abs(pairs[0]["cos"] - 1.0) < 1e-9
+
+
+def test_row_simhash_fingerprint_matches_batch(spark):
+    """The stateless per-row SimHash is bit-identical to the batch
+    explode+agg fingerprint — the equivalence the streaming SimHash
+    near-dup rests on (same tokens, hash, weighting, sign rule)."""
+    from weatherdb_spark.llm.dedup import simhash
+    from weatherdb_spark.streaming.neardup import row_simhash_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat today"),
+         (3, "completely different words in this document body here"),
+         (4, "repeated repeated repeated words weight the bit sums")],
+        "doc_id long, text string",
+    )
+    batch = {r["doc_id"]: r["simhash"]
+             for r in simhash(docs, bits=32).collect()}
+    streamed = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", row_simhash_fingerprint(F.col("text"), 32).alias("fp")
+        ).collect()
+    }
+    assert batch == streamed
+
+
+def test_stream_simhash_neardup_across_batches(spark, tmp_path):
+    """A near-identical doc arriving in a LATER micro-batch pairs with
+    its earlier twin (pigeonhole block state crosses batches); unrelated
+    docs never pair; the emitted hamming distance is exact (0 for an
+    exact twin) and agrees with the batch pair join."""
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import simhash_pairs_exact
+    from weatherdb_spark.streaming.neardup import stream_simhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1],
+        "text": [base],
+        "event_ts": ["2024-01-01 10:00:00"],
+    }).to_csv(src / "a.csv", index=False)
+    pd.DataFrame({
+        "doc_id": [2, 3],
+        "text": [base,
+                 "totally unrelated content about weather stations data"],
+        "event_ts": ["2024-01-01 10:05:00", "2024-01-01 10:06:00"],
+    }).to_csv(src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_simhash_neardup(stream, max_hamming=6, bits=32)
+        .writeStream.format("memory").queryName("simhash_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    pairs = (
+        spark.sql("SELECT * FROM simhash_stream")
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, 0)
+    ]
+    # the batch join over the same corpus finds the same (only) pair
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "totally unrelated content about weather stations data")],
+        "doc_id long, text string",
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_exact(docs, max_hamming=6, bits=32).collect()
+    }
+    assert batch_pairs == {(1, 2)}

@@ -292,6 +292,23 @@ def simhash(
     return bit_sums.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """The multi-index pigeonhole block layout shared by the batch pair
+    join (:func:`simhash_pairs_exact`) and the streaming twin
+    (``streaming.neardup.stream_simhash_neardup``): ``max_hamming + 1``
+    contiguous (index, low_bit, width) blocks covering all bits, widths
+    differing by at most 1. ONE definition so the two pipelines bucket
+    identically."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    blocks, lo = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append((i, lo, width))
+        lo += width
+    return blocks
+
+
 def simhash_pairs_exact(
     df: DataFrame,
     max_hamming: int = 6,
@@ -318,15 +335,8 @@ def simhash_pairs_exact(
     exact popcount filter. All shuffles are keyed; scales like LSH
     banding.
     """
-    n_blocks = max_hamming + 1
     fp = simhash(df, bits, id_col, text_col)
-    # contiguous blocks covering all bits; widths differ by at most 1
-    base, extra = divmod(bits, n_blocks)
-    blocks, lo = [], 0
-    for i in range(n_blocks):
-        width = base + (1 if i < extra else 0)
-        blocks.append((i, lo, width))
-        lo += width
+    blocks = simhash_blocks(bits, max_hamming)
     banded = fp.select(
         id_col,
         "simhash",

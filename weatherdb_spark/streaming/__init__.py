@@ -1,5 +1,5 @@
 """Structured-Streaming operators: ingest bridge, windowed aggregation,
-exact dedup, stateful online QC, and MinHash/embedding near-dup.
+exact dedup, stateful online QC, and MinHash/SimHash/embedding near-dup.
 
 Lazy exports keep `import weatherdb_spark.streaming` free of the
 pyspark.sql.streaming import cost for batch-only callers.
@@ -13,7 +13,9 @@ __all__ = [
     "consec_run_flags",
     "stream_neardup_pairs",
     "stream_embedding_neardup",
+    "stream_simhash_neardup",
     "row_minhash_signature",
+    "row_simhash_fingerprint",
 ]
 
 _HOMES = {
@@ -24,7 +26,9 @@ _HOMES = {
     "consec_run_flags": "stateful",
     "stream_neardup_pairs": "neardup",
     "stream_embedding_neardup": "neardup",
+    "stream_simhash_neardup": "neardup",
     "row_minhash_signature": "neardup",
+    "row_simhash_fingerprint": "neardup",
 }
 
 

@@ -342,3 +342,161 @@ def stream_embedding_neardup(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+_SH_OUT_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("block", T.IntegerType()),
+    T.StructField("hamming", T.IntegerType()),
+])
+_SH_STATE_SCHEMA = T.StructType([
+    T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    T.StructField("fps", T.ArrayType(T.LongType())),
+])
+
+
+def row_simhash_fingerprint(text_col: Column, bits: int = 32) -> Column:
+    """Per-row SimHash fingerprint as a pure expression — the stateless
+    twin of the batch ``llm.dedup.simhash`` (same tokens, same md5-int64
+    hash, same ``(bit*2 - 1)`` weighting and ``> 0`` sign rule), so a
+    document's streaming fingerprint is bit-identical to its batch one.
+    The batch shape explodes tokens and aggregates per doc (two keyed
+    shuffles); a stream computes the per-bit sums with per-row
+    ``aggregate`` folds instead. NULL text yields a NULL fingerprint
+    (the batch pipeline's explode simply drops such docs)."""
+    hashed = F.transform(F.split(text_col, " "), md5_int64)
+    zero = F.lit(0).cast("long")
+    # one fold per bit; shiftright not division — the 60-bit token hash
+    # exceeds double's 53-bit integer precision (see llm.dedup.simhash)
+    bit_sums = [
+        F.aggregate(
+            hashed, zero,
+            # bind i now: a late-bound closure would give every fold the
+            # last bit index
+            (lambda i: lambda acc, h:
+                acc + (F.shiftright(h, i) % 2) * 2 - 1)(i),
+        )
+        for i in range(bits)
+    ]
+    return sum(
+        [F.when(bit_sums[i] > 0, F.lit(2 ** i)).otherwise(zero)
+         for i in range(bits)],
+        zero,
+    ).cast("bigint")
+
+
+def stream_simhash_neardup(
+    stream: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    ttl: str = "1 hour",
+    max_bucket_docs: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming SimHash near-duplicate pairs — the streaming twin of
+    ``llm.dedup.simhash_pairs_exact`` (multi-index pigeonhole hamming
+    blocks, Norouzi et al. CVPR 2012), completing the streaming dedup
+    family next to exact / MinHash / embedding-cosine.
+
+    Stateless per-row fingerprints (:func:`row_simhash_fingerprint`,
+    bit-identical to batch) explode into the SAME ``max_hamming + 1``
+    pigeonhole block keys as the batch join (``llm.dedup.simhash_blocks``
+    — by pigeonhole, two fingerprints within ``max_hamming`` agree on at
+    least one whole block, so per-block state groups see every
+    qualifying pair). Each (block, key) group holds at most
+    ``max_bucket_docs`` resident (id, fingerprint) pairs — ONE long per
+    resident, the cheapest state in the family — and arriving documents
+    verify against residents by EXACT popcount hamming distance
+    (precision 1, recall 1 up to the bucket cap / ttl bounds). Pairs
+    agreeing on several blocks emit once per block; consumers
+    ``dropDuplicates(["id_a", "id_b"])`` like the MinHash stream."""
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import simhash_blocks
+    from weatherdb_spark.operators.timeline import _interval_seconds
+
+    if not 0 < bits <= 63:
+        # bit 63 would flip the sign of the bigint fingerprint and break
+        # the Python-side xor/popcount below
+        raise ValueError(f"bits ({bits}) must be in 1..63")
+    ttl_ms = _interval_seconds(ttl) * 1000
+    fp = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).alias("event_ts"),
+        row_simhash_fingerprint(F.col(text_col), bits).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    blocks = simhash_blocks(bits, max_hamming)
+    banded = fp.select(
+        "doc_id", "event_ts", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("block"),
+                (F.shiftright(F.col("fp"), lo) % F.lit(2 ** width))
+                .alias("key"),
+            )
+            for i, lo, width in blocks
+        ])).alias("bk"),
+    ).select("doc_id", "event_ts", "fp", "bk.block", "bk.key")
+
+    def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        block = int(key[0])
+        if state.exists:
+            doc_ids, fps = state.get
+            doc_ids = list(doc_ids)
+            fps = list(fps)
+        else:
+            doc_ids, fps = [], []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else pd.DataFrame(
+                columns=["doc_id", "event_ts", "fp"]
+            )
+        )
+        pdf = pdf.sort_values(["event_ts", "doc_id"])
+        out = []
+        for doc_id, doc_fp in zip(pdf["doc_id"], pdf["fp"]):
+            doc_id = int(doc_id)
+            if doc_id in doc_ids:
+                continue  # micro-batch replay of a known resident
+            doc_fp = int(doc_fp)
+            for i, resident in enumerate(doc_ids):
+                ham = bin(fps[i] ^ doc_fp).count("1")
+                if ham <= max_hamming:
+                    out.append((resident, doc_id, block, ham))
+            if len(doc_ids) < max_bucket_docs:
+                doc_ids.append(doc_id)
+                fps.append(doc_fp)
+        state.update((doc_ids, fps))
+        last_ms = (
+            int(pd.Timestamp(pdf["event_ts"].max()).value // 1_000_000)
+            if len(pdf) else 0
+        )
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs() + 1000, last_ms + ttl_ms)
+        )
+        if out:
+            yield pd.DataFrame({
+                "id_a": [r[0] for r in out],
+                "id_b": [r[1] for r in out],
+                "block": [r[2] for r in out],
+                "hamming": [r[3] for r in out],
+            })
+
+    return (
+        banded.withWatermark("event_ts", ttl)
+        .groupBy("block", "key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SH_OUT_SCHEMA,
+            stateStructType=_SH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -690,3 +690,25 @@ def test_get_df_unbuilt_stage_kind_is_typed_null(spark, tmp_path):
     row = df.first()
     assert row["raw"] == 1.0 and row["corr"] is None
     assert dict(df.dtypes)["corr"] == "double"
+
+
+def test_ivf_topk_deterministic_under_repartitioning(spark):
+    """The IVF quantizer is a pure function of (corpus, seed): the SAME
+    corpus under a different partition layout yields identical top-k
+    results. pyspark.ml KMeans broke this — its partition-order float
+    sums moved centroids enough to flip borderline cell assignments and
+    flake the ann_ivf_recall gate between environments."""
+    import random
+
+    from weatherdb_spark.llm.similarity import ivf_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    emb1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb2 = emb1.repartition(17, "vec_id")
+    q = emb1.filter("vec_id < 4")
+    out1 = sorted(map(tuple, ivf_topk(emb1, q, k=3, n_cells=6,
+                                      n_probe=2).collect()))
+    out2 = sorted(map(tuple, ivf_topk(emb2, q, k=3, n_cells=6,
+                                      n_probe=2).collect()))
+    assert out1 == out2 and len(out1) == 12

@@ -196,9 +196,58 @@ def _with_bucket_signature(
 
 
 #: k-means coarse-quantizer training cap: above this corpus size the fit
-#: runs on a seeded sample — the centroids only sketch the distribution,
-#: while a full-corpus fit would pay several whole-corpus passes.
+#: runs on a deterministic id-hash sample — the centroids only sketch the
+#: distribution, while a full-corpus fit would pay several whole-corpus
+#: passes.
 IVF_TRAIN_MAX_ROWS = 100_000
+
+
+def _numpy_kmeans(
+    mat: "np.ndarray", n_cells: int, seed: int, iters: int = 20
+) -> "np.ndarray":
+    """Deterministic Lloyd k-means with k-means++ init, entirely
+    driver-side (the training set is capped at IVF_TRAIN_MAX_ROWS, so
+    this is a <=100k x dim float64 matmul loop). Fixed reduction order
+    means the centroids are a pure function of (mat, seed) — unlike a
+    distributed fit, whose partition-order float sums wiggle with the
+    cluster layout. Returns an (n_cells, dim) float64 array."""
+    rng = np.random.RandomState(seed)
+    n = len(mat)
+    if n == 0:
+        raise ValueError("k-means training set is empty")
+    if n <= n_cells:
+        # every point its own centroid; pad by repeating the first row
+        pad = np.repeat(mat[:1], n_cells - n, axis=0)
+        return np.vstack([mat, pad])
+    # k-means++ seeding
+    centers = [mat[rng.randint(n)]]
+    d2 = ((mat - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        total = d2.sum()
+        if total <= 0:
+            centers.append(mat[rng.randint(n)])
+            continue
+        centers.append(mat[np.searchsorted(np.cumsum(d2 / total),
+                                           rng.rand())])
+        d2 = np.minimum(d2, ((mat - centers[-1]) ** 2).sum(axis=1))
+    c = np.array(centers)
+    for _ in range(iters):
+        # pairwise squared distances via |x|^2 - 2xC^T + |c|^2
+        d = (
+            (mat ** 2).sum(axis=1)[:, None]
+            - 2.0 * mat @ c.T
+            + (c ** 2).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        new_c = c.copy()
+        for j in range(n_cells):
+            members = mat[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.allclose(new_c, c):
+            break
+        c = new_c
+    return c
 
 
 def ivf_topk(
@@ -215,63 +264,85 @@ def ivf_topk(
     partitions the corpus into ``n_cells`` cells; each query scans only its
     ``n_probe`` nearest cells.
 
-    The 100 TB shape: centroids train on a sample, the corpus shuffles
+    The 100 TB shape: centroids train on a deterministic id-hash sample
+    (<= IVF_TRAIN_MAX_ROWS rows, one Arrow transfer), the corpus shuffles
     once on cell id (building the inverted file), and query cost drops by
-    ~n_cells/n_probe versus brute force. Deterministic via fixed seed.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    ~n_cells/n_probe versus brute force.
 
+    The quantizer is a driver-side numpy k-means, NOT pyspark.ml.KMeans:
+    the ml fit aggregates float sums in partition order, so the same
+    seed yields slightly different centroids under different
+    partitioning — enough to flip a borderline cell assignment and make
+    a recall gate flake between environments. Here the training matrix
+    is collected sorted by id and every reduction runs in a fixed order:
+    the centroids are a pure function of (corpus, seed).
+    """
     from weatherdb_spark.functions.caching import scoped_persist
 
     corp = scoped_persist(spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     ))
-    # The coarse quantizer needs only a sketch of the distribution —
-    # training on the full corpus would make every k-means iteration a
-    # full-corpus pass. The count doubles as the persist materializer, so
-    # fit, transform, and the scored join all read the cached projection.
+    # the count doubles as the persist materializer: the train collect,
+    # the cell assignment, and the scored join all read the cache
     n = corp.count()
     train = corp
     if n > IVF_TRAIN_MAX_ROWS:
-        train = corp.sample(IVF_TRAIN_MAX_ROWS / n, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell")
-    model = km.fit(train.select("_feat"))
-    corp = model.transform(corp).drop("_feat")
+        # deterministic BY ID, unlike df.sample whose per-partition RNG
+        # changes the training set with the partition layout
+        every = -(-n // IVF_TRAIN_MAX_ROWS)  # ceil
+        train = corp.filter(
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(every)) == 0
+        )
+    train_pdf = (
+        train.select("neighbor_id", F.col("_cv").cast("array<double>"))
+        .sort("neighbor_id").toPandas()
+    )
+    mat = np.array([list(v) for v in train_pdf.iloc[:, 1]], dtype="float64")
+    centroids = _numpy_kmeans(mat, n_cells, seed)
 
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    centers_df = corp.sparkSession.createDataFrame(
-        centers, "cell int, centroid array<double>"
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    # per query: distance to every centroid, keep the n_probe nearest cells
-    q_cells = (
-        q.crossJoin(F.broadcast(centers_df))
-        .withColumn(
-            "_cdist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_qv"), F.col("centroid"),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
+    # one 1-D ndarray literal per centroid (2-D literals are unsupported;
+    # per-row lists would pay a py4j round-trip per element — see
+    # _with_bucket_signature)
+    centroid_array = F.array(*[F.lit(c) for c in centroids])
+
+    def dists_to(vec):
+        # squared Euclidean to every centroid
+        return F.transform(
+            centroid_array,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c,
+                           lambda x, cc: (x.cast("double") - cc)
+                           * (x.cast("double") - cc)),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ),
         )
-        .withColumn(
-            "_crank",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.col("_cdist").asc(), F.col("cell").asc())
-            ),
-        )
-        .filter(F.col("_crank") <= n_probe)
-        .select("query_id", "_qv", F.col("cell").alias("_cell"))
+
+    def nearest_cell(vec):
+        d = dists_to(vec)
+        # first position of the min = lowest cell id on exact ties
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    corp = corp.withColumn("_cell", nearest_cell(F.col("_cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # n_probe nearest cells per query from the same distance array —
+    # an array_sort of (dist, cell) structs replaces the old
+    # crossJoin(centroids) + row_number window (no shuffle at all)
+    cells = F.slice(
+        F.array_sort(F.zip_with(
+            dists_to(F.col("_qv")),
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+        )),
+        1, n_probe,
+    )
+    q_cells = q.select(
+        "query_id", "_qv",
+        F.explode(F.transform(cells, lambda s: s["cell"])).alias("_cell"),
     )
     scored = (
         corp.join(F.broadcast(q_cells), "_cell")

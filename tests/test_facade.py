@@ -734,3 +734,14 @@ def test_station_small_getters(mini_broker):
     fil_p = st.get_period_meta(kind="filled")
     assert p2.start == max(raw_p.start, fil_p.start)
     assert p2.end == min(raw_p.end, fil_p.end)
+
+
+def test_broker_typed_collection_accessors(mini_broker):
+    """Reference broker.py:33-41 exposes stations_pd/_et/_t/_p and the
+    ordered list; the engine's lazy properties bind to this broker."""
+    from weatherdb_spark.station import StationsP
+
+    assert isinstance(mini_broker.stations_p, StationsP)
+    assert mini_broker.stations_p.broker is mini_broker
+    params = [s.parameter for s in mini_broker.stations]
+    assert params == ["p_d", "et", "t", "p"]  # reference stage order

@@ -813,6 +813,40 @@ class Broker:
             mx = max(mx, sum(f.endswith(".parquet") for f in files))
         return mx
 
+    # ------------- typed collection accessors (reference broker.py:33-41
+    # builds self.stations_pd/_et/_t/_p in __init__; here they're lazy
+    # properties so constructing a Broker doesn't import the facade)
+    @property
+    def stations_p(self):
+        from weatherdb_spark.station import StationsP
+
+        return StationsP(self)
+
+    @property
+    def stations_pd(self):
+        from weatherdb_spark.station import StationsPD
+
+        return StationsPD(self)
+
+    @property
+    def stations_t(self):
+        from weatherdb_spark.station import StationsT
+
+        return StationsT(self)
+
+    @property
+    def stations_et(self):
+        from weatherdb_spark.station import StationsET
+
+        return StationsET(self)
+
+    @property
+    def stations(self) -> list:
+        """All four typed collections in the reference's stage order
+        (broker.py:37-41)."""
+        return [self.stations_pd, self.stations_et, self.stations_t,
+                self.stations_p]
+
     def vacuum(self, max_files_per_bucket: int = 2) -> dict[str, tuple[int, int]]:
         """Compact fragmented tables (the engine twin of the reference's
         ``VACUUM ANALYZE``, broker.py:547-551): repeated stage rewrites and

@@ -371,3 +371,42 @@ def test_stations_offline_update_family(spark, tmp_path):
     assert ts.filter(F.col("station_id") == 71).count() == 1
     assert ts.filter((F.col("station_id") == 44)
                      & F.col("raw").isNotNull()).count() == 2
+
+
+def test_stations_richter_class_skip_if_exist_scopes_dem_scan(stage_broker):
+    """skip_if_exist=True narrows the DEM recompute to stations without a
+    class (StationP.py:451-463's guard at collection level); False
+    recomputes everyone in scope."""
+    from weatherdb_spark.station import StationsP
+
+    b = stage_broker
+    sp = StationsP(b)
+    calls = []
+    orig = type(b).update_horizon
+
+    def spy(self, dem_sampler, parameter="p", stids=None, **kw):
+        calls.append(stids)
+        return orig(self, dem_sampler, parameter, stids=stids, **kw)
+
+    type(b).update_horizon = spy
+    try:
+        def flat_dem(xs, ys):
+            import numpy as np
+
+            return np.zeros(len(xs))
+
+        # no classes stored yet: the skip path still visits everyone
+        # (scope None = all when the class column doesn't exist yet)
+        sp.update_richter_class(dem_sampler=flat_dem, radius_m=200.0,
+                                sample_step_m=100.0)
+        assert calls[-1] is None or len(calls[-1]) > 0
+        # now every station has a class: skip_if_exist short-circuits
+        sp.update_richter_class(dem_sampler=flat_dem, radius_m=200.0,
+                                sample_step_m=100.0)
+        assert len(calls) == 1  # no second update_horizon call
+        # force: full scope again
+        sp.update_richter_class(dem_sampler=flat_dem, skip_if_exist=False,
+                                radius_m=200.0, sample_step_m=100.0)
+        assert len(calls) == 2 and calls[-1] is None
+    finally:
+        type(b).update_horizon = orig

@@ -1542,17 +1542,30 @@ class StationsP(_TypedStations):
     PARAMETER = "p"
 
     def update_richter_class(self, stids="all", dem_sampler=None,
-                             **kw) -> None:
+                             skip_if_exist: bool = True, **kw) -> None:
         """Refresh the Richter exposure classes (reference
         StationsP.update_richter_class, StationsP.py:21-46 — a
         per-station process pool; here ONE distributed stage). With a
         ``dem_sampler`` the horizon angles are recomputed first
         (S8 + S9); without one the classes re-derive from the stored
-        horizon column inside the meta rewrite."""
+        horizon column inside the meta rewrite. ``skip_if_exist``
+        narrows the expensive DEM scan to stations with no class yet
+        (the per-station twin's guard, StationP.py:451-463); pass False
+        to force a full recompute like the reference's init step."""
         if dem_sampler is not None:
+            scope = self._stids_arg(stids)
+            if skip_if_exist:
+                meta = self.get_meta(only_real=False)
+                if "richter_class" in meta.columns:
+                    unset = meta.filter(F.col("richter_class").isNull())
+                    if scope is not None:
+                        unset = unset.filter(F.col("station_id").isin(scope))
+                    scope = [r["station_id"] for r in
+                             unset.select("station_id").collect()]
+                    if not scope:
+                        return  # every station in scope already classed
             self.broker.update_horizon(
-                dem_sampler, self.parameter,
-                stids=self._stids_arg(stids), **kw
+                dem_sampler, self.parameter, stids=scope, **kw
             )
             return
         # Broker.update_meta re-derives richter_class from the stored

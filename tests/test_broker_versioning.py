@@ -211,6 +211,9 @@ def test_time_travel_read_previous_snapshot(spark, tmp_path):
     assert b.read("ts_p").count() == 45
     assert b.read("ts_p", version=1).count() == 30
     assert b.read("ts_p", version=2).count() == 45
+    # the on-disk candidates for a pinned read, ascending
+    assert b.table_versions("ts_p") == [1, 2]
+    assert b.table_versions("no_such_table") == []
 
 
 def test_downgrade_with_legacy_leftovers_and_crashed_upgrade(spark, tmp_path):

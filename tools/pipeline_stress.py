@@ -180,6 +180,11 @@ def main() -> None:
 
     n_days = int(args.years * 365)
     wh = args.wh or tempfile.mkdtemp(prefix="wdb_stress_")
+    # this sandbox shares hardware with noisy neighbors: wall times drift
+    # up to ~3x between calm and contended windows (a back-to-back A/B of
+    # two commits is the only trustworthy comparison). Stamp the host
+    # load so a cross-round diff can tell plan regressions from weather.
+    load_start = os.getloadavg()
     spark = get_spark(app_name="pipeline_stress")
     b = Broker(spark, wh)
 
@@ -228,6 +233,8 @@ def main() -> None:
             "rows": rows,
             "rows_total": sum(rows.values()),
             "stages": stages,
+            "load_1min_start": round(load_start[0], 2),
+            "load_1min_end": round(os.getloadavg()[0], 2),
         }))
         sys.stdout.flush()
     finally:

@@ -638,6 +638,20 @@ class Broker:
     def _version_dirname(version: int) -> str:
         return f"_v{version:05d}"
 
+    def table_versions(self, table: str) -> list[int]:
+        """Snapshot numbers still on disk, ascending — the candidates for
+        a time-travel ``read(table, version=...)`` (normally the current
+        snapshot plus its predecessor; vacuum reclaims older ones)."""
+        root = self.path(table)
+        try:
+            entries = os.listdir(root)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        return sorted(
+            int(e[2:]) for e in entries
+            if e.startswith("_v") and e[2:].isdigit()
+        )
+
     def data_path(self, table: str, version: int | None = None) -> str:
         """The directory Spark scans for the table's current (or a
         pinned) snapshot."""

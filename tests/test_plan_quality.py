@@ -372,3 +372,24 @@ def test_period_read_prunes_year_partitions(spark, tmp_path):
     assert "ts_year" in pf, plan
     assert "station_bucket" in pf, plan
     assert df.count() == 20  # 2 years x 10 rows, station 1 only
+
+
+def test_ivf_topk_plan_no_cross_join_and_grouped_topk(spark):
+    """The IVF path's per-query cell choice is a centroid-literal
+    expression (sorted-slice over the distance array), NOT the old
+    crossJoin(centroids) + row_number window; and the final top-k runs
+    through WindowGroupLimit (partial per-partition pruning before the
+    exchange) instead of ranking the full candidate set."""
+    import random
+
+    from weatherdb_spark.llm.similarity import ivf_topk
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(ivf_topk(emb, emb.limit(4), k=3, n_cells=4, n_probe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "WindowGroupLimit" in plan

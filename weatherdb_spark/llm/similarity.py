@@ -227,8 +227,10 @@ def _numpy_kmeans(
         if total <= 0:
             centers.append(mat[rng.randint(n)])
             continue
-        centers.append(mat[np.searchsorted(np.cumsum(d2 / total),
-                                           rng.rand())])
+        # clamp: float rounding can leave cumsum[-1] just under 1.0, and
+        # a draw above it would index one past the end
+        idx = min(np.searchsorted(np.cumsum(d2 / total), rng.rand()), n - 1)
+        centers.append(mat[idx])
         d2 = np.minimum(d2, ((mat - centers[-1]) ** 2).sum(axis=1))
     c = np.array(centers)
     for _ in range(iters):

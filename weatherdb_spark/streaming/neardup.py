@@ -379,11 +379,15 @@ def row_simhash_fingerprint(text_col: Column, bits: int = 32) -> Column:
         )
         for i in range(bits)
     ]
-    return sum(
+    fp = sum(
         [F.when(bit_sums[i] > 0, F.lit(2 ** i)).otherwise(zero)
          for i in range(bits)],
         zero,
     ).cast("bigint")
+    # NULL text: the when() above would silently fold the NULL bit sums
+    # to fingerprint 0 and pair every textless doc with every other —
+    # the batch pipeline's explode drops them, so NULL mirrors that
+    return F.when(text_col.isNull(), F.lit(None).cast("bigint")).otherwise(fp)
 
 
 def stream_simhash_neardup(

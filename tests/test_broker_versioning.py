@@ -364,3 +364,14 @@ def test_downgrade_rejects_newer_than_engine_layout(spark, tmp_path):
     b.set_setting("layout", str(b.LAYOUT_VERSION + 1))
     with pytest.raises(ValueError, match="newer than this engine"):
         b.downgrade_db_schema()
+
+
+def test_cli_versions_command(spark, tmp_path, capsys):
+    from weatherdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    b = Broker(spark, wh)
+    b.write("ts_p", _fact(spark, 10, 1.0), bucket_by_station=True)
+    b.write("ts_p", _fact(spark, 12, 2.0), bucket_by_station=True)
+    assert main(["versions", "--warehouse", wh]) == 0
+    assert "'ts_p': [1, 2]" in capsys.readouterr().out

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     wh(sub.add_parser("vacuum",
                       help="compact fragmented warehouse tables "
                            "(reference broker.py vacuum)"))
+    vs = wh(sub.add_parser(
+        "versions",
+        help="per-table snapshot versions still on disk (time-travel "
+             "candidates for Broker.read(version=...))",
+    ))
+    vs.add_argument("--table", default=None,
+                    help="one table (default: every warehouse table)")
     wh(sub.add_parser("force-deactivate",
                       help="clear a stale broker lock "
                            "(reference cli.py force_deactivate_all_broker)"))
@@ -279,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
         broker.last_imp_fillup()
     elif args.command == "last-imp-corr":
         broker.last_imp_corr()
+    elif args.command == "versions":
+        tables = ([args.table] if args.table
+                  else broker._data_tables())
+        out = {t: broker.table_versions(t) for t in tables}
+        print({t: v for t, v in out.items() if v})
     elif args.command == "stream-import":
         from weatherdb_spark.streaming.ingest import stream_into_broker
 

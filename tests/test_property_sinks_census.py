@@ -212,3 +212,77 @@ def test_stream_flags_match_python_rule_random(spark, tmp_path, seed):
     got = {(r["station_id"], r["timestamp"]) for r in out}
     assert len(out) == len(got)  # exactly-once per member
     assert got == _python_run_flags(rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_stream_simhash_pairs_match_batch_join_random(spark, tmp_path, seed):
+    """Randomized docs split across 3 micro-batches: the streaming
+    SimHash pair set (dropDuplicates over blocks) must equal the batch
+    multi-index join's pair set — pairs straddling batch boundaries
+    included. Bucket caps are sized above the corpus so the comparison
+    is exact."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import simhash_pairs_exact
+    from weatherdb_spark.streaming.neardup import stream_simhash_neardup
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(12):
+        if i >= 6 and rng.random() < 0.5:
+            # near-duplicate of an earlier doc: one word changed
+            base = list(texts[rng.randrange(len(texts))].split())
+            base[rng.randrange(len(base))] = rng.choice(words)
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(rng.choice(words) for _ in range(10)))
+    base_ts = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (i + 1, texts[i], base_ts + dt.timedelta(minutes=i))
+        for i in range(len(texts))
+    ]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    n = len(rows)
+    for part, chunk in enumerate(
+        (rows[: n // 3], rows[n // 3: 2 * n // 3], rows[2 * n // 3:])
+    ):
+        p = src / f"{part}.csv"
+        pd.DataFrame(chunk, columns=["doc_id", "text", "event_ts"]).to_csv(
+            p, index=False
+        )
+        os.utime(p, (1_700_000_000 + part, 1_700_000_000 + part))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_simhash_neardup(stream, max_hamming=6, bits=32,
+                               max_bucket_docs=64)
+        .writeStream.format("memory").queryName(f"prop_simhash_{seed}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(f"SELECT * FROM prop_simhash_{seed}")
+        .dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    batch = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in simhash_pairs_exact(docs, max_hamming=6, bits=32).collect()
+    }
+    # stream emits (earlier, newer) = (smaller id, larger id) here since
+    # arrival order is id order
+    assert streamed == batch

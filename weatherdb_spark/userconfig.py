@@ -77,13 +77,16 @@ class UserConfig(configparser.ConfigParser):
         """Reference set (ConfigParser.py:125-143): lists join to
         comma-newline strings; listeners fire only when the stored value
         actually changes."""
+        if section != self.default_section and not self.has_section(section):
+            # the reference's set auto-creates the section
+            # (ConfigParser.py:130-131)
+            self.add_section(section)
         if isinstance(value, (list, tuple)):
             value = ",\n\t".join(str(v) for v in value)
         elif value is not None and not isinstance(value, str):
             value = str(value)
         changed = (
-            not self.has_section(section)
-            or option not in self[section]
+            option not in self[section]
             or (value is not None
                 and value.replace("\t", "") != super().get(section, option,
                                                            raw=True))

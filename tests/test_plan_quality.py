@@ -273,6 +273,12 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         ("fillup_rank_fill_deep", 23),
         ("fillup_rank_fill", 16),
         ("qc_neighbor_median", 13),
+        # LSH family (measured 4/10/4 stable x3): the pairs/simhash
+        # paths are pure map-side candidate generation + one verify
+        # join, the minhash path adds the banded-signature exchange
+        ("embedding_cosine_pairs_lsh", 7),
+        ("dedup_minhash_lsh", 13),
+        ("dedup_simhash_exact", 7),
     ],
 )
 def test_query_job_count_pinned(spark, name, max_jobs):

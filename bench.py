@@ -66,6 +66,10 @@ def main() -> None:
         "queries": timings,
         "iterations": iterations,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # this sandbox shares hardware; wall times drift up to ~3x with
+        # neighbor load, so the record carries the host 1-min load for
+        # cross-round interpretation (see STRESS.json's A/B note)
+        "load_1min_end": round(os.getloadavg()[0], 2),
     }))
     sys.stdout.flush()
 

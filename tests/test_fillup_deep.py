@@ -311,3 +311,34 @@ def test_interpolate_gaps_long_max_gap_spans_multiple_years(spark):
         for r in interpolate_gaps(facts, max_gap="2 days").collect()
     }
     assert strict[dt.datetime(2023, 6, 1)] is None
+
+
+def test_median_fill_near_cascade_equals_unbounded(spark, starved):
+    """The NEAR-side cascade (nearest near_cascade_k ranks first, full
+    near set only for timestamps below the donor quota) is value-
+    identical to the one-pass near aggregation at every k — the rank-
+    contiguity argument, exercised where near donors are dense (day>0:
+    6 near donors for station 0) AND sparse (day 0: none near, far
+    fallback) AND partially present."""
+    meta, facts, ma = starved
+    knn_all = knn_stations(meta, k=None, elevation_weighted=False)
+    for near_dist in (2500.0, 6500.0):
+        kw = dict(n_donors=3, base_col="qc", value_cols=("qc",),
+                  out_cols=("filled",), round_digits=None,
+                  near_dist_m=near_dist)
+        def norm(df):
+            return sorted(
+                (r.station_id, r.timestamp, r.filled,
+                 tuple(r.filled_by) if r.filled_by is not None else None)
+                for r in df.collect()
+            )
+        a = norm(median_fill(facts, knn_all, ma, **kw))
+        for k in (1, 2, 4, 50):
+            for hole_semi in (True, False):
+                b = norm(median_fill(facts, knn_all, ma,
+                                     near_cascade_k=k, hole_semi=hole_semi,
+                                     **kw))
+                assert a == b, (
+                    f"near_cascade_k={k} hole_semi={hole_semi} "
+                    f"near_dist={near_dist} diverges"
+                )

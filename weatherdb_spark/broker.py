@@ -1552,13 +1552,35 @@ class Broker:
             # min/max series ride along only when the import carried them
             # (DWD kl has TNK/TXK; a mean-only T table is still fillable)
             has_minmax = {"raw_min", "raw_max"} <= set(facts.columns)
+            t_knn = self._scope(self._knn("t", k=None), stids)
+            t_n_donors = user_setting(
+                "fillup", "t_n_donors",
+                PARAMETERS["t"]["fillup_n_donors"], cast=int,
+            )
+            t_near_m = user_setting(
+                "fillup", "t_near_dist_km",
+                PARAMETERS["t"]["fillup_near_dist_km"],
+            ) * 1000
+            # near-side cascade auto-gate: T's 100 km near radius can
+            # hold far more donors than the 5 the median uses — when the
+            # MEAN near count per station is well past the cascade head,
+            # aggregating the nearest ranks first cuts the candidate
+            # stream proportionally (value-identical — rank contiguity,
+            # tests/test_fillup_deep.py). The probe is one tiny agg over
+            # the knn DIM (stations^2-bounded, never fact-sized). Sparse
+            # networks skip it: phase 1 would cover the whole near set
+            # and the quota-miss recompute would double the work.
+            near_k = max(8, 2 * t_n_donors)
+            near_rows = t_knn.filter(F.col("dist_m") <= t_near_m)
+            n_stations = t_knn.select("station_id").distinct().count()
+            mean_near = (
+                near_rows.count() / n_stations if n_stations else 0.0
+            )
+            near_cascade_k = near_k if mean_near >= 2 * near_k else None
             filled_t = median_fill(
-                facts, self._scope(self._knn("t", k=None), stids),
+                facts, t_knn,
                 self._ma_values("t"),
-                n_donors=user_setting(
-                    "fillup", "t_n_donors",
-                    PARAMETERS["t"]["fillup_n_donors"], cast=int,
-                ),
+                n_donors=t_n_donors,
                 base_col="qc",
                 value_cols=(
                     ("qc", "raw_min", "raw_max") if has_minmax else ("qc",)
@@ -1567,11 +1589,9 @@ class Broker:
                     ("filled", "filled_min", "filled_max") if has_minmax
                     else ("filled",)
                 ),
-                near_dist_m=user_setting(
-                    "fillup", "t_near_dist_km",
-                    PARAMETERS["t"]["fillup_near_dist_km"],
-                ) * 1000,
+                near_dist_m=t_near_m,
                 cascade_k=cascade_k, donor_facts=donor_facts,
+                near_cascade_k=near_cascade_k,
             )
             filled_t = interpolate_gaps(
                 filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],

@@ -275,6 +275,7 @@ def median_fill(
     cascade_k: int | None = None,
     donor_facts: DataFrame | None = None,
     hole_semi: bool | None = None,
+    near_cascade_k: int | None = None,
 ) -> DataFrame:
     """T fillup: fill with the exact median of the first ``n_donors``
     non-null regionalized donors in rank order; ``filled_by`` is the array
@@ -308,6 +309,14 @@ def median_fill(
     ``hole_semi``: build the candidate streams FROM the hole keys
     (``None`` auto-sizes via the measured hole fraction — see
     :func:`_resolve_hole_semi` and :func:`_hole_candidates`).
+
+    ``near_cascade_k``: cascade the NEAR aggregation too — first the
+    nearest ``near_cascade_k`` ranks, then only timestamps that found
+    fewer than ``n_donors`` candidates there re-aggregate against the
+    complete near set. Identical output (rank contiguity — see the
+    inline note); pays off when the near radius holds many more donors
+    than ``n_donors`` (T's 100 km in a dense network), wasteful when
+    near donors are sparse (most timestamps recompute). Default off.
     """
     donor_src = donor_facts if donor_facts is not None else facts
     donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
@@ -436,12 +445,39 @@ def median_fill(
                 out = out.withColumn(f"_med_{c}", med)
             return out.withColumn(
                 "_donors", F.transform(F.col("_top"), lambda s: s["nb"])
-            ).drop("_top")
+            ).withColumn("_n_cand", F.size(F.col("_top"))).drop("_top")
 
         # persisted: the union result AND the hole anti-join both consume
         # it — without the cache the whole near aggregation re-runs for
         # every cascade stage downstream of `targets`
-        best_near = scoped_persist(_topn_best(_cand(near_pairs), n_donors))
+        if near_cascade_k is None:
+            best_near = scoped_persist(
+                _topn_best(_cand(near_pairs), n_donors)
+            )
+        else:
+            # Near-side cascade for DENSE near sets (T's 100 km radius
+            # can hold ~30 donors per station where only the first
+            # n_donors=5 matter): aggregate the nearest near_cascade_k
+            # ranks first; a timestamp that found >= n_donors candidates
+            # there is FINAL — the knn rank orders by the same dist_m
+            # the near threshold bounds, so the first n of a contiguous
+            # rank prefix ARE the global first n (the far path's
+            # contiguity argument, applied near). Only the unfilled
+            # remainder re-aggregates against the complete near set,
+            # hole-key-driven so the recompute stream is built from
+            # exactly the keys that need it.
+            near_head = near_pairs.filter(F.col("rank") <= near_cascade_k)
+            best1 = scoped_persist(_topn_best(_cand(near_head), n_donors))
+            done1 = best1.filter(F.col("_n_cand") >= n_donors)
+            redo = hole_keys.join(
+                done1.select("station_id", ts_col).hint("shuffle_hash"),
+                ["station_id", ts_col], "left_anti",
+            )
+            best2 = _topn_best(
+                _hole_candidates(redo, near_pairs, donor_facts, ts_col),
+                n_donors,
+            )
+            best_near = scoped_persist(done1.unionByName(best2))
         targets = scoped_persist(all_holes.join(
             # shuffle-hash: sorting two fact-sized key streams for an
             # anti join buys nothing
@@ -524,7 +560,7 @@ def median_fill(
             .agg(*aggs)
         )
         best = done1.unionByName(best2)
-    best = best.drop("_n_near")
+    best = best.drop("_n_near", "_n_cand")
 
     # shuffle-hash: see rank_fill's final-join note
     out = facts.join(best.hint("shuffle_hash"), ["station_id", ts_col], "left")

@@ -333,7 +333,7 @@ def test_median_fill_near_cascade_equals_unbounded(spark, starved):
                 for r in df.collect()
             )
         a = norm(median_fill(facts, knn_all, ma, **kw))
-        for k in (1, 2, 4, 50):
+        for k in (1, 2, 4, 50, "auto"):
             for hole_semi in (True, False):
                 b = norm(median_fill(facts, knn_all, ma,
                                      near_cascade_k=k, hole_semi=hole_semi,

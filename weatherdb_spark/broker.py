@@ -1561,22 +1561,6 @@ class Broker:
                 "fillup", "t_near_dist_km",
                 PARAMETERS["t"]["fillup_near_dist_km"],
             ) * 1000
-            # near-side cascade auto-gate: T's 100 km near radius can
-            # hold far more donors than the 5 the median uses — when the
-            # MEAN near count per station is well past the cascade head,
-            # aggregating the nearest ranks first cuts the candidate
-            # stream proportionally (value-identical — rank contiguity,
-            # tests/test_fillup_deep.py). The probe is one tiny agg over
-            # the knn DIM (stations^2-bounded, never fact-sized). Sparse
-            # networks skip it: phase 1 would cover the whole near set
-            # and the quota-miss recompute would double the work.
-            near_k = max(8, 2 * t_n_donors)
-            near_rows = t_knn.filter(F.col("dist_m") <= t_near_m)
-            n_stations = t_knn.select("station_id").distinct().count()
-            mean_near = (
-                near_rows.count() / n_stations if n_stations else 0.0
-            )
-            near_cascade_k = near_k if mean_near >= 2 * near_k else None
             filled_t = median_fill(
                 facts, t_knn,
                 self._ma_values("t"),
@@ -1591,7 +1575,10 @@ class Broker:
                 ),
                 near_dist_m=t_near_m,
                 cascade_k=cascade_k, donor_facts=donor_facts,
-                near_cascade_k=near_cascade_k,
+                # dense-network near-side cascade, auto-gated inside the
+                # operator on near density + the measured hole fraction
+                # (value-identical — tests/test_fillup_deep.py)
+                near_cascade_k="auto",
             )
             filled_t = interpolate_gaps(
                 filled_t, max_gap=PARAMETERS["t"]["max_gap_interp"],

@@ -414,7 +414,9 @@ def median_fill(
             # 4.0s -> 5.7s at 80% holes, dense). Probes: one dim-sized
             # count over the near PAIR dim + the hole fraction already
             # measured above.
-            near_k = max(8, 2 * n_donors)
+            # a 4x head gives the quota a 2x margin at up to 50% holes:
+            # expected non-null donors in the head = near_k * avail
+            near_k = max(16, 4 * n_donors)
             stats = near_pairs.agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.count_distinct(F.col("station_id")).alias("_s"),

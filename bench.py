@@ -26,6 +26,7 @@ def main() -> None:
     from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY
     from weatherdb_spark.session import get_spark
 
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="weatherdb_spark_bench")
 
     # bench set spans both registries so the headline query list stays
@@ -69,6 +70,7 @@ def main() -> None:
         # this sandbox shares hardware; wall times drift up to ~3x with
         # neighbor load, so the record carries the host 1-min load for
         # cross-round interpretation (see STRESS.json's A/B note)
+        "load_1min_start": load_start,
         "load_1min_end": round(os.getloadavg()[0], 2),
     }))
     sys.stdout.flush()

@@ -1,0 +1,145 @@
+"""Per-bucket resident caps for the batch LSH candidate generators.
+
+The streaming near-dup twins bound hot-bucket state with
+``max_bucket_docs``; these gates prove the batch paths now carry the
+same knob: an adversarial all-identical corpus (every document lands in
+ONE bucket — the degenerate case a dedup corpus approaches by
+definition) produces a candidate set linear in the corpus instead of
+quadratic, the truncation is deterministic (smallest ids are the
+residents), and a cap that never engages leaves results bit-identical
+to the uncapped plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from weatherdb_spark.llm.bucketing import bucket_overflow, cap_bucket_residents
+from weatherdb_spark.llm.dedup import minhash_lsh_pairs
+from weatherdb_spark.llm.similarity import cosine_pairs_lsh, lsh_bucket_topk
+from weatherdb_spark.sources.testdata import load
+
+N_DEGEN = 40
+CAP = 4
+# residents are the CAP smallest ids; a pair survives iff its smaller id
+# is a resident, so the degenerate corpus yields sum_{r<CAP}(N-1-r) pairs
+EXPECTED_CAPPED = sum(N_DEGEN - 1 - r for r in range(CAP))
+EXPECTED_UNCAPPED = N_DEGEN * (N_DEGEN - 1) // 2
+
+
+def _identical_docs(spark, n=N_DEGEN):
+    return spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def _identical_vectors(spark, n=N_DEGEN, start=0):
+    vec = [float(j % 7) - 3.0 for j in range(64)]
+    return spark.createDataFrame(
+        [(start + i, vec) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_minhash_cap_bounds_degenerate_corpus(spark):
+    docs = _identical_docs(spark)
+    capped = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_docs=CAP)
+    uncapped = minhash_lsh_pairs(docs, threshold=0.8)
+    assert uncapped.count() == EXPECTED_UNCAPPED
+    rows = capped.collect()
+    assert len(rows) == EXPECTED_CAPPED
+    # every surviving pair's smaller id is a resident (one of the CAP
+    # smallest ids) — the deterministic truncation rule
+    assert all(r.id_a < CAP for r in rows)
+
+
+def test_cosine_lsh_cap_bounds_degenerate_corpus(spark):
+    emb = _identical_vectors(spark)
+    capped = cosine_pairs_lsh(emb, threshold=0.4, max_bucket_docs=CAP)
+    uncapped = cosine_pairs_lsh(emb, threshold=0.4)
+    assert uncapped.count() == EXPECTED_UNCAPPED
+    rows = capped.collect()
+    assert len(rows) == EXPECTED_CAPPED
+    assert all(r.id_a < CAP and r.cos == 1.0 for r in rows)
+
+
+def test_lsh_topk_cap_restricts_neighbors_to_residents(spark):
+    # corpus ids 0..39 all identical; query ids 1000.. share the vector,
+    # so uncapped every corpus doc is a perfect-cosine candidate — capped,
+    # only the CAP smallest corpus ids can ever be returned
+    corpus = _identical_vectors(spark)
+    queries = _identical_vectors(spark, n=3, start=1000)
+    out = lsh_bucket_topk(
+        corpus, queries, k=10, max_bucket_docs=CAP
+    ).collect()
+    assert out, "capped top-k returned nothing"
+    assert {r.neighbor_id for r in out} <= set(range(CAP))
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rs in per_query.items():
+        assert len(rs) <= CAP
+
+
+def test_large_cap_never_engages_results_identical(spark):
+    """A cap above every bucket population must leave both pipelines
+    bit-identical to the uncapped plan — the default-path safety gate."""
+    docs = load(spark, SF_DIR, "documents")
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.8, max_bucket_docs=1_000_000
+        ).collect()
+    }
+    assert base == capped and base
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base_e = {
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    capped_e = {
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_pairs_lsh(
+            emb, threshold=0.4, max_bucket_docs=1_000_000
+        ).collect()
+    }
+    assert base_e == capped_e and base_e
+
+
+def test_bucket_overflow_report(spark):
+    bucketed = spark.createDataFrame(
+        [("t0", "hot", i) for i in range(10)]
+        + [("t0", "cold", i) for i in range(3)],
+        "band string, key string, doc_id long",
+    )
+    hot = bucket_overflow(bucketed, ["band", "key"], cap=4).collect()
+    assert len(hot) == 1
+    assert hot[0].key == "hot"
+    assert hot[0].n_docs == 10 and hot[0].n_denied == 6
+    # cap above every population: empty report == cap never engaged
+    assert not bucket_overflow(bucketed, ["band", "key"], cap=16).collect()
+
+
+def test_cap_resident_selection_is_deterministic(spark):
+    bucketed = spark.createDataFrame(
+        [("t0", "hot", i) for i in (9, 3, 7, 1, 5, 0)],
+        "band string, key string, doc_id long",
+    ).repartition(8)
+    kept = cap_bucket_residents(bucketed, ["band", "key"], "doc_id", 3)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 3]
+
+
+def test_cap_validation(spark):
+    docs = _identical_docs(spark, n=4)
+    with pytest.raises(ValueError, match="max_bucket_docs"):
+        minhash_lsh_pairs(docs, max_bucket_docs=0).collect()

@@ -21,6 +21,11 @@ EXTRA_COVERED_BY = {
     # scale path (which value-matches a mirrored-pipeline oracle and is
     # recall-gated against this sibling in pytest)
     "embedding_cosine_pairs": "embedding_cosine_pairs_lsh",
+    # capped variant of the official LSH path: same pipeline with the
+    # hot-bucket resident cap engaged; its truncated pair set is
+    # hash-checked against a mirrored rank/first-table/cap oracle in
+    # pytest parity, and test_bucket_caps.py pins the bound semantics
+    "embedding_cosine_pairs_lsh_capped": "embedding_cosine_pairs_lsh",
 }
 
 # the five operators that silently fell off the cap in round 2

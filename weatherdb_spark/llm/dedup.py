@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
@@ -201,10 +202,22 @@ def minhash_lsh_pairs(
     shingle arrays that the verify stage reads back, instead of re-running
     the split/transform text pass. The persist is deliberate and bounded
     (one array column per doc, MEMORY_AND_DISK spills under pressure).
+
+    ``max_bucket_docs`` (default None = uncapped) bounds the hot-bucket
+    quadratic: a corpus of B near-identical documents lands its band
+    signatures in one bucket, and the candidate join inside it is
+    O(B^2). With the cap, the LEFT (smaller-id) side of each
+    (band, key) bucket keeps only its first N residents by ascending
+    id, so the bucket yields O(N*B) candidates — the batch twin of the
+    streaming ``max_bucket_docs`` (``streaming/neardup.py``). A pair
+    survives if ANY band keeps it (bands stay independent, as in the
+    stream). Not silent: logged on activation, quantifiable with
+    :func:`weatherdb_spark.llm.bucketing.bucket_overflow`.
     """
     from pyspark import StorageLevel
 
     from weatherdb_spark.functions.caching import scoped_persist
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
 
     rows = num_perm // bands
     sh = scoped_persist(
@@ -233,7 +246,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    left = cap_bucket_residents(
+        banded.select(F.col(id_col).alias("id_a"), "band", "key"),
+        ["band", "key"], "id_a", max_bucket_docs,
+    )
     right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     candidates = (
         left.join(right, ["band", "key"])

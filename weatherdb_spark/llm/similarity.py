@@ -368,6 +368,7 @@ def lsh_bucket_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent random-hyperplane
     LSH tables; candidates are the union of the query's bucket across
@@ -379,7 +380,16 @@ def lsh_bucket_topk(
     1 - (1 - p^planes)^n_tables. At 100 TB the corpus explodes x n_tables
     and shuffles ONCE on the (table, bucket) key; each query probes
     n_tables buckets instead of the full corpus.
+
+    ``max_bucket_docs`` (default None = uncapped) bounds each corpus
+    (table, bucket) group to its first N residents by ascending id — a
+    duplicate-heavy corpus collapses many vectors into one bucket and a
+    query probing it would otherwise scan the whole clump; with the cap
+    the per-query candidate count is <= n_tables * max_bucket_docs. Not
+    silent: logged on activation, quantifiable with
+    :func:`weatherdb_spark.llm.bucketing.bucket_overflow`.
     """
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
     def bucketed(df: DataFrame) -> DataFrame:
         # one row per table: bucket from that table's plane block; the
         # full signature rides along for the map-side cross-table dedup
@@ -392,6 +402,7 @@ def lsh_bucket_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
     ).withColumnsRenamed({"_v": "_cv", "_sig": "_cs"})
+    c = cap_bucket_residents(c, ["_table", "_bucket"], "neighbor_id", max_bucket_docs)
     q = bucketed(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
     ).withColumnsRenamed({"_v": "_qv", "_sig": "_qs"})
@@ -427,6 +438,7 @@ def cosine_pairs_lsh(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale
     path for :func:`cosine_pairs` (which stays the O(n^2) oracle).
@@ -448,7 +460,22 @@ def cosine_pairs_lsh(
     64-float payload vectors, the single biggest intermediate here —
     is never exchanged for a grouping; only the dim-per-row bucketed
     stream shuffles for the join.
+
+    ``max_bucket_docs`` (default None = uncapped) bounds the hot-bucket
+    quadratic: the LEFT (smaller-id) side of each (table, bucket) group
+    keeps only its first N residents by ascending id, so a bucket of B
+    near-identical vectors yields O(N*B) candidates instead of O(B^2) —
+    the batch twin of the streaming ``max_bucket_docs``
+    (``streaming/neardup.py``), where a full bucket stops accumulating
+    residents but still compares arrivals against them. A pair whose
+    smaller id is not a resident of the FIRST table whose buckets
+    collide is dropped (the first-match dedup decides the owning table
+    from the un-capped signatures). Not silent: logged on activation,
+    quantifiable with
+    :func:`weatherdb_spark.llm.bucketing.bucket_overflow`.
     """
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
+
     b = spread(embeddings).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # The vectors deliberately RIDE THROUGH the bucket join: an
     # ids-only candidate stream with a post-dedup join-back to fetch
@@ -474,6 +501,7 @@ def cosine_pairs_lsh(
         F.col("_v").alias("_va"), F.col("_sig").alias("_sa"),
         F.col("_norm").alias("_na"),
     )
+    lhs = cap_bucket_residents(lhs, ["_table", "_bucket"], "id_a", max_bucket_docs)
     rhs = bucketed.select(
         "_table", "_bucket", F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"), F.col("_sig").alias("_sb"),

@@ -250,6 +250,74 @@ def embedding_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@_register_extra(
+    "embedding_cosine_pairs_lsh_capped",
+    oracle="""
+    WITH signs AS (
+        SELECT g.p AS plane,
+               list_transform(range(0, 64),
+                 i -> CASE WHEN ((g.p*64 + i) * 2654435761) % 4294967296
+                                < 2147483648
+                      THEN 1.0 ELSE -1.0 END) AS svec
+        FROM range(0, 48) g(p)
+    ),
+    bits AS (
+        SELECT v.vec_id, s.plane,
+               CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                          s.svec) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings v CROSS JOIN signs s
+    ),
+    buckets AS (
+        SELECT vec_id, plane // 3 AS tbl,
+               CAST(SUM(bit * (1 << (plane % 3))) AS INT) AS bucket
+        FROM bits GROUP BY vec_id, plane // 3
+    ),
+    ranked AS (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY vec_id) AS rk
+        FROM buckets
+    ),
+    coll AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.tbl, a.rk AS rk_a
+        FROM ranked a JOIN ranked b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    cand AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, arg_min(rk_a, tbl) AS rk_first
+            FROM coll GROUP BY 1, 2
+        ) WHERE rk_first <= 16
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+               AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[])) >= 0.4
+    """,
+    doc="embedding_cosine_pairs_lsh with the per-bucket resident cap "
+        "engaged (max_bucket_docs=16): the hot-bucket bound for "
+        "adversarial duplicate-heavy corpora, where one (table, bucket) "
+        "group otherwise goes quadratic. Residents are the first 16 "
+        "smaller-side ids per bucket; a pair survives iff its smaller id "
+        "is a resident of the FIRST table whose buckets collide — the "
+        "batch twin of the streaming max_bucket_docs knob. The oracle "
+        "mirrors the rank/first-table/cap pipeline exactly, so the "
+        "TRUNCATED pair set itself is hash-checked, not just bounded.",
+)
+def embedding_cosine_pairs_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, max_bucket_docs=16
+    )
+
+
 @_register(
     "ann_ivf_recall",
     oracle="""

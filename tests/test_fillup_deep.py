@@ -342,3 +342,23 @@ def test_median_fill_near_cascade_equals_unbounded(spark, starved):
                     f"near_cascade_k={k} hole_semi={hole_semi} "
                     f"near_dist={near_dist} diverges"
                 )
+
+
+def test_near_cascade_k_without_near_dist_raises(spark, starved):
+    """An explicit int near_cascade_k only exists inside the near branch;
+    silently ignoring it hides a misconfiguration — it must raise.
+    'auto' stays a no-op (the gate has nothing to decide without a near
+    radius) and bad values fail loudly."""
+    meta, facts, ma = starved
+    knn_all = knn_stations(meta, k=None, elevation_weighted=False)
+    kw = dict(base_col="qc", value_cols=("qc",), out_cols=("filled",))
+    with pytest.raises(ValueError, match="near_dist_m"):
+        median_fill(facts, knn_all, ma, near_cascade_k=4, **kw)
+    with pytest.raises(ValueError, match="positive int"):
+        median_fill(facts, knn_all, ma, near_cascade_k="many", **kw)
+    with pytest.raises(ValueError, match="positive int"):
+        median_fill(facts, knn_all, ma, near_cascade_k=0,
+                    near_dist_m=5000.0, **kw)
+    # 'auto' without a near radius: valid, decides nothing, still fills
+    out = median_fill(facts, knn_all, ma, near_cascade_k="auto", **kw)
+    assert out.filter(F.col("filled").isNotNull()).count() > 0

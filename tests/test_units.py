@@ -141,3 +141,31 @@ def test_margin_delta_compound_and_calendar_units():
         md("3 fortnights")
     with pytest.raises(ValueError, match="not"):
         md("3")
+
+
+def test_stream_simhash_saturation_warning(spark, caplog):
+    """Default bits=32 / max_hamming=6 gives 4-5-bit block keys (16-32
+    buckets per block) — state saturates at a few hundred residents per
+    TTL window. That bound must be logged loudly at plan build; bits=63
+    (8-9-bit keys) must stay quiet."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.streaming.neardup import stream_simhash_neardup
+
+    src = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.col("timestamp").alias("event_ts"),
+            F.lit("hello saturation world").alias("text"),
+        )
+    )
+    with caplog.at_level(logging.WARNING, "weatherdb_spark.streaming.neardup"):
+        stream_simhash_neardup(src)
+    assert any("saturates" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "weatherdb_spark.streaming.neardup"):
+        stream_simhash_neardup(src, bits=63)
+    assert not any("saturates" in r.message for r in caplog.records)

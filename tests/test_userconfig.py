@@ -262,6 +262,20 @@ def test_change_listeners_fire_only_on_change(cfg):
     assert cfg.get_list("data", "_lst") == ["a", "b"]
 
 
+def test_listeners_skip_repeated_identical_list_set(cfg):
+    """Lists are stored with ',\\n\\t' joiners; the changed comparison must
+    strip tabs on BOTH sides or a repeated identical list assignment
+    re-fires listeners forever (quirk inherited from the reference)."""
+    hits = []
+    cfg.set("data", "_lst2", ["a", "b"])
+    cfg.add_listener("data", "_lst2", lambda: hits.append(1))
+    cfg.set("data", "_lst2", ["a", "b"])    # identical -> no callback
+    assert hits == []
+    cfg.set("data", "_lst2", ["a", "c"])    # real change -> fires
+    assert hits == [1]
+    cfg.remove_listener("data", "_lst2")
+
+
 def test_set_user_config_file_records_and_loads(cfg, tmp_path):
     ini = tmp_path / "user.ini"
     ini.write_text("[data]\nmin_date = 1999-09-09\n")

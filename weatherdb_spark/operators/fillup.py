@@ -22,6 +22,8 @@ uses last/first ignorenulls windows bounded by the configured max gap.
 
 from __future__ import annotations
 
+from typing import Literal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -282,7 +284,7 @@ def median_fill(
     cascade_k: int | None = None,
     donor_facts: DataFrame | None = None,
     hole_semi: bool | None = None,
-    near_cascade_k: int | None = None,
+    near_cascade_k: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """T fillup: fill with the exact median of the first ``n_donors``
     non-null regionalized donors in rank order; ``filled_by`` is the array
@@ -325,8 +327,24 @@ def median_fill(
     than ``n_donors`` (T's 100 km in a dense network), wasteful when
     near donors are sparse or mostly null (most timestamps recompute).
     ``"auto"`` decides from a dim-sized near-count probe plus the
-    measured hole fraction; default off.
+    measured hole fraction; default off. The cascade only exists inside
+    the near branch, so an explicit int without ``near_dist_m`` raises
+    (it would be silently ignored); ``"auto"`` without a near radius is
+    a no-op by definition (nothing to gate).
     """
+    if near_cascade_k is not None and near_cascade_k != "auto":
+        if not isinstance(near_cascade_k, int) or near_cascade_k < 1:
+            raise ValueError(
+                f"near_cascade_k must be a positive int, 'auto' or None; "
+                f"got {near_cascade_k!r}"
+            )
+        if near_dist_m is None:
+            raise ValueError(
+                "near_cascade_k is an explicit int but near_dist_m is None: "
+                "the near cascade only exists inside the near branch, so "
+                "the knob would be silently ignored. Pass near_dist_m or "
+                "drop near_cascade_k."
+            )
     donor_src = donor_facts if donor_facts is not None else facts
     donor_facts = donor_src.filter(F.col(base_col).isNotNull()).select(
         F.col("station_id").alias("nb_station_id"),
@@ -341,7 +359,9 @@ def median_fill(
     # fraction feeds BOTH auto-sizers with one probe job.
     frac = (
         _hole_fraction(facts, base_col)
-        if hole_semi is None or near_cascade_k == "auto" else None
+        if hole_semi is None
+        or (near_cascade_k == "auto" and near_dist_m is not None)
+        else None
     )
     if hole_semi is None:
         hole_semi = frac is not None and frac <= HOLE_SEMI_MAX_FRACTION

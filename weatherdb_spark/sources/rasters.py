@@ -26,6 +26,9 @@ MA_RASTER_DOI = "10.5281/zenodo.10066045"  # get_data.py:46 (public dataset)
 PRISM_URL = (
     "https://prism-dem-open.copernicus.eu/pd-desk-open-access/publicDemURLs"
 )  # get_data.py:201
+#: connect+read timeout for every catalog/tile HTTP request — a hung
+#: mirror must fail loudly, not block the pipeline forever
+DOWNLOAD_TIMEOUT_S = 120
 
 _HEADER_KEYS = {
     "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter",
@@ -137,11 +140,15 @@ def zenodo_record_files(doi: str = MA_RASTER_DOI) -> list[dict]:
             "environments ingest a pre-downloaded grid via "
             "read_ascii_grid + Broker.update_ma_raster_from_grid"
         ) from exc
-    zenodo_id = requests.get(f"https://doi.org/{doi}").url.split("/")[-1]
+    r = requests.get(f"https://doi.org/{doi}", timeout=DOWNLOAD_TIMEOUT_S)
+    r.raise_for_status()
+    zenodo_id = r.url.split("/")[-1]
     rec = requests.get(
-        f"https://zenodo.org/api/records/{zenodo_id}"
-    ).json()
-    return rec["files"]
+        f"https://zenodo.org/api/records/{zenodo_id}",
+        timeout=DOWNLOAD_TIMEOUT_S,
+    )
+    rec.raise_for_status()
+    return rec.json()["files"]
 
 
 def download_ma_rasters(
@@ -165,7 +172,9 @@ def download_ma_rasters(
         target = out_dir / file["key"]
         if target.exists() and not overwrite:
             continue
-        r = requests.get(file["links"]["self"], stream=True)
+        r = requests.get(
+            file["links"]["self"], stream=True, timeout=DOWNLOAD_TIMEOUT_S
+        )
         r.raise_for_status()
         with open(target, "wb") as fh:
             for chunk in r.iter_content(chunk_size=1 << 20):
@@ -270,21 +279,27 @@ def download_dem(
         ) from exc
     import json
     import tarfile
+    from contextlib import ExitStack
     from tempfile import TemporaryDirectory
 
     from rasterio.merge import merge as rio_merge
 
+    def _get(url: str, **kw) -> "requests.Response":
+        # a 404/HTML error body would otherwise feed json.loads or get
+        # written out as a broken tile; a hung mirror would block forever
+        resp = requests.get(url, timeout=DOWNLOAD_TIMEOUT_S, **kw)
+        resp.raise_for_status()
+        return resp
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    catalog = json.loads(
-        requests.get(PRISM_URL, headers={"Accept": "json"}).text
-    )
+    catalog = json.loads(_get(PRISM_URL, headers={"Accept": "json"}).text)
     ds_id = select_newest_dem(catalog)["id"]
     dem_file = out_dir / f"{ds_id.replace('/', '__')}.tif"
     if dem_file.exists() and not overwrite:
         return dem_file
     ds_files = json.loads(
-        requests.get(
+        _get(
             f"{PRISM_URL}/{ds_id.replace('/', '__')}",
             headers={"Accept": "json"},
         ).text
@@ -294,9 +309,7 @@ def download_dem(
         tmp = Path(tmp)
         for f in tiles:
             name = Path(f["nativeDemUrl"]).name
-            (tmp / name).write_bytes(
-                requests.get(f["nativeDemUrl"]).content
-            )
+            (tmp / name).write_bytes(_get(f["nativeDemUrl"]).content)
         for tar_fp in sorted(tmp.glob("*.tar")):
             with tarfile.open(tar_fp) as t:
                 tif = next(
@@ -307,9 +320,13 @@ def download_dem(
                     t.extractfile(tif).read()
                 )
             tar_fp.unlink()
-        srcs = [rasterio.open(f) for f in sorted(tmp.glob("*.tif"))]
-        arr, transform = rio_merge(srcs)
-        meta = srcs[0].meta.copy()
+        with ExitStack() as stack:
+            srcs = [
+                stack.enter_context(rasterio.open(f))
+                for f in sorted(tmp.glob("*.tif"))
+            ]
+            arr, transform = rio_merge(srcs)
+            meta = srcs[0].meta.copy()
         meta.update(
             driver="GTiff", height=arr.shape[1], width=arr.shape[2],
             transform=transform,

@@ -41,6 +41,7 @@ at-least-once residue for the batch sweep, the same contract as
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -48,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from weatherdb_spark.llm.hashing import md5_int64, minhash_perm
+
+logger = logging.getLogger(__name__)
 
 _OUT_SCHEMA = T.StructType([
     T.StructField("id_a", T.LongType()),
@@ -416,7 +419,16 @@ def stream_simhash_neardup(
     verify against residents by EXACT popcount hamming distance
     (precision 1, recall 1 up to the bucket cap / ttl bounds). Pairs
     agreeing on several blocks emit once per block; consumers
-    ``dropDuplicates(["id_a", "id_b"])`` like the MinHash stream."""
+    ``dropDuplicates(["id_a", "id_b"])`` like the MinHash stream.
+
+    SATURATION: each block's key is only ``bits // (max_hamming + 1)``
+    wide, so a block has ``2^width`` buckets and its resident capacity
+    per TTL window is ``2^width * max_bucket_docs``. At the 32-bit /
+    max_hamming=6 defaults that is 16-32 buckets -> a few hundred
+    residents per block: beyond that, pairs the batch join would find
+    are silently dropped. For high-rate streams use ``bits=63`` (or
+    raise ``max_bucket_docs``); a warning is logged whenever the
+    narrowest block key is under 8 bits."""
     import pandas as pd
 
     from weatherdb_spark.llm.dedup import simhash_blocks
@@ -427,12 +439,22 @@ def stream_simhash_neardup(
         # the Python-side xor/popcount below
         raise ValueError(f"bits ({bits}) must be in 1..63")
     ttl_ms = _interval_seconds(ttl) * 1000
+    blocks = simhash_blocks(bits, max_hamming)
+    min_width = min(width for _, _, width in blocks)
+    if min_width < 8:
+        logger.warning(
+            "stream_simhash_neardup: narrowest pigeonhole block key is "
+            "%d bits (%d buckets), so each block saturates at ~%d "
+            "residents per TTL window and further pairs the batch join "
+            "would find are dropped. For high-rate streams pass bits=63 "
+            "or a larger max_bucket_docs.",
+            min_width, 2 ** min_width, (2 ** min_width) * max_bucket_docs,
+        )
     fp = stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(ts_col).alias("event_ts"),
         row_simhash_fingerprint(F.col(text_col), bits).alias("fp"),
     ).filter(F.col("fp").isNotNull())
-    blocks = simhash_blocks(bits, max_hamming)
     banded = fp.select(
         "doc_id", "event_ts", "fp",
         F.explode(F.array(*[

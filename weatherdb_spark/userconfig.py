@@ -85,11 +85,19 @@ class UserConfig(configparser.ConfigParser):
             value = ",\n\t".join(str(v) for v in value)
         elif value is not None and not isinstance(value, str):
             value = str(value)
+        # strip tabs on BOTH sides: list values are stored with ",\n\t"
+        # joiners, so comparing a fresh tab-stripped value against the
+        # stored raw string never matched after an in-memory set and
+        # listeners re-fired on identical assignments
+        stored = (
+            super().get(section, option, raw=True)
+            if option in self[section] else None
+        )
         changed = (
-            option not in self[section]
+            stored is None
             or (value is not None
-                and value.replace("\t", "") != super().get(section, option,
-                                                           raw=True))
+                and value.replace("\t", "")
+                != stored.replace("\t", ""))
         )
         super().set(section, option, value)
         if changed:

@@ -402,3 +402,73 @@ def test_create_db_schema_lifecycle(spark, tmp_path):
     b.create_db_schema(if_exists="drop")
     assert not b.exists("ts_p")
     assert b.get_setting("n_station_buckets") is not None
+
+
+# ------------------------------------------------- pluggable lock backend
+
+from weatherdb_spark.functions.locking import LockBackend
+
+
+class _CountingBackend(LockBackend):
+    """Fake non-atomic-store backend: records every call so the test can
+    prove activate() routes exclusively through the interface, and can be
+    flipped to simulate a lost acquire race (what a conditional put on an
+    object store reports when another writer won)."""
+
+    def __init__(self, deny=False):
+        self.deny = deny
+        self.calls = []
+        self._held = {}
+
+    def acquire(self, path, payload):
+        self.calls.append(("acquire", path))
+        if self.deny or path in self._held:
+            return False
+        self._held[path] = payload
+        return True
+
+    def release(self, path):
+        self.calls.append(("release", path))
+        self._held.pop(path, None)
+
+    def held(self, path):
+        return path in self._held
+
+
+def test_activate_routes_through_lock_backend(spark, tmp_path):
+    backend = _CountingBackend()
+    b = Broker(spark, str(tmp_path / "wh"), lock_backend=backend)
+    with b.activate():
+        assert b.is_any_active
+        # no lock FILE was created: the mutex lives in the backend
+        assert not os.path.exists(b.lock_path)
+    assert not b.is_any_active
+    assert [c for c, _ in backend.calls] == ["acquire", "release"]
+
+
+def test_lost_acquire_race_raises_like_a_held_lock(spark, tmp_path):
+    b = Broker(spark, str(tmp_path / "wh"),
+               lock_backend=_CountingBackend(deny=True))
+    with pytest.raises(RuntimeError, match="Another Broker is active"):
+        with b.activate():
+            pass
+
+
+def test_lock_backend_config_resolution(spark, tmp_path):
+    from weatherdb_spark.functions.locking import (
+        PosixExclLockBackend,
+        resolve_lock_backend,
+    )
+
+    # default knob -> the POSIX O_EXCL backend
+    b = Broker(spark, str(tmp_path / "wh"))
+    assert isinstance(b.lock_backend, PosixExclLockBackend)
+    # module:attr path -> imported and instantiated
+    got = resolve_lock_backend(
+        "weatherdb_spark.functions.locking:PosixExclLockBackend"
+    )
+    assert isinstance(got, PosixExclLockBackend)
+    with pytest.raises(ValueError, match="lock_backend"):
+        resolve_lock_backend("definitely-not-a-backend")
+    with pytest.raises(TypeError, match="not a LockBackend"):
+        resolve_lock_backend("builtins:dict")

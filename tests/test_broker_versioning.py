@@ -375,3 +375,66 @@ def test_cli_versions_command(spark, tmp_path, capsys):
     b.write("ts_p", _fact(spark, 12, 2.0), bucket_by_station=True)
     assert main(["versions", "--warehouse", wh]) == 0
     assert "'ts_p': [1, 2]" in capsys.readouterr().out
+
+
+def test_data_fix_migration_rung(spark, tmp_path):
+    """A DataFixMigration rung repairs table CONTENTS through the normal
+    snapshot write path: values transform up and back down, tables not
+    named in the fix stay byte-identical across the whole walk, and a
+    re-run (crashed-walk resume) never double-applies the fix."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        DataFixMigration,
+        register_layout_migration,
+    )
+
+    def _tree_hash(root):
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    register_layout_migration(DataFixMigration(
+        4, "exemplar value repair: raw doubles (and halves back)",
+        {"ts_p": (
+            lambda df: df.withColumn("raw", F.col("raw") * 2),
+            lambda df: df.withColumn("raw", F.col("raw") / 2),
+        )},
+    ))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        _fact(spark, 30, 1.5).write.parquet(b.path("ts_p"))
+        _fact(spark, 20, 7.0).write.parquet(b.path("ts_t"))
+        b.upgrade_db_schema(target=3)     # layout rungs only
+        untouched_before = _tree_hash(b.path("ts_t"))
+
+        b.upgrade_db_schema()             # the data-fix rung
+        assert b.get_setting("layout") == "4"
+        assert b.read("ts_p").agg(F.min("raw"), F.max("raw")).first() == (3.0, 3.0)
+        # the fix is a NEW snapshot (previous retained for readers)...
+        assert b.table_version("ts_p") == 3
+        # ...and the un-named table was never rewritten: byte-identical
+        assert _tree_hash(b.path("ts_t")) == untouched_before
+        assert b.get_setting("datafix_4") == '["ts_p"]'
+
+        # crashed-walk resume: re-running the rung must not double-apply
+        LAYOUT_MIGRATIONS[4].upgrade(b)
+        assert b.read("ts_p").agg(F.max("raw")).first()[0] == 3.0
+
+        b.downgrade_db_schema()           # 4 -> 3: values restored
+        assert b.get_setting("layout") == "3"
+        assert b.read("ts_p").agg(F.min("raw"), F.max("raw")).first() == (1.5, 1.5)
+        assert b.get_setting("datafix_4") is None
+        assert _tree_hash(b.path("ts_t")) == untouched_before
+        assert b.read("ts_t").count() == 20
+    finally:
+        LAYOUT_MIGRATIONS.pop(4, None)

@@ -196,6 +196,60 @@ register_layout_migration(LayoutMigration(
 ))
 
 
+class DataFixMigration(LayoutMigration):
+    """A rung that repairs table CONTENTS instead of moving files — the
+    engine twin of the reference's pure data-repair revisions (its
+    alembic chain carries both layout changes and value fixes, e.g.
+    alembic/versions/V1.0.5_fix-ma-raster-values.py:1-152, which
+    rescales stored MA raster values in place).
+
+    ``fixes`` maps table name -> ``(fix, unfix)``, two DataFrame ->
+    DataFrame transforms; ``upgrade`` applies ``fix`` and ``downgrade``
+    ``unfix``. Each rewrite goes through the normal MVCC write path —
+    new snapshot dir, atomic manifest flip, previous snapshot retained
+    for in-flight readers — and tables NOT named in ``fixes`` are never
+    rewritten, so their snapshot files stay byte-identical across the
+    walk.
+
+    Unlike the file-move rungs, re-applying a value fix is NOT naturally
+    idempotent (rescaling twice is a new corruption), so per-table
+    completion is recorded in a ``datafix_<version>`` setting after each
+    table's manifest flip: a walk that crashes between tables resumes
+    where it stopped instead of double-applying.
+    """
+
+    def __init__(self, version: int, description: str, fixes: dict):
+        self.fixes = dict(fixes)
+        super().__init__(version, description, self._upgrade, self._downgrade)
+
+    @property
+    def _setting_key(self) -> str:
+        return f"datafix_{self.version}"
+
+    def _walk(self, broker: "Broker", up: bool) -> None:
+        done = set(json.loads(broker.get_setting(self._setting_key) or "[]"))
+        for table, (fix, unfix) in self.fixes.items():
+            if up == (table in done) or not broker.exists(table):
+                continue
+            df = broker.read(table)
+            if "station_bucket" in df.columns:
+                df = df.drop("station_bucket")
+            broker.write(
+                table, (fix if up else unfix)(df),
+                bucket_by_station=table.startswith("ts_"),
+            )
+            (done.add if up else done.discard)(table)
+            broker.set_setting(self._setting_key, json.dumps(sorted(done)))
+        if not done:
+            broker.drop_setting(self._setting_key)
+
+    def _upgrade(self, broker: "Broker") -> None:
+        self._walk(broker, up=True)
+
+    def _downgrade(self, broker: "Broker") -> None:
+        self._walk(broker, up=False)
+
+
 def _with_mutex(fn):
     """Run a Broker stage under the warehouse mutex — the reference wraps
     every public stage in ``with self.activate():`` and checks the schema
@@ -214,7 +268,12 @@ def _with_mutex(fn):
 class Broker:
     """Stage-ordered pipeline over a parquet warehouse."""
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str | None = None,
+        lock_backend=None,
+    ):
         if warehouse_dir is None:
             # user-config default (reference connects via the configured
             # database; here the warehouse dir is the analog knob)
@@ -225,6 +284,25 @@ class Broker:
         self.dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
         self._active = False
+        self._lock_backend = lock_backend
+
+    @property
+    def lock_backend(self):
+        """The warehouse-mutex backend: constructor override, else the
+        ``[engine] lock_backend`` user-config knob (``posix`` default, a
+        ``module:attr`` path for object-store deployments — see
+        :mod:`weatherdb_spark.functions.locking`)."""
+        if self._lock_backend is None:
+            from weatherdb_spark.functions.locking import resolve_lock_backend
+            from weatherdb_spark.userconfig import get_config
+
+            cfg = get_config()
+            spec = (
+                cfg.get("engine", "lock_backend", fallback="posix")
+                if cfg.has_section("engine") else "posix"
+            )
+            self._lock_backend = resolve_lock_backend(spec)
+        return self._lock_backend
 
     # ------------------------------------------------- settings + version
     # The reference keeps a key-value ``settings`` table in the database
@@ -338,9 +416,10 @@ class Broker:
     # The reference serializes concurrent brokers through a
     # ``broker_active`` settings flag guarded by ``activate()``
     # (broker.py:619-677): a second broker raises while the first runs.
-    # A JSON read-modify-write is racy, so the flag here is an O_EXCL
-    # lock file — atomic on POSIX; on an object-store-backed warehouse
-    # this would be a conditional put / a catalog transaction instead.
+    # A JSON read-modify-write is racy, so the flag goes through the
+    # pluggable LockBackend (functions/locking.py): O_EXCL lock file by
+    # default (atomic on POSIX), a conditional-put / lease backend on
+    # object stores via the [engine] lock_backend knob.
 
     @property
     def lock_path(self) -> str:
@@ -349,7 +428,7 @@ class Broker:
     @property
     def is_any_active(self) -> bool:
         """Whether any broker (this or another process) holds the lock."""
-        return os.path.exists(self.lock_path)
+        return self.lock_backend.held(self.lock_path)
 
     @property
     def is_active(self) -> bool:
@@ -358,10 +437,7 @@ class Broker:
     def _deactivate(self) -> None:
         if self._active:
             self._active = False
-            try:
-                os.remove(self.lock_path)
-            except FileNotFoundError:
-                pass
+            self.lock_backend.release(self.lock_path)
 
     @contextmanager
     def activate(self):
@@ -374,19 +450,15 @@ class Broker:
         if self._active:
             yield self
             return
-        try:
-            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        payload = json.dumps(
+            {"pid": os.getpid(),
+             "since": datetime.now(timezone.utc).isoformat()},
+        )
+        if not self.lock_backend.acquire(self.lock_path, payload):
             raise RuntimeError(
                 "Another Broker is active and therefore this broker is "
                 f"not allowed to run (lock: {self.lock_path}; clear a "
                 "stale lock with force_deactivate_all())."
-            ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(
-                {"pid": os.getpid(),
-                 "since": datetime.now(timezone.utc).isoformat()},
-                fh,
             )
         self._active = True
         atexit.register(self._deactivate)
@@ -400,10 +472,7 @@ class Broker:
         """Forcefully clear the active-broker lock, e.g. after a crashed
         run (reference force_deactivate_all, broker.py:670-677)."""
         self._deactivate()
-        try:
-            os.remove(self.lock_path)
-        except FileNotFoundError:
-            pass
+        self.lock_backend.release(self.lock_path)
 
     # ------------------------------------------------------- schema check
     # Required key columns per warehouse table — the engine's twin of the

@@ -18,11 +18,14 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # min-of-3: on this shared sandbox iteration 1 pays cold parquet/page
+    # min-of-4: on this shared sandbox iteration 1 pays cold parquet/page
     # cache and iteration 2 still pays per-plan codegen compilation; the
-    # steady state only shows from the third run (measured on
-    # fillup_median_deep: 15.0 / 11.5 / 8.6 s)
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # steady state usually shows from the third run (measured on
+    # fillup_median_deep: 15.0 / 11.5 / 8.6 s) but a full 14-query bench
+    # sometimes needs a fourth (same two queries measured flat-high for
+    # 3 in-bench iterations, then 21.1/11.6/11.5/11.4 and
+    # 11.2/5.7/4.6/4.4 in an isolated 4-iteration probe)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4"))
     from weatherdb_spark.plans.registry import EXTRA_REGISTRY, REGISTRY
     from weatherdb_spark.session import get_spark
 

@@ -47,13 +47,43 @@ def _norm(rows, colnames):
 
 @pytest.mark.parametrize("name", sorted(ALL_SPECS))
 def test_query_matches_oracle(spark, name):
+    _compare(spark, name, SF_DIR)
+
+
+#: the expensive pipeline queries re-checked at bench scale: the driver
+#: compares sf0.01, so scale-dependent drift (overflow, rounding
+#: accumulation over 10x the rows) would go unseen. Opt-in because the
+#: DuckDB oracle side alone takes minutes at sf0.1 (fillup_median_deep's
+#: oracle measures ~134 s there — README "Profiled against a native
+#: engine"); run with SPARK_GRAFT_HEAVY_PARITY=1, result recorded in the
+#: README correctness section.
+HEAVY_SF01 = [
+    "fillup_median_deep",
+    "fillup_rank_fill_deep",
+    "fillup_interpolation",
+    "fillup_daily_adjust",
+    "qc_neighbor_median",
+]
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_HEAVY_PARITY") != "1",
+    reason="sf0.1 parity is opt-in (minutes of DuckDB oracle wall); "
+           "set SPARK_GRAFT_HEAVY_PARITY=1",
+)
+@pytest.mark.parametrize("name", HEAVY_SF01)
+def test_heavy_query_matches_oracle_at_sf01(spark, name):
+    _compare(spark, name, "/root/testdata/sf0.1")
+
+
+def _compare(spark, name: str, sf_dir: str) -> None:
     spec = ALL_SPECS[name]
-    sdf = spec.spark_fn(spark, SF_DIR)
+    sdf = spec.spark_fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
         assert len(spark_rows) >= 0  # rows-only check
         return
-    con = _duck(SF_DIR)
+    con = _duck(sf_dir)
     res = con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

@@ -169,3 +169,35 @@ def test_stream_simhash_saturation_warning(spark, caplog):
     with caplog.at_level(logging.WARNING, "weatherdb_spark.streaming.neardup"):
         stream_simhash_neardup(src, bits=63)
     assert not any("saturates" in r.message for r in caplog.records)
+
+
+def test_raster2points_cell_centers_and_nan_mask(spark):
+    """raster2points (the reference utils/geometry.py:41-68 drop-in):
+    non-NaN cells only, coordinates at cell centers, both the affine
+    6-tuple and the (x0, y_top, cellsize) ESRI-ASCII spelling."""
+    import math
+
+    from weatherdb_spark.functions.spatial import raster2points
+
+    grid = [[1.0, float("nan")], [3.0, 4.0]]
+    # north-up grid: origin x0=100, top y=200, cellsize 10
+    got = {
+        (r.x, r.y): r.data
+        for r in raster2points(spark, grid, (100.0, 200.0, 10.0)).collect()
+    }
+    assert got == {
+        (105.0, 195.0): 1.0,   # row 0, col 0
+        (105.0, 185.0): 3.0,   # row 1, col 0
+        (115.0, 185.0): 4.0,   # row 1, col 1
+    }
+    # equivalent affine spelling gives the identical frame
+    affine = (10.0, 0.0, 100.0, 0.0, -10.0, 200.0)
+    got_affine = {
+        (r.x, r.y): r.data
+        for r in raster2points(spark, grid, affine).collect()
+    }
+    assert got_affine == got
+    # single-band 3-D input (rasterio read shape) accepted like the reference
+    got_3d = raster2points(spark, [grid], affine).count()
+    assert got_3d == 3
+    assert not any(math.isnan(v) for v in got.values())

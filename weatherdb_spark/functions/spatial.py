@@ -124,3 +124,41 @@ def polar_line(
             cy + math.sin(math.radians(angle_deg)) * radius,
         ),
     ]
+
+
+def raster2points(spark, raster, transform) -> "DataFrame":
+    """One (x, y, data) row per non-NaN cell of a single-band raster —
+    the reference's GeoDataFrame polygonizer (utils/geometry.py:41-68)
+    re-expressed as a Spark DataFrame so downstream joins/samples stay
+    distributed.
+
+    ``raster`` is a 2-D array-like (rows x cols); ``transform`` is either
+    a rasterio-style affine 6-tuple ``(a, b, c, d, e, f)`` mapping
+    fractional (col, row) to (x, y) = (a*col + b*row + c,
+    d*col + e*row + f), or a ``(x0, y_top, cellsize)`` triple for the
+    north-up ESRI-ASCII grids :func:`read_ascii_grid` yields. Coordinates
+    are CELL CENTERS (col + 0.5, row + 0.5), matching
+    ``rasterio.transform.xy``'s default.
+
+    Rasters are dim-sized (a DEM tile, an MA grid — millions of cells,
+    not facts), so the cells arrive via one Arrow transfer; the fact-side
+    work joins against the returned frame.
+    """
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(raster, dtype="float64")
+    if arr.ndim == 3:  # reference passes rasterio's (band, H, W)
+        arr = arr[0]
+    if len(transform) == 3:
+        x0, y_top, cs = (float(v) for v in transform)
+        transform = (cs, 0.0, x0, 0.0, -cs, y_top)
+    a, b, c, d, e, f = (float(v) for v in transform)
+    rows_idx, cols_idx = np.nonzero(~np.isnan(arr))
+    col_c, row_c = cols_idx + 0.5, rows_idx + 0.5
+    pdf = pd.DataFrame({
+        "x": a * col_c + b * row_c + c,
+        "y": d * col_c + e * row_c + f,
+        "data": arr[rows_idx, cols_idx],
+    })
+    return spark.createDataFrame(pdf, schema="x double, y double, data double")

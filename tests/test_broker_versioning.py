@@ -7,6 +7,7 @@ concurrent readers, who don't hold the broker mutex."""
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -424,7 +425,9 @@ def test_data_fix_migration_rung(spark, tmp_path):
         assert b.table_version("ts_p") == 3
         # ...and the un-named table was never rewritten: byte-identical
         assert _tree_hash(b.path("ts_t")) == untouched_before
-        assert b.get_setting("datafix_4") == '["ts_p"]'
+        assert json.loads(b.get_setting("datafix_4")) == {
+            "done": {"ts_p": 3}, "pending": None,
+        }
 
         # crashed-walk resume: re-running the rung must not double-apply
         LAYOUT_MIGRATIONS[4].upgrade(b)
@@ -436,5 +439,90 @@ def test_data_fix_migration_rung(spark, tmp_path):
         assert b.get_setting("datafix_4") is None
         assert _tree_hash(b.path("ts_t")) == untouched_before
         assert b.read("ts_t").count() == 20
+    finally:
+        LAYOUT_MIGRATIONS.pop(4, None)
+
+
+def test_data_fix_rung_crash_windows(spark, tmp_path):
+    """The two-phase datafix state must survive every crash window:
+    (a) crash AFTER the manifest flip but before the done-marker — the
+    resume must NOT double-apply the (non-idempotent) fix; (b) crash
+    BEFORE the flip — the resume must apply it exactly once; (c) crash
+    mid-DOWNGRADE followed by an upgrade — the walker re-enters the
+    stamped-but-incomplete rung instead of stranding un-fixed tables;
+    (d) a table dropped and re-created after the fix invalidates its
+    stale done-marker."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        DataFixMigration,
+        register_layout_migration,
+    )
+
+    fix = lambda df: df.withColumn("raw", F.col("raw") * 2)
+    unfix = lambda df: df.withColumn("raw", F.col("raw") / 2)
+    register_layout_migration(DataFixMigration(
+        4, "crash-window exemplar", {"ts_p": (fix, unfix), "ts_t": (fix, unfix)},
+    ))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        _fact(spark, 20, 1.0).write.parquet(b.path("ts_p"))
+        _fact(spark, 20, 5.0).write.parquet(b.path("ts_t"))
+        b.upgrade_db_schema()
+        assert b.read("ts_p").agg(F.max("raw")).first()[0] == 2.0
+
+        def mx(t):
+            return b.read(t).agg(F.max("raw")).first()[0]
+
+        # (a) flip landed, marker lost: forge the pending record with the
+        # PRE-flip version while the table already sits one version later
+        cur = b.table_version("ts_p")
+        b.set_setting("datafix_4", _json.dumps(
+            {"done": {"ts_t": b.table_version("ts_t")},
+             "pending": {"table": "ts_p", "dir": "up", "pre": cur - 1}}
+        ))
+        LAYOUT_MIGRATIONS[4].upgrade(b)
+        assert mx("ts_p") == 2.0, "flip-then-crash resume double-applied"
+
+        # (b) crash BEFORE the flip: pending pre == current version, and
+        # the table genuinely holds un-fixed values
+        b.write("ts_p", unfix(b.read("ts_p").drop("station_bucket")),
+                bucket_by_station=True)
+        b.set_setting("datafix_4", _json.dumps(
+            {"done": {"ts_t": b.table_version("ts_t")},
+             "pending": {"table": "ts_p", "dir": "up",
+                         "pre": b.table_version("ts_p")}}
+        ))
+        LAYOUT_MIGRATIONS[4].upgrade(b)
+        assert mx("ts_p") == 2.0, "pre-flip crash resume skipped the fix"
+
+        # (c) crash mid-downgrade: ts_p un-fixed + un-marked, layout
+        # still stamped 4; an UPGRADE must converge, not skip the rung
+        st = _json.loads(b.get_setting("datafix_4"))
+        b.write("ts_p", unfix(b.read("ts_p").drop("station_bucket")),
+                bucket_by_station=True)
+        st["done"].pop("ts_p", None)
+        b.set_setting("datafix_4", _json.dumps(st))
+        assert b.get_setting("layout") == "4"
+        b.upgrade_db_schema()
+        assert mx("ts_p") == 2.0, "stamped-incomplete rung was not re-entered"
+        assert mx("ts_t") == 10.0, "completed sibling was double-applied"
+
+        # (d) drop + re-create: the stale done-marker must not satisfy
+        # the walk (version regressed below the fix's snapshot)
+        import shutil
+        shutil.rmtree(b.path("ts_p"))
+        b.write("ts_p", _fact(spark, 20, 3.0), bucket_by_station=True)
+        assert LAYOUT_MIGRATIONS[4].incomplete(b)
+        b.upgrade_db_schema()
+        assert mx("ts_p") == 6.0, "stale marker skipped the re-created table"
+
+        # full downgrade still round-trips
+        b.downgrade_db_schema()
+        assert mx("ts_p") == 3.0 and mx("ts_t") == 5.0
+        assert b.get_setting("datafix_4") is None
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)

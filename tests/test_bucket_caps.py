@@ -143,3 +143,25 @@ def test_cap_validation(spark):
     docs = _identical_docs(spark, n=4)
     with pytest.raises(ValueError, match="max_bucket_docs"):
         minhash_lsh_pairs(docs, max_bucket_docs=0).collect()
+
+
+def test_pipeline_overflow_companions(spark):
+    """The 'no silent caps' contract must be REACHABLE: the pipelines'
+    bucketed streams are internal, so each exposes a companion that
+    rebuilds the identical stream and reports the denied counts."""
+    from weatherdb_spark.llm.dedup import minhash_bucket_overflow
+    from weatherdb_spark.llm.similarity import cosine_bucket_overflow
+
+    docs = _identical_docs(spark)
+    hot = minhash_bucket_overflow(docs, cap=CAP).collect()
+    # all 8 bands collapse to one hot bucket each for an identical corpus
+    assert len(hot) == 8
+    assert all(r.n_docs == N_DEGEN and r.n_denied == N_DEGEN - CAP for r in hot)
+
+    emb = _identical_vectors(spark)
+    hot_e = cosine_bucket_overflow(emb, cap=CAP).collect()
+    assert len(hot_e) == 16  # one hot bucket per hyperplane table
+    assert all(r.n_docs == N_DEGEN and r.n_denied == N_DEGEN - CAP for r in hot_e)
+
+    # a cap above every population reports nothing
+    assert not minhash_bucket_overflow(docs, cap=N_DEGEN).collect()

@@ -362,3 +362,14 @@ def test_near_cascade_k_without_near_dist_raises(spark, starved):
     # 'auto' without a near radius: valid, decides nothing, still fills
     out = median_fill(facts, knn_all, ma, near_cascade_k="auto", **kw)
     assert out.filter(F.col("filled").isNotNull()).count() > 0
+
+
+def test_near_cascade_k_rejects_bool(spark, starved):
+    """bool is an int subclass: True must not silently configure a
+    degenerate rank<=1 cascade head."""
+    meta, facts, ma = starved
+    knn_all = knn_stations(meta, k=None, elevation_weighted=False)
+    with pytest.raises(ValueError, match="positive int"):
+        median_fill(facts, knn_all, ma, near_cascade_k=True,
+                    near_dist_m=5000.0, base_col="qc",
+                    value_cols=("qc",), out_cols=("filled",))

@@ -212,10 +212,25 @@ class DataFixMigration(LayoutMigration):
     walk.
 
     Unlike the file-move rungs, re-applying a value fix is NOT naturally
-    idempotent (rescaling twice is a new corruption), so per-table
-    completion is recorded in a ``datafix_<version>`` setting after each
-    table's manifest flip: a walk that crashes between tables resumes
-    where it stopped instead of double-applying.
+    idempotent (rescaling twice is a new corruption), so the rung keeps
+    a two-phase state in a ``datafix_<version>`` setting:
+
+    - ``pending`` records (table, direction, pre-write snapshot version)
+      BEFORE the rewrite. On resume, a pending entry whose table now has
+      a NEWER snapshot means the crash hit after the manifest flip — the
+      rewrite landed and is finalized without re-applying; an unchanged
+      version means the flip never happened and the table re-runs. This
+      closes the flip-then-crash double-apply window.
+    - ``done`` maps each fixed table to the snapshot version the fix
+      produced. A table whose current version is LOWER than its ``done``
+      record was dropped and re-created since the fix — it is treated as
+      un-fixed again (re-fixed on upgrade, skipped on downgrade) instead
+      of trusting the stale marker.
+
+    The walkers re-enter an incomplete rung at the stamped revision (see
+    :meth:`Broker.upgrade_db_schema`), so a crash mid-downgrade followed
+    by an upgrade converges instead of stranding half-unfixed tables
+    behind an already-stamped layout.
     """
 
     def __init__(self, version: int, description: str, fixes: dict):
@@ -226,11 +241,70 @@ class DataFixMigration(LayoutMigration):
     def _setting_key(self) -> str:
         return f"datafix_{self.version}"
 
+    def _load_state(self, broker: "Broker") -> dict:
+        raw = json.loads(broker.get_setting(self._setting_key) or "{}")
+        if isinstance(raw, list):  # pre-two-phase format: list of tables
+            raw = {"done": {t: None for t in raw}, "pending": None}
+        raw.setdefault("done", {})
+        raw.setdefault("pending", None)
+        return raw
+
+    def _save_state(self, broker: "Broker", st: dict) -> None:
+        if not st["done"] and st["pending"] is None:
+            broker.drop_setting(self._setting_key)
+        else:
+            broker.set_setting(self._setting_key, json.dumps(st))
+
+    def _resolve_pending(self, broker: "Broker", st: dict) -> None:
+        """Settle a crashed in-flight rewrite: the manifest flip is the
+        atomic commit point, so compare the table's current snapshot
+        version against the recorded pre-write version."""
+        p = st["pending"]
+        if p is None:
+            return
+        cur = (broker.table_version(p["table"]) or 0) if broker.exists(
+            p["table"]) else 0
+        if cur > p["pre"]:  # flip landed: the rewrite completed
+            if p["dir"] == "up":
+                st["done"][p["table"]] = cur
+            else:
+                st["done"].pop(p["table"], None)
+        st["pending"] = None
+        self._save_state(broker, st)
+
+    def _is_done(self, broker: "Broker", st: dict, table: str) -> bool:
+        if table not in st["done"]:
+            return False
+        rec = st["done"][table]
+        if rec is None:  # legacy marker without a version: trust it
+            return True
+        cur = (broker.table_version(table) or 0) if broker.exists(table) else 0
+        # current version below the fix's snapshot: the table was
+        # dropped and re-created since — the marker is stale
+        return cur >= rec
+
+    def incomplete(self, broker: "Broker") -> bool:
+        """True when some existing fixable table is not (validly) marked
+        done — the walker re-enters the rung at the stamped revision."""
+        st = self._load_state(broker)
+        self._resolve_pending(broker, st)
+        return any(
+            broker.exists(t) and not self._is_done(broker, st, t)
+            for t in self.fixes
+        )
+
     def _walk(self, broker: "Broker", up: bool) -> None:
-        done = set(json.loads(broker.get_setting(self._setting_key) or "[]"))
+        st = self._load_state(broker)
+        self._resolve_pending(broker, st)
         for table, (fix, unfix) in self.fixes.items():
-            if up == (table in done) or not broker.exists(table):
+            if up == self._is_done(broker, st, table) or not broker.exists(table):
                 continue
+            st["pending"] = {
+                "table": table,
+                "dir": "up" if up else "down",
+                "pre": broker.table_version(table) or 0,
+            }
+            self._save_state(broker, st)
             df = broker.read(table)
             if "station_bucket" in df.columns:
                 df = df.drop("station_bucket")
@@ -238,10 +312,12 @@ class DataFixMigration(LayoutMigration):
                 table, (fix if up else unfix)(df),
                 bucket_by_station=table.startswith("ts_"),
             )
-            (done.add if up else done.discard)(table)
-            broker.set_setting(self._setting_key, json.dumps(sorted(done)))
-        if not done:
-            broker.drop_setting(self._setting_key)
+            st["pending"] = None
+            if up:
+                st["done"][table] = broker.table_version(table) or 0
+            else:
+                st["done"].pop(table, None)
+            self._save_state(broker, st)
 
     def _upgrade(self, broker: "Broker") -> None:
         self._walk(broker, up=True)
@@ -627,6 +703,17 @@ class Broker:
             )
         with self.activate():
             cur = self._layout_revision()
+            # a data-fix rung stamped as current may be INCOMPLETE (a
+            # crash mid-downgrade leaves some tables un-fixed behind an
+            # already-stamped layout, and re-running upgrade would
+            # otherwise skip the rung entirely); re-enter it first —
+            # data-fix upgrades are marker-idempotent, so this never
+            # double-applies
+            cur_rung = LAYOUT_MIGRATIONS.get(cur)
+            if cur_rung is not None and getattr(
+                cur_rung, "incomplete", lambda b: False
+            )(self):
+                cur_rung.upgrade(self)
             for v in range(cur + 1, target + 1):
                 LAYOUT_MIGRATIONS[v].upgrade(self)
                 self.set_setting("layout", str(v))

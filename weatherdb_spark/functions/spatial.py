@@ -135,10 +135,14 @@ def raster2points(spark, raster, transform) -> "DataFrame":
     ``raster`` is a 2-D array-like (rows x cols); ``transform`` is either
     a rasterio-style affine 6-tuple ``(a, b, c, d, e, f)`` mapping
     fractional (col, row) to (x, y) = (a*col + b*row + c,
-    d*col + e*row + f), or a ``(x0, y_top, cellsize)`` triple for the
-    north-up ESRI-ASCII grids :func:`read_ascii_grid` yields. Coordinates
-    are CELL CENTERS (col + 0.5, row + 0.5), matching
-    ``rasterio.transform.xy``'s default.
+    d*col + e*row + f), or a north-up ``(x0, y_TOP, cellsize)`` triple.
+    CAREFUL with ESRI-ASCII headers: ``read_ascii_grid`` reports
+    ``yllcorner`` — the BOTTOM edge — so convert with
+    ``y_top = yllcorner + nrows * cellsize`` (what ``ascii_grid_df``
+    does internally); passing ``yllcorner`` directly would mirror every
+    y coordinate below the grid. Coordinates are CELL CENTERS
+    (col + 0.5, row + 0.5), matching ``rasterio.transform.xy``'s
+    default.
 
     Rasters are dim-sized (a DEM tile, an MA grid — millions of cells,
     not facts), so the cells arrive via one Arrow transfer; the fact-side

@@ -20,7 +20,11 @@ knob with matching semantics:
 - NO SILENT CAPS: enabling a cap logs the setting, and
   :func:`bucket_overflow` reports exactly which buckets overflowed and
   how many resident slots were denied, so a pipeline can record the
-  truncation instead of silently reading "covered everything".
+  truncation instead of silently reading "covered everything". The
+  bucketed streams are internal to the pipelines, so each exposes a
+  ready-made companion that rebuilds the identical stream (the hashes
+  are deterministic): ``llm.dedup.minhash_bucket_overflow`` and
+  ``llm.similarity.cosine_bucket_overflow``.
 
 Default everywhere is ``None`` (uncapped) — results and oracles are
 unchanged unless a pipeline opts in.
@@ -59,8 +63,9 @@ def cap_bucket_residents(
     logger.warning(
         "LSH bucket cap active: max %d residents per %s bucket "
         "(deterministic by ascending %s). Pairs whose smaller id is not "
-        "a resident of the first colliding bucket are DROPPED; run "
-        "bucket_overflow() on the bucketed stream to quantify.",
+        "a resident of the first colliding bucket are DROPPED; quantify "
+        "with llm.dedup.minhash_bucket_overflow / "
+        "llm.similarity.cosine_bucket_overflow at the same parameters.",
         cap, "x".join(key_cols), id_col,
     )
     w = W.partitionBy(*key_cols).orderBy(F.col(id_col).asc())

@@ -178,6 +178,55 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(sig: DataFrame, bands: int, rows: int, id_col: str) -> DataFrame:
+    """LSH band keys from MinHash signatures: one (id, band, key) row per
+    band, key = the band's ``rows`` signature slots joined. Shared by the
+    pair join and :func:`minhash_bucket_overflow` so the overflow report
+    sees exactly the buckets the join shuffles on."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.col("signature")[b * rows + r].cast("string")
+                                   for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_bucket_overflow(
+    df: DataFrame,
+    cap: int,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket overflow report for :func:`minhash_lsh_pairs` with
+    ``max_bucket_docs=cap``: one row per (band, key) bucket whose
+    population exceeds the cap, with the denied-resident count — the
+    'no silent caps' companion (pass the SAME num_perm/bands/n as the
+    capped run; this rebuilds the identical banded stream). Empty
+    result == the cap never engaged and the capped pair set is
+    identical to the uncapped one."""
+    from weatherdb_spark.llm.bucketing import bucket_overflow
+
+    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+    return bucket_overflow(
+        _banded_keys(sig, bands, num_perm // bands, id_col),
+        ["band", "key"], cap,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -229,23 +278,7 @@ def minhash_lsh_pairs(
         .filter(F.col("_s").isNotNull())
     )
     sig = _signatures_from_exploded(exploded, num_perm, id_col)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-", *[F.col("signature")[b * rows + r].cast("string")
-                                   for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    banded = _banded_keys(sig, bands, rows, id_col)
     left = cap_bucket_residents(
         banded.select(F.col(id_col).alias("id_a"), "band", "key"),
         ["band", "key"], "id_a", max_bucket_docs,

@@ -430,6 +430,31 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_bucket_overflow(
+    embeddings: DataFrame,
+    cap: int,
+    planes: int = 3,
+    dim: int = 64,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket overflow report for :func:`cosine_pairs_lsh` /
+    :func:`lsh_bucket_topk` with ``max_bucket_docs=cap``: one row per
+    (table, bucket) whose population exceeds the cap, with the
+    denied-resident count — the 'no silent caps' companion (pass the
+    SAME planes/n_tables/dim as the capped run; the hyperplanes are
+    deterministic, so this rebuilds the identical bucket stream). Empty
+    result == the cap never engaged."""
+    from weatherdb_spark.llm.bucketing import bucket_overflow
+
+    b = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bucketed = _with_bucket_signature(b, "_v", planes, n_tables, dim).select(
+        "_id", F.posexplode(F.col("_sig")).alias("table", "bucket")
+    )
+    return bucket_overflow(bucketed, ["table", "bucket"], cap)
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -333,7 +333,13 @@ def median_fill(
     a no-op by definition (nothing to gate).
     """
     if near_cascade_k is not None and near_cascade_k != "auto":
-        if not isinstance(near_cascade_k, int) or near_cascade_k < 1:
+        # bool is an int subclass: True would silently configure a
+        # degenerate rank<=1 cascade head instead of enabling "auto"
+        if (
+            isinstance(near_cascade_k, bool)
+            or not isinstance(near_cascade_k, int)
+            or near_cascade_k < 1
+        ):
             raise ValueError(
                 f"near_cascade_k must be a positive int, 'auto' or None; "
                 f"got {near_cascade_k!r}"

@@ -30,6 +30,18 @@ PRISM_URL = (
 #: mirror must fail loudly, not block the pipeline forever
 DOWNLOAD_TIMEOUT_S = 120
 
+
+def _http_get(url: str, **kw):
+    """The one sanctioned HTTP fetch: timeout + raise_for_status, so a
+    404/HTML error body never feeds json.loads or lands as a broken
+    tile, and a hung mirror cannot block forever. Every new request in
+    this module goes through here."""
+    import requests
+
+    resp = requests.get(url, timeout=DOWNLOAD_TIMEOUT_S, **kw)
+    resp.raise_for_status()
+    return resp
+
 _HEADER_KEYS = {
     "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter",
     "cellsize", "nodata_value",
@@ -140,15 +152,10 @@ def zenodo_record_files(doi: str = MA_RASTER_DOI) -> list[dict]:
             "environments ingest a pre-downloaded grid via "
             "read_ascii_grid + Broker.update_ma_raster_from_grid"
         ) from exc
-    r = requests.get(f"https://doi.org/{doi}", timeout=DOWNLOAD_TIMEOUT_S)
-    r.raise_for_status()
-    zenodo_id = r.url.split("/")[-1]
-    rec = requests.get(
-        f"https://zenodo.org/api/records/{zenodo_id}",
-        timeout=DOWNLOAD_TIMEOUT_S,
-    )
-    rec.raise_for_status()
-    return rec.json()["files"]
+    zenodo_id = _http_get(f"https://doi.org/{doi}").url.split("/")[-1]
+    return _http_get(
+        f"https://zenodo.org/api/records/{zenodo_id}"
+    ).json()["files"]
 
 
 def download_ma_rasters(
@@ -172,10 +179,7 @@ def download_ma_rasters(
         target = out_dir / file["key"]
         if target.exists() and not overwrite:
             continue
-        r = requests.get(
-            file["links"]["self"], stream=True, timeout=DOWNLOAD_TIMEOUT_S
-        )
-        r.raise_for_status()
+        r = _http_get(file["links"]["self"], stream=True)
         with open(target, "wb") as fh:
             for chunk in r.iter_content(chunk_size=1 << 20):
                 fh.write(chunk)
@@ -284,12 +288,7 @@ def download_dem(
 
     from rasterio.merge import merge as rio_merge
 
-    def _get(url: str, **kw) -> "requests.Response":
-        # a 404/HTML error body would otherwise feed json.loads or get
-        # written out as a broken tile; a hung mirror would block forever
-        resp = requests.get(url, timeout=DOWNLOAD_TIMEOUT_S, **kw)
-        resp.raise_for_status()
-        return resp
+    _get = _http_get  # module-level: timeout + raise_for_status
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

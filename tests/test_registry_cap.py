@@ -26,6 +26,7 @@ EXTRA_COVERED_BY = {
     # hash-checked against a mirrored rank/first-table/cap oracle in
     # pytest parity, and test_bucket_caps.py pins the bound semantics
     "embedding_cosine_pairs_lsh_capped": "embedding_cosine_pairs_lsh",
+    "dedup_minhash_lsh_capped": "dedup_minhash_lsh",
 }
 
 # the five operators that silently fell off the cap in round 2

@@ -106,6 +106,85 @@ def _minhash_oracle(num_perm: int = 32, threshold: float = 0.8) -> str:
     """
 
 
+def _minhash_mirrored_capped_oracle(
+    num_perm: int = 32, bands: int = 8, cap: int = 2, threshold: float = 0.8
+) -> str:
+    """MIRRORED-pipeline oracle for the capped MinHash run: unlike
+    ``_minhash_oracle`` (ground-truth pairs, valid because uncapped LSH
+    has recall ~1 at 0.8+), a cap deliberately DROPS pairs, so the
+    oracle must reproduce signature -> bands -> per-bucket rank ->
+    resident filter -> exact verify exactly. md5/permutation formulas
+    come from the shared hashing twins, so values hash-match
+    bit-for-bit."""
+    from weatherdb_spark.llm.hashing import md5_int64_sql, minhash_perm_sql
+
+    rows = num_perm // bands
+    h = md5_int64_sql("s")
+    mins = ", ".join(
+        f"min({minhash_perm_sql('hv', k)}) AS m{k}" for k in range(num_perm)
+    )
+    key_cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || '-' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    h AS (SELECT doc_id, {h} AS hv FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY 1),
+    banded AS (
+        SELECT doc_id, b.band, CASE b.band {key_cases} END AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    ranked AS (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key
+                                  ORDER BY doc_id) AS rk
+        FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN banded b USING (band, key)
+        WHERE a.doc_id < b.doc_id AND a.rk <= {cap}
+    ),
+    lists AS (SELECT doc_id, list(s) AS ls FROM sh GROUP BY 1)
+    SELECT id_a, id_b,
+           round(len(list_intersect(la.ls, lb.ls)) * 1.0
+                 / len(list_distinct(la.ls || lb.ls)), 6) AS jaccard
+    FROM cand
+    JOIN lists la ON la.doc_id = id_a
+    JOIN lists lb ON lb.doc_id = id_b
+    WHERE len(list_intersect(la.ls, lb.ls)) * 1.0
+          / len(list_distinct(la.ls || lb.ls)) >= {threshold}
+    """
+
+
+@_register_extra(
+    "dedup_minhash_lsh_capped",
+    oracle=_minhash_mirrored_capped_oracle(cap=2),
+    doc="dedup_minhash_lsh with the per-bucket resident cap engaged "
+        "(max_bucket_docs=2, low enough to truncate real duplicate "
+        "clusters in the fixture): a pair survives iff some band keeps "
+        "it with the smaller id among that bucket's first 2 residents. "
+        "Unlike the uncapped entry (ground-truth oracle, recall ~1), "
+        "the oracle here MIRRORS the whole signature/band/rank/cap/"
+        "verify pipeline in SQL, so the truncated pair set itself is "
+        "hash-checked — the dedup twin of "
+        "embedding_cosine_pairs_lsh_capped.",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8, num_perm=32,
+        bands=8, max_bucket_docs=2,
+    )
+
+
 @_register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),

@@ -165,3 +165,34 @@ def test_pipeline_overflow_companions(spark):
 
     # a cap above every population reports nothing
     assert not minhash_bucket_overflow(docs, cap=N_DEGEN).collect()
+
+
+def test_cap_monotonicity_on_random_corpus(spark):
+    """On a NON-degenerate corpus: capped results are a subset of the
+    uncapped pair set, and a larger cap can only add pairs (monotone in
+    the knob) — the semantics a tuner relies on when raising the cap."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(30)]
+    bases = [
+        [rng.choice(words) for _ in range(25)] for _ in range(10)
+    ]
+    rows = []
+    for i in range(60):  # 6 mutated copies per base: high intra-cluster
+        tokens = list(bases[i % 10])  # Jaccard, varied bucket sizes
+        for _ in range(2):
+            tokens[rng.randrange(len(tokens))] = rng.choice(words)
+        rows.append((i, " ".join(tokens)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {
+        cap: {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.3, max_bucket_docs=cap
+            ).collect()
+        }
+        for cap in (2, 8, None)
+    }
+    assert sets[None], "degenerate fixture: no uncapped pairs"
+    assert sets[2] <= sets[8] <= sets[None]

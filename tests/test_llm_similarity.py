@@ -66,3 +66,43 @@ def test_bucket_signature_matches_per_plane_form(spark):
     assert got
     for r in got:
         assert r["_sig"] == r["_ref"], f"vec {r['vec_id']} diverged"
+
+
+def test_ivf_index_build_probe_matches_adhoc(spark, tmp_path):
+    """The persisted IVF index (build once, probe many) must return the
+    SAME rows as the ad-hoc ivf_topk at identical (corpus, seed) — the
+    quantizer is a pure function, the inverted file stores the same cell
+    assignment, and the probe runs the same exact-cosine rank. The
+    inverted-file scan must carry a static cell predicate so partition
+    pruning keeps the probe at ~n_probe/n_cells of the data."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=16, seed=42)
+
+    adhoc = {tuple(r) for r in ivf_topk(emb, q, k=5, n_probe=7, seed=42).collect()}
+    indexed_df = ivf_topk_indexed(spark, idx, q, k=5, n_probe=7)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    assert indexed == adhoc and indexed
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    # the probed cells appear as a static partition filter on the scan
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # a rebuilt index on the same inputs is byte-stable in content:
+    # same centroids, same assignment
+    cent = spark.read.parquet(idx + "/centroids")
+    assert cent.count() == 16
+    inv = spark.read.parquet(idx + "/inverted")
+    assert inv.count() == emb.count()
+    assert inv.select("cell").distinct().count() <= 16

@@ -252,6 +252,33 @@ def _numpy_kmeans(
     return c
 
 
+def _train_centroids(
+    corp: DataFrame, n_cells: int, seed: int,
+    id_col: str = "neighbor_id", vec_col: str = "_cv",
+) -> "np.ndarray":
+    """Deterministic coarse-quantizer training shared by :func:`ivf_topk`
+    and :func:`build_ivf_index`: id-hash-sampled <= IVF_TRAIN_MAX_ROWS
+    rows, collected SORTED BY ID (one Arrow transfer), then the
+    fixed-reduction-order numpy k-means — centroids are a pure function
+    of (corpus, seed). The count also materializes a surrounding
+    scoped_persist, if any."""
+    n = corp.count()
+    train = corp
+    if n > IVF_TRAIN_MAX_ROWS:
+        # deterministic BY ID, unlike df.sample whose per-partition RNG
+        # changes the training set with the partition layout
+        every = -(-n // IVF_TRAIN_MAX_ROWS)  # ceil
+        train = corp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(every)) == 0
+        )
+    train_pdf = (
+        train.select(id_col, F.col(vec_col).cast("array<double>"))
+        .sort(id_col).toPandas()
+    )
+    mat = np.array([list(v) for v in train_pdf.iloc[:, 1]], dtype="float64")
+    return _numpy_kmeans(mat, n_cells, seed)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -285,23 +312,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
     ))
-    # the count doubles as the persist materializer: the train collect,
-    # the cell assignment, and the scored join all read the cache
-    n = corp.count()
-    train = corp
-    if n > IVF_TRAIN_MAX_ROWS:
-        # deterministic BY ID, unlike df.sample whose per-partition RNG
-        # changes the training set with the partition layout
-        every = -(-n // IVF_TRAIN_MAX_ROWS)  # ceil
-        train = corp.filter(
-            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(every)) == 0
-        )
-    train_pdf = (
-        train.select("neighbor_id", F.col("_cv").cast("array<double>"))
-        .sort("neighbor_id").toPandas()
-    )
-    mat = np.array([list(v) for v in train_pdf.iloc[:, 1]], dtype="float64")
-    centroids = _numpy_kmeans(mat, n_cells, seed)
+    centroids = _train_centroids(corp, n_cells, seed)
 
     # one 1-D ndarray literal per centroid (2-D literals are unsupported;
     # per-row lists would pay a py4j round-trip per element — see
@@ -352,6 +363,124 @@ def ivf_topk(
         .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: train the deterministic coarse quantizer
+    ONCE, then write two parquet tables under ``path``:
+
+    - ``centroids``: (cell, centroid array<double>) — n_cells rows.
+    - ``inverted``: the corpus with its cell id, ``partitionBy(cell)``
+      so a probe scans only its cells' directories (partition pruning).
+
+    The 100 TB shape: :func:`ivf_topk` re-trains and re-shuffles the
+    corpus on EVERY query batch — right for ad-hoc exploration, wasteful
+    for a serving corpus probed thousands of times. Building the
+    inverted file once amortizes the corpus shuffle across every later
+    :func:`ivf_topk_indexed` call, which reads only
+    ~n_probe/n_cells of the data via partition pruning.
+    """
+    import os
+
+    corp = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    centroids = _train_centroids(corp, n_cells, seed)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    centroid_array = F.array(*[F.lit(c) for c in centroids])
+    dists = F.transform(
+        centroid_array,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_cv"), c,
+                       lambda x, cc: (x.cast("double") - cc)
+                       * (x.cast("double") - cc)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    corp.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "inverted")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a PERSISTED IVF index (see
+    :func:`build_ivf_index`): probe-cell selection runs driver-side on
+    the dim-sized query batch (one Arrow transfer of the query vectors +
+    the n_cells centroid rows), so the inverted-file scan carries a
+    STATIC ``cell IN (...)`` predicate — Spark prunes the non-probed
+    partition directories before reading a byte. Results are identical
+    to :func:`ivf_topk` at the same (corpus, seed): same centroids (pure
+    function), same lowest-cell tie-breaks, same exact-cosine rank.
+    """
+    import os
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .sort("cell").collect()
+    )
+    centroids = np.array([r.centroid for r in cent_rows], dtype="float64")
+    q_pdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).sort("query_id").toPandas()
+    qmat = np.array([list(v) for v in q_pdf["_qv"]], dtype="float64")
+    # squared distances (stable argsort == array_sort's (d, cell) order)
+    d = (
+        (qmat ** 2).sum(axis=1)[:, None]
+        - 2.0 * qmat @ centroids.T
+        + (centroids ** 2).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for row in probe for c in row})
+
+    q_cells = spark.createDataFrame(
+        [
+            (int(q_pdf["query_id"].iloc[i]), [float(x) for x in qmat[i]], int(c))
+            for i in range(len(q_pdf))
+            for c in probe[i]
+        ],
+        "query_id long, _qv array<double>, cell int",
+    )
+    inv = spark.read.parquet(os.path.join(index_path, "inverted")).filter(
+        F.col("cell").isin(probe_cells)  # static -> partition pruning
+    )
+    scored = (
+        inv.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

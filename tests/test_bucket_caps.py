@@ -196,3 +196,24 @@ def test_cap_monotonicity_on_random_corpus(spark):
     }
     assert sets[None], "degenerate fixture: no uncapped pairs"
     assert sets[2] <= sets[8] <= sets[None]
+
+
+def test_contamination_cap_bounds_reference_side(spark):
+    """minhash_contamination caps the REFERENCE side per bucket: with an
+    all-identical reference, a corpus doc matches only the CAP smallest
+    reference ids instead of the whole clump."""
+    from weatherdb_spark.llm.dedup import minhash_contamination
+
+    corpus = _identical_docs(spark, n=3)
+    reference = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    capped = minhash_contamination(
+        corpus, reference, threshold=0.8, max_bucket_docs=CAP
+    ).collect()
+    assert {r.ref_id for r in capped} == set(range(100, 100 + CAP))
+    assert len(capped) == 3 * CAP
+    uncapped = minhash_contamination(corpus, reference, threshold=0.8)
+    assert uncapped.count() == 3 * 20

@@ -27,6 +27,11 @@ EXTRA_COVERED_BY = {
     # pytest parity, and test_bucket_caps.py pins the bound semantics
     "embedding_cosine_pairs_lsh_capped": "embedding_cosine_pairs_lsh",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh",
+    # cross-corpus decontamination: asymmetric twins of the officially-
+    # checked exact/minhash dedup pipelines (same hash/signature/band/
+    # verify machinery, corpus x reference instead of self-join)
+    "decontaminate_exact": "dedup_exact",
+    "decontaminate_minhash": "dedup_minhash_lsh",
 }
 
 # the five operators that silently fell off the cap in round 2

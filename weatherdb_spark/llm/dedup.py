@@ -585,3 +585,114 @@ def connected_components(
             "max_iter"
         )
     return labels.select(F.col("id").alias("doc_id"), "component_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus contamination (test-set decontamination)
+# --------------------------------------------------------------------------
+
+def exact_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus documents whose text is byte-identical to a reference
+    document — the exact layer of test-set decontamination (drop
+    training docs that appear in an eval set). Returns
+    (id_col, ref_id), one row per contaminated corpus doc with the
+    SMALLEST matching reference id.
+
+    Scale: one md5 shuffle per side, equi-join on the hash; the
+    reference side pre-aggregates to one row per distinct hash, so the
+    join output is bounded by the corpus size even when the reference
+    is duplicate-heavy. At a typical eval-set-sized reference the join
+    auto-broadcasts.
+    """
+    ch = corpus.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    rh = (
+        reference.select(
+            F.col(id_col).alias("ref_id"), F.md5(F.col(text_col)).alias("_h")
+        )
+        .groupBy("_h").agg(F.min("ref_id").alias("ref_id"))
+    )
+    return ch.join(rh, "_h").select(id_col, "ref_id")
+
+
+def minhash_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate test-set decontamination: corpus documents whose
+    word-n-gram Jaccard similarity to ANY reference document reaches
+    ``threshold``. Returns (id_col, ref_id, jaccard) — every verified
+    (corpus, reference) match, exact-Jaccard checked, so precision is 1
+    and recall is the banding's (~1 at 0.8+ with 8 bands x 4 rows).
+
+    The asymmetric twin of :func:`minhash_lsh_pairs`: both corpora
+    shingle and sign once, band keys join corpus x reference (no
+    id_a < id_b — the sides are distinct), and the verify reads the
+    persisted shingle arrays. At 100 TB the reference (an eval set) is
+    tiny next to the corpus: its banded keys broadcast and the corpus
+    never shuffles more than its own band keys.
+
+    ``max_bucket_docs`` caps the REFERENCE side per (band, key) bucket
+    (ascending id) — the same hot-bucket bound as the symmetric path;
+    a corpus doc keeps matches against capped-in residents only.
+    """
+    from pyspark import StorageLevel
+
+    from weatherdb_spark.functions.caching import scoped_persist
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
+
+    rows = num_perm // bands
+
+    def prep(df: DataFrame, name: str):
+        sh = scoped_persist(
+            word_shingles(spread(df, id_col), text_col, n)
+            .select(F.col(id_col).alias(name), "shingles"),
+            StorageLevel.MEMORY_AND_DISK,
+        )
+        exploded = (
+            sh.select(F.col(name).alias(id_col),
+                      F.explode_outer("shingles").alias("_s"))
+            .filter(F.col("_s").isNotNull())
+        )
+        sig = _signatures_from_exploded(exploded, num_perm, id_col)
+        return sh, _banded_keys(sig, bands, rows, id_col)
+
+    c_sh, c_band = prep(corpus, "_cid")
+    r_sh, r_band = prep(reference, "_rid")
+    r_band = cap_bucket_residents(
+        r_band.select(F.col(id_col).alias("ref_id"), "band", "key"),
+        ["band", "key"], "ref_id", max_bucket_docs,
+    )
+    candidates = (
+        c_band.join(r_band, ["band", "key"])
+        .select(id_col, "ref_id")
+        .distinct()
+    )
+    verified = (
+        candidates
+        .join(c_sh.select(F.col("_cid").alias(id_col),
+                          F.col("shingles").alias("_sc")), id_col)
+        .join(r_sh.select(F.col("_rid").alias("ref_id"),
+                          F.col("shingles").alias("_sr")), "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sc", "_sr"))
+                / F.size(F.array_union("_sc", "_sr")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(id_col, "ref_id", "jaccard")

@@ -202,6 +202,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-corpus contamination (test-set decontamination)
+# --------------------------------------------------------------------------
+
+#: the synthetic eval set: every 7th document's text under fresh ids —
+#: the realistic decontamination shape (an eval set drawn from data the
+#: corpus also ingested). The fixture has no byte-identical duplicate
+#: PAIRS, so a parity split would make the exact check vacuously 0-row.
+_REF_SQL = """
+    ref AS (SELECT doc_id + 10000 AS ref_id, text
+            FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def _eval_reference(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+
+
+@_register_extra(
+    "decontaminate_exact",
+    oracle=f"""
+    WITH {_REF_SQL},
+    c AS (SELECT doc_id, md5(text) AS h FROM documents),
+    r AS (SELECT md5(text) AS h, min(ref_id) AS ref_id FROM ref GROUP BY 1)
+    SELECT c.doc_id, r.ref_id FROM c JOIN r USING (h)
+    """,
+    doc="Exact test-set decontamination: corpus docs byte-identical to a "
+        "reference (eval-set) doc — one md5 shuffle per side, smallest "
+        "matching reference id per corpus doc. The reference is every "
+        "7th document's text under fresh ids (the fixture has no "
+        "cross-doc exact duplicates, so a corpus split would be a "
+        "vacuous 0-row check). EXTRA: shares the md5-hash machinery "
+        "dedup_exact checks officially.",
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import exact_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_contamination(docs, _eval_reference(docs))
+
+
+@_register_extra(
+    "decontaminate_minhash",
+    oracle=f"""
+    WITH {_REF_SQL},
+    {_SHINGLES_SQL},
+    rsh AS (
+        SELECT ref_id,
+               unnest(list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)
+               ])) AS s
+        FROM (SELECT ref_id, string_split(text, ' ') AS w FROM ref)
+        WHERE len(w) >= 3
+    ),
+    csizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    rsizes AS (SELECT ref_id, count(*) AS n FROM rsh GROUP BY 1),
+    common AS (
+        SELECT c.doc_id AS doc_id, r.ref_id AS ref_id, count(*) AS cnt
+        FROM sh c JOIN rsh r ON c.s = r.s
+        GROUP BY 1, 2
+    )
+    SELECT common.doc_id AS doc_id, common.ref_id AS ref_id,
+           round(cnt * 1.0 / (sc.n + sr.n - cnt), 6) AS jaccard
+    FROM common
+    JOIN csizes sc ON sc.doc_id = common.doc_id
+    JOIN rsizes sr ON sr.ref_id = common.ref_id
+    WHERE cnt * 1.0 / (sc.n + sr.n - cnt) >= 0.8
+    """,
+    doc="Near-duplicate test-set decontamination: corpus docs within 0.8 "
+        "word-3-gram Jaccard of any reference (eval-set) doc — the "
+        "asymmetric MinHash-LSH join (corpus bands x reference bands; "
+        "reference side broadcastable at eval-set size), exact-verified. "
+        "Oracle is the ground-truth cross-corpus pair set, so this also "
+        "checks the banding's recall. EXTRA: shares the signature/band/"
+        "verify machinery dedup_minhash_lsh checks officially.",
+)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import minhash_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_contamination(docs, _eval_reference(docs), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
 # Dedup: SimHash fingerprints
 # --------------------------------------------------------------------------
 

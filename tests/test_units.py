@@ -201,3 +201,38 @@ def test_raster2points_cell_centers_and_nan_mask(spark):
     got_3d = raster2points(spark, [grid], affine).count()
     assert got_3d == 3
     assert not any(math.isnan(v) for v in got.values())
+
+
+def test_deterministic_sampling_semantics(spark):
+    """Membership is a pure function of (id, salt): repartitioning never
+    changes the kept set, re-weighting a stratum keeps a superset (no
+    global resample), and distinct salts give different samples."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.sampling import deterministic_sample, stratified_mix
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    kept = {r.doc_id for r in deterministic_sample(df, 0.3, salt="a").collect()}
+    kept_re = {
+        r.doc_id
+        for r in deterministic_sample(df.repartition(13), 0.3, salt="a").collect()
+    }
+    assert kept == kept_re and 0.2 < len(kept) / 2000 < 0.4
+    other_salt = {r.doc_id for r in deterministic_sample(df, 0.3, salt="b").collect()}
+    assert other_salt != kept
+
+    lo = {r.doc_id for r in stratified_mix(df, {"src0": 0.2}).collect()}
+    hi = {r.doc_id for r in stratified_mix(df, {"src0": 0.6}).collect()}
+    assert lo < hi  # monotone: re-weighting never resamples
+    # unlisted strata drop entirely
+    assert {r.source for r in stratified_mix(df, {"src1": 1.0}).collect()} == {"src1"}
+    assert stratified_mix(df, {}).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(df, 1.5)
+    with _pytest.raises(ValueError, match="stratum"):
+        stratified_mix(df, {"src0": -0.1})

@@ -96,3 +96,30 @@ def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.min_by("_h", "pos").alias("first_token_hash"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+#: PII scrub patterns, ordered: the email pattern must run BEFORE the
+#: ip pattern can eat dotted digit runs inside an address's domain.
+#: Dialect-portable subset (Java regex AND RE2): no lookarounds, no \b
+#: ambiguity on the replacement tokens themselves.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("intl_phone", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, international
+    phone numbers) to typed placeholder tokens — the scrub step of a
+    training-data pipeline, pure JVM ``regexp_replace`` chain (no UDF;
+    at 100 TB this rides the scan like any projection). The pattern
+    subset is deliberately portable across regex dialects so a DuckDB
+    oracle verifies the exact redacted text; real deployments extend
+    ``PII_PATTERNS`` with locale-specific shapes."""
+    out = F.col(text_col)
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(out_col, out)

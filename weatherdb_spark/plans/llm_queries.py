@@ -586,6 +586,72 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_stratified_mix",
+    oracle="""
+    SELECT doc_id, source, lang FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15))::BIGINT
+           % 1000000)
+          < CASE source WHEN 'src0' THEN 800000
+                        WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 250000 END
+    """,
+    doc="Deterministic stratified data mix: keep 80% of src0, 50% of "
+        "src1, 25% of src2, drop unlisted sources — membership is a pure "
+        "function of (doc_id, salt) via the cross-engine md5 hash, so "
+        "the mix is reproducible across runs/partitionings (df.sample's "
+        "per-partition RNG is neither) and re-weighting a stratum keeps "
+        "a superset/subset instead of resampling. Pure filter: no "
+        "shuffle, rides the scan at 100 TB.",
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.sampling import stratified_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_mix(
+        docs, {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        strata_col="source", salt="mix1",
+    ).select("doc_id", "source", "lang")
+
+
+@_register_extra(
+    "text_scrub_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || ' tel +4915112345678',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g') AS text_scrubbed
+    FROM documents
+    """,
+    doc="PII scrub: emails / IPv4 / international phone numbers redact "
+        "to typed tokens via a pure JVM regexp_replace chain (no UDF — "
+        "rides the scan at 100 TB). The fixture text carries no PII, so "
+        "the query INJECTS a synthetic email+ip+phone per document (both "
+        "sides mirror the injection) and the oracle verifies the exact "
+        "redacted text. EXTRA: standalone op outside the driver's "
+        "50-entry cap, full value parity in pytest.",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +4915112345678"),
+        ),
+    )
+    return scrub_pii(docs).select("doc_id", "text_scrubbed")
+
+
+@_register_extra(
     "multimodal_frame_sample",
     oracle="""
     -- DuckDB has no BLOB substring: chunk the hex encoding (2 chars/byte)
@@ -602,7 +668,12 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal frame sampling plumbing: binary payload -> fixed-size "
         "frame chunks keyed (doc_id, frame_no) — the per-keyframe explode "
-        "pattern of a video pipeline (frames hex'd for the oracle compare).",
+        "pattern of a video pipeline (frames hex'd for the oracle "
+        "compare). EXTRA since round 6 (official slot ceded to "
+        "sample_stratified_mix under the driver's 50-entry cap): the "
+        "attach_binary_payload + chunk plumbing stays officially checked "
+        "through multimodal_decode/features, and this entry keeps full "
+        "value parity in pytest.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.multimodal import attach_binary_payload, frame_sample

@@ -365,6 +365,22 @@ def test_median_fill_matches_reference_loop(spark, data):
 
 # ------------------------------------------- daily adjustment (fillup step 7)
 
+def _spark_round(x: float, digits: int = 2) -> float:
+    """Spark's F.round semantics: HALF_UP on BigDecimal.valueOf(double),
+    i.e. on the SHORTEST DECIMAL representation of the double (same as
+    Python's repr). Python's built-in round is banker's on the binary
+    value, so the two disagree on exact .xx5 ties — hypothesis found
+    coef 1.9/4.0 = 0.475, where Spark (and the DuckDB oracle) give 0.48
+    and round() gives 0.47. The model must mirror the engine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _naive_daily_adjust(vals, daily_raw, peak=5.0, add=10.0, hard=50.0):
     """Literal Python transcription of the reference CASE expression
     (StationP.py:701-740): coef per shifted day where daily raw present,
@@ -386,7 +402,7 @@ def _naive_daily_adjust(vals, daily_raw, peak=5.0, add=10.0, hard=50.0):
             adj = min(v * coef, hard)
         else:
             adj = min(v + add, hard)
-        out.append(round(adj, 2))
+        out.append(_spark_round(adj, 2))
     return out
 
 

@@ -660,3 +660,71 @@ def test_stream_simhash_neardup_across_batches(spark, tmp_path):
         for r in simhash_pairs_exact(docs, max_hamming=6, bits=32).collect()
     }
     assert batch_pairs == {(1, 2)}
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Decontamination at ingest: documents arriving across micro-batches
+    flag against a STATIC eval-set reference, emitting exactly the pairs
+    the batch minhash_contamination finds on the same corpus — stateless
+    (no watermark, no state store), so a replay from source offsets is
+    idempotent."""
+    import os
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import minhash_contamination
+    from weatherdb_spark.streaming.neardup import stream_decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog near the river"
+    other = "totally unrelated content about weather stations data rows"
+    reference = spark.createDataFrame(
+        [(100, eval_text), (101, other)], "doc_id long, text string"
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [eval_text, "completely different words entirely here okay"],
+    }).to_csv(src / "a.csv", index=False)
+    pd.DataFrame({
+        "doc_id": [3],
+        "text": [eval_text + " extra"],  # near-dup of ref 100
+    }).to_csv(src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_decontaminate(stream, reference, threshold=0.8, num_perm=16,
+                             bands=4)
+        .writeStream.format("memory").queryName("decon_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.ref_id, r.jaccard)
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+
+    corpus = spark.createDataFrame(
+        [(1, eval_text),
+         (2, "completely different words entirely here okay"),
+         (3, eval_text + " extra")],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_id, r.ref_id, r.jaccard)
+        for r in minhash_contamination(
+            corpus, reference, threshold=0.8, num_perm=16, bands=4
+        ).collect()
+    }
+    assert got == want
+    assert (1, 100, 1.0) in got          # exact copy flagged
+    assert any(d == 3 for d, _, _ in got)  # near-dup flagged
+    assert not any(d == 2 for d, _, _ in got)

@@ -526,3 +526,96 @@ def stream_simhash_neardup(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def stream_decontaminate(
+    stream: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination AT INGEST: every arriving document checks against
+    a STATIC reference corpus (an eval set) — the streaming twin of
+    ``llm.dedup.minhash_contamination``, emitting append-mode
+    (doc_id, ref_id, jaccard) matches with jaccard >= threshold.
+
+    Fully STATELESS, unlike the self-join near-dup streams: the
+    reference side is a static DataFrame (Spark re-plans the
+    stream-static join per micro-batch, broadcasting an eval-set-sized
+    reference), and the stream side computes signatures and shingles as
+    pure per-row expressions (:func:`row_minhash_signature`,
+    ``shingles_expr`` — bit-identical to batch by the shared constants).
+    Cross-band dedup is MAP-SIDE: both sides carry their full band-key
+    array and a pair survives only in the FIRST band whose keys agree
+    (the cosine-LSH first-match trick), so no watermark, no
+    dropDuplicates state, no ``applyInPandasWithState`` — a restart
+    replays cleanly from the source offsets. Exact-Jaccard verify makes
+    precision 1; recall is the banding's (~1 at 0.8+ with 8x4).
+    """
+    from weatherdb_spark.llm.dedup import (
+        _banded_keys,
+        minhash_signatures,
+        shingles_expr,
+        word_shingles,
+    )
+
+    rows = num_perm // bands
+
+    def keys_from_sig(sig: Column) -> Column:
+        return F.array(*[
+            F.concat_ws("-", *[
+                F.element_at(sig, b * rows + r + 1).cast("string")
+                for r in range(rows)
+            ])
+            for b in range(bands)
+        ])
+
+    # static reference: banded keys + full key array + shingles ride on
+    # every (band, key) row — duplicated x bands, fine at eval-set size
+    ref_sig = minhash_signatures(reference, num_perm, n, id_col, text_col)
+    ref_keyed = ref_sig.select(
+        F.col(id_col).alias("ref_id"),
+        keys_from_sig(F.col("signature")).alias("_rkeys"),
+    )
+    ref_side = (
+        _banded_keys(ref_sig, bands, rows, id_col)
+        .select(F.col(id_col).alias("ref_id"), "band", "key")
+        .join(ref_keyed, "ref_id")
+        .join(
+            word_shingles(reference, text_col, n).select(
+                F.col(id_col).alias("ref_id"),
+                F.col("shingles").alias("_sr"),
+            ),
+            "ref_id",
+        )
+    )
+
+    sig = row_minhash_signature(F.col(text_col), num_perm, n)
+    s = stream.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_expr(F.col(text_col), n).alias("_sc"),
+        keys_from_sig(sig).alias("_keys"),
+    ).select(
+        "doc_id", "_sc", "_keys",
+        F.posexplode("_keys").alias("band", "key"),
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("_keys"), F.col("_rkeys"), lambda a, b: a == b),
+        True,
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("_sc", "_sr"))
+        / F.size(F.array_union("_sc", "_sr")),
+        6,
+    )
+    return (
+        s.join(ref_side, ["band", "key"])
+        .filter(first_match == F.col("band") + 1)
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "ref_id", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Semantic invariants for the sequence-shaping operators
+(llm/packing.py) and the per-source quota sampler — properties the
+oracle value-compare can't express: strategy invariance, monotonicity,
+exact coverage, layout independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherdb_spark.llm.packing import chunk_windows, pack_concat_chunk, shuffle_shard
+from weatherdb_spark.llm.sampling import source_quota_cap
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j", "s1"),
+        (2, "k l m", "s1"),
+        (3, "n", "s2"),
+        (4, " ".join(f"w{i}" for i in range(40)), "s2"),
+        (5, "x y", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_chunk_windows_reconstructs_every_token(docs):
+    out = chunk_windows(docs, window=4, stride=3).collect()
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    seen: dict[int, set[int]] = {d: set() for d in texts}
+    for r in out:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_chunk_tokens <= 4
+        for i, t in enumerate(toks):
+            assert texts[r.doc_id][r.chunk_start + i] == t
+            seen[r.doc_id].add(r.chunk_start + i)
+    for d, n in ((d, len(t)) for d, t in texts.items()):
+        assert seen[d] == set(range(n)), f"doc {d} not fully covered"
+
+
+def test_chunk_windows_rejects_bad_stride(docs):
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=4, stride=0)
+
+
+def test_pack_tiles_sequences_exactly_and_ignores_bucketing(docs):
+    a = pack_concat_chunk(docs, capacity=8, bucket_docs=2)
+    b = pack_concat_chunk(docs, capacity=8, bucket_docs=1000)
+    rows_a = sorted(map(tuple, a.collect()))
+    # bucket_docs is a compute strategy, never a semantic knob
+    assert rows_a == sorted(map(tuple, b.collect()))
+    # every document's segments tile its tokens exactly
+    per_doc = a.groupBy("doc_id").agg(
+        F.sum("seg_len").alias("s"), F.min("n_tokens").alias("n")
+    )
+    assert all(r.s == r.n for r in per_doc.collect())
+    # every sequence holds exactly `capacity` tokens except the last
+    total = sum(len(r.text.split(" ")) for r in docs.collect())
+    per_seq = {r.seq_id: r.s for r in
+               a.groupBy("seq_id").agg(F.sum("seg_len").alias("s")).collect()}
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # dense sequence ids
+    for sid, s in per_seq.items():
+        assert s == (8 if sid < last else total - 8 * last)
+
+
+def test_pack_offsets_follow_doc_id_order(docs):
+    out = {r.doc_id: r.tok_offset for r in
+           pack_concat_chunk(docs, capacity=8).select(
+               "doc_id", "tok_offset").distinct().collect()}
+    lens = {r.doc_id: len(r.text.split(" ")) for r in docs.collect()}
+    off = 0
+    for d in sorted(lens):
+        assert out[d] == off
+        off += lens[d]
+
+
+def test_shuffle_shard_positions_and_salt_independence(docs):
+    out = shuffle_shard(docs, n_shards=3, salt="a").collect()
+    assert {r.shard for r in out} <= {0, 1, 2}
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r.sort_key, r.doc_id))
+        assert [r.shard_pos for r in rows] == list(range(1, len(rows) + 1))
+    other = shuffle_shard(docs, n_shards=3, salt="b").collect()
+    assert {r.doc_id: r.sort_key for r in out} != {r.doc_id: r.sort_key for r in other}
+    # projection-only path drops the window entirely
+    proj = shuffle_shard(docs, n_shards=3, salt="a", with_position=False)
+    assert "shard_pos" not in proj.columns
+    assert "Window" not in proj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_packing_plan_shapes(docs, spark):
+    # chunk_windows rides the scan: no exchange anywhere in the plan
+    chunk_plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in chunk_plan
+    # the quota sampler never sorts a stratum in a window — exact top-N
+    # comes from bounded hash aggregates
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(30)],
+                               "doc_id long, source string")
+    quota_plan = source_quota_cap(df, quota=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in quota_plan
+    # pack's cross-bucket base rides a broadcast join, not a shuffle join
+    pack_plan = pack_concat_chunk(docs, capacity=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in pack_plan or "BroadcastNestedLoop" in pack_plan
+
+
+def test_source_quota_exact_monotone_and_layout_stable(spark):
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    q5 = source_quota_cap(df, quota=5, id_col="doc_id")
+    counts = {r.source: r.c for r in
+              q5.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}
+    # monotone: quota 5 kept set is a subset of quota 9's
+    kept5 = {(r.doc_id, r.source) for r in q5.collect()}
+    kept9 = {(r.doc_id, r.source)
+             for r in source_quota_cap(df, quota=9).collect()}
+    assert kept5 < kept9 and len(kept9) == 27
+    # layout independence: same result at any partitioning / merge_buckets
+    alt = source_quota_cap(df.repartition(13), quota=5, merge_buckets=3)
+    assert {(r.doc_id, r.source, r.keep_rank) for r in alt.collect()} == {
+        (r.doc_id, r.source, r.keep_rank) for r in q5.collect()
+    }
+    # small strata keep everything
+    tiny = source_quota_cap(df.filter(F.col("doc_id") < 4), quota=50)
+    assert tiny.count() == 4
+    with pytest.raises(ValueError):
+        source_quota_cap(df, quota=0)

@@ -44,6 +44,13 @@ EXTRA_COVERED_BY = {
 # coverage statement.
 EXTRA_STANDALONE = {
     "text_scrub_pii",
+    # round-6 sequence-shaping / sampling / text-filter additions
+    "text_chunk_windows",
+    "pack_concat_chunk",
+    "shuffle_shard",
+    "sample_source_quota",
+    "text_repetition",
+    "text_unigram_logprob",
 }
 
 # the five operators that silently fell off the cap in round 2

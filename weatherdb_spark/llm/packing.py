@@ -1,0 +1,186 @@
+"""Sequence shaping for training-data pipelines: context-window
+chunking, concat-then-split packing, and deterministic shuffle-sharding.
+
+These are the steps BETWEEN a cleaned corpus and a training run: cut
+each document into model-context-sized windows (``chunk_windows``),
+assign every token of the corpus to a fixed-capacity training sequence
+exactly the way GPT-style pretraining packs data — concatenate the
+document stream, cut every ``capacity`` tokens (``pack_concat_chunk``),
+and deal documents into shards in a reproducible pseudo-random order
+(``shuffle_shard``).
+
+All three are deterministic pure functions of (corpus, parameters) with
+exact DuckDB oracle twins; none uses a Python UDF. Tokens are
+whitespace words (the engine-wide convention shared with ``llm.text``);
+swapping in a real tokenizer changes only the ``n_tokens`` expression.
+
+Scale notes (100 TB):
+
+- ``chunk_windows`` is a projection + bounded explode — it rides the
+  scan, no shuffle.
+- ``pack_concat_chunk`` needs a GLOBAL prefix sum of token counts in
+  document order. A bare ``Window.orderBy`` running sum collapses to a
+  single partition (Spark's unpartitioned-window trap), so the offset
+  is computed as a two-level prefix sum: per-bucket totals (a dim-sized
+  aggregate) carry the cross-bucket base, and the running sum windows
+  only WITHIN each bucket — bounded partitions, fully distributed.
+- ``shuffle_shard`` is a projection (hash shard + hash sort key); the
+  optional in-shard position is a per-shard window kept for the oracle
+  check — at 100 TB drop it and write with
+  ``repartition(n_shards, shard).sortWithinPartitions(sort_key)``,
+  which realizes the identical order without a row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from weatherdb_spark.llm.hashing import md5_int64
+
+#: documents per prefix-sum bucket in pack_concat_chunk: bounds every
+#: within-bucket window partition while keeping the bucket-totals dim
+#: tiny (corpus_size / PACK_BUCKET_DOCS rows).
+PACK_BUCKET_DOCS = 1000
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut each document's token stream into fixed-size windows with
+    overlap ``window - stride`` (context chunking for embedding /
+    finetune pipelines). Windows start at ``i * stride``; the last
+    window may be short but every token is covered exactly
+    ``ceil(window / stride)`` times or fewer. Zero shuffle."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
+    toks = _tokens(text_col)
+    n = F.col("_n")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - window, F.lit(0)) + stride - 1) / F.lit(stride)
+    ).cast("int")
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .withColumn("chunk_start", F.col("chunk_id") * stride)
+        .withColumn("_chunk", F.slice(F.col("_toks"), F.col("chunk_start") + 1, window))
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def pack_concat_chunk(
+    df: DataFrame,
+    capacity: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_docs: int = PACK_BUCKET_DOCS,
+) -> DataFrame:
+    """GPT-style packing: concatenate every document's tokens in
+    ``id_col`` order and cut the stream every ``capacity`` tokens. Each
+    output row maps one document segment into one training sequence:
+    ``(doc_id, n_tokens, tok_offset, seq_id, seg_start, seg_len)`` where
+    ``seg_start`` is 0-based within the document and consecutive
+    segments of a sequence tile it exactly (no padding rows — the final
+    sequence may be short).
+
+    The global token offset is a two-level prefix sum (see module
+    docstring): dim-sized bucket totals + within-bucket running sums —
+    never an unpartitioned window.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    base = df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_docs).alias("_bucket"),
+    )
+    # dim-sized: one row per PACK_BUCKET_DOCS documents
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bt"))
+    bucket_base = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_bt").over(
+                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_base")
+    within = F.sum("n_tokens").over(
+        W.partitionBy("_bucket").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = (
+        base.join(F.broadcast(bucket_base), "_bucket")
+        .withColumn("tok_offset", F.col("_base") + F.coalesce(within, F.lit(0)))
+    )
+    seq_first = F.floor(F.col("tok_offset") / capacity)
+    seq_last = F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / capacity)
+    out = offs.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq_id"),
+    )
+    seg_lo = F.greatest(F.col("tok_offset"), F.col("seq_id") * capacity)
+    seg_hi = F.least(
+        F.col("tok_offset") + F.col("n_tokens"), (F.col("seq_id") + 1) * capacity
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        "seq_id",
+        (seg_lo - F.col("tok_offset")).alias("seg_start"),
+        (seg_hi - seg_lo).alias("seg_len"),
+    )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int = 8,
+    salt: str = "",
+    id_col: str = "doc_id",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment: every document
+    gets a pseudo-random 60-bit ``sort_key`` from (id, salt) via the
+    cross-engine md5 hash, a ``shard`` = key mod ``n_shards``, and (if
+    ``with_position``) its 1-based position within the shard's key
+    order. Re-running is bit-stable; changing ``salt`` reshuffles.
+
+    ``with_position=False`` keeps the operator a pure projection — the
+    100 TB path writes ``repartition(n_shards, shard)
+    .sortWithinPartitions(sort_key, id)`` instead of ranking rows.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    out = df.select(
+        F.col(id_col),
+        key.alias("sort_key"),
+        F.pmod(key, F.lit(n_shards)).alias("shard"),
+    )
+    if not with_position:
+        return out
+    return out.withColumn(
+        "shard_pos",
+        F.row_number().over(W.partitionBy("shard").orderBy("sort_key", id_col)),
+    )

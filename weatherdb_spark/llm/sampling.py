@@ -51,6 +51,58 @@ def deterministic_sample(
     return df.filter(_sample_slot(F.col(id_col), salt) < threshold)
 
 
+def source_quota_cap(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "source",
+    salt: str = "",
+    id_col: str = "doc_id",
+    merge_buckets: int = 16,
+) -> DataFrame:
+    """Cap every stratum at EXACTLY ``min(quota, stratum size)`` kept
+    documents — the over-represented-domain downsampler ("no single
+    source exceeds N documents"), where the fractional
+    :func:`stratified_mix` only approximates a target count.
+
+    Kept = the ``quota`` smallest (hash slot, id) pairs per stratum, so
+    membership is a deterministic function of (id, salt, quota) and
+    raising the quota only ever ADDS documents (monotone, like the
+    fractional sampler).
+
+    Scale shape: exact per-group top-N without a per-stratum sort
+    window — a giant stratum (half the corpus from one crawl domain)
+    would make ``row_number`` sort fact-sized partitions. Instead a
+    two-level hash aggregate: each (stratum, slot mod ``merge_buckets``)
+    group keeps its ``quota`` head by ``collect_list + array_sort +
+    slice`` (every list bounded by the group's rows, every survivor list
+    by ``quota``), then the per-stratum merge re-ranks at most
+    ``merge_buckets * quota`` rows. Map-side partial aggregation bounds
+    memory; no partition ever holds a stratum's full row set in one
+    sorter.
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    slot = _sample_slot(F.col(id_col), salt)
+    ranked = df.select(
+        F.col(strata_col), F.struct(slot.alias("slot"), F.col(id_col).alias("id")).alias("_k")
+    )
+    head = F.slice(F.array_sort(F.collect_list("_k")), 1, quota).alias("_head")
+    merged = (
+        ranked.groupBy(strata_col, F.pmod(F.col("_k.slot"), F.lit(merge_buckets)).alias("_mb"))
+        .agg(head)
+        .select(strata_col, F.explode("_head").alias("_k"))
+        .groupBy(strata_col)
+        .agg(head)
+    )
+    return merged.select(
+        strata_col, F.posexplode("_head").alias("_pos", "_k")
+    ).select(
+        F.col("_k.id").alias(id_col),
+        strata_col,
+        (F.col("_pos") + 1).alias("keep_rank"),
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     weights: dict[str, float],

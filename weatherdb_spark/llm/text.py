@@ -98,6 +98,96 @@ def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+#: Gopher-style repetition gate: a document whose single most frequent
+#: word bigram covers more than this share of all its bigrams reads as
+#: boilerplate/listing spam (the published filters gate the top 2-gram
+#: at 0.18 of characters; this engine's twin gates the count share).
+TOP_BIGRAM_GATE = 0.18
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition filters (the Gopher-repetition family):
+    per document, the duplicate-word fraction (``1 - distinct/total``)
+    and the share of word bigrams taken by the single most frequent
+    bigram, plus the boolean gate at :data:`TOP_BIGRAM_GATE`.
+
+    Shape: one explode of bigrams + two hash aggregates keyed by
+    (doc, bigram) then doc — map-side combining keeps the exploded
+    stream partial-aggregated, and nothing is quadratic in document
+    length. Documents with fewer than two words score 0 on both.
+    """
+    words = _tokens_col(text_col)
+    n = F.size(words)
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(words)) / n, 6
+        ).alias("dup_word_frac"),
+        F.zip_with(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("_bgs"),
+    )
+    tops = (
+        base.select(id_col, F.explode("_bgs").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_nbg"))
+    )
+    out = base.drop("_bgs").join(tops, id_col, "left")
+    top_frac = F.coalesce(F.round(F.col("_top") / F.col("_nbg"), 6), F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        top_frac.alias("top_bigram_frac"),
+        (top_frac > TOP_BIGRAM_GATE).alias("is_repetitive"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram-LM scoring (the importance/perplexity-style
+    quality filter trained on the corpus itself): fit word frequencies
+    over the whole corpus, then score each document by the mean negative
+    log-probability of its words — high = rare/garbled vocabulary, low =
+    common boilerplate. Two hash aggregates (vocab fit, per-doc score) +
+    one word→frequency join; the vocabulary is dim-sized next to the
+    token stream, so the join broadcasts at realistic corpus shapes.
+
+    Cross-engine exactness: each token's −ln p is quantized to integer
+    micro-nats BEFORE the per-document sum, so the aggregate is exact
+    integer arithmetic — no float-summation-order ambiguity between
+    Spark's partial aggregation and the oracle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens_col(text_col)).alias("_w")
+    )
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_t"))
+    term_micro = F.round(-F.log(F.col("_c") / F.col("_t")) * 1e6, 0).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), "_w")
+        .join(F.broadcast(total))
+        .select(id_col, term_micro.alias("_m"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("_m") / F.count(F.lit(1)) / 1e6, 6).alias("mean_neglogp"),
+        )
+    )
+
+
+def _tokens_col(text_col: str):
+    return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
 #: PII scrub patterns, ordered: the email pattern must run BEFORE the
 #: ip pattern can eat dotted digit runs inside an address's domain.
 #: Dialect-portable subset (Java regex AND RE2): no lookarounds, no \b

@@ -1022,3 +1022,239 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.upper(F.hex("payload")).alias("payload_hex"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence shaping: chunking, packing, shuffle-sharding (llm/packing.py)
+# --------------------------------------------------------------------------
+
+@_register_extra(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+        FROM w
+    )
+    SELECT doc_id, chunk_id, chunk_id * 24 AS chunk_start,
+           len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_chunk_tokens,
+           array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+               AS chunk_text
+    FROM c
+    """,
+    doc="Context-window chunking: each document's token stream cut into "
+        "32-token windows at stride 24 (8-token overlap) — the "
+        "embedding / finetune chunking step. Pure projection + bounded "
+        "explode, zero shuffle; exact chunk text value-checked. "
+        "EXTRA_STANDALONE (outside the driver's 50-entry cap).",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.packing import chunk_windows
+
+    out = chunk_windows(load(spark, sf_dir, "documents"), window=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@_register_extra(
+    "pack_concat_chunk",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, n_tokens, tok_offset,
+               unnest(generate_series(tok_offset // 256,
+                                      (tok_offset + n_tokens - 1) // 256))
+                   AS seq_id
+        FROM o WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, tok_offset, seq_id,
+           greatest(tok_offset, seq_id * 256) - tok_offset AS seg_start,
+           least(tok_offset + n_tokens, (seq_id + 1) * 256)
+               - greatest(tok_offset, seq_id * 256) AS seg_len
+    FROM e
+    """,
+    doc="GPT-style sequence packing: concatenate the corpus token stream "
+        "in doc_id order and cut every 256 tokens; one row per "
+        "(document segment, training sequence). The oracle is the plain "
+        "single-window cumsum; the engine computes the identical offsets "
+        "with a two-level prefix sum (dim-sized bucket totals + "
+        "within-bucket windows, bucket_docs=100 here so the multi-bucket "
+        "path is exercised) — never an unpartitioned window. "
+        "EXTRA_STANDALONE.",
+)
+def pack_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.packing import pack_concat_chunk as pack
+
+    out = pack(load(spark, sf_dir, "documents"), capacity=256, bucket_docs=100)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "tok_offset",
+        "seq_id",
+        "seg_start",
+        "seg_len",
+    )
+
+
+@_register_extra(
+    "shuffle_shard",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {md5_int64_sql("CAST(doc_id AS VARCHAR) || ':e1'")} AS sort_key
+        FROM documents
+    )
+    SELECT doc_id, sort_key, sort_key % 8 AS shard,
+           row_number() OVER (PARTITION BY sort_key % 8
+                              ORDER BY sort_key, doc_id) AS shard_pos
+    FROM k
+    """,
+    doc="Deterministic global shuffle + shard assignment for training-"
+        "data writes: pseudo-random 60-bit sort key from (id, salt), "
+        "shard = key mod 8, in-shard position. Bit-stable across runs "
+        "and layouts (df.sample/rand are neither); at 100 TB drop the "
+        "position column and realize the order with repartition + "
+        "sortWithinPartitions (with_position=False). EXTRA_STANDALONE.",
+)
+def shuffle_shard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.packing import shuffle_shard
+
+    out = shuffle_shard(load(spark, sf_dir, "documents"), n_shards=8, salt="e1")
+    return out.select(
+        "doc_id", "sort_key", "shard",
+        F.col("shard_pos").cast("long").alias("shard_pos"),
+    )
+
+
+@_register_extra(
+    "sample_source_quota",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               {md5_int64_sql("CAST(doc_id AS VARCHAR) || 'q1'")} % 1000000
+                   AS slot
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY slot, doc_id)
+                   AS keep_rank
+        FROM s
+    )
+    SELECT doc_id, source, keep_rank FROM r WHERE keep_rank <= 8
+    """,
+    doc="Per-source quota cap: keep exactly min(8, source size) documents "
+        "per source by deterministic hash rank — the over-represented-"
+        "domain downsampler. The oracle row_numbers inside each source; "
+        "the engine computes the same head with a two-level bounded hash "
+        "aggregate (no fact-sized sort partition for a giant stratum). "
+        "EXTRA_STANDALONE.",
+)
+def sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.sampling import source_quota_cap
+
+    out = source_quota_cap(
+        load(spark, sf_dir, "documents"), quota=8, salt="q1"
+    )
+    return out.select(
+        "doc_id", "source", F.col("keep_rank").cast("long").alias("keep_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: repetition filters + corpus unigram-LM scoring
+# --------------------------------------------------------------------------
+
+@_register_extra(
+    "text_repetition",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(w) AS n_words,
+               round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6)
+                   AS dup_word_frac,
+               [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bgs
+        FROM w
+    ),
+    tops AS (
+        SELECT doc_id, max(c) AS top, sum(c) AS nbg FROM (
+            SELECT doc_id, bg, count(*) AS c
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           coalesce(round(top * 1.0 / nbg, 6), 0.0) AS top_bigram_frac,
+           coalesce(round(top * 1.0 / nbg, 6), 0.0) > 0.18 AS is_repetitive
+    FROM base b LEFT JOIN tops USING (doc_id)
+    """,
+    doc="Gopher-style intra-document repetition filters: duplicate-word "
+        "fraction and top-bigram share with the 0.18 boilerplate gate. "
+        "One bigram explode + two map-side-combined hash aggregates. "
+        "EXTRA_STANDALONE.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import repetition_stats
+
+    out = repetition_stats(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "top_bigram_frac",
+        "is_repetitive",
+    )
+
+
+@_register_extra(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    v AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    t AS (SELECT sum(c) AS t FROM v),
+    m AS (
+        SELECT tok.doc_id,
+               CAST(round(-ln(v.c / t.t) * 1000000.0, 0) AS BIGINT) AS m
+        FROM tok JOIN v USING (w) CROSS JOIN t
+    )
+    SELECT doc_id, count(*) AS n_words,
+           round(sum(m) / count(*) / 1000000.0, 6) AS mean_neglogp
+    FROM m GROUP BY 1
+    """,
+    doc="Corpus unigram-LM quality scoring: fit word frequencies over "
+        "the corpus, score each document by mean -ln p(word) (the "
+        "importance/perplexity-style filter). Per-token terms quantize "
+        "to integer micro-nats BEFORE the per-doc sum, so the aggregate "
+        "is exact integer arithmetic — no float-order ambiguity between "
+        "Spark partial aggregation and the oracle. EXTRA_STANDALONE.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))

@@ -51,6 +51,7 @@ EXTRA_STANDALONE = {
     "sample_source_quota",
     "text_repetition",
     "text_unigram_logprob",
+    "decontaminate_ngram",
 }
 
 # the five operators that silently fell off the cap in round 2

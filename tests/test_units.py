@@ -236,3 +236,28 @@ def test_deterministic_sampling_semantics(spark):
         deterministic_sample(df, 1.5)
     with _pytest.raises(ValueError, match="stratum"):
         stratified_mix(df, {"src0": -0.1})
+
+
+def test_ngram_contamination_catches_quoted_paragraph(spark):
+    from weatherdb_spark.llm.dedup import exact_contamination, ngram_contamination
+
+    ref_text = " ".join(f"e{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            # quotes a 13-word span of the eval doc inside novel text
+            (1, "novel a b " + " ".join(f"e{i}" for i in range(13)) + " z y"),
+            (2, "completely unrelated words " + " ".join(f"u{i}" for i in range(20))),
+            (3, ref_text),  # byte-identical copy
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    flagged = {r.doc_id: r.n_collisions
+               for r in ngram_contamination(corpus, ref, n=13).collect()}
+    assert set(flagged) == {1, 3}          # the quote AND the copy, not doc 2
+    assert flagged[1] == 1 and flagged[3] == 8
+    # the exact layer alone misses the quoted paragraph
+    assert {r.doc_id for r in exact_contamination(corpus, ref).collect()} == {3}
+    # min_collisions raises the bar
+    deep = ngram_contamination(corpus, ref, n=13, min_collisions=2)
+    assert {r.doc_id for r in deep.collect()} == {3}

@@ -696,3 +696,45 @@ def minhash_contamination(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select(id_col, "ref_id", "jaccard")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 13,
+    min_collisions: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram collision test-set decontamination (the published
+    GPT-3-style filter): flag corpus documents sharing at least
+    ``min_collisions`` distinct word ``n``-grams with ANY reference
+    document. Returns (id_col, n_collisions) for flagged documents —
+    deterministic, threshold-free at the default (one 13-gram collision
+    with an eval set is essentially impossible by chance, so any hit is
+    contamination), and complements the exact (byte-identical) and
+    MinHash (whole-document Jaccard) layers by catching a PARAGRAPH of
+    an eval document quoted inside an otherwise-novel training doc.
+
+    Scale: the reference's distinct n-gram hash set is eval-set-sized
+    and broadcasts; the corpus side explodes its shingles once (the
+    shared :func:`shingles_expr` definition), hashes to a narrow 8-byte
+    key, joins map-side, and aggregates per document — the only
+    exchange is the per-doc count's hash aggregation.
+    """
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    ref_sh = (
+        exploded_shingles(reference, id_col, text_col, n)
+        .select(md5_int64(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    cor_sh = exploded_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), md5_int64(F.col("_s")).alias("_h")
+    )
+    return (
+        cor_sh.join(F.broadcast(ref_sh), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+    )

@@ -1258,3 +1258,45 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.text import unigram_logprob
 
     return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@_register_extra(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH {_REF_SQL},
+    cs AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   array_to_string(w[i : i + 12], ' ')
+                   for i in range(1, len(w) - 11)
+               ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 13
+    ),
+    rs AS (
+        SELECT DISTINCT
+               unnest(list_distinct([
+                   array_to_string(w[i : i + 12], ' ')
+                   for i in range(1, len(w) - 11)
+               ])) AS s
+        FROM (SELECT string_split(text, ' ') AS w FROM ref)
+        WHERE len(w) >= 13
+    )
+    SELECT cs.doc_id, count(*) AS n_collisions
+    FROM cs JOIN rs USING (s)
+    GROUP BY 1
+    """,
+    doc="N-gram collision decontamination (GPT-3-style 13-gram filter): "
+        "corpus docs sharing any distinct 13-gram with the eval "
+        "reference, with the collision count — catches a quoted eval "
+        "PARAGRAPH inside an otherwise-novel training doc, which the "
+        "exact layer misses and the whole-doc MinHash layer under-"
+        "scores. Reference n-gram hash set broadcasts; only exchange is "
+        "the per-doc count. Completes the decontamination family "
+        "(exact / MinHash / n-gram). EXTRA_STANDALONE.",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.dedup import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(docs, _eval_reference(docs), n=13)

@@ -106,3 +106,31 @@ def test_ivf_index_build_probe_matches_adhoc(spark, tmp_path):
     inv = spark.read.parquet(idx + "/inverted")
     assert inv.count() == emb.count()
     assert inv.select("cell").distinct().count() <= 16
+
+
+def test_semantic_dedup_keeps_one_representative_per_group(spark):
+    import numpy as np
+
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 64)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # three near-copies of each base vector
+            v = b + rng.randn(64) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.9, planes=2, n_tables=24).collect()
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    # every group elects exactly its smallest id, sizes agree
+    for comp, members in by_comp.items():
+        kept = [r.vec_id for r in members if r.is_kept]
+        assert kept == [comp] == [min(r.vec_id for r in members)]
+        assert all(r.group_size == len(members) for r in members)
+    # the four 3-copy clusters are found as four groups of three
+    assert sorted(len(m) for m in by_comp.values()) == [3, 3, 3, 3]

@@ -52,6 +52,7 @@ EXTRA_STANDALONE = {
     "text_repetition",
     "text_unigram_logprob",
     "decontaminate_ngram",
+    "semantic_dedup",
 }
 
 # the five operators that silently fell off the cap in round 2

@@ -676,3 +676,51 @@ def cosine_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 3,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cosine near-dup pairs (LSH-bucketed, exact-verified — precision 1)
+    -> connected components -> one kept representative per semantic
+    group. Returns (id_col, component_id, group_size, is_kept) for
+    every vector that belongs to a near-dup group; the kept
+    representative is the smallest id (= the component label), and a
+    training pipeline drops the ``~is_kept`` rows.
+
+    Pure composition of two scale-audited stages: the pair generation
+    is :func:`cosine_pairs_lsh` (one (table, bucket) shuffle, hot
+    buckets boundable via ``max_bucket_docs``), the grouping is
+    :func:`~weatherdb_spark.llm.dedup.connected_components`
+    (auto-sized: driver union-find for sketch-sized edge lists,
+    min-label propagation beyond). The group-size dim is
+    component-count-sized and broadcasts.
+    """
+    from weatherdb_spark.llm.dedup import connected_components
+
+    pairs = cosine_pairs_lsh(
+        embeddings,
+        threshold=threshold,
+        planes=planes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_docs=max_bucket_docs,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return comp.join(F.broadcast(sizes), "component_id").select(
+        F.col("doc_id").alias(id_col),
+        "component_id",
+        "group_size",
+        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+    )

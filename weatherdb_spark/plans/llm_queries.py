@@ -1300,3 +1300,69 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return ngram_contamination(docs, _eval_reference(docs), n=13)
+
+
+@_register_extra(
+    "semantic_dedup",
+    oracle="""
+    WITH RECURSIVE signs AS (
+        SELECT g.p AS plane,
+               list_transform(range(0, 64),
+                 i -> CASE WHEN ((g.p*64 + i) * 2654435761) % 4294967296
+                                < 2147483648
+                      THEN 1.0 ELSE -1.0 END) AS svec
+        FROM range(0, 48) g(p)
+    ),
+    bits AS (
+        SELECT v.vec_id, s.plane,
+               CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                          s.svec) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings v CROSS JOIN signs s
+    ),
+    buckets AS (
+        SELECT vec_id, plane // 3 AS tbl,
+               CAST(SUM(bit * (1 << (plane % 3))) AS INT) AS bucket
+        FROM bits GROUP BY vec_id, plane // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    p AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY 1)
+    SELECT vec_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS group_size,
+           vec_id = component_id AS is_kept
+    FROM comp
+    """,
+    doc="SemDeDup-style semantic dedup: embedding-cosine near-dup pairs "
+        "(the official LSH scale path, mirrored here plane-by-plane) -> "
+        "recursive-closure components -> smallest-id representative per "
+        "semantic group with group sizes. The training pipeline drops "
+        "~is_kept rows. Composition of the officially-checked "
+        "embedding_cosine_pairs_lsh and dedup_components machinery over "
+        "the embeddings table. EXTRA_STANDALONE.",
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.4)

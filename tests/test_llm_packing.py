@@ -133,3 +133,30 @@ def test_source_quota_exact_monotone_and_layout_stable(spark):
     assert tiny.count() == 4
     with pytest.raises(ValueError):
         source_quota_cap(df, quota=0)
+
+
+def test_bm25_ranks_exact_term_matches_first(spark):
+    from weatherdb_spark.llm.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry date"),
+            (2, "apple apple apple banana"),
+            (3, "kiwi lemon mango peach"),
+            (4, "apple kiwi kiwi kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "apple"), (2, "kiwi lemon")], "query_id long, query string"
+    )
+    out = bm25_topk(docs, qs, k=3).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    # doc 2 repeats 'apple' most; doc 3 never appears for q1
+    assert by_q[1][0] == 2 and 3 not in by_q[1]
+    # 'lemon' is rarer than 'kiwi' (df 1 vs 2): doc 3 with both wins
+    assert by_q[2][0] == 3 and set(by_q[2]) == {3, 4}
+    ranks = [r.rank for r in out if r.query_id == 1]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -53,6 +53,7 @@ EXTRA_STANDALONE = {
     "text_unigram_logprob",
     "decontaminate_ngram",
     "semantic_dedup",
+    "search_bm25_topk",
 }
 
 # the five operators that silently fell off the cap in round 2

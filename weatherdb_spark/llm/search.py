@@ -1,0 +1,95 @@
+"""Lexical search: BM25 top-k retrieval over the corpus — the keyword
+complement to the embedding ANN family (``llm/similarity.py``), used by
+training pipelines for eval-set mining, hard-negative selection, and
+targeted corpus slicing.
+
+Shape (100 TB): the per-(doc, word) term-frequency table is the
+inverted index — one explode + hash aggregate over the corpus; query
+terms are dim-sized and broadcast onto it, so scoring touches only
+postings of queried words (Catalyst pushes the semi-join into the
+scan side of the aggregate). Per-query top-k ranks inside
+query-partitioned windows (bounded by the candidate postings, never
+the corpus).
+
+Cross-engine exactness: each term's BM25 contribution is quantized to
+integer micro-units BEFORE the per-(query, doc) sum — identical to the
+``unigram_logprob`` discipline — so aggregation order cannot flip a
+rank between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Okapi, distinct query
+    terms): ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``tfn = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))``. Ties break on
+    ascending doc id. Returns (query_id, rank, id_col, score_bm25);
+    documents sharing no term with the query never appear.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
+                       F.size(words).alias("_dl"))
+    tf = toks.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl")
+    )
+    # two corpus scalars (one tiny job's worth of agg, broadcast on)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size(words)).alias("_sumdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(
+            F.split(F.trim(F.col(query_col)), "\\s+"))).alias("_w"),
+    ).distinct()
+    # only queried words' postings survive; their per-word document
+    # frequency is exact on the filtered stream (it still holds every
+    # posting of those words) and the resulting df dim is
+    # query-vocabulary-sized, never corpus-vocabulary-sized
+    postings = tf.join(F.broadcast(qterms.select("_w").distinct()), "_w")
+    dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tfn = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / avgdl)
+    )
+    term_micro = F.round(idf * tfn * 1e6, 0).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qterms), "_w")
+        .join(F.broadcast(dfreq), "_w")
+        .join(F.broadcast(stats))
+        .select(query_id_col, id_col, term_micro.alias("_m"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_m").alias("_sm"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(query_id_col).orderBy(F.desc("_sm"), F.col(id_col))
+        ),
+    ).filter(F.col("rank") <= k)
+    return ranked.select(
+        query_id_col,
+        F.col("rank").cast("long").alias("rank"),
+        id_col,
+        F.round(F.col("_sm") / 1e6, 6).alias("score_bm25"),
+    )

@@ -1366,3 +1366,77 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.similarity import semantic_dedup
 
     return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_register_extra(
+    "search_bm25_topk",
+    oracle=r"""
+    WITH q(query_id, query) AS (
+        VALUES (CAST(1 AS BIGINT), 'hash table merge'),
+               (CAST(2 AS BIGINT), 'slow scan window'),
+               (CAST(3 AS BIGINT), 'spark batch sort value')
+    ),
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS sumdl
+        FROM documents
+    ),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(list_distinct(regexp_split_to_array(trim(query), '\s+')))
+                   AS w
+        FROM q
+    ),
+    post AS (
+        SELECT tf.doc_id, tf.w, tf.tf, dl.dl
+        FROM tf JOIN (SELECT DISTINCT w FROM qt) qw USING (w)
+        JOIN dl USING (doc_id)
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+    m AS (
+        SELECT qt.query_id, post.doc_id,
+               CAST(round(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (1 - 0.75 + 0.75 * post.dl
+                                         / (stats.sumdl / stats.n)))
+                   * 1000000.0, 0) AS BIGINT) AS m
+        FROM post JOIN qt USING (w) JOIN dfreq USING (w) CROSS JOIN stats
+    ),
+    s AS (
+        SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS sm
+        FROM m GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT query_id, doc_id, sm,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sm DESC, doc_id) AS rank
+        FROM s
+    )
+    SELECT query_id, rank, doc_id, round(sm / 1000000.0, 6) AS score_bm25
+    FROM r WHERE rank <= 5
+    """,
+    doc="BM25 top-5 lexical retrieval (Okapi, k1=1.2 b=0.75) for three "
+        "fixed keyword queries — the lexical complement to the "
+        "embedding ANN family (eval mining / hard negatives / corpus "
+        "slicing). Postings of queried words only (query-vocabulary-"
+        "sized df dim, broadcast); per-term scores quantized to integer "
+        "micro-units before the sum so aggregation order cannot flip a "
+        "rank cross-engine. EXTRA_STANDALONE.",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.search import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash table merge"), (2, "slow scan window"),
+         (3, "spark batch sort value")],
+        "query_id long, query string",
+    )
+    return bm25_topk(load(spark, sf_dir, "documents"), queries, k=5)

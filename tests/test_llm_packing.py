@@ -160,3 +160,65 @@ def test_bm25_ranks_exact_term_matches_first(spark):
     assert by_q[2][0] == 3 and set(by_q[2]) == {3, 4}
     ranks = [r.rank for r in out if r.query_id == 1]
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ------------------------- property-based invariants (random corpora)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_corpus = st.lists(
+    st.integers(min_value=1, max_value=30),  # token count per doc
+    min_size=1, max_size=12,
+)
+
+
+def _mkdocs(spark, lens):
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(lens)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lens=_corpus, window=st.integers(2, 8), stride_off=st.integers(0, 6))
+def test_chunk_windows_property_full_cover_no_invent(spark, lens, window,
+                                                     stride_off):
+    stride = max(1, window - stride_off)
+    out = chunk_windows(_mkdocs(spark, lens), window=window,
+                        stride=stride).collect()
+    for d, n in enumerate(lens):
+        chunks = sorted((r for r in out if r.doc_id == d),
+                        key=lambda r: r.chunk_id)
+        covered = []
+        for r in chunks:
+            toks = r.chunk_text.split(" ")
+            # chunk content is the doc's own tokens at the right offsets
+            assert toks == [f"t{d}_{j}" for j in
+                            range(r.chunk_start, r.chunk_start + len(toks))]
+            covered.extend(range(r.chunk_start, r.chunk_start + len(toks)))
+        assert set(covered) == set(range(n))
+        # stride dedups starts: no chunk begins past the end
+        assert all(r.chunk_start < n for r in chunks)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lens=_corpus, capacity=st.integers(1, 40),
+       bucket_docs=st.integers(1, 6))
+def test_pack_property_matches_sequential_model(spark, lens, capacity,
+                                                bucket_docs):
+    out = pack_concat_chunk(_mkdocs(spark, lens), capacity=capacity,
+                            bucket_docs=bucket_docs).collect()
+    # oracle: a plain python walk of the concatenated stream
+    expect = []
+    off = 0
+    for d, n in enumerate(lens):
+        for seq in range(off // capacity, (off + n - 1) // capacity + 1):
+            lo = max(off, seq * capacity)
+            hi = min(off + n, (seq + 1) * capacity)
+            expect.append((d, n, off, seq, lo - off, hi - lo))
+        off += n
+    got = sorted((r.doc_id, r.n_tokens, r.tok_offset, r.seq_id,
+                  r.seg_start, r.seg_len) for r in out)
+    assert got == sorted(expect)

@@ -104,7 +104,12 @@ def pack_concat_chunk(
 
     The global token offset is a two-level prefix sum (see module
     docstring): dim-sized bucket totals + within-bucket running sums —
-    never an unpartitioned window.
+    never an unpartitioned window. ``bucket_docs`` is a pure compute
+    strategy (results are identical at any value — pinned by test);
+    both levels stay bounded when it is sized ~sqrt(corpus docs): the
+    bucket-totals window then holds sqrt(N) rows and every within-
+    bucket partition sqrt(N) rows, so even an N of 10^10 documents
+    keeps each side at ~10^5.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")

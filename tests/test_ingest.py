@@ -728,3 +728,65 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert (1, 100, 1.0) in got          # exact copy flagged
     assert any(d == 3 for d, _, _ in got)  # near-dup flagged
     assert not any(d == 2 for d, _, _ in got)
+
+
+def test_text_shaping_chain_is_stream_stateless(spark, tmp_path):
+    """The text-shaping family (PII scrub -> quality score -> context
+    chunking) is pure projection + bounded explode, so the SAME
+    functions run unchanged on a readStream and emit exactly the batch
+    rows — no watermark, no state store, idempotent replay. This is the
+    ingest-time shape of a 100 TB training pipeline: shaping rides the
+    stream; only dedup needs state."""
+    import os
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.packing import chunk_windows
+    from weatherdb_spark.llm.text import quality_score, scrub_pii
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the quick brown fox mail me at fox@den.example now",
+            " ".join(f"w{i}" for i in range(11)),
+            "tiny doc",
+        ],
+    }
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({k: v[:2] for k, v in rows.items()}).to_csv(
+        src / "a.csv", index=False)
+    pd.DataFrame({k: v[2:] for k, v in rows.items()}).to_csv(
+        src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    def shape(df):
+        scrubbed = scrub_pii(df).drop("text").withColumnRenamed(
+            "text_scrubbed", "text")
+        return chunk_windows(quality_score(scrubbed), window=4, stride=3)
+
+    batch_df = spark.read.schema("doc_id long, text string").option(
+        "header", "true").csv(str(src))
+    expected = sorted(map(tuple, shape(batch_df).collect()))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        shape(stream)
+        .writeStream.format("memory").queryName("shape_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql(
+            "SELECT * FROM shape_stream").collect()))
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
+    # the scrub really happened inside the stream
+    assert not any("fox@den.example" in t[-1] for t in got)
+    assert any("<EMAIL>" in t[-1] for t in got)

@@ -279,6 +279,17 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         ("embedding_cosine_pairs_lsh", 7),
         ("dedup_minhash_lsh", 13),
         ("dedup_simhash_exact", 7),
+        # round-6 training-pipeline family (measured stable x2 at
+        # 14/11/6/2/4/7/5/6/3; pins leave AQE headroom only)
+        ("search_bm25_topk", 16),
+        ("semantic_dedup", 13),
+        ("pack_concat_chunk", 8),
+        ("text_chunk_windows", 3),
+        ("sample_source_quota", 6),
+        ("text_unigram_logprob", 9),
+        ("text_repetition", 7),
+        ("decontaminate_ngram", 8),
+        ("shuffle_shard", 5),
     ],
 )
 def test_query_job_count_pinned(spark, name, max_jobs):

@@ -222,3 +222,30 @@ def test_pack_property_matches_sequential_model(spark, lens, capacity,
     got = sorted((r.doc_id, r.n_tokens, r.tok_offset, r.seq_id,
                   r.seg_start, r.seg_len) for r in out)
     assert got == sorted(expect)
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    from weatherdb_spark.llm.text import winnow_fingerprints
+
+    k, w = 5, 3
+    shared = "XYZQWERTYUIOPX"  # len 14 >= w + k - 1 = 7
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb " + shared + " cccc dddd"),
+            (2, "completely other prefix " + shared),
+            (3, "no overlap here at all with anything"),
+            (4, "tiny"),  # shorter than k + w - 1: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: the shared >= w+k-1 substring forces overlap
+    assert by_doc[1] & by_doc[2]
+    # unrelated docs share nothing
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    # density ~ 2/(w+1): far fewer fingerprints than characters
+    assert 0 < len(by_doc[1]) < len("aaaa bbbb " + shared + " cccc dddd")
+    assert 4 not in by_doc

@@ -54,6 +54,7 @@ EXTRA_STANDALONE = {
     "decontaminate_ngram",
     "semantic_dedup",
     "search_bm25_topk",
+    "text_winnow_fingerprint",
 }
 
 # the five operators that silently fell off the cap in round 2

@@ -98,6 +98,62 @@ def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (the published MOSS local-fingerprint
+    algorithm): hash every character ``k``-gram, then keep the minimum
+    hash of each ``window`` of consecutive gram hashes; the distinct
+    minima are the document's fingerprint set, exploded to
+    (id_col, fp) rows. Guarantee: any substring of length
+    >= ``window + k - 1`` shared by two documents contributes at least
+    one shared fingerprint — positional plagiarism/quote detection
+    where the bag fingerprint (:func:`bag_fingerprint`) only sees
+    whole-document token multisets.
+
+    Pure array expressions (transform / slice / array_min) — rides the
+    scan, no shuffle, no UDF; density is ~2/(window+1) fingerprints per
+    character. Documents shorter than ``window + k - 1`` characters
+    emit nothing.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be positive, got {k}, {window}")
+    t = F.col(text_col)
+    m = F.length(t) - k + 1                    # k-gram count
+    # plan-shape note: the window minima must NOT nest the gram-hash
+    # array inside a second transform's lambda — the inner expression
+    # re-evaluates per outer element (O(n^2) md5 per document; the
+    # first cut of this operator hung on it). Instead the hash array
+    # lands in its own projection and the sliding min is the
+    # element-wise `least` of `window` shifted slices: the alias is
+    # referenced `window` times, so CollapseProject keeps the
+    # projection boundary and the hashes compute once per row.
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m), lambda i: md5_int64(t.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    step1 = df.select(
+        F.col(id_col),
+        hashes.alias("_h"),
+        F.greatest(m - window + 1, F.lit(0)).alias("_nw"),
+    )
+    shifted = [
+        F.slice(F.col("_h"), F.lit(j + 1), F.col("_nw")) for j in range(window)
+    ]
+    acc = shifted[0]
+    for nxt in shifted[1:]:
+        acc = F.zip_with(acc, nxt, lambda a, b: F.least(a, b))
+    return step1.select(
+        id_col, F.explode(F.array_distinct(acc)).alias("fp")
+    )
+
+
 #: Gopher-style repetition gate: a document whose single most frequent
 #: word bigram covers more than this share of all its bigrams reads as
 #: boilerplate/listing spam (the published filters gate the top 2-gram

@@ -1440,3 +1440,34 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, query string",
     )
     return bm25_topk(load(spark, sf_dir, "documents"), queries, k=5)
+
+
+@_register_extra(
+    "text_winnow_fingerprint",
+    oracle=r"""
+    WITH g AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+                for i in range(1, length(text) - 8 + 2)] AS h
+        FROM documents
+        WHERE length(text) >= 11
+    ),
+    m AS (
+        SELECT doc_id,
+               list_distinct([list_min(h[j : j + 3])
+                              for j in range(1, len(h) - 4 + 2)]) AS fps
+        FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+    doc="Winnowing fingerprints (MOSS): min-hash of every 4-window of "
+        "char-8-gram hashes, distinct minima exploded per doc — any "
+        "shared substring of length >= 11 between two docs shares a "
+        "fingerprint (positional quote/plagiarism detection the bag "
+        "fingerprint cannot do). Pure array expressions, rides the "
+        "scan. EXTRA_STANDALONE.",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.text import winnow_fingerprints
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"), k=8, window=4)

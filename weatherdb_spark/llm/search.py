@@ -46,9 +46,6 @@ def bm25_topk(
     words = F.split(F.trim(F.col(text_col)), "\\s+")
     toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
                        F.size(words).alias("_dl"))
-    tf = toks.groupBy(id_col, "_w").agg(
-        F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl")
-    )
     # two corpus scalars (one tiny job's worth of agg, broadcast on)
     stats = docs.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -59,11 +56,19 @@ def bm25_topk(
         F.explode(F.array_distinct(
             F.split(F.trim(F.col(query_col)), "\\s+"))).alias("_w"),
     ).distinct()
-    # only queried words' postings survive; their per-word document
-    # frequency is exact on the filtered stream (it still holds every
-    # posting of those words) and the resulting df dim is
-    # query-vocabulary-sized, never corpus-vocabulary-sized
-    postings = tf.join(F.broadcast(qterms.select("_w").distinct()), "_w")
+    # the query-word semi-join lands BELOW the term-frequency aggregate
+    # (Catalyst cannot push a join under a groupBy on its own): the
+    # (doc, word) shuffle carries only queried words' tokens, so its
+    # size is postings-of-query-terms, never corpus-vocabulary x docs.
+    # Per-word document frequency is exact on the filtered stream (it
+    # still holds every posting of those words) and the df dim is
+    # query-vocabulary-sized.
+    tf = (
+        toks.join(F.broadcast(qterms.select("_w").distinct()), "_w")
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
+    )
+    postings = tf
     dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     avgdl = F.col("_sumdl") / F.col("_n")
     idf = F.log(

@@ -63,10 +63,18 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-            if len(runs) >= max(1, iters) and (
-                runs[-1] <= 1.15 * min(runs)
-                or len(runs) >= max(1, iters) + max_extra
-            ):
+            if len(runs) < max(1, iters):
+                continue
+            if len(runs) >= max(1, iters) + max_extra:
+                break
+            # converged = the last run neither improved the best by >5%
+            # (curve still falling — comparing against min(runs) would
+            # let a fresh min trivially pass) nor sits >15% above it
+            # (not settled, likely a noise spike worth one more look)
+            prev_min = min(runs[:-1]) if len(runs) > 1 else runs[-1]
+            still_falling = runs[-1] < 0.95 * prev_min
+            still_high = runs[-1] > 1.15 * min(runs)
+            if not still_falling and not still_high:
                 break
         iterations[name] = runs
         timings[name] = min(runs)

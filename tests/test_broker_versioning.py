@@ -526,3 +526,53 @@ def test_data_fix_rung_crash_windows(spark, tmp_path):
         assert b.get_setting("datafix_4") is None
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)
+
+
+def test_downgrade_unwinds_partially_applied_rung_above_stamp(spark, tmp_path):
+    """Crash window mirror of the upgrade re-entry: an upgrade of rung 4
+    that dies AFTER fixing ts_p but BEFORE stamping layout=4 leaves
+    fixed contents behind a layout-3 stamp. downgrade_db_schema must
+    unwind the partial rung first — otherwise the 'content-preserving'
+    contract breaks and a later upgrade (marker says done) never
+    reconciles ts_p either."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        Broker,
+        DataFixMigration,
+        register_layout_migration,
+    )
+
+    class _Boom(Exception):
+        pass
+
+    def _explode(df):
+        raise _Boom()
+
+    register_layout_migration(DataFixMigration(
+        4, "two-table repair whose second table crashes",
+        {"ts_p": (
+            lambda df: df.withColumn("raw", F.col("raw") * 2),
+            lambda df: df.withColumn("raw", F.col("raw") / 2),
+        ), "ts_t": (_explode, _explode)},
+    ))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        _fact(spark, 10, 1.5).write.parquet(b.path("ts_p"))
+        _fact(spark, 10, 7.0).write.parquet(b.path("ts_t"))
+        b.upgrade_db_schema(target=3)
+
+        with pytest.raises(_Boom):
+            b.upgrade_db_schema()         # fixes ts_p, dies on ts_t
+        assert b.get_setting("layout") == "3"        # stamp never moved
+        assert b.read("ts_p").agg(F.max("raw")).first()[0] == 3.0  # but fixed
+        assert LAYOUT_MIGRATIONS[4].partially_applied(b)
+
+        b.downgrade_db_schema(target=3)   # no rung walk — just the unwind
+        assert b.get_setting("layout") == "3"
+        assert b.read("ts_p").agg(F.max("raw")).first()[0] == 1.5
+        assert b.get_setting("datafix_4") is None
+        assert b.read("ts_t").agg(F.max("raw")).first()[0] == 7.0
+    finally:
+        LAYOUT_MIGRATIONS.pop(4, None)

@@ -249,3 +249,11 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
     # density ~ 2/(w+1): far fewer fingerprints than characters
     assert 0 < len(by_doc[1]) < len("aaaa bbbb " + shared + " cccc dddd")
     assert 4 not in by_doc
+
+
+def test_pack_rejects_non_numeric_ids(spark):
+    df = spark.createDataFrame(
+        [("doc-1", "a b c")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pack_concat_chunk(df, capacity=4)

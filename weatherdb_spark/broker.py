@@ -293,6 +293,20 @@ class DataFixMigration(LayoutMigration):
             for t in self.fixes
         )
 
+    def partially_applied(self, broker: "Broker") -> bool:
+        """True when ANY table is (validly) marked fixed — the downgrade
+        mirror of :meth:`incomplete`: an upgrade that crashed after
+        fixing some tables but before stamping the layout leaves their
+        contents at the HIGHER revision behind the lower stamp, and
+        :meth:`Broker.downgrade_db_schema` must unwind this rung first
+        or the rolled-back warehouse keeps half-fixed values."""
+        st = self._load_state(broker)
+        self._resolve_pending(broker, st)
+        return any(
+            broker.exists(t) and self._is_done(broker, st, t)
+            for t in self.fixes
+        )
+
     def _walk(self, broker: "Broker", up: bool) -> None:
         st = self._load_state(broker)
         self._resolve_pending(broker, st)
@@ -753,6 +767,17 @@ class Broker:
                     f"layout target {target} outside the registered range "
                     f"1..{self.LAYOUT_VERSION}"
                 )
+            # mirror of the upgrade path's incomplete-rung re-entry: an
+            # upgrade of rung cur+1 that crashed AFTER fixing some
+            # tables but BEFORE stamping leaves those contents at the
+            # higher revision behind the lower stamp — unwind that rung
+            # first (its downgrade touches only tables marked done, so
+            # un-applied tables pass through)
+            above = LAYOUT_MIGRATIONS.get(cur + 1)
+            if above is not None and getattr(
+                above, "partially_applied", lambda b: False
+            )(self):
+                above.downgrade(self)
             for v in range(cur, target, -1):
                 LAYOUT_MIGRATIONS[v].downgrade(self)
                 self.set_setting("layout", str(v - 1))

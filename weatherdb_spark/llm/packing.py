@@ -46,7 +46,9 @@ PACK_BUCKET_DOCS = 1000
 
 
 def _tokens(text_col: str):
-    return F.split(F.trim(F.col(text_col)), "\\s+")
+    from weatherdb_spark.llm.text import tokens_expr
+
+    return tokens_expr(text_col)
 
 
 def chunk_windows(
@@ -113,6 +115,18 @@ def pack_concat_chunk(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    id_type = dict(df.dtypes).get(id_col, "")
+    if not (id_type in ("bigint", "int", "smallint", "tinyint")
+            or id_type.startswith("decimal")):
+        # a string id would floor() to NULL buckets and the bucket-base
+        # join would silently drop EVERY row — fail loudly instead; the
+        # sibling hash-based operators accept any id, but packing needs
+        # the id ORDER, so a numeric id is semantic here
+        raise TypeError(
+            f"pack_concat_chunk needs an integral {id_col!r} to order and "
+            f"bucket the stream, got {id_type or 'missing column'}; map "
+            "string ids to a dense rank first"
+        )
     base = df.select(
         F.col(id_col),
         F.size(_tokens(text_col)).alias("n_tokens"),

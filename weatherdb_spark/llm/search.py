@@ -43,7 +43,9 @@ def bm25_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    from weatherdb_spark.llm.text import tokens_expr
+
+    words = tokens_expr(text_col)
     toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
                        F.size(words).alias("_dl"))
     # two corpus scalars (one tiny job's worth of agg, broadcast on)
@@ -54,7 +56,7 @@ def bm25_topk(
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(
-            F.split(F.trim(F.col(query_col)), "\\s+"))).alias("_w"),
+            tokens_expr(query_col))).alias("_w"),
     ).distinct()
     # the query-word semi-join lands BELOW the term-frequency aggregate
     # (Catalyst cannot push a join under a groupBy on its own): the

@@ -394,9 +394,14 @@ def build_ivf_index(
     """
     import os
 
-    corp = spread(embeddings).select(
+    from weatherdb_spark.functions.caching import scoped_persist
+
+    # persisted: _train_centroids' count materializes it, and the
+    # training collect + cell-assignment write reuse it — without the
+    # persist the full embeddings source would be recomputed three times
+    corp = scoped_persist(spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    ))
     centroids = _train_centroids(corp, n_cells, seed)
     spark = embeddings.sparkSession
     spark.createDataFrame(
@@ -443,32 +448,51 @@ def ivf_topk_indexed(
     """
     import os
 
+    from pyspark.sql import types as T
+
     cent_rows = (
         spark.read.parquet(os.path.join(index_path, "centroids"))
         .sort("cell").collect()
     )
-    centroids = np.array([r.centroid for r in cent_rows], dtype="float64")
-    q_pdf = queries.select(
+    centroids = [list(r.centroid) for r in cent_rows]
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).sort("query_id").toPandas()
-    qmat = np.array([list(v) for v in q_pdf["_qv"]], dtype="float64")
-    # squared distances (stable argsort == array_sort's (d, cell) order)
-    d = (
-        (qmat ** 2).sum(axis=1)[:, None]
-        - 2.0 * qmat @ centroids.T
-        + (centroids ** 2).sum(axis=1)[None, :]
-    )
-    probe = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+    ).sort("query_id").collect()
+
+    def _sqdist(q, c):
+        # SEQUENTIAL fold, mirroring ivf_topk's zip_with/aggregate
+        # expression op-for-op (python float == JVM double): a numpy
+        # |q|^2 - 2qC + |c|^2 expansion rounds differently at ~1e-13
+        # relative, enough to flip near-equidistant probe cells and
+        # break the 'identical to ivf_topk' contract
+        acc = 0.0
+        for x, y in zip(q, c):
+            diff = x - y
+            acc += diff * diff
+        return acc
+
+    probe = [
+        sorted(range(len(centroids)),
+               key=lambda ci, q=r._qv: (_sqdist(q, centroids[ci]), ci))[:n_probe]
+        for r in q_rows
+    ]
     probe_cells = sorted({int(c) for row in probe for c in row})
 
+    # the query id keeps its source type (string/int/...) — ivf_topk
+    # preserves it end-to-end and this path must be a drop-in
+    schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("_qv", T.ArrayType(T.DoubleType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
     q_cells = spark.createDataFrame(
         [
-            (int(q_pdf["query_id"].iloc[i]), [float(x) for x in qmat[i]], int(c))
-            for i in range(len(q_pdf))
-            for c in probe[i]
+            (r.query_id, [float(x) for x in r._qv], int(c))
+            for r, row in zip(q_rows, probe)
+            for c in row
         ],
-        "query_id long, _qv array<double>, cell int",
+        schema,
     )
     inv = spark.read.parquet(os.path.join(index_path, "inverted")).filter(
         F.col("cell").isin(probe_cells)  # static -> partition pruning

@@ -22,10 +22,21 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 FP_MOD = 1000000007
 
 
+def tokens_expr(col) -> "F.Column":
+    """THE engine-wide whitespace tokenizer (``\\s+`` on trimmed text) —
+    the single source for every token-counting operator: text stats,
+    packing/chunking (``llm/packing.py``), BM25 (``llm/search.py``).
+    Swapping in a real tokenizer means changing exactly this expression;
+    the modules sharing it cannot drift apart. (The dedup shingle
+    builder deliberately splits on single spaces instead — see
+    ``llm/dedup.shingles_expr``.)"""
+    return F.split(F.trim(col if not isinstance(col, str) else F.col(col)), "\\s+")
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
     (words / numbers / single punctuation)."""
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    words = tokens_expr(text_col)
     return (
         df.withColumn("n_tokens_ws", F.size(words))
         .withColumn(
@@ -40,7 +51,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: mix of mean word length band,
     stopword ratio, and alpha ratio — the shape of production quality
     filters (length/punct/stopword gates), deterministic and oracle-able."""
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    words = tokens_expr(text_col)
     n = F.size(words)
     mean_wlen = (F.length(F.col(text_col)) - (n - 1)) / n  # chars minus spaces
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -66,7 +77,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: score each language by the count of
     its stopwords present (distinct words), pick the argmax with a fixed
     tie order (en > de > es > fr > zh)."""
-    words = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
+    words = F.array_distinct(tokens_expr(text_col))
     scores = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
         for lang, sw in STOPWORDS.items()
@@ -89,7 +100,7 @@ def bag_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     token bag (order-insensitive), plus the first-token hash as an anchor.
     The reference-style 'rolling hash' shape with exact SQL parity."""
     toks = spread(df, id_col).select(
-        F.col(id_col), F.posexplode_outer(F.split(F.trim(F.col(text_col)), "\\s+"))
+        F.col(id_col), F.posexplode_outer(tokens_expr(text_col))
     ).filter(F.col("col").isNotNull()).withColumn("_h", md5_int64(F.col("col")) % FP_MOD)
     return toks.groupBy(id_col).agg(
         (F.sum("_h") % FP_MOD).alias("fingerprint"),
@@ -241,7 +252,7 @@ def unigram_logprob(
 
 
 def _tokens_col(text_col: str):
-    return F.split(F.trim(F.col(text_col)), "\\s+")
+    return tokens_expr(text_col)
 
 
 #: PII scrub patterns, ordered: the email pattern must run BEFORE the

@@ -1360,7 +1360,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semantic group with group sizes. The training pipeline drops "
         "~is_kept rows. Composition of the officially-checked "
         "embedding_cosine_pairs_lsh and dedup_components machinery over "
-        "the embeddings table. EXTRA_STANDALONE.",
+        "the embeddings table. EXTRA_STANDALONE; bench-flagged since "
+        "round 6 (the training-pipeline family is perf-tracked, not "
+        "just value-checked).",
+    bench=True,
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.similarity import semantic_dedup
@@ -1429,7 +1432,9 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slicing). Postings of queried words only (query-vocabulary-"
         "sized df dim, broadcast); per-term scores quantized to integer "
         "micro-units before the sum so aggregation order cannot flip a "
-        "rank cross-engine. EXTRA_STANDALONE.",
+        "rank cross-engine. EXTRA_STANDALONE; bench-flagged since "
+        "round 6.",
+    bench=True,
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.search import bm25_topk

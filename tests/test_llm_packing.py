@@ -257,3 +257,51 @@ def test_pack_rejects_non_numeric_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         pack_concat_chunk(df, capacity=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_bm25_property_matches_python_model(spark, data):
+    from weatherdb_spark.llm.search import bm25_topk
+
+    vocab = ["red", "blue", "green", "ash", "oak", "fir", "sun", "rain"]
+    n_docs = data.draw(st.integers(2, 8))
+    docs_py = {
+        d: data.draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=12))
+        for d in range(n_docs)
+    }
+    q_words = data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                                 max_size=3, unique=True))
+    k = data.draw(st.integers(1, 4))
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in docs_py.items()],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, " ".join(q_words))],
+                               "query_id long, query string")
+    got = [(r.rank, r.doc_id, r.score_bm25)
+           for r in sorted(bm25_topk(docs, qs, k=k).collect(),
+                           key=lambda r: r.rank)]
+
+    # brute python model with the same micro-quantization
+    import math
+    n = len(docs_py)
+    avgdl = sum(len(ws) for ws in docs_py.values()) / n
+    dfreq = {w: sum(1 for ws in docs_py.values() if w in ws) for w in q_words}
+    scores = {}
+    for d, ws in docs_py.items():
+        micro = 0
+        for w in q_words:
+            tf = ws.count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avgdl))
+            micro += round(idf * tfn * 1e6)
+        if micro:
+            scores[d] = micro
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == [(i + 1, d, round(m / 1e6, 6))
+                   for i, (d, m) in enumerate(expect)]

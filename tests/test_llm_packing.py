@@ -305,3 +305,43 @@ def test_bm25_property_matches_python_model(spark, data):
     expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == [(i + 1, d, round(m / 1e6, 6))
                    for i, (d, m) in enumerate(expect)]
+
+
+def test_write_training_shards_layout_and_replay(spark, tmp_path):
+    import os
+
+    from weatherdb_spark.llm.packing import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"s{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, salt="e1")
+    # addressable shard dirs, one data file each (a loader streams one
+    # file per worker)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 40 and set(back.columns) >= {
+        "doc_id", "text", "source", "sort_key", "shard"}
+    # shard assignment matches the shuffle_shard operator (same salt)
+    expect = {r.doc_id: r.shard
+              for r in shuffle_shard(docs, n_shards=4, salt="e1").collect()}
+    assert {r.doc_id: r.shard for r in back.collect()} == expect
+    # in-file order IS the shard-key order (no row_number was needed)
+    for i in range(4):
+        part = spark.read.parquet(os.path.join(out, f"shard={i}"))
+        rows = part.collect()  # single parquet file: read order = file order
+        keys = [(r.sort_key, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+    # replay is bit-identical
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4, salt="e1")
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b

@@ -203,3 +203,46 @@ def shuffle_shard(
         "shard_pos",
         F.row_number().over(W.partitionBy("shard").orderBy("sort_key", id_col)),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    salt: str = "",
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> None:
+    """Materialize the training-data write the module docstring
+    promises: shuffle-shard the corpus deterministically and write ONE
+    parquet file per shard under ``path``, rows inside each file in
+    shard-key order — the exact layout a data loader streams
+    sequentially per worker.
+
+    This is the 100 TB path the ``with_position`` flag alludes to:
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions`` realize
+    the global pseudo-random order with ONE shuffle and ZERO windows —
+    no row_number, no global sort. ``partitionBy("shard")`` keeps shard
+    directories addressable (`shard=3/`), so a loader reads its shard
+    with partition pruning and replays it bit-identically across runs.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    keyed = (
+        df.select(*(columns or df.columns))
+        .withColumn("sort_key", key)
+        .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)))
+    )
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        # "shard" leads the sort: the dynamic-partition write requires
+        # ordering by the partition column and would otherwise insert
+        # its own non-stable sort on shard alone, scrambling sort_key
+        # order inside each file; with the prefix already satisfied the
+        # writer's SortExec elides and file order = this order
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -217,3 +217,23 @@ def test_contamination_cap_bounds_reference_side(spark):
     assert len(capped) == 3 * CAP
     uncapped = minhash_contamination(corpus, reference, threshold=0.8)
     assert uncapped.count() == 3 * 20
+
+
+def test_semantic_dedup_forwards_cap_and_groups_stay_correct(spark):
+    """The SemDeDup composition forwards max_bucket_docs to its pair
+    stage: a degenerate all-identical corpus still resolves into ONE
+    group with the smallest-id representative, because every capped
+    pair keeps its smaller id a resident (the chain 0-1, 0-2, ... stays
+    connected through the representative)."""
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    vec = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(12)], "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(df, threshold=0.99, planes=2, n_tables=4,
+                         max_bucket_docs=2).collect()
+    assert {r.vec_id for r in out} == set(range(12))
+    assert all(r.component_id == 0 for r in out)
+    assert [r.vec_id for r in out if r.is_kept] == [0]
+    assert all(r.group_size == 12 for r in out)

@@ -345,3 +345,30 @@ def test_write_training_shards_layout_and_replay(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_compression_ratio_matches_zlib_and_ranks_repetition(spark):
+    import zlib
+
+    from weatherdb_spark.llm.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                      # highly repetitive
+            (2, " ".join(f"u{i}x{i*7%13}" for i in range(200))),  # varied
+            (3, ""),                                  # empty -> NULL ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for d, text in ((1, "spam " * 200),
+                    (2, " ".join(f"u{i}x{i*7%13}" for i in range(200)))):
+        raw = text.encode("utf-8")
+        assert out[d].n_bytes == len(raw)
+        assert out[d].n_compressed == len(zlib.compress(raw, 6))
+        assert out[d].compression_ratio == round(
+            len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert out[1].compression_ratio < 0.1 < out[2].compression_ratio
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    with pytest.raises(ValueError):
+        compression_ratio(docs, level=11)

@@ -24,7 +24,7 @@ __all__ = [
     # text analysis
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
-    "scrub_pii", "tokens_expr",
+    "scrub_pii", "tokens_expr", "compression_ratio",
 ]
 
 _HOMES = {
@@ -47,6 +47,7 @@ _HOMES = {
     "bag_fingerprint": "text", "winnow_fingerprints": "text",
     "repetition_stats": "text", "unigram_logprob": "text",
     "scrub_pii": "text", "tokens_expr": "text",
+    "compression_ratio": "text",
 }
 
 

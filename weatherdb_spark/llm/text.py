@@ -255,6 +255,59 @@ def _tokens_col(text_col: str):
     return tokens_expr(text_col)
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """zlib-compressibility quality signal: ``n_compressed / n_bytes``
+    per document — boilerplate and machine-generated text compress far
+    below normal prose, so production filters gate on low ratios (the
+    signal :func:`repetition_stats` approximates with n-gram counts,
+    measured directly). Returns (id_col, n_bytes, n_compressed,
+    compression_ratio).
+
+    The ONE Python-side operator in this module: no JVM expression
+    compresses bytes, so this is an Arrow ``mapInPandas`` (the
+    multimodal family's pattern — batch-columnar, never row-at-a-time).
+    Deterministic for a fixed zlib level and library version; empty
+    documents report ratio NULL.
+    """
+    from pyspark.sql import types as T
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be 0..9, got {level}")
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_compressed", T.LongType()),
+        T.StructField("compression_ratio", T.DoubleType()),
+    ])
+
+    def _batches(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n = raw.map(len)
+            c = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": n,
+                "n_compressed": c,
+                "compression_ratio": [
+                    round(ci / ni, 6) if ni else None
+                    for ci, ni in zip(c, n)
+                ],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
 #: PII scrub patterns, ordered: the email pattern must run BEFORE the
 #: ip pattern can eat dotted digit runs inside an address's domain.
 #: Dialect-portable subset (Java regex AND RE2): no lookarounds, no \b

@@ -790,3 +790,64 @@ def test_text_shaping_chain_is_stream_stateless(spark, tmp_path):
     # the scrub really happened inside the stream
     assert not any("fox@den.example" in t[-1] for t in got)
     assert any("<EMAIL>" in t[-1] for t in got)
+
+
+def test_stream_ngram_decontaminate_matches_batch(spark, tmp_path):
+    """The n-gram decontamination stream (stateless collision events)
+    folds to exactly the batch operator's (doc_id, n_collisions) rows,
+    across micro-batch boundaries."""
+    import os
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import ngram_contamination
+    from weatherdb_spark.streaming.neardup import (
+        count_collision_events,
+        stream_ngram_decontaminate,
+    )
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "prefix words here " + " ".join(f"e{i}" for i in range(13)),
+            "no overlap " + " ".join(f"u{i}" for i in range(15)),
+            eval_text,
+        ],
+    }
+    reference = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({k: v[:2] for k, v in rows.items()}).to_csv(
+        src / "a.csv", index=False)
+    pd.DataFrame({k: v[2:] for k, v in rows.items()}).to_csv(
+        src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream_ngram_decontaminate(stream, reference, n=13)
+        .writeStream.format("memory").queryName("ngram_decon")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        events = spark.sql("SELECT * FROM ngram_decon")
+        folded = {(r.doc_id, r.n_collisions)
+                  for r in count_collision_events(events).collect()}
+    finally:
+        q.stop()
+    batch_docs = spark.createDataFrame(
+        list(zip(rows["doc_id"], rows["text"])), "doc_id long, text string"
+    )
+    expect = {(r.doc_id, r.n_collisions)
+              for r in ngram_contamination(batch_docs, reference, n=13).collect()}
+    assert folded == expect
+    assert {d for d, _ in folded} == {1, 3}  # quote + copy, not doc 2

@@ -16,6 +16,9 @@ __all__ = [
     "stream_simhash_neardup",
     "row_minhash_signature",
     "row_simhash_fingerprint",
+    "stream_decontaminate",
+    "stream_ngram_decontaminate",
+    "count_collision_events",
 ]
 
 _HOMES = {
@@ -29,6 +32,9 @@ _HOMES = {
     "stream_simhash_neardup": "neardup",
     "row_minhash_signature": "neardup",
     "row_simhash_fingerprint": "neardup",
+    "stream_decontaminate": "neardup",
+    "stream_ngram_decontaminate": "neardup",
+    "count_collision_events": "neardup",
 }
 
 

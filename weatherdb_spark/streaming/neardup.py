@@ -619,3 +619,55 @@ def stream_decontaminate(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "ref_id", "jaccard")
     )
+
+
+def stream_ngram_decontaminate(
+    stream: DataFrame,
+    reference: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram collision decontamination AT INGEST — the streaming twin
+    of ``llm.dedup.ngram_contamination`` and the third member of the
+    stream-side family (exact / MinHash / n-gram): every arriving
+    document's distinct word ``n``-grams check against the STATIC
+    reference's n-gram hash set via a stream-static join.
+
+    Emits one append-mode (doc_id, gram_hash) COLLISION EVENT per
+    distinct colliding n-gram instead of the batch twin's per-doc
+    count: a per-doc aggregate would need watermark + state, while the
+    event stream is fully STATELESS (pure per-row shingle expressions
+    shared with batch, reference side broadcast at eval-set size) and
+    idempotent under replay; ``count_collision_events`` folds events to
+    the batch operator's exact (doc_id, n_collisions) rows.
+    """
+    from weatherdb_spark.llm.dedup import shingles_expr
+    from weatherdb_spark.llm.hashing import md5_int64
+
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    ref_sh = (
+        reference.select(
+            F.explode(shingles_expr(F.col(text_col), n)).alias("_s")
+        )
+        .select(md5_int64(F.col("_s")).alias("gram_hash"))
+        .distinct()
+    )
+    events = (
+        stream.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_expr(F.col(text_col), n)).alias("_s"),
+        )
+        .select("doc_id", md5_int64(F.col("_s")).alias("gram_hash"))
+        .join(F.broadcast(ref_sh), "gram_hash")
+    )
+    return events.select("doc_id", "gram_hash")
+
+
+def count_collision_events(events: DataFrame) -> DataFrame:
+    """Batch fold of :func:`stream_ngram_decontaminate`'s event stream
+    into the batch operator's exact output: (doc_id, n_collisions)."""
+    return events.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_collisions")
+    )

@@ -372,3 +372,40 @@ def test_compression_ratio_matches_zlib_and_ranks_repetition(spark):
     assert out[3].compression_ratio is None and out[3].n_bytes == 0
     with pytest.raises(ValueError):
         compression_ratio(docs, level=11)
+
+
+def test_prepare_training_corpus_stage_order_semantics(spark):
+    from weatherdb_spark.llm.pipeline import prepare_training_corpus
+
+    good = ("the fast table row scan is a good line of data and it "
+            "works in the end for all of us here")
+    rows = [
+        # docs 1 and 2 differ ONLY in PII: scrub-before-dedup must
+        # collapse them (doc 1 survives)
+        (1, good + " mail a@x.example", "s1"),
+        (2, good + " mail b@y.example", "s1"),
+        # low-quality doc: punctuation soup fails the quality gate
+        (3, ";;; ??? !!! ### $$$ %%% ^^^ &&& *** ((( )))", "s1"),
+        # German doc fails the language gate
+        (4, "der die das und ist ein zu den der die das und ist", "s2"),
+        # normal survivors in s2
+        (5, good, "s2"),
+        (6, good + " more of the same kind of words in it", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = prepare_training_corpus(
+        docs, min_quality=0.5, lang="en", quota=10, capacity=16
+    )
+    survivors = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert 2 not in survivors          # deduped against 1 AFTER scrub
+    assert 1 in survivors
+    assert 3 not in survivors          # quality gate
+    assert 4 not in survivors          # language gate
+    assert {5, 6} <= survivors
+    # packing tiles the survivors exactly
+    per_doc = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(
+        F.sum("seg_len").alias("s")).collect()}
+    for d, text, _ in rows:
+        if d in survivors:
+            # token count AFTER scrub (emails redacted, same count)
+            assert per_doc[d] == len(text.split(" "))

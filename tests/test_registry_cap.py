@@ -55,6 +55,7 @@ EXTRA_STANDALONE = {
     "semantic_dedup",
     "search_bm25_topk",
     "text_winnow_fingerprint",
+    "prepare_training_corpus",
 }
 
 # the five operators that silently fell off the cap in round 2

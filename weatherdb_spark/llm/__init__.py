@@ -25,6 +25,8 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
     "scrub_pii", "tokens_expr", "compression_ratio",
+    # end-to-end composition
+    "prepare_training_corpus",
 ]
 
 _HOMES = {
@@ -48,6 +50,7 @@ _HOMES = {
     "repetition_stats": "text", "unigram_logprob": "text",
     "scrub_pii": "text", "tokens_expr": "text",
     "compression_ratio": "text",
+    "prepare_training_corpus": "pipeline",
 }
 
 

@@ -1,0 +1,76 @@
+"""End-to-end training-corpus preparation as ONE declarative plan.
+
+``prepare_training_corpus`` chains the pipeline a pretraining run
+actually executes — quality gate, language gate, PII scrub, exact
+dedup, per-source quota, sequence packing — as a single lazy DataFrame
+composition: no materialization between stages, so Catalyst sees the
+whole pipeline at once (filters collapse into the scan, the scrub
+projection rides the same stage as the gates, and only the dedup /
+quota / packing aggregates shuffle). This is the shape that matters at
+100 TB: a stage-per-table pipeline writes the corpus to storage five
+times; this plan writes it once, at the end.
+
+Every stage is one of the module's oracle-checked operators, and the
+composition itself has a chained-CTE DuckDB oracle (registry entry
+``prepare_training_corpus``), so the END-TO-END result is
+value-checked, not just the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.77,
+    lang: str = "en",
+    quota: int = 8,
+    capacity: int = 256,
+    salt: str = "prep",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Filter -> scrub -> dedup -> quota -> pack, one lazy plan.
+
+    Returns the packed segment map over the surviving corpus:
+    (id_col, source_col, n_tokens, tok_offset, seq_id, seg_start,
+    seg_len) — feed it to :func:`~weatherdb_spark.llm.packing.
+    write_training_shards` (or a loader) to materialize sequences.
+
+    Stage order is semantic, not arbitrary: the scrub runs BEFORE
+    dedup so two documents differing only in redacted PII dedup
+    together; the quota ranks AFTER dedup so duplicate copies cannot
+    occupy a source's budget; packing runs last over exactly the
+    surviving stream.
+    """
+    from weatherdb_spark.llm.dedup import exact_dedup
+    from weatherdb_spark.llm.packing import pack_concat_chunk
+    from weatherdb_spark.llm.sampling import source_quota_cap
+    from weatherdb_spark.llm.text import lang_id, quality_score, scrub_pii
+
+    gated = (
+        lang_id(quality_score(docs, text_col), text_col)
+        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    )
+    scrubbed = (
+        scrub_pii(gated, text_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("text_scrubbed").alias(text_col),
+        )
+    )
+    kept = exact_dedup(scrubbed, id_col, text_col).filter("is_kept").select(id_col)
+    deduped = scrubbed.join(kept, id_col)
+    final_ids = source_quota_cap(
+        deduped, quota, source_col, salt, id_col
+    ).select(id_col)
+    final = deduped.join(final_ids, id_col)
+    packed = pack_concat_chunk(final, capacity, id_col, text_col)
+    return packed.join(final.select(id_col, source_col), id_col).select(
+        id_col, source_col, "n_tokens", "tok_offset", "seq_id",
+        "seg_start", "seg_len",
+    )

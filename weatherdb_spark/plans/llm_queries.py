@@ -1476,3 +1476,106 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.text import winnow_fingerprints
 
     return winnow_fingerprints(load(spark, sf_dir, "documents"), k=8, window=4)
+
+
+@_register_extra(
+    "prepare_training_corpus",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS wset,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, text,
+               round(
+                   CASE WHEN (length(text) - (n - 1)) * 1.0 / n
+                             BETWEEN 3 AND 10 THEN 0.4 ELSE 0.1 END
+                   + least(len(list_intersect(wset,
+                         ['the','a','of','and','to','in','is','it'])) / 8.0,
+                         1.0) * 0.2
+                   + alpha * 1.0 / length(text) * 0.4, 6) AS quality,
+               len(list_intersect(wset, ['the','a','of','and','to','in','is','it'])) AS s_en,
+               len(list_intersect(wset, ['der','die','das','und','ist','ein','zu','den'])) AS s_de,
+               len(list_intersect(wset, ['el','la','de','que','y','en','un','es'])) AS s_es,
+               len(list_intersect(wset, ['le','la','de','et','un','est','en','que'])) AS s_fr,
+               len(list_intersect(wset, ['de','le','shi','zai','you','wo','ta','men'])) AS s_zh
+        FROM base
+    ),
+    filt AS (
+        SELECT doc_id, source, text FROM scored
+        WHERE quality >= 0.77
+          AND NOT (s_zh > greatest(s_en, s_de, s_es, s_fr))
+          AND NOT (s_fr > greatest(s_en, s_de, s_es))
+          AND NOT (s_es > greatest(s_en, s_de))
+          AND NOT (s_de > s_en)
+    ),
+    scrub AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                   '<IP>', 'g'),
+                   '\\+\\d{{7,15}}', '<PHONE>', 'g') AS text
+        FROM filt
+    ),
+    ded AS (
+        SELECT doc_id, source, text FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM scrub
+        ) WHERE doc_id = keep
+    ),
+    qr AS (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {md5_int64_sql("CAST(doc_id AS VARCHAR) || 'prep'")}
+                                % 1000000, doc_id) AS rk
+        FROM ded
+    ),
+    fin AS (SELECT doc_id, source, text FROM qr WHERE rk <= 8),
+    t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM fin
+    ),
+    o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, source, n_tokens, tok_offset,
+               unnest(generate_series(tok_offset // 256,
+                                      (tok_offset + n_tokens - 1) // 256))
+                   AS seq_id
+        FROM o WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, tok_offset, seq_id,
+           greatest(tok_offset, seq_id * 256) - tok_offset AS seg_start,
+           least(tok_offset + n_tokens, (seq_id + 1) * 256)
+               - greatest(tok_offset, seq_id * 256) AS seg_len
+    FROM e
+    """,
+    doc="THE flagship composition: quality gate (>= 0.77) -> language "
+        "gate (en) -> PII scrub -> exact dedup -> per-source quota (8) "
+        "-> 256-token sequence packing, chained as ONE lazy Catalyst "
+        "plan (no materialization between stages — at 100 TB this "
+        "writes the corpus once, not five times). The oracle chains the "
+        "same CTEs, so the END-TO-END values are checked, not just the "
+        "stages. EXTRA_STANDALONE.",
+)
+def prepare_training_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.pipeline import prepare_training_corpus
+
+    out = prepare_training_corpus(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "tok_offset", "seq_id", "seg_start", "seg_len",
+    )

@@ -409,3 +409,43 @@ def test_prepare_training_corpus_stage_order_semantics(spark):
         if d in survivors:
             # token count AFTER scrub (emails redacted, same count)
             assert per_doc[d] == len(text.split(" "))
+
+
+def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
+    """CorpusStore: MVCC corpus snapshots with dedup AT APPEND — the
+    incremental corpus-management shape (batch checks first, then the
+    asymmetric archive checks; every drop logged with its reason)."""
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    b1 = spark.createDataFrame(
+        [(1, base, "s1"),
+         (2, "totally different words entirely here now ok", "s1"),
+         (3, base, "s2")],                      # exact dup of 1 in-batch
+        "doc_id long, text string, source string")
+    assert store.append(b1) == {"admitted": 2, "rejected": 1, "version": 1}
+
+    b2 = spark.createDataFrame(
+        [(10, base, "s3"),                      # exact vs archive
+         (11, base + " extra", "s3"),           # ALSO near dup of 10 in-batch
+         (12, "fresh unique content nothing like the others at all", "s3")],
+        "doc_id long, text string, source string")
+    assert store.append(b2) == {"admitted": 1, "rejected": 2, "version": 2}
+    # time travel: the immediately previous snapshot is retained
+    # (Broker MVCC contract; older ones are vacuum-reclaimed)
+    assert store.read(version=1).count() == 2
+
+    b3 = spark.createDataFrame(
+        [(20, base + " extra2", "s4")],         # near dup vs archive ONLY
+        "doc_id long, text string, source string")
+    assert store.append(b3) == {"admitted": 0, "rejected": 1, "version": 3}
+
+    assert store.read().count() == 3
+    assert store.read(version=2).count() == 3
+    assert store.versions() == [2, 3]
+    reasons = {(r.doc_id, r.reason) for r in store.rejections().collect()}
+    assert reasons == {
+        (3, "batch_exact"), (10, "archive_exact"),
+        (11, "batch_near"), (20, "archive_near"),
+    }

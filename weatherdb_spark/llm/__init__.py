@@ -25,8 +25,8 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
     "scrub_pii", "tokens_expr", "compression_ratio",
-    # end-to-end composition
-    "prepare_training_corpus",
+    # end-to-end composition + corpus management
+    "prepare_training_corpus", "CorpusStore",
 ]
 
 _HOMES = {
@@ -51,6 +51,7 @@ _HOMES = {
     "scrub_pii": "text", "tokens_expr": "text",
     "compression_ratio": "text",
     "prepare_training_corpus": "pipeline",
+    "CorpusStore": "corpus",
 }
 
 

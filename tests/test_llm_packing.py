@@ -285,8 +285,18 @@ def test_bm25_property_matches_python_model(spark, data):
            for r in sorted(bm25_topk(docs, qs, k=k).collect(),
                            key=lambda r: r.rank)]
 
-    # brute python model with the same micro-quantization
+    # brute python model with the same micro-quantization. NOTE the
+    # rounding: Spark F.round is HALF_UP on the double's shortest
+    # decimal repr; Python round() is banker's on the binary value —
+    # the exact trap the daily-adjust model hit (commit history), so
+    # quantize via Decimal(repr(x)) like _spark_round there.
     import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _micro(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1),
+                                             rounding=ROUND_HALF_UP))
+
     n = len(docs_py)
     avgdl = sum(len(ws) for ws in docs_py.values()) / n
     dfreq = {w: sum(1 for ws in docs_py.values() if w in ws) for w in q_words}
@@ -299,7 +309,7 @@ def test_bm25_property_matches_python_model(spark, data):
                 continue
             idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
             tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avgdl))
-            micro += round(idf * tfn * 1e6)
+            micro += _micro(idf * tfn * 1e6)
         if micro:
             scores[d] = micro
     expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
@@ -444,8 +454,11 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
     assert store.read().count() == 3
     assert store.read(version=2).count() == 3
     assert store.versions() == [2, 3]
-    reasons = {(r.doc_id, r.reason) for r in store.rejections().collect()}
+    reasons = {(r.doc_id, r.reason, r.blocked_by)
+               for r in store.rejections().collect()}
     assert reasons == {
-        (3, "batch_exact"), (10, "archive_exact"),
-        (11, "batch_near"), (20, "archive_near"),
+        (3, "batch_exact", 1),     # kept copy named in the audit trail
+        (10, "archive_exact", 1),
+        (11, "batch_near", 10),
+        (20, "archive_near", 1),
     }

@@ -290,10 +290,11 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         ("text_repetition", 7),
         ("decontaminate_ngram", 8),
         ("shuffle_shard", 5),
-        # the five-stage composition (measured 21/20/20: AQE stage
-        # materialization across the dedup/quota/pack joins — still one
-        # action); a second ACTION would add several jobs at once
-        ("prepare_training_corpus", 24),
+        # the five-stage composition (measured 26 x3 stable: AQE stage
+        # materialization across the dedup/quota/pack joins plus the two
+        # scoped_persists that keep the scan+regex work single-execution
+        # — still one action); a second ACTION would add several jobs
+        ("prepare_training_corpus", 29),
     ],
 )
 def test_query_job_count_pinned(spark, name, max_jobs):

@@ -15,8 +15,15 @@ and arriving documents are admitted only after
 
 Rejections are themselves recorded in a versioned ``rejections`` table
 with the reason and the blocking document — the "no silent drops" rule
-applied to corpus curation. This is the incremental form of corpus
-dedup: the N-th append does not re-pay the first N-1 batches.
+applied to corpus curation. The DEDUP cost is incremental: the N-th
+append's joins never re-dedup the archive against itself. The snapshot
+WRITE is not: ``Broker.write`` materializes a full new corpus snapshot
+per append (O(corpus) I/O), which is fine for the curation cadence this
+targets (batched appends, not a firehose); an at-scale deployment
+partitions the corpus table by ingest epoch and reuses the broker's
+partial-write + hard-link machinery (`broker._write_years_partial`) so
+an append rewrites only its own partition — the same evolution the
+weather fact tables went through in layout v3.
 """
 
 from __future__ import annotations
@@ -68,49 +75,71 @@ class CorpusStore:
         write is a snapshot flip, so readers planned against the old
         corpus finish cleanly.
         """
+        from weatherdb_spark.functions.caching import cache_scope
         from weatherdb_spark.llm.dedup import (
             exact_contamination,
-            exact_dedup,
             minhash_contamination,
             minhash_lsh_pairs,
         )
 
-        with self.broker.activate():
+        # cache_scope: the dedup operators scoped_persist their shingle
+        # intermediates (archive-sized on the contamination side); a
+        # long-lived session appending repeatedly must not accumulate
+        # dead blocks (the engine-wide cache-hygiene invariant)
+        with self.broker.activate(), cache_scope():
             batch = new_docs
             rej = []
 
-            # 1) within-batch exact collapse (smallest id survives)
-            exact = exact_dedup(batch, id_col, text_col)
-            dup_ids = exact.filter(~F.col("is_kept")).select(id_col)
-            rej.append(dup_ids.withColumn("reason", F.lit("batch_exact")))
-            batch = batch.join(dup_ids, id_col, "left_anti")
+            def _reject(ids: DataFrame, reason: str) -> None:
+                # ids: (id_col, blocked_by) — the curator's audit trail
+                # names WHICH resident blocked each drop
+                rej.append(ids.withColumn("reason", F.lit(reason)))
+
+            # 1) within-batch exact collapse (smallest id survives);
+            # the batch self-contamination join yields each dup's keeper
+            dup = (
+                exact_contamination(batch, batch, id_col, text_col)
+                .filter(F.col("ref_id") != F.col(id_col))
+                .groupBy(id_col).agg(F.min("ref_id").alias("blocked_by"))
+                .filter(F.col("blocked_by") < F.col(id_col))
+            )
+            _reject(dup, "batch_exact")
+            batch = batch.join(dup.select(id_col), id_col, "left_anti")
 
             # 2) within-batch near-dup collapse (larger id of a pair)
-            near = minhash_lsh_pairs(
-                batch, threshold=self.near_threshold,
-                id_col=id_col, text_col=text_col,
-                max_bucket_docs=self.max_bucket_docs,
-            ).select(F.col("id_b").alias(id_col)).distinct()
-            rej.append(near.withColumn("reason", F.lit("batch_near")))
-            batch = batch.join(near, id_col, "left_anti")
+            near = (
+                minhash_lsh_pairs(
+                    batch, threshold=self.near_threshold,
+                    id_col=id_col, text_col=text_col,
+                    max_bucket_docs=self.max_bucket_docs,
+                )
+                .groupBy(F.col("id_b").alias(id_col))
+                .agg(F.min("id_a").alias("blocked_by"))
+            )
+            _reject(near, "batch_near")
+            batch = batch.join(near.select(id_col), id_col, "left_anti")
 
             if self.broker.exists(DOCS_TABLE):
                 archive = self.read()
                 # 3) exact vs archive
                 hit = exact_contamination(
                     batch, archive, id_col, text_col
-                ).select(id_col)
-                rej.append(hit.withColumn("reason", F.lit("archive_exact")))
-                batch = batch.join(hit, id_col, "left_anti")
+                ).select(id_col, F.col("ref_id").alias("blocked_by"))
+                _reject(hit, "archive_exact")
+                batch = batch.join(hit.select(id_col), id_col, "left_anti")
                 # 4) near vs archive (asymmetric band join: archive side
                 # shuffles band keys once, batch side is the small probe)
-                nearhit = minhash_contamination(
-                    batch, archive, threshold=self.near_threshold,
-                    id_col=id_col, text_col=text_col,
-                    max_bucket_docs=self.max_bucket_docs,
-                ).select(id_col).distinct()
-                rej.append(nearhit.withColumn("reason", F.lit("archive_near")))
-                batch = batch.join(nearhit, id_col, "left_anti")
+                nearhit = (
+                    minhash_contamination(
+                        batch, archive, threshold=self.near_threshold,
+                        id_col=id_col, text_col=text_col,
+                        max_bucket_docs=self.max_bucket_docs,
+                    )
+                    .groupBy(id_col)
+                    .agg(F.min("ref_id").alias("blocked_by"))
+                )
+                _reject(nearhit, "archive_near")
+                batch = batch.join(nearhit.select(id_col), id_col, "left_anti")
             else:
                 archive = None
 

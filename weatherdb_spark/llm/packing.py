@@ -172,6 +172,14 @@ def pack_concat_chunk(
     )
 
 
+def _shard_key(id_col: str, salt: str):
+    """THE shard-key expression — single source shared by
+    :func:`shuffle_shard` and :func:`write_training_shards` so the
+    operator, the sink, and the registry oracle cannot drift (the
+    tokens_expr/shingles_expr convention applied to sharding)."""
+    return md5_int64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+
+
 def shuffle_shard(
     df: DataFrame,
     n_shards: int = 8,
@@ -191,7 +199,7 @@ def shuffle_shard(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    key = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    key = _shard_key(id_col, salt)
     out = df.select(
         F.col(id_col),
         key.alias("sort_key"),
@@ -228,7 +236,7 @@ def write_training_shards(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    key = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    key = _shard_key(id_col, salt)
     keyed = (
         df.select(*(columns or df.columns))
         .withColumn("sort_key", key)

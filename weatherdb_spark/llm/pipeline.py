@@ -46,6 +46,7 @@ def prepare_training_corpus(
     occupy a source's budget; packing runs last over exactly the
     surviving stream.
     """
+    from weatherdb_spark.functions.caching import scoped_persist
     from weatherdb_spark.llm.dedup import exact_dedup
     from weatherdb_spark.llm.packing import pack_concat_chunk
     from weatherdb_spark.llm.sampling import source_quota_cap
@@ -55,7 +56,12 @@ def prepare_training_corpus(
         lang_id(quality_score(docs, text_col), text_col)
         .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
     )
-    scrubbed = (
+    # scoped_persist: the dedup / quota / packing stages each branch off
+    # this frame from NON-identical subtrees, so exchange reuse cannot
+    # collapse them — without the persist the scan + regex scoring +
+    # 3-pass scrub (the expensive per-row work) would execute once per
+    # branch. A cache_scope (stage / bench / CorpusStore) releases it.
+    scrubbed = scoped_persist(
         scrub_pii(gated, text_col)
         .select(
             F.col(id_col),
@@ -68,7 +74,7 @@ def prepare_training_corpus(
     final_ids = source_quota_cap(
         deduped, quota, source_col, salt, id_col
     ).select(id_col)
-    final = deduped.join(final_ids, id_col)
+    final = scoped_persist(deduped.join(final_ids, id_col))
     packed = pack_concat_chunk(final, capacity, id_col, text_col)
     return packed.join(final.select(id_col, source_col), id_col).select(
         id_col, source_col, "n_tokens", "tok_offset", "seq_id",

@@ -462,3 +462,40 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
         (11, "batch_near", 10),
         (20, "archive_near", 1),
     }
+
+
+def test_stream_into_corpus_cross_batch_dedup(spark, tmp_path):
+    """Documents arriving in different micro-batches dedup against each
+    other through the CorpusStore archive — warehouse-backed, stateless,
+    and idempotent under replay (a replayed doc is an exact dup of its
+    own archived copy)."""
+    import os
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.corpus import CorpusStore, stream_into_corpus
+
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2],
+                  "text": [base, "totally different words entirely here"]}
+                 ).to_csv(src / "a.csv", index=False)
+    pd.DataFrame({"doc_id": [3, 4],
+                  "text": [base + " extra",  # near-dup of batch-1 doc
+                           "fresh unique content nothing like the others"]}
+                 ).to_csv(src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    stream_into_corpus(stream, store, str(tmp_path / "ck"))
+    assert {r.doc_id for r in store.read().collect()} == {1, 2, 4}
+    rej = {(r.doc_id, r.reason, r.blocked_by)
+           for r in store.rejections().collect()}
+    assert rej == {(3, "archive_near", 1)}   # caught ACROSS batches

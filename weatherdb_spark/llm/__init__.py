@@ -26,7 +26,7 @@ __all__ = [
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
     "scrub_pii", "tokens_expr", "compression_ratio",
     # end-to-end composition + corpus management
-    "prepare_training_corpus", "CorpusStore",
+    "prepare_training_corpus", "CorpusStore", "stream_into_corpus",
 ]
 
 _HOMES = {
@@ -52,6 +52,7 @@ _HOMES = {
     "compression_ratio": "text",
     "prepare_training_corpus": "pipeline",
     "CorpusStore": "corpus",
+    "stream_into_corpus": "corpus",
 }
 
 

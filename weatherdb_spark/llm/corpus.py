@@ -173,3 +173,41 @@ class CorpusStore:
                 "rejected": n_rejected,
                 "version": self.broker.table_version(DOCS_TABLE),
             }
+
+
+def stream_into_corpus(
+    stream: DataFrame,
+    store: CorpusStore,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    await_termination: bool = True,
+):
+    """Tail a document stream into the :class:`CorpusStore`: each
+    micro-batch lands via :meth:`CorpusStore.append`, so documents
+    arriving in DIFFERENT micro-batches dedup against each other
+    through the archive checks — warehouse-backed exact/near dedup
+    with no stream state at all, the durable complement to the bounded
+    approximate ``streaming/neardup`` family (whose resident caps and
+    TTLs can forget; the archive cannot).
+
+    Replay note: ``foreachBatch`` may replay a batch after a failure.
+    A replayed document is by definition an exact duplicate of its
+    archived copy, so the archive_exact check rejects it — the append
+    is idempotent by construction (the rejection log grows, the corpus
+    does not).
+    """
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append(batch_df, id_col=id_col, text_col=text_col)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

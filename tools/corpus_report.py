@@ -65,6 +65,12 @@ def main() -> None:
         F.avg("dup_word_frac").alias("dw"),
     ).first()
 
+    from weatherdb_spark.llm.text import compression_ratio
+
+    comp = compression_ratio(docs).agg(
+        F.avg("compression_ratio").alias("cr")
+    ).first()
+
     langs = {
         r.lang_pred: r.c
         for r in lang_id(docs).groupBy("lang_pred").agg(
@@ -79,6 +85,7 @@ def main() -> None:
         "exact_dup_rate": round(dup.dropped / totals.docs, 6),
         "repetitive_frac": round(rep.frac, 6),
         "mean_dup_word_frac": round(rep.dw, 6),
+        "mean_compression_ratio": round(comp.cr, 6) if comp.cr is not None else None,
         "langs": langs,
         "sources": per_source,
     }))

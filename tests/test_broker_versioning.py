@@ -425,9 +425,10 @@ def test_data_fix_migration_rung(spark, tmp_path):
         assert b.table_version("ts_p") == 3
         # ...and the un-named table was never rewritten: byte-identical
         assert _tree_hash(b.path("ts_t")) == untouched_before
-        assert json.loads(b.get_setting("datafix_4")) == {
-            "done": {"ts_p": 3}, "pending": None,
-        }
+        # applied-ness is a sentinel INSIDE the snapshot dir, committed
+        # atomically with the data by the manifest flip
+        assert os.path.exists(os.path.join(
+            b.path("ts_p"), b._version_dirname(3), "_DATAFIX_4"))
 
         # crashed-walk resume: re-running the rung must not double-apply
         LAYOUT_MIGRATIONS[4].upgrade(b)
@@ -436,7 +437,9 @@ def test_data_fix_migration_rung(spark, tmp_path):
         b.downgrade_db_schema()           # 4 -> 3: values restored
         assert b.get_setting("layout") == "3"
         assert b.read("ts_p").agg(F.min("raw"), F.max("raw")).first() == (1.5, 1.5)
-        assert b.get_setting("datafix_4") is None
+        v = b.table_version("ts_p")
+        assert not os.path.exists(os.path.join(
+            b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
         assert _tree_hash(b.path("ts_t")) == untouched_before
         assert b.read("ts_t").count() == 20
     finally:
@@ -444,16 +447,15 @@ def test_data_fix_migration_rung(spark, tmp_path):
 
 
 def test_data_fix_rung_crash_windows(spark, tmp_path):
-    """The two-phase datafix state must survive every crash window:
-    (a) crash AFTER the manifest flip but before the done-marker — the
-    resume must NOT double-apply the (non-idempotent) fix; (b) crash
-    BEFORE the flip — the resume must apply it exactly once; (c) crash
-    mid-DOWNGRADE followed by an upgrade — the walker re-enters the
-    stamped-but-incomplete rung instead of stranding un-fixed tables;
-    (d) a table dropped and re-created after the fix invalidates its
-    stale done-marker."""
-    import json as _json
-
+    """The sentinel-file datafix state must survive every crash window:
+    (a) crash AFTER the manifest flip — resume must NOT double-apply the
+    (non-idempotent) fix; (b) crash BEFORE the flip — resume applies it
+    exactly once; (c) an UNRELATED routine write between a crash and the
+    re-run is not mistaken for the fix (the version-number-proxy failure
+    mode), while a routine write AFTER the fix propagates the sentinel
+    and stays done; (d) crash mid-DOWNGRADE followed by an upgrade
+    re-enters the stamped-but-incomplete rung; (e) a table dropped and
+    re-created after the fix starts sentinel-less and is re-fixed."""
     from pyspark.sql import functions as F
 
     from weatherdb_spark.broker import (
@@ -471,62 +473,62 @@ def test_data_fix_rung_crash_windows(spark, tmp_path):
         b = Broker(spark, str(tmp_path / "wh"))
         _fact(spark, 20, 1.0).write.parquet(b.path("ts_p"))
         _fact(spark, 20, 5.0).write.parquet(b.path("ts_t"))
-        b.upgrade_db_schema()
-        assert b.read("ts_p").agg(F.max("raw")).first()[0] == 2.0
 
         def mx(t):
             return b.read(t).agg(F.max("raw")).first()[0]
 
-        # (a) flip landed, marker lost: forge the pending record with the
-        # PRE-flip version while the table already sits one version later
-        cur = b.table_version("ts_p")
-        b.set_setting("datafix_4", _json.dumps(
-            {"done": {"ts_t": b.table_version("ts_t")},
-             "pending": {"table": "ts_p", "dir": "up", "pre": cur - 1}}
-        ))
+        # (c-pre) unrelated write BEFORE the fix ever ran: no sentinel
+        # to propagate, so the rung still sees the table as un-fixed
+        b.upgrade_db_schema(target=3)
+        b.write("ts_p", b.read("ts_p").drop("station_bucket"),
+                bucket_by_station=True)
+        assert LAYOUT_MIGRATIONS[4].incomplete(b)
+
+        b.upgrade_db_schema()
+        assert mx("ts_p") == 2.0 and mx("ts_t") == 10.0
+
+        # (a) crash after the flip (fix + sentinel landed, layout stamp
+        # or later bookkeeping lost): re-running must not double-apply
         LAYOUT_MIGRATIONS[4].upgrade(b)
         assert mx("ts_p") == 2.0, "flip-then-crash resume double-applied"
 
-        # (b) crash BEFORE the flip: pending pre == current version, and
-        # the table genuinely holds un-fixed values
-        b.write("ts_p", unfix(b.read("ts_p").drop("station_bucket")),
+        # (c-post) routine write of a FIXED table propagates the
+        # sentinel: still done, still no double-apply
+        b.write("ts_p", b.read("ts_p").drop("station_bucket"),
                 bucket_by_station=True)
-        b.set_setting("datafix_4", _json.dumps(
-            {"done": {"ts_t": b.table_version("ts_t")},
-             "pending": {"table": "ts_p", "dir": "up",
-                         "pre": b.table_version("ts_p")}}
-        ))
+        assert not LAYOUT_MIGRATIONS[4].incomplete(b)
         LAYOUT_MIGRATIONS[4].upgrade(b)
-        assert mx("ts_p") == 2.0, "pre-flip crash resume skipped the fix"
+        assert mx("ts_p") == 2.0, "unrelated write was mistaken for un-fixed"
 
-        # (c) crash mid-downgrade: ts_p un-fixed + un-marked, layout
-        # still stamped 4; an UPGRADE must converge, not skip the rung
-        st = _json.loads(b.get_setting("datafix_4"))
+        # (b)+(d mirror) crash mid-downgrade: ts_p un-fixed and
+        # sentinel-less behind the layout-4 stamp; an UPGRADE must
+        # converge on just that table
         b.write("ts_p", unfix(b.read("ts_p").drop("station_bucket")),
-                bucket_by_station=True)
-        st["done"].pop("ts_p", None)
-        b.set_setting("datafix_4", _json.dumps(st))
+                bucket_by_station=True, drop_markers=["_DATAFIX_4"])
         assert b.get_setting("layout") == "4"
+        assert LAYOUT_MIGRATIONS[4].incomplete(b)
         b.upgrade_db_schema()
         assert mx("ts_p") == 2.0, "stamped-incomplete rung was not re-entered"
         assert mx("ts_t") == 10.0, "completed sibling was double-applied"
 
-        # (d) drop + re-create: the stale done-marker must not satisfy
-        # the walk (version regressed below the fix's snapshot)
+        # (e) drop + re-create: the fresh table has no sentinel and the
+        # next walk re-fixes it (no stale state anywhere to mislead)
         import shutil
         shutil.rmtree(b.path("ts_p"))
         b.write("ts_p", _fact(spark, 20, 3.0), bucket_by_station=True)
         assert LAYOUT_MIGRATIONS[4].incomplete(b)
         b.upgrade_db_schema()
-        assert mx("ts_p") == 6.0, "stale marker skipped the re-created table"
+        assert mx("ts_p") == 6.0, "re-created table was not re-fixed"
 
-        # full downgrade still round-trips
+        # full downgrade still round-trips and clears every sentinel
         b.downgrade_db_schema()
         assert mx("ts_p") == 3.0 and mx("ts_t") == 5.0
-        assert b.get_setting("datafix_4") is None
+        for t in ("ts_p", "ts_t"):
+            v = b.table_version(t)
+            assert not os.path.exists(os.path.join(
+                b.path(t), b._version_dirname(v), "_DATAFIX_4"))
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)
-
 
 def test_downgrade_unwinds_partially_applied_rung_above_stamp(spark, tmp_path):
     """Crash window mirror of the upgrade re-entry: an upgrade of rung 4
@@ -572,7 +574,7 @@ def test_downgrade_unwinds_partially_applied_rung_above_stamp(spark, tmp_path):
         b.downgrade_db_schema(target=3)   # no rung walk — just the unwind
         assert b.get_setting("layout") == "3"
         assert b.read("ts_p").agg(F.max("raw")).first()[0] == 1.5
-        assert b.get_setting("datafix_4") is None
+        assert not LAYOUT_MIGRATIONS[4].partially_applied(b)
         assert b.read("ts_t").agg(F.max("raw")).first()[0] == 7.0
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)

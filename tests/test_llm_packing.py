@@ -499,3 +499,20 @@ def test_stream_into_corpus_cross_batch_dedup(spark, tmp_path):
     rej = {(r.doc_id, r.reason, r.blocked_by)
            for r in store.rejections().collect()}
     assert rej == {(3, "archive_near", 1)}   # caught ACROSS batches
+
+
+def test_corpus_append_null_text_is_replay_idempotent(spark, tmp_path):
+    """md5(NULL) is NULL: a plain equi-join would let NULL-text docs
+    bypass every dedup layer, re-admitting them on each foreachBatch
+    replay. The null-safe hash join keeps replays idempotent."""
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    b = spark.createDataFrame(
+        [(1, None, "s1"), (2, "real words in here now", "s1")],
+        "doc_id long, text string, source string",
+    )
+    assert store.append(b)["admitted"] == 2
+    replay = store.append(b)          # foreachBatch replay of the batch
+    assert replay["admitted"] == 0 and replay["rejected"] == 2
+    assert store.read().count() == 2  # the corpus did not grow

@@ -40,6 +40,11 @@ def main() -> None:
     spark = get_spark(app_name="corpus_report")
     docs = spark.read.parquet(path)
 
+    if docs.isEmpty():
+        # an empty (or fully filtered) corpus is a report, not a crash
+        print(json.dumps({"path": path, "docs": 0, "tokens": 0}))
+        return
+
     enriched = quality_score(token_stats(docs))
     per_source = {
         r.source: {"docs": r.docs, "tokens": r.tokens,

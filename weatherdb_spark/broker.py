@@ -212,25 +212,30 @@ class DataFixMigration(LayoutMigration):
     walk.
 
     Unlike the file-move rungs, re-applying a value fix is NOT naturally
-    idempotent (rescaling twice is a new corruption), so the rung keeps
-    a two-phase state in a ``datafix_<version>`` setting:
+    idempotent (rescaling twice is a new corruption), so applied-ness is
+    recorded as a ``_DATAFIX_<version>`` SENTINEL FILE inside the
+    snapshot directory itself, committed atomically WITH the data by the
+    manifest flip (the sentinel is written into the new snapshot dir
+    before the flip; Spark ignores ``_``-prefixed files). The sentinel
+    is ground truth in every crash window:
 
-    - ``pending`` records (table, direction, pre-write snapshot version)
-      BEFORE the rewrite. On resume, a pending entry whose table now has
-      a NEWER snapshot means the crash hit after the manifest flip — the
-      rewrite landed and is finalized without re-applying; an unchanged
-      version means the flip never happened and the table re-runs. This
-      closes the flip-then-crash double-apply window.
-    - ``done`` maps each fixed table to the snapshot version the fix
-      produced. A table whose current version is LOWER than its ``done``
-      record was dropped and re-created since the fix — it is treated as
-      un-fixed again (re-fixed on upgrade, skipped on downgrade) instead
-      of trusting the stale marker.
+    - crash before the flip: the current snapshot (data AND sentinel
+      state) is unchanged — the walk re-runs the table.
+    - crash after the flip: data and sentinel landed together — the walk
+      skips the table, no double-apply.
+    - an UNRELATED write between a crash and the re-run cannot be
+      mistaken for the fix (the failure mode of a version-number
+      comparison): routine snapshot writes PROPAGATE existing sentinels
+      forward (``Broker._flip_manifest``) — data derived from fixed data
+      is fixed — while a write that happened instead of the crashed fix
+      carries no sentinel, so the fix re-runs.
+    - a dropped and re-created table starts sentinel-less and is
+      re-fixed on the next walk.
 
     The walkers re-enter an incomplete rung at the stamped revision (see
-    :meth:`Broker.upgrade_db_schema`), so a crash mid-downgrade followed
-    by an upgrade converges instead of stranding half-unfixed tables
-    behind an already-stamped layout.
+    :meth:`Broker.upgrade_db_schema` / ``downgrade_db_schema``), so a
+    crash mid-walk in either direction converges instead of stranding
+    half-fixed tables behind a stamped layout.
     """
 
     def __init__(self, version: int, description: str, fixes: dict):
@@ -238,100 +243,50 @@ class DataFixMigration(LayoutMigration):
         super().__init__(version, description, self._upgrade, self._downgrade)
 
     @property
-    def _setting_key(self) -> str:
-        return f"datafix_{self.version}"
+    def marker(self) -> str:
+        return f"_DATAFIX_{self.version}"
 
-    def _load_state(self, broker: "Broker") -> dict:
-        raw = json.loads(broker.get_setting(self._setting_key) or "{}")
-        if isinstance(raw, list):  # pre-two-phase format: list of tables
-            raw = {"done": {t: None for t in raw}, "pending": None}
-        raw.setdefault("done", {})
-        raw.setdefault("pending", None)
-        return raw
-
-    def _save_state(self, broker: "Broker", st: dict) -> None:
-        if not st["done"] and st["pending"] is None:
-            broker.drop_setting(self._setting_key)
-        else:
-            broker.set_setting(self._setting_key, json.dumps(st))
-
-    def _resolve_pending(self, broker: "Broker", st: dict) -> None:
-        """Settle a crashed in-flight rewrite: the manifest flip is the
-        atomic commit point, so compare the table's current snapshot
-        version against the recorded pre-write version."""
-        p = st["pending"]
-        if p is None:
-            return
-        cur = (broker.table_version(p["table"]) or 0) if broker.exists(
-            p["table"]) else 0
-        if cur > p["pre"]:  # flip landed: the rewrite completed
-            if p["dir"] == "up":
-                st["done"][p["table"]] = cur
-            else:
-                st["done"].pop(p["table"], None)
-        st["pending"] = None
-        self._save_state(broker, st)
-
-    def _is_done(self, broker: "Broker", st: dict, table: str) -> bool:
-        if table not in st["done"]:
+    def _is_done(self, broker: "Broker", table: str) -> bool:
+        v = broker.table_version(table)
+        if v is None:
             return False
-        rec = st["done"][table]
-        if rec is None:  # legacy marker without a version: trust it
-            return True
-        cur = (broker.table_version(table) or 0) if broker.exists(table) else 0
-        # current version below the fix's snapshot: the table was
-        # dropped and re-created since — the marker is stale
-        return cur >= rec
+        return os.path.exists(os.path.join(
+            broker.path(table), broker._version_dirname(v), self.marker
+        ))
 
     def incomplete(self, broker: "Broker") -> bool:
-        """True when some existing fixable table is not (validly) marked
-        done — the walker re-enters the rung at the stamped revision."""
-        st = self._load_state(broker)
-        self._resolve_pending(broker, st)
+        """True when some existing fixable table lacks the sentinel —
+        the walker re-enters the rung at the stamped revision."""
         return any(
-            broker.exists(t) and not self._is_done(broker, st, t)
+            broker.exists(t) and not self._is_done(broker, t)
             for t in self.fixes
         )
 
     def partially_applied(self, broker: "Broker") -> bool:
-        """True when ANY table is (validly) marked fixed — the downgrade
+        """True when ANY table carries the sentinel — the downgrade
         mirror of :meth:`incomplete`: an upgrade that crashed after
         fixing some tables but before stamping the layout leaves their
         contents at the HIGHER revision behind the lower stamp, and
         :meth:`Broker.downgrade_db_schema` must unwind this rung first
         or the rolled-back warehouse keeps half-fixed values."""
-        st = self._load_state(broker)
-        self._resolve_pending(broker, st)
         return any(
-            broker.exists(t) and self._is_done(broker, st, t)
+            broker.exists(t) and self._is_done(broker, t)
             for t in self.fixes
         )
 
     def _walk(self, broker: "Broker", up: bool) -> None:
-        st = self._load_state(broker)
-        self._resolve_pending(broker, st)
         for table, (fix, unfix) in self.fixes.items():
-            if up == self._is_done(broker, st, table) or not broker.exists(table):
+            if up == self._is_done(broker, table) or not broker.exists(table):
                 continue
-            st["pending"] = {
-                "table": table,
-                "dir": "up" if up else "down",
-                "pre": broker.table_version(table) or 0,
-            }
-            self._save_state(broker, st)
             df = broker.read(table)
             if "station_bucket" in df.columns:
                 df = df.drop("station_bucket")
             broker.write(
                 table, (fix if up else unfix)(df),
                 bucket_by_station=table.startswith("ts_"),
+                add_markers=[self.marker] if up else None,
+                drop_markers=None if up else [self.marker],
             )
-            st["pending"] = None
-            if up:
-                st["done"][table] = broker.table_version(table) or 0
-            else:
-                st["done"].pop(table, None)
-            self._save_state(broker, st)
 
     def _upgrade(self, broker: "Broker") -> None:
         self._walk(broker, up=True)
@@ -840,7 +795,31 @@ class Broker:
         v = version if version is not None else self.table_version(table)
         return root if v is None else os.path.join(root, self._version_dirname(v))
 
-    def _flip_manifest(self, table: str, version: int) -> None:
+    def _flip_manifest(self, table: str, version: int,
+                       add_markers=None, drop_markers=None) -> None:
+        """Atomically point the table at snapshot ``version``.
+
+        Before the flip, ``_DATAFIX_*`` sentinel files from the
+        OUTGOING current snapshot are copied into the new one (minus
+        ``drop_markers``, plus ``add_markers``): a data-fix rung's
+        applied-ness travels WITH the data it applies to, so a routine
+        rewrite of a fixed table stays marked fixed, while a snapshot
+        that did not derive from the fix (fresh create) carries no
+        sentinel — see :class:`DataFixMigration`. The copy happens
+        pre-flip, so a crash here leaves the old snapshot current and
+        the whole write re-runs."""
+        vdir = os.path.join(self.path(table), self._version_dirname(version))
+        prev = self.table_version(table)
+        markers = set()
+        if prev is not None and prev != version:
+            pdir = os.path.join(self.path(table), self._version_dirname(prev))
+            if os.path.isdir(pdir):
+                markers = {f for f in os.listdir(pdir)
+                           if f.startswith("_DATAFIX_")}
+        markers -= set(drop_markers or ())
+        markers |= set(add_markers or ())
+        for m in markers:
+            open(os.path.join(vdir, m), "a").close()
         mp = self._manifest_path(table)
         tmp = mp + ".tmp"
         with open(tmp, "w") as fh:
@@ -949,6 +928,8 @@ class Broker:
         df: DataFrame,
         bucket_by_station: bool = False,
         compact: bool = False,
+        add_markers=None,
+        drop_markers=None,
     ) -> None:
         """Write a new table snapshot and flip the manifest pointer.
 
@@ -987,7 +968,8 @@ class Broker:
         if bucket_by_station:
             w = w.partitionBy(*self._FACT_PARTITION_COLS)
         w.parquet(target)
-        self._flip_manifest(table, new)
+        self._flip_manifest(table, new, add_markers=add_markers,
+                            drop_markers=drop_markers)
         self._cleanup_versions(table, new)
 
     def _n_parquet_files(self, table: str) -> int:

@@ -90,10 +90,18 @@ class CorpusStore:
             batch = new_docs
             rej = []
 
-            def _reject(ids: DataFrame, reason: str) -> None:
+            def _reject(ids: DataFrame, reason: str) -> DataFrame:
                 # ids: (id_col, blocked_by) — the curator's audit trail
-                # names WHICH resident blocked each drop
+                # names WHICH resident blocked each drop. Each frame is
+                # checkpointed (it is rejection-sized, tiny): BOTH its
+                # consumers — the batch anti-join chain and the
+                # rejection-log union — then reuse the one materialized
+                # result instead of re-executing the dedup join that
+                # produced it (the log checkpoint alone re-ran all four
+                # heavy joins a second time).
+                ids = ids.localCheckpoint(eager=True)
                 rej.append(ids.withColumn("reason", F.lit(reason)))
+                return ids
 
             # 1) within-batch exact collapse (smallest id survives);
             # the batch self-contamination join yields each dup's keeper
@@ -103,7 +111,7 @@ class CorpusStore:
                 .groupBy(id_col).agg(F.min("ref_id").alias("blocked_by"))
                 .filter(F.col("blocked_by") < F.col(id_col))
             )
-            _reject(dup, "batch_exact")
+            dup = _reject(dup, "batch_exact")
             batch = batch.join(dup.select(id_col), id_col, "left_anti")
 
             # 2) within-batch near-dup collapse (larger id of a pair)
@@ -116,7 +124,7 @@ class CorpusStore:
                 .groupBy(F.col("id_b").alias(id_col))
                 .agg(F.min("id_a").alias("blocked_by"))
             )
-            _reject(near, "batch_near")
+            near = _reject(near, "batch_near")
             batch = batch.join(near.select(id_col), id_col, "left_anti")
 
             if self.broker.exists(DOCS_TABLE):
@@ -125,7 +133,7 @@ class CorpusStore:
                 hit = exact_contamination(
                     batch, archive, id_col, text_col
                 ).select(id_col, F.col("ref_id").alias("blocked_by"))
-                _reject(hit, "archive_exact")
+                hit = _reject(hit, "archive_exact")
                 batch = batch.join(hit.select(id_col), id_col, "left_anti")
                 # 4) near vs archive (asymmetric band join: archive side
                 # shuffles band keys once, batch side is the small probe)
@@ -138,7 +146,7 @@ class CorpusStore:
                     .groupBy(id_col)
                     .agg(F.min("ref_id").alias("blocked_by"))
                 )
-                _reject(nearhit, "archive_near")
+                nearhit = _reject(nearhit, "archive_near")
                 batch = batch.join(nearhit.select(id_col), id_col, "left_anti")
             else:
                 archive = None
@@ -159,7 +167,7 @@ class CorpusStore:
             rejected = rejected.withColumn(
                 "corpus_version",
                 F.lit(self.broker.table_version(DOCS_TABLE)),
-            ).localCheckpoint(eager=True)
+            )
             n_rejected = rejected.count()
             prior = (
                 self.broker.read(REJ_TABLE)

@@ -178,23 +178,34 @@ def minhash_signatures(
     )
 
 
+def band_key_exprs(sig, bands: int, rows: int) -> list:
+    """One '-'-joined key Column per band from a signature array Column
+    — THE band-key encoding, single-sourced: the batch pair join
+    (:func:`_banded_keys`), the overflow report, and the streaming
+    near-dup / decontamination joins (``streaming/neardup.py``) all
+    derive their keys here, so the two sides of a stream-static band
+    join cannot drift (the tokens_expr/shingles_expr convention applied
+    to bucketing)."""
+    return [
+        F.concat_ws(
+            "-", *[sig[b * rows + r].cast("string") for r in range(rows)]
+        )
+        for b in range(bands)
+    ]
+
+
 def _banded_keys(sig: DataFrame, bands: int, rows: int, id_col: str) -> DataFrame:
     """LSH band keys from MinHash signatures: one (id, band, key) row per
     band, key = the band's ``rows`` signature slots joined. Shared by the
     pair join and :func:`minhash_bucket_overflow` so the overflow report
     sees exactly the buckets the join shuffles on."""
+    keys = band_key_exprs(F.col("signature"), bands, rows)
     return sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-", *[F.col("signature")[b * rows + r].cast("string")
-                                   for r in range(rows)]
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
                     for b in range(bands)
                 ]
             )
@@ -616,7 +627,15 @@ def exact_contamination(
         )
         .groupBy("_h").agg(F.min("ref_id").alias("ref_id"))
     )
-    return ch.join(rh, "_h").select(id_col, "ref_id")
+    # eqNullSafe, like exact_dedup: md5(NULL) is NULL and a plain
+    # equi-join would silently pass every NULL-text document through —
+    # in CorpusStore that bypassed dedup AND broke replay idempotency
+    # (a replayed NULL-text doc was re-admitted every time). Two
+    # NULL/missing texts count as identical, matching exact_dedup.
+    return (
+        ch.join(rh, ch["_h"].eqNullSafe(rh["_h"]))
+        .select(id_col, "ref_id")
+    )
 
 
 def minhash_contamination(

@@ -185,7 +185,7 @@ def repetition_stats(
     stream partial-aggregated, and nothing is quadratic in document
     length. Documents with fewer than two words score 0 on both.
     """
-    words = _tokens_col(text_col)
+    words = tokens_expr(text_col)
     n = F.size(words)
     base = df.select(
         F.col(id_col),
@@ -234,13 +234,18 @@ def unigram_logprob(
     Spark's partial aggregation and the oracle.
     """
     toks = df.select(
-        F.col(id_col), F.explode(_tokens_col(text_col)).alias("_w")
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_w")
     )
     vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_t"))
     term_micro = F.round(-F.log(F.col("_c") / F.col("_t")) * 1e6, 0).cast("bigint")
+    # NOTE: no broadcast hint on the vocabulary — at web-corpus scale
+    # the distinct-token vocab is hundreds of millions of rows and a
+    # forced broadcast would OOM; Catalyst broadcasts it when stats
+    # allow and falls back to a shuffle join otherwise. The one-row
+    # total is always safe to broadcast.
     return (
-        toks.join(F.broadcast(vocab), "_w")
+        toks.join(vocab, "_w")
         .join(F.broadcast(total))
         .select(id_col, term_micro.alias("_m"))
         .groupBy(id_col)
@@ -249,10 +254,6 @@ def unigram_logprob(
             F.round(F.sum("_m") / F.count(F.lit(1)) / 1e6, 6).alias("mean_neglogp"),
         )
     )
-
-
-def _tokens_col(text_col: str):
-    return tokens_expr(text_col)
 
 
 def compression_ratio(

@@ -125,16 +125,13 @@ def stream_neardup_pairs(
         F.col(ts_col).alias("event_ts"),
         row_minhash_signature(F.col(text_col), num_perm, n).alias("signature"),
     ).filter(F.col("signature")[0].isNotNull())
+    from weatherdb_spark.llm.dedup import band_key_exprs
+
+    _keys = band_key_exprs(F.col("signature"), bands, rows)
     banded = sig.select(
         "doc_id", "event_ts", "signature",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("-", *[
-                    F.col("signature")[b * rows + r].cast("string")
-                    for r in range(rows)
-                ]).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), _keys[b].alias("key"))
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc_id", "event_ts", "signature", "bk.band", "bk.key")
@@ -565,14 +562,11 @@ def stream_decontaminate(
 
     rows = num_perm // bands
 
+    from weatherdb_spark.llm.dedup import band_key_exprs
+
     def keys_from_sig(sig: Column) -> Column:
-        return F.array(*[
-            F.concat_ws("-", *[
-                F.element_at(sig, b * rows + r + 1).cast("string")
-                for r in range(rows)
-            ])
-            for b in range(bands)
-        ])
+        # the shared encoding — byte-identical to _banded_keys' join key
+        return F.array(*band_key_exprs(sig, bands, rows))
 
     # static reference: banded keys + full key array + shingles ride on
     # every (band, key) row — duplicated x bands, fine at eval-set size

@@ -427,6 +427,9 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
     asymmetric archive checks; every drop logged with its reason)."""
     from weatherdb_spark.llm.corpus import CorpusStore
 
+    # a clean cache baseline: earlier tests may run scope-less
+    # scoped_persist operators (by design they degrade to plain persist)
+    spark.catalog.clearCache()
     store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
     base = "the quick brown fox jumps over the lazy dog by the river today"
     b1 = spark.createDataFrame(
@@ -454,6 +457,15 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
     assert store.read().count() == 3
     assert store.read(version=2).count() == 3
     assert store.versions() == [2, 3]
+    # cache hygiene: appends leave NOTHING persisted (scoped_persist +
+    # cache_scope, not localCheckpoint — the latter lingered until GC).
+    # unpersist is async (blocking=False), so poll briefly.
+    import time as _time
+    for _ in range(50):
+        if len(spark.sparkContext._jsc.getPersistentRDDs()) == 0:
+            break
+        _time.sleep(0.1)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
     reasons = {(r.doc_id, r.reason, r.blocked_by)
                for r in store.rejections().collect()}
     assert reasons == {

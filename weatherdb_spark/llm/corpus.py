@@ -75,7 +75,7 @@ class CorpusStore:
         write is a snapshot flip, so readers planned against the old
         corpus finish cleanly.
         """
-        from weatherdb_spark.functions.caching import cache_scope
+        from weatherdb_spark.functions.caching import cache_scope, scoped_persist
         from weatherdb_spark.llm.dedup import (
             exact_contamination,
             minhash_contamination,
@@ -93,13 +93,15 @@ class CorpusStore:
             def _reject(ids: DataFrame, reason: str) -> DataFrame:
                 # ids: (id_col, blocked_by) — the curator's audit trail
                 # names WHICH resident blocked each drop. Each frame is
-                # checkpointed (it is rejection-sized, tiny): BOTH its
+                # scoped_persist-ed (rejection-sized, tiny): BOTH its
                 # consumers — the batch anti-join chain and the
-                # rejection-log union — then reuse the one materialized
-                # result instead of re-executing the dedup join that
-                # produced it (the log checkpoint alone re-ran all four
-                # heavy joins a second time).
-                ids = ids.localCheckpoint(eager=True)
+                # rejection-log union — reuse one materialized result
+                # instead of re-executing the dedup join that produced
+                # it, and the surrounding cache_scope releases the
+                # blocks on exit (a localCheckpoint would leave its
+                # checkpoint RDDs cached until a later GC — measured 6
+                # lingering RDDs after two appends).
+                ids = scoped_persist(ids)
                 rej.append(ids.withColumn("reason", F.lit(reason)))
                 return ids
 
@@ -151,11 +153,13 @@ class CorpusStore:
             else:
                 archive = None
 
-            # materialize the admitted batch ONCE: the dedup chain would
-            # otherwise re-execute for the count AND the snapshot write
-            # (reading the archive's pinned pre-flip snapshot — safe
-            # either way under the Broker MVCC contract, just wasteful)
-            batch = batch.localCheckpoint(eager=True)
+            # materialize the admitted batch ONCE (count populates the
+            # cache; the snapshot write reuses it; the scope releases
+            # it): the dedup chain would otherwise re-execute for the
+            # count AND the write (reading the archive's pinned
+            # pre-flip snapshot — safe either way under the Broker MVCC
+            # contract, just wasteful)
+            batch = scoped_persist(batch)
             admitted = batch.count()
             merged = (archive.unionByName(batch) if archive is not None
                       else batch)

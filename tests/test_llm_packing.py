@@ -427,9 +427,12 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
     asymmetric archive checks; every drop logged with its reason)."""
     from weatherdb_spark.llm.corpus import CorpusStore
 
-    # a clean cache baseline: earlier tests may run scope-less
-    # scoped_persist operators (by design they degrade to plain persist)
+    # baseline the persisted-RDD set: earlier tests in the shared
+    # session may hold scope-less persists or lingering localCheckpoint
+    # RDDs (e.g. connected-components runs); the hygiene claim below is
+    # about what THIS test's appends add, so assert on the delta
     spark.catalog.clearCache()
+    _baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
     base = "the quick brown fox jumps over the lazy dog by the river today"
     b1 = spark.createDataFrame(
@@ -461,11 +464,16 @@ def test_corpus_store_dedup_at_append_and_time_travel(spark, tmp_path):
     # cache_scope, not localCheckpoint — the latter lingered until GC).
     # unpersist is async (blocking=False), so poll briefly.
     import time as _time
+
+    def _new_rdds():
+        ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        return ids - _baseline
+
     for _ in range(50):
-        if len(spark.sparkContext._jsc.getPersistentRDDs()) == 0:
+        if not _new_rdds():
             break
         _time.sleep(0.1)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert not _new_rdds()
     reasons = {(r.doc_id, r.reason, r.blocked_by)
                for r in store.rejections().collect()}
     assert reasons == {

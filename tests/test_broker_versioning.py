@@ -530,6 +530,62 @@ def test_data_fix_rung_crash_windows(spark, tmp_path):
     finally:
         LAYOUT_MIGRATIONS.pop(4, None)
 
+def test_data_fix_rung_honors_legacy_settings_record(spark, tmp_path):
+    """The sentinel format replaced an earlier bookkeeping format that
+    recorded per-table completion as a ``datafix_<v>`` settings key (a
+    JSON list of done tables). A warehouse whose fix was applied under
+    the OLD format has no sentinels — without conversion the next walk
+    would re-apply the non-idempotent fix (double-apply corruption).
+    The first state query must stamp sentinels for the legacy record's
+    done tables, leave NOT-listed tables to be fixed, and drop the
+    stale key."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        DataFixMigration,
+        register_layout_migration,
+    )
+
+    fix = lambda df: df.withColumn("raw", F.col("raw") * 2)
+    unfix = lambda df: df.withColumn("raw", F.col("raw") / 2)
+    register_layout_migration(DataFixMigration(
+        4, "legacy-format exemplar", {"ts_p": (fix, unfix), "ts_t": (fix, unfix)},
+    ))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        # a warehouse where the OLD engine already fixed ts_p (values
+        # ARE doubled) and recorded it in the settings key, then died
+        # before reaching ts_t
+        _fact(spark, 10, 2.0).write.parquet(b.path("ts_p"))  # 1.0 fixed
+        _fact(spark, 10, 5.0).write.parquet(b.path("ts_t"))  # un-fixed
+        b.upgrade_db_schema(target=3)
+        b.set_setting("datafix_4", _json.dumps(["ts_p"]))
+        b.set_setting("layout", "3")
+
+        def mx(t):
+            return b.read(t).agg(F.max("raw")).first()[0]
+
+        b.upgrade_db_schema()
+        assert mx("ts_p") == 2.0, "legacy-done table was double-applied"
+        assert mx("ts_t") == 10.0, "legacy-undone table was not fixed"
+        assert b.get_setting("datafix_4") is None, "stale key lingers"
+        # the conversion stamped a real sentinel: later walks stay done
+        v = b.table_version("ts_p")
+        assert os.path.exists(os.path.join(
+            b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
+        LAYOUT_MIGRATIONS[4].upgrade(b)
+        assert mx("ts_p") == 2.0 and mx("ts_t") == 10.0
+
+        # and the downgrade unwinds BOTH tables symmetrically
+        b.downgrade_db_schema()
+        assert mx("ts_p") == 1.0 and mx("ts_t") == 5.0
+    finally:
+        LAYOUT_MIGRATIONS.pop(4, None)
+
+
 def test_downgrade_unwinds_partially_applied_rung_above_stamp(spark, tmp_path):
     """Crash window mirror of the upgrade re-entry: an upgrade of rung 4
     that dies AFTER fixing ts_p but BEFORE stamping layout=4 leaves

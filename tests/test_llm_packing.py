@@ -38,6 +38,21 @@ def test_chunk_windows_reconstructs_every_token(docs):
         assert seen[d] == set(range(n)), f"doc {d} not fully covered"
 
 
+def test_chunk_windows_null_text_emits_nothing(spark):
+    # CorpusStore admits one NULL-text representative per dedup group,
+    # so NULL texts DO reach chunking; each must emit zero chunks — not
+    # the phantom (chunk_id=0, NULL n_chunk_tokens, NULL text) row that
+    # greatest(NULL - window, 0) = 0 would otherwise schedule.
+    rows = [(1, "a b c d e"), (2, None), (3, "f g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_windows(df, window=4, stride=3)
+    assert out.filter(F.col("doc_id") == 2).count() == 0
+    assert out.filter(F.col("n_chunk_tokens").isNull()).count() == 0
+    assert out.filter(F.col("chunk_text").isNull()).count() == 0
+    # non-NULL docs are untouched by the guard
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
 def test_chunk_windows_rejects_bad_stride(docs):
     with pytest.raises(ValueError):
         chunk_windows(docs, window=4, stride=5)

@@ -246,6 +246,33 @@ class DataFixMigration(LayoutMigration):
     def marker(self) -> str:
         return f"_DATAFIX_{self.version}"
 
+    def _convert_legacy(self, broker: "Broker") -> None:
+        """One-time upgrade of the PRIOR bookkeeping format: early
+        engines recorded per-table completion as a ``datafix_<version>``
+        settings key holding the JSON list of done tables. A warehouse
+        carrying that record has no sentinel files, so without this
+        conversion :meth:`incomplete` would report its done tables
+        un-applied and the next walk would RE-APPLY the non-idempotent
+        fix (double-apply corruption). Honor the legacy record by
+        stamping sentinels into the current snapshot of each listed
+        table, then drop the stale key. Runs before every state query /
+        walk; a no-op once the key is gone."""
+        raw = broker.get_setting(f"datafix_{self.version}")
+        if raw is None:
+            return
+        for table in json.loads(raw):
+            v = broker.table_version(table)
+            if v is None:
+                # flat/legacy layout or dropped table: nothing to stamp —
+                # a sentinel lives inside a snapshot dir. A dropped and
+                # re-created table is deliberately re-fixed (it starts
+                # sentinel-less), matching the sentinel-era contract.
+                continue
+            vdir = os.path.join(broker.path(table), broker._version_dirname(v))
+            if os.path.isdir(vdir):
+                open(os.path.join(vdir, self.marker), "a").close()
+        broker.drop_setting(f"datafix_{self.version}")
+
     def _is_done(self, broker: "Broker", table: str) -> bool:
         v = broker.table_version(table)
         if v is None:
@@ -257,6 +284,7 @@ class DataFixMigration(LayoutMigration):
     def incomplete(self, broker: "Broker") -> bool:
         """True when some existing fixable table lacks the sentinel —
         the walker re-enters the rung at the stamped revision."""
+        self._convert_legacy(broker)
         return any(
             broker.exists(t) and not self._is_done(broker, t)
             for t in self.fixes
@@ -269,12 +297,14 @@ class DataFixMigration(LayoutMigration):
         contents at the HIGHER revision behind the lower stamp, and
         :meth:`Broker.downgrade_db_schema` must unwind this rung first
         or the rolled-back warehouse keeps half-fixed values."""
+        self._convert_legacy(broker)
         return any(
             broker.exists(t) and self._is_done(broker, t)
             for t in self.fixes
         )
 
     def _walk(self, broker: "Broker", up: bool) -> None:
+        self._convert_legacy(broker)
         for table, (fix, unfix) in self.fixes.items():
             if up == self._is_done(broker, table) or not broker.exists(table):
                 continue

@@ -62,7 +62,14 @@ def chunk_windows(
     overlap ``window - stride`` (context chunking for embedding /
     finetune pipelines). Windows start at ``i * stride``; the last
     window may be short but every token is covered exactly
-    ``ceil(window / stride)`` times or fewer. Zero shuffle."""
+    ``ceil(window / stride)`` times or fewer. Zero shuffle.
+
+    NULL-text documents emit NOTHING: their token array is NULL, and
+    ``greatest(NULL - window, 0)`` would otherwise schedule one phantom
+    chunk with NULL token count and NULL text (CorpusStore deliberately
+    admits one NULL-text representative per dedup group, so a
+    corpus-fed chunking pass WOULD hit this) — the 'every token
+    covered' contract has zero tokens to cover, hence zero rows."""
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
     toks = _tokens(text_col)
@@ -72,6 +79,7 @@ def chunk_windows(
     ).cast("int")
     out = (
         df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .filter(n.isNotNull())
         .select(
             id_col,
             "_toks",

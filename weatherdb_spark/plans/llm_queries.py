@@ -1037,9 +1037,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     c AS (
+        -- n IS NOT NULL: NULL-text docs emit nothing (chunk_windows
+        -- contract; without it a NULL n schedules one phantom chunk)
         SELECT doc_id, w,
                unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
-        FROM w
+        FROM w WHERE n IS NOT NULL
     )
     SELECT doc_id, chunk_id, chunk_id * 24 AS chunk_start,
            len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_chunk_tokens,

@@ -165,7 +165,9 @@ def test_bm25_ranks_exact_term_matches_first(spark):
     qs = spark.createDataFrame(
         [(1, "apple"), (2, "kiwi lemon")], "query_id long, query string"
     )
-    out = bm25_topk(docs, qs, k=3).collect()
+    # guard off: this test checks the raw ranking math, and in a
+    # 4-doc corpus 'apple' (df 3) trips the 0.5 df-share default
+    out = bm25_topk(docs, qs, k=3, max_df_share=None).collect()
     by_q = {}
     for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r.doc_id)
@@ -175,6 +177,43 @@ def test_bm25_ranks_exact_term_matches_first(spark):
     assert by_q[2][0] == 3 and set(by_q[2]) == {3, 4}
     ranks = [r.rank for r in out if r.query_id == 1]
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_degenerate_term_guard_bounds_candidates(spark):
+    """A corpus-ubiquitous query term ('the', df = N) must not pull the
+    whole corpus through the candidate join: with the default
+    max_df_share it is dropped before scoring, the candidate set is
+    bounded by the distinctive terms' postings, and the top-k ranks are
+    unchanged (an idf ~ 0 term cannot reorder them here)."""
+    from weatherdb_spark.llm.search import bm25_topk
+
+    # every doc contains 'the' once; only docs 0-4 contain 'apple',
+    # with descending tf so the apple contribution dictates the order
+    rows = [
+        (d, "the " + " ".join(["apple"] * (5 - d)) + f" filler{d}")
+        for d in range(5)
+    ] + [(d, f"the noise{d} pad{d}") for d in range(5, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "the apple")],
+                               "query_id long, query string")
+
+    guarded = bm25_topk(docs, qs, k=3).collect()
+    unguarded = bm25_topk(docs, qs, k=3, max_df_share=None).collect()
+    # bounded: only apple's 5 postings are candidates — no doc that
+    # matches solely via 'the' appears at any k
+    all_guarded = bm25_topk(docs, qs, k=30).collect()
+    assert {r.doc_id for r in all_guarded} == {0, 1, 2, 3, 4}
+    assert len(bm25_topk(docs, qs, k=30, max_df_share=None).collect()) == 30
+    # unchanged top-k: same docs in the same order
+    assert [r.doc_id for r in sorted(guarded, key=lambda r: r.rank)] \
+        == [r.doc_id for r in sorted(unguarded, key=lambda r: r.rank)] \
+        == [0, 1, 2]
+    # a query of ONLY degenerate terms matches nothing (documented)
+    only_the = spark.createDataFrame([(9, "the")],
+                                     "query_id long, query string")
+    assert bm25_topk(docs, only_the, k=3).count() == 0
+    with pytest.raises(ValueError, match="max_df_share"):
+        bm25_topk(docs, qs, k=3, max_df_share=1.5)
 
 
 # ------------------------- property-based invariants (random corpora)
@@ -321,6 +360,12 @@ def test_bm25_property_matches_python_model(spark, data):
         for w in q_words:
             tf = ws.count(w)
             if tf == 0:
+                continue
+            if dfreq[w] > 0.5 * n:
+                # the engine's default degenerate-term guard
+                # (max_df_share=0.5), mirrored — random small corpora
+                # trip it constantly, so the default path stays under
+                # property test
                 continue
             idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
             tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avgdl))

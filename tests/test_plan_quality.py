@@ -288,7 +288,9 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         ("sample_source_quota", 6),
         ("text_unigram_logprob", 9),
         ("text_repetition", 7),
-        ("decontaminate_ngram", 8),
+        # +1 action since round 7: the size-gate counts the reference
+        # n-gram set before deciding the broadcast (measured 9 x3)
+        ("decontaminate_ngram", 10),
         ("shuffle_shard", 5),
         # the five-stage composition (measured 26 x3 stable: AQE stage
         # materialization across the dedup/quota/pack joins plus the two

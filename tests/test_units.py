@@ -261,3 +261,33 @@ def test_ngram_contamination_catches_quoted_paragraph(spark):
     # min_collisions raises the bar
     deep = ngram_contamination(corpus, ref, n=13, min_collisions=2)
     assert {r.doc_id for r in deep.collect()} == {3}
+
+
+def test_ngram_contamination_broadcast_is_size_gated(spark):
+    """The reference n-gram set broadcasts only under the gate: a
+    multi-benchmark production reference (10^8-10^9 distinct 13-grams)
+    must never be FORCED into driver memory. Both regimes return the
+    same rows; below the gate the hint is present, above it absent."""
+    from weatherdb_spark.llm.dedup import ngram_contamination
+
+    ref_text = " ".join(f"e{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, "x " + ref_text + " y"), (2, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(9, ref_text)], "doc_id long, text string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = ngram_contamination(corpus, ref, n=13)          # auto-count
+    big = ngram_contamination(corpus, ref, n=13, est_ref_ngrams=10**9)
+    assert "BroadcastHashJoin" in plan(small)
+    # above the gate the hash-key join is left to Catalyst/AQE: no
+    # broadcast HINT in the logical plan (AQE may still pick one at
+    # runtime from true sizes — that is the point of un-forcing it)
+    assert "UnresolvedHint" not in big._jdf.queryExecution().logical().toString()
+    assert "hints=[broadcast]" not in \
+        big._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, small.collect())) \
+        == sorted(map(tuple, big.collect())) == [(1, 8)]

@@ -717,6 +717,15 @@ def minhash_contamination(
     return verified.select(id_col, "ref_id", "jaccard")
 
 
+#: broadcast the reference n-gram hash set only up to this many distinct
+#: hashes (~8 bytes each -> ~80 MB at the cap). One eval set fits with
+#: room; a PRODUCTION decontamination reference (every benchmark + held
+#: -out suites, distinct 13-grams ~ its token count) reaches 10^8-10^9
+#: rows, where a forced broadcast OOMs the driver — the same lesson
+#: unigram_logprob's vocabulary join already learned.
+NGRAM_REF_BROADCAST_MAX = 10_000_000
+
+
 def ngram_contamination(
     corpus: DataFrame,
     reference: DataFrame,
@@ -724,6 +733,7 @@ def ngram_contamination(
     min_collisions: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_ref_ngrams: int | None = None,
 ) -> DataFrame:
     """N-gram collision test-set decontamination (the published
     GPT-3-style filter): flag corpus documents sharing at least
@@ -736,11 +746,22 @@ def ngram_contamination(
     an eval document quoted inside an otherwise-novel training doc.
 
     Scale: the reference's distinct n-gram hash set is eval-set-sized
-    and broadcasts; the corpus side explodes its shingles once (the
-    shared :func:`shingles_expr` definition), hashes to a narrow 8-byte
-    key, joins map-side, and aggregates per document — the only
-    exchange is the per-doc count's hash aggregation.
+    and the join key is a narrow 8-byte hash either way; the corpus
+    side explodes its shingles once (the shared :func:`shingles_expr`
+    definition), hashes, joins, and aggregates per document — the only
+    guaranteed exchange is the per-doc count's hash aggregation.
+
+    The broadcast is SIZE-GATED (:data:`NGRAM_REF_BROADCAST_MAX`): the
+    reference hash set is counted (one eval-set-sized job; the persist
+    the count populates is reused by the join) — or taken from
+    ``est_ref_ngrams`` when the caller already knows it — and only a
+    set under the gate gets the broadcast hint; above it the join is
+    left to Catalyst/AQE (shuffled on the 8-byte key). A forced
+    ``F.broadcast`` of a multi-benchmark production reference (distinct
+    13-grams ~ tokens, 10^8-10^9 rows) would OOM the driver.
     """
+    from weatherdb_spark.functions.caching import scoped_persist
+
     if n < 1:
         raise ValueError(f"n must be positive, got {n}")
     ref_sh = (
@@ -748,11 +769,16 @@ def ngram_contamination(
         .select(md5_int64(F.col("_s")).alias("_h"))
         .distinct()
     )
+    if est_ref_ngrams is None:
+        ref_sh = scoped_persist(ref_sh)
+        est_ref_ngrams = ref_sh.count()
+    if est_ref_ngrams <= NGRAM_REF_BROADCAST_MAX:
+        ref_sh = F.broadcast(ref_sh)
     cor_sh = exploded_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col), md5_int64(F.col("_s")).alias("_h")
     )
     return (
-        cor_sh.join(F.broadcast(ref_sh), "_h")
+        cor_sh.join(ref_sh, "_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
         .filter(F.col("n_collisions") >= min_collisions)

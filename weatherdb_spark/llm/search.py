@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+#: default degenerate-term gate: a query term present in more than this
+#: share of documents is dropped before the candidate join (see
+#: :func:`bm25_topk`). At 0.5 the dropped terms have idf <= ln(2) while
+#: a corpus-ubiquitous stopword (df ~ N) has idf ~ 0 — noise that would
+#: otherwise pull a corpus-sized posting list into one query's window.
+MAX_DF_SHARE = 0.5
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -34,15 +42,32 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_col: str = "query",
+    max_df_share: float | None = MAX_DF_SHARE,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25 (Okapi, distinct query
     terms): ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
     ``tfn = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))``. Ties break on
     ascending doc id. Returns (query_id, rank, id_col, score_bm25);
     documents sharing no term with the query never appear.
+
+    ``max_df_share`` (default :data:`MAX_DF_SHARE`) drops query terms
+    whose document frequency exceeds that share of the corpus BEFORE
+    the candidate join — the degenerate-term guard: a corpus-ubiquitous
+    word (df ~ N, idf ~ 0) in a query would otherwise pull its
+    corpus-sized posting list through the join and into that ONE
+    query's window partition (fact-sized skew at corpus scale) while
+    contributing near-zero score to every candidate. The drop is a
+    filter on the query-vocabulary-sized df dim, so the postings of a
+    dropped term never reach the scoring shuffle. Pass ``None`` to
+    disable. A query ALL of whose terms are dropped returns no rows —
+    it matched nothing distinctive.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if max_df_share is not None and not 0 < max_df_share <= 1:
+        raise ValueError(
+            f"max_df_share must be in (0, 1] or None, got {max_df_share}"
+        )
     from weatherdb_spark.llm.text import tokens_expr
 
     words = tokens_expr(text_col)
@@ -72,6 +97,17 @@ def bm25_topk(
     )
     postings = tf
     dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_share is not None:
+        # the guard lives on the query-vocabulary-sized df dim: the
+        # scoring join below is INNER on the broadcast dfreq, so a
+        # dropped term's postings are filtered map-side before the
+        # (query, doc) aggregate and the per-query rank window — the
+        # candidate stream stays bounded by the kept terms' df.
+        dfreq = (
+            dfreq.join(F.broadcast(stats))
+            .filter(F.col("_df") <= max_df_share * F.col("_n"))
+            .select("_w", "_df")
+        )
     avgdl = F.col("_sumdl") / F.col("_n")
     idf = F.log(
         F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)

@@ -1414,6 +1414,12 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          / (stats.sumdl / stats.n)))
                    * 1000000.0, 0) AS BIGINT) AS m
         FROM post JOIN qt USING (w) JOIN dfreq USING (w) CROSS JOIN stats
+        -- degenerate-term guard (engine default max_df_share = 0.5):
+        -- query terms present in more than half the corpus are dropped
+        -- before candidate scoring — their idf <= ln(2) is noise, and
+        -- at corpus scale their posting list would skew one query's
+        -- window partition to fact size
+        WHERE dfreq.df <= 0.5 * stats.n
     ),
     s AS (
         SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS sm

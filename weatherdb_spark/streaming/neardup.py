@@ -621,6 +621,7 @@ def stream_ngram_decontaminate(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_ref_ngrams: int | None = None,
 ) -> DataFrame:
     """N-gram collision decontamination AT INGEST — the streaming twin
     of ``llm.dedup.ngram_contamination`` and the third member of the
@@ -635,8 +636,14 @@ def stream_ngram_decontaminate(
     shared with batch, reference side broadcast at eval-set size) and
     idempotent under replay; ``count_collision_events`` folds events to
     the batch operator's exact (doc_id, n_collisions) rows.
+
+    The broadcast is size-gated like the batch twin's
+    (``llm.dedup.NGRAM_REF_BROADCAST_MAX``): the reference is STATIC,
+    so its distinct-hash count runs once at plan-build time (or comes
+    from ``est_ref_ngrams``); a multi-benchmark reference above the
+    gate joins un-hinted instead of forcing a driver-sized broadcast.
     """
-    from weatherdb_spark.llm.dedup import shingles_expr
+    from weatherdb_spark.llm.dedup import NGRAM_REF_BROADCAST_MAX, shingles_expr
     from weatherdb_spark.llm.hashing import md5_int64
 
     if n < 1:
@@ -648,13 +655,17 @@ def stream_ngram_decontaminate(
         .select(md5_int64(F.col("_s")).alias("gram_hash"))
         .distinct()
     )
+    if est_ref_ngrams is None:
+        est_ref_ngrams = ref_sh.count()
+    if est_ref_ngrams <= NGRAM_REF_BROADCAST_MAX:
+        ref_sh = F.broadcast(ref_sh)
     events = (
         stream.select(
             F.col(id_col).alias("doc_id"),
             F.explode(shingles_expr(F.col(text_col), n)).alias("_s"),
         )
         .select("doc_id", md5_int64(F.col("_s")).alias("gram_hash"))
-        .join(F.broadcast(ref_sh), "gram_hash")
+        .join(ref_sh, "gram_hash")
     )
     return events.select("doc_id", "gram_hash")
 

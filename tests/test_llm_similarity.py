@@ -108,6 +108,62 @@ def test_ivf_index_build_probe_matches_adhoc(spark, tmp_path):
     assert inv.select("cell").distinct().count() <= 16
 
 
+def test_ivf_index_incremental_append_matches_fresh_build(spark, tmp_path):
+    """append_to_ivf_index grows a serving index in O(batch): new
+    vectors are assigned with the STORED centroids and appended
+    partition-wise. Probes after two appends must be row-identical to
+    a fresh build over the union AT THE SAME CENTROID SET, and the
+    untouched cells' files must not be rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    part1 = emb.filter(F.col("vec_id") % 3 == 0)
+    part2 = emb.filter(F.col("vec_id") % 3 == 1)
+    part3 = emb.filter(F.col("vec_id") % 3 == 2)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    grown = str(tmp_path / "grown")
+    build_ivf_index(part1, grown, n_cells=16, seed=42)
+    pre_files = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(os.path.join(grown, "inverted"))
+        for f in fs if f.endswith(".parquet")
+    }
+    append_to_ivf_index(spark, grown, part2)
+    append_to_ivf_index(spark, grown, part3)
+    # O(batch): every pre-existing inverted file still present, unmoved
+    for p, mtime in pre_files.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime, \
+            f"append rewrote {p}"
+
+    # fresh build over the union pinned to the STORED centroid set
+    import numpy as np
+    stored = np.array([
+        list(r.centroid) for r in
+        spark.read.parquet(os.path.join(grown, "centroids"))
+        .sort("cell").collect()
+    ])
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb, fresh, n_cells=16, centroids=stored)
+
+    got = {tuple(r) for r in
+           ivf_topk_indexed(spark, grown, q, k=5, n_probe=7).collect()}
+    want = {tuple(r) for r in
+            ivf_topk_indexed(spark, fresh, q, k=5, n_probe=7).collect()}
+    assert got == want and got
+    # the grown inverted file holds exactly the union
+    assert spark.read.parquet(os.path.join(grown, "inverted")).count() \
+        == emb.count()
+
+
 def test_semantic_dedup_keeps_one_representative_per_group(spark):
     import numpy as np
 
@@ -134,3 +190,46 @@ def test_semantic_dedup_keeps_one_representative_per_group(spark):
         assert all(r.group_size == len(members) for r in members)
     # the four 3-copy clusters are found as four groups of three
     assert sorted(len(m) for m in by_comp.values()) == [3, 3, 3, 3]
+
+
+def test_semantic_dedup_quality_aware_keeper(spark):
+    """keep_by elects the highest-ranked group member (SemDeDup-style
+    'keep the best of the clump'), ties and all-NULL groups falling
+    back to smallest id; the default path stays the smallest id."""
+    import numpy as np
+
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(3, 64)
+    rows = []
+    # group 0 (ids 0-2): designated best is id 2 (quality 0.9)
+    # group 1 (ids 3-5): quality tie 0.5 between ids 3 and 5 -> keep 3
+    # group 2 (ids 6-8): all-NULL quality -> keep smallest id 6
+    quality = {0: 0.1, 1: 0.2, 2: 0.9,
+               3: 0.5, 4: 0.4, 5: 0.5,
+               6: None, 7: None, 8: None}
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            v = b + rng.randn(64) * 0.01
+            rows.append((vid, [float(x) for x in v], quality[vid]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, quality double"
+    )
+    out = semantic_dedup(df, threshold=0.9, planes=2, n_tables=24,
+                         keep_by="quality").collect()
+    kept = {r.component_id: r.vec_id for r in out if r.is_kept}
+    assert kept == {0: 2, 3: 3, 6: 6}
+    # exactly one keeper per group; group sizes unchanged by the ranking
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(r.is_kept for r in members) == 1
+        assert all(r.group_size == 3 for r in members)
+    # default path unchanged: smallest id kept
+    default = semantic_dedup(df, threshold=0.9, planes=2, n_tables=24)
+    assert {r.component_id: r.vec_id for r in default.collect()
+            if r.is_kept} == {0: 0, 3: 3, 6: 6}

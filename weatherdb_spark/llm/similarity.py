@@ -370,6 +370,31 @@ def ivf_topk(
     )
 
 
+def _sq_dists_to_centroids(vec: Column, centroids: "np.ndarray") -> Column:
+    """Squared-Euclidean distance array to every centroid — THE single
+    cell-assignment expression shared by :func:`build_ivf_index` and
+    :func:`append_to_ivf_index`, so an appended vector's cell is
+    bit-identical to the cell a fresh build at the same centroid set
+    would assign (same sequential fold, same float order)."""
+    centroid_array = F.array(*[F.lit(np.asarray(c, dtype="float64"))
+                               for c in centroids])
+    return F.transform(
+        centroid_array,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c,
+                       lambda x, cc: (x.cast("double") - cc)
+                       * (x.cast("double") - cc)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _nearest_cell(vec: Column, centroids: "np.ndarray") -> Column:
+    d = _sq_dists_to_centroids(vec, centroids)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -377,6 +402,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: "np.ndarray | None" = None,
 ) -> None:
     """Persist an IVF index: train the deterministic coarse quantizer
     ONCE, then write two parquet tables under ``path``:
@@ -391,6 +417,11 @@ def build_ivf_index(
     inverted file once amortizes the corpus shuffle across every later
     :func:`ivf_topk_indexed` call, which reads only
     ~n_probe/n_cells of the data via partition pruning.
+
+    ``centroids`` skips training and quantizes against the GIVEN
+    (n_cells, dim) array — the rebuild path (re-layout a fragmented
+    index without moving its cell boundaries) and the reference frame
+    for :func:`append_to_ivf_index`'s identity contract.
     """
     import os
 
@@ -402,7 +433,8 @@ def build_ivf_index(
     corp = scoped_persist(spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ))
-    centroids = _train_centroids(corp, n_cells, seed)
+    if centroids is None:
+        centroids = _train_centroids(corp, n_cells, seed)
     spark = embeddings.sparkSession
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -410,21 +442,52 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    centroid_array = F.array(*[F.lit(c) for c in centroids])
-    dists = F.transform(
-        centroid_array,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("_cv"), c,
-                       lambda x, cc: (x.cast("double") - cc)
-                       * (x.cast("double") - cc)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
     corp.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        "cell", _nearest_cell(F.col("_cv"), centroids)
     ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "inverted")
+    )
+
+
+def append_to_ivf_index(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted IVF index (a serving corpus that
+    keeps ingesting): assign the new vectors to cells with the STORED
+    centroids — no retrain, no full-corpus shuffle, no read of the
+    existing inverted file — and append them partition-wise (parquet
+    append under the existing ``cell=N/`` directories; untouched cells'
+    files are never rewritten). Cost is O(batch).
+
+    Identity contract: because the assignment reuses the exact build
+    expression (:func:`_sq_dists_to_centroids` — same sequential float
+    fold, same lowest-cell tie-break), probes against the appended
+    index return rows identical to :func:`build_ivf_index` run fresh
+    over the union at the same centroid set. The centroids do NOT
+    drift toward the new data — the standard IVF serving trade-off;
+    retrain via a fresh :func:`build_ivf_index` when the distribution
+    moves enough to hurt recall. Appending an id already in the index
+    duplicates it (the index is a bag, like the build's input).
+    """
+    import os
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .sort("cell").collect()
+    )
+    centroids = np.array([list(r.centroid) for r in cent_rows],
+                         dtype="float64")
+    new = spread(new_embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    new.withColumn(
+        "cell", _nearest_cell(F.col("_cv"), centroids)
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_path, "inverted")
     )
 
 
@@ -710,14 +773,25 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_docs: int | None = None,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cosine near-dup pairs (LSH-bucketed, exact-verified — precision 1)
     -> connected components -> one kept representative per semantic
     group. Returns (id_col, component_id, group_size, is_kept) for
-    every vector that belongs to a near-dup group; the kept
-    representative is the smallest id (= the component label), and a
-    training pipeline drops the ``~is_kept`` rows.
+    every vector that belongs to a near-dup group; a training pipeline
+    drops the ``~is_kept`` rows.
+
+    The kept representative is the smallest id (= the component label)
+    by default. ``keep_by`` names a ranking column on ``embeddings``
+    (e.g. a quality score): the keeper is then the group member with
+    the HIGHEST ``keep_by`` value, ties (and an all-NULL group) broken
+    by smallest id — SemDeDup-style curation keeps the best of each
+    semantic clump, not an arbitrary one. Implemented as two hash
+    aggregates over the component dim (max value, then min id at that
+    value — NULL-safe) — no window, so a pathological corpus-sized
+    clump never lands in one task; the keeper dim is component-count-
+    sized and broadcasts.
 
     Pure composition of two scale-audited stages: the pair generation
     is :func:`cosine_pairs_lsh` (one (table, bucket) shuffle, hot
@@ -742,9 +816,31 @@ def semantic_dedup(
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("group_size")
     )
-    return comp.join(F.broadcast(sizes), "component_id").select(
+    out = comp.join(F.broadcast(sizes), "component_id")
+    if keep_by is None:
+        return out.select(
+            F.col("doc_id").alias(id_col),
+            "component_id",
+            "group_size",
+            (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+        )
+    ranked = out.join(
+        embeddings.select(F.col(id_col).alias("doc_id"),
+                          F.col(keep_by).alias("_kb")),
+        "doc_id",
+    )
+    best = ranked.groupBy("component_id").agg(F.max("_kb").alias("_bq"))
+    keeper = (
+        ranked.join(F.broadcast(best), "component_id")
+        # eqNullSafe: a group whose every _kb is NULL has _bq NULL and
+        # must still elect a keeper (its smallest id), not drop all rows
+        .filter(F.col("_kb").eqNullSafe(F.col("_bq")))
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("_keeper"))
+    )
+    return ranked.join(F.broadcast(keeper), "component_id").select(
         F.col("doc_id").alias(id_col),
         "component_id",
         "group_size",
-        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+        (F.col("doc_id") == F.col("_keeper")).alias("is_kept"),
     )

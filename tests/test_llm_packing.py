@@ -377,6 +377,70 @@ def test_bm25_property_matches_python_model(spark, data):
                    for i, (d, m) in enumerate(expect)]
 
 
+def test_tokenizer_seam_default_path_unchanged(docs):
+    """Passing tokens=tokens_expr explicitly is bit-identical to the
+    default — the seam is a pure parameterization, not a fork."""
+    from weatherdb_spark.llm.text import tokens_expr
+
+    a = sorted(map(tuple, chunk_windows(docs, window=4, stride=3).collect()))
+    b = sorted(map(tuple, chunk_windows(
+        docs, window=4, stride=3, tokens=tokens_expr).collect()))
+    assert a == b
+    c = sorted(map(tuple, pack_concat_chunk(docs, capacity=8).collect()))
+    d = sorted(map(tuple, pack_concat_chunk(
+        docs, capacity=8, tokens=tokens_expr).collect()))
+    assert c == d
+
+
+def test_arrow_tokenizer_flows_through_packing_bm25_unigram(spark):
+    """A custom Arrow-backed tokenizer (the real-tokenizer integration
+    shape) flows end-to-end: packing counts ITS tokens, chunking cuts
+    ITS token stream, BM25 matches terms it alone can split out, and
+    unigram scoring fits on its vocabulary."""
+    import re
+
+    from weatherdb_spark.llm.search import bm25_topk
+    from weatherdb_spark.llm.text import arrow_regex_tokens, unigram_logprob
+
+    rx = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    tok = arrow_regex_tokens()
+    rows = [
+        (0, "alpha,beta gamma!"),          # 5 regex tokens, 2 ws tokens
+        (1, "delta epsilon"),
+        (2, "x1:y2 alpha"),                # 6 regex tokens
+        (3, None),                         # NULL rides the seam too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    py_toks = {d: rx.findall(t) for d, t in rows if t is not None}
+
+    # packing: n_tokens is the custom tokenizer's count; segments tile
+    packed = pack_concat_chunk(docs, capacity=4, tokens=tok).collect()
+    n_by_doc = {r.doc_id: r.n_tokens for r in packed}
+    assert n_by_doc == {d: len(ts) for d, ts in py_toks.items()}
+    per_doc = {}
+    for r in packed:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.seg_len
+    assert per_doc == n_by_doc
+
+    # chunking: chunk text is the custom token stream, space-joined
+    chunks = chunk_windows(docs, window=3, stride=2, tokens=tok).collect()
+    assert {r.doc_id for r in chunks} == {0, 1, 2}
+    for r in chunks:
+        want = py_toks[r.doc_id][r.chunk_start:r.chunk_start + 3]
+        assert r.chunk_text.split(" ") == want
+
+    # BM25: 'beta' exists as a term ONLY under the custom tokenizer
+    qs = spark.createDataFrame([(1, "beta")], "query_id long, query string")
+    assert bm25_topk(docs, qs, k=3).count() == 0          # ws default
+    hit = bm25_topk(docs, qs, k=3, tokens=tok).collect()
+    assert [r.doc_id for r in hit] == [0]
+
+    # unigram LM: n_words counts the custom tokens
+    ug = {r.doc_id: r.n_words
+          for r in unigram_logprob(docs, tokens=tok).collect()}
+    assert ug == {d: len(ts) for d, ts in py_toks.items()}
+
+
 def test_write_training_shards_layout_and_replay(spark, tmp_path):
     import os
 
@@ -579,6 +643,101 @@ def test_stream_into_corpus_cross_batch_dedup(spark, tmp_path):
     rej = {(r.doc_id, r.reason, r.blocked_by)
            for r in store.rejections().collect()}
     assert rej == {(3, "archive_near", 1)}   # caught ACROSS batches
+
+
+def test_corpus_append_is_o_batch_with_hardlinked_epochs(spark, tmp_path):
+    """The epoch-partitioned append contract: each append materializes
+    ONLY its own ingest_epoch leaf; every archived epoch's files enter
+    the new snapshot as HARD LINKS of the previous snapshot's —
+    byte-identical with no data pass (inode equality, the tree-hash
+    twin of the data-fix rung's untouched-table check)."""
+    import hashlib
+    import os
+
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, CorpusStore
+
+    def _tree_hash(root):
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(f for f in filenames if f.endswith(".parquet")):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    b = store.broker
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    store.append(mk([(1, "one unique doc of words"),
+                     (2, "another set of other words")]))
+    v1_leaf = os.path.join(b.data_path(DOCS_TABLE, 1), "ingest_epoch=1")
+    before = _tree_hash(v1_leaf)
+    inodes = {f: os.stat(os.path.join(v1_leaf, f)).st_ino
+              for f in os.listdir(v1_leaf) if f.endswith(".parquet")}
+
+    store.append(mk([(3, "a third thing entirely fresh")]))
+    v2 = b.data_path(DOCS_TABLE, 2)
+    linked = os.path.join(v2, "ingest_epoch=1")
+    # byte-identical AND the very same inodes: a hard link, not a copy
+    assert _tree_hash(linked) == before
+    for f, ino in inodes.items():
+        assert os.stat(os.path.join(linked, f)).st_ino == ino, \
+            f"epoch-1 file {f} was rewritten, not linked"
+    assert os.path.isdir(os.path.join(v2, "ingest_epoch=2"))
+    # reads see the union, epochs recoverable on demand
+    assert store.read().count() == 3
+    assert {r.ingest_epoch for r in
+            store.read(with_epoch=True).collect()} == {1, 2}
+    # misuse guard: an already-written epoch value must not be shadowed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fresh"):
+        b.write_partition_append(DOCS_TABLE, mk([(9, "x")]),
+                                 "ingest_epoch", 2)
+
+
+def test_corpus_store_migrates_legacy_flat_layout_once(spark, tmp_path):
+    """A corpus written by a pre-epoch engine (flat snapshot, no
+    ingest_epoch dirs) migrates on its first append: the legacy rows
+    land once under ingest_epoch=0, the batch under its own epoch, and
+    the NEXT append hard-links both — O(batch) from then on."""
+    import os
+
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    legacy = spark.createDataFrame(
+        [(1, "the old corpus doc of words"), (2, "a second archived doc")],
+        "doc_id long, text string",
+    )
+    store.broker.write(DOCS_TABLE, legacy)          # the pre-epoch layout
+    assert not store.broker._is_partitioned_by(DOCS_TABLE, "ingest_epoch")
+
+    out = store.append(spark.createDataFrame(
+        [(3, "a brand new third document"),
+         (1, "the old corpus doc of words")],      # exact dup vs archive
+        "doc_id long, text string",
+    ))
+    assert out == {"admitted": 1, "rejected": 1, "version": 2}
+    v2 = store.broker.data_path(DOCS_TABLE, 2)
+    assert os.path.isdir(os.path.join(v2, "ingest_epoch=0"))
+    assert os.path.isdir(os.path.join(v2, "ingest_epoch=2"))
+    assert store.read().count() == 3
+    assert {r.doc_id: r.ingest_epoch
+            for r in store.read(with_epoch=True).collect()} \
+        == {1: 0, 2: 0, 3: 2}
+    # next append links the migrated epoch instead of rewriting it
+    ino = {f: os.stat(os.path.join(v2, "ingest_epoch=0", f)).st_ino
+           for f in os.listdir(os.path.join(v2, "ingest_epoch=0"))
+           if f.endswith(".parquet")}
+    store.append(spark.createDataFrame(
+        [(4, "and a completely distinct fourth")],
+        "doc_id long, text string"))
+    v3 = store.broker.data_path(DOCS_TABLE, 3)
+    for f, i in ino.items():
+        assert os.stat(os.path.join(v3, "ingest_epoch=0", f)).st_ino == i
+    assert store.read().count() == 4
 
 
 def test_corpus_append_null_text_is_replay_idempotent(spark, tmp_path):

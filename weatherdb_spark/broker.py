@@ -2286,6 +2286,79 @@ class Broker:
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
+    def write_partition_append(
+        self, table: str, df: DataFrame, part_col: str, part_value: int
+    ) -> None:
+        """APPEND-shaped snapshot write for a partition-keyed append-only
+        table (CorpusStore's epoch-partitioned corpus + rejection log):
+        the new snapshot holds ``df`` as the single new
+        ``part_col=part_value`` leaf, and every existing leaf hard-links
+        from the previous snapshot — O(batch) data pass, byte-identical
+        untouched partitions, the same atomic manifest flip / previous-
+        snapshot retention as :meth:`write`. The generic dim-table twin
+        of the fact tables' :meth:`_write_years_partial`.
+
+        ``df`` must NOT contain ``part_col`` — the directory encodes it
+        (partition discovery restores the column on read). A legacy
+        UN-partitioned snapshot is migrated in the same write: its rows
+        are rewritten once under ``part_col`` leaves (``part_col=0``
+        when the column is absent from the data, else partitionBy its
+        own values) — one full data pass, never again. ``part_value``
+        must be new (monotone per append — e.g. the new snapshot
+        number); writing an existing partition's value would shadow its
+        hard-link, so it raises."""
+        import shutil
+
+        if part_col in df.columns:
+            raise ValueError(
+                f"{part_col!r} must not be a column of the appended batch "
+                "(the partition directory encodes it); drop it first"
+            )
+        cur_v = self.table_version(table)
+        had = self.exists(table)
+        new = (cur_v or 0) + 1
+        vdir = os.path.join(self.path(table), self._version_dirname(new))
+        if os.path.isdir(vdir):  # crashed earlier attempt: start clean
+            shutil.rmtree(vdir)
+        leaf = f"{part_col}={part_value}"
+        df.write.mode("overwrite").parquet(os.path.join(vdir, leaf))
+        if had:
+            prev = self.data_path(table, cur_v)
+            if self._is_partitioned_by(table, part_col):
+                for entry in os.listdir(prev):
+                    src = os.path.join(prev, entry)
+                    if not entry.startswith(f"{part_col}=") or not os.path.isdir(src):
+                        continue
+                    if entry == leaf:
+                        raise ValueError(
+                            f"partition {leaf} already exists in {table} "
+                            f"snapshot {cur_v}; appends need a fresh "
+                            f"{part_col} value"
+                        )
+                    self._link_tree(src, os.path.join(vdir, entry))
+            else:
+                # one-time layout migration of the legacy flat snapshot
+                legacy = self.spark.read.parquet(prev)
+                if part_col not in legacy.columns:
+                    legacy = legacy.withColumn(part_col, F.lit(0))
+                legacy.write.mode("append").partitionBy(part_col).parquet(vdir)
+        # root _SUCCESS: per-leaf writes commit inside their leaf dirs,
+        # but exists() (and humans) look for the table-level marker the
+        # partitionBy writer would have left
+        open(os.path.join(vdir, "_SUCCESS"), "a").close()
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
+
+    def _is_partitioned_by(self, table: str, part_col: str) -> bool:
+        """Does the CURRENT snapshot carry ``part_col=...`` leaf dirs?"""
+        root = self.data_path(table)
+        if not os.path.isdir(root):
+            return False
+        return any(
+            e.startswith(f"{part_col}=") and os.path.isdir(os.path.join(root, e))
+            for e in os.listdir(root)
+        )
+
     def _merge_stage_cols(
         self, table: str, updated: DataFrame, cols: list[str],
         years: list[int] | None = None,

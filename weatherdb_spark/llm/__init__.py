@@ -25,7 +25,7 @@ __all__ = [
     # text analysis
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
-    "scrub_pii", "tokens_expr", "compression_ratio",
+    "scrub_pii", "tokens_expr", "arrow_regex_tokens", "compression_ratio",
     # end-to-end composition + corpus management
     "prepare_training_corpus", "CorpusStore", "stream_into_corpus",
 ]
@@ -50,7 +50,7 @@ _HOMES = {
     "bag_fingerprint": "text", "winnow_fingerprints": "text",
     "repetition_stats": "text", "unigram_logprob": "text",
     "scrub_pii": "text", "tokens_expr": "text",
-    "compression_ratio": "text",
+    "arrow_regex_tokens": "text", "compression_ratio": "text",
     "prepare_training_corpus": "pipeline",
     "CorpusStore": "corpus",
     "stream_into_corpus": "corpus",

@@ -15,15 +15,18 @@ and arriving documents are admitted only after
 
 Rejections are themselves recorded in a versioned ``rejections`` table
 with the reason and the blocking document — the "no silent drops" rule
-applied to corpus curation. The DEDUP cost is incremental: the N-th
-append's joins never re-dedup the archive against itself. The snapshot
-WRITE is not: ``Broker.write`` materializes a full new corpus snapshot
-per append (O(corpus) I/O), which is fine for the curation cadence this
-targets (batched appends, not a firehose); an at-scale deployment
-partitions the corpus table by ingest epoch and reuses the broker's
-partial-write + hard-link machinery (`broker._write_years_partial`) so
-an append rewrites only its own partition — the same evolution the
-weather fact tables went through in layout v3.
+applied to corpus curation. BOTH costs are incremental: the N-th
+append's dedup joins never re-dedup the archive against itself, and
+the snapshot WRITE is O(batch) too — the corpus is partitioned by
+INGEST EPOCH (one ``ingest_epoch=N`` leaf per append, N = the snapshot
+number it landed in) and each append writes only its own epoch leaf
+while every earlier epoch hard-links byte-identically from the
+previous snapshot (``Broker.write_partition_append``, the dim-table
+twin of the fact tables' partial-year writes). The rejection log
+appends the same way, partitioned by ``corpus_version``. A corpus
+written by a pre-epoch engine migrates on its first append (one full
+rewrite into ``ingest_epoch=0``, never again). Time travel, the MVCC
+manifest flip, and the dedup/rejection semantics are unchanged.
 """
 
 from __future__ import annotations
@@ -56,10 +59,20 @@ class CorpusStore:
         self.max_bucket_docs = max_bucket_docs
 
     # ------------------------------------------------------------ read
-    def read(self, version: int | None = None) -> DataFrame:
-        return self.broker.read(DOCS_TABLE, version=version)
+    def read(self, version: int | None = None,
+             with_epoch: bool = False) -> DataFrame:
+        """The corpus at its current (or a pinned) snapshot.
+        ``with_epoch=True`` keeps the ``ingest_epoch`` partition column
+        (which epoch/append each document arrived in — also the
+        pruning key for epoch-sliced reads); default drops it so the
+        schema is the documents' own."""
+        df = self.broker.read(DOCS_TABLE, version=version)
+        if not with_epoch and "ingest_epoch" in df.columns:
+            df = df.drop("ingest_epoch")
+        return df
 
     def rejections(self) -> DataFrame:
+        # corpus_version is the partition key (discovery restores it)
         return self.broker.read(REJ_TABLE)
 
     def versions(self) -> list[int]:
@@ -150,36 +163,34 @@ class CorpusStore:
                 )
                 nearhit = _reject(nearhit, "archive_near")
                 batch = batch.join(nearhit.select(id_col), id_col, "left_anti")
-            else:
-                archive = None
 
             # materialize the admitted batch ONCE (count populates the
-            # cache; the snapshot write reuses it; the scope releases
+            # cache; the epoch-leaf write reuses it; the scope releases
             # it): the dedup chain would otherwise re-execute for the
             # count AND the write (reading the archive's pinned
             # pre-flip snapshot — safe either way under the Broker MVCC
             # contract, just wasteful)
             batch = scoped_persist(batch)
             admitted = batch.count()
-            merged = (archive.unionByName(batch) if archive is not None
-                      else batch)
-            self.broker.write(DOCS_TABLE, merged)
+            # O(batch) write: ONLY the new epoch leaf is materialized
+            # (epoch = the snapshot number this append lands in); every
+            # archived epoch hard-links from the previous snapshot —
+            # the corpus is never rewritten on append
+            epoch = (self.broker.table_version(DOCS_TABLE) or 0) + 1
+            self.broker.write_partition_append(
+                DOCS_TABLE, batch, "ingest_epoch", epoch
+            )
 
             rejected = rej[0]
             for r in rej[1:]:
                 rejected = rejected.unionByName(r)
-            rejected = rejected.withColumn(
-                "corpus_version",
-                F.lit(self.broker.table_version(DOCS_TABLE)),
-            )
             n_rejected = rejected.count()
-            prior = (
-                self.broker.read(REJ_TABLE)
-                if self.broker.exists(REJ_TABLE) else None
+            # the rejection log appends the same way, keyed by the
+            # corpus version the drops were decided against
+            self.broker.write_partition_append(
+                REJ_TABLE, rejected, "corpus_version",
+                self.broker.table_version(DOCS_TABLE),
             )
-            log = (prior.unionByName(rejected) if prior is not None
-                   else rejected)
-            self.broker.write(REJ_TABLE, log)
             return {
                 "admitted": admitted,
                 "rejected": n_rejected,

@@ -10,9 +10,12 @@ and deal documents into shards in a reproducible pseudo-random order
 (``shuffle_shard``).
 
 All three are deterministic pure functions of (corpus, parameters) with
-exact DuckDB oracle twins; none uses a Python UDF. Tokens are
-whitespace words (the engine-wide convention shared with ``llm.text``);
-swapping in a real tokenizer changes only the ``n_tokens`` expression.
+exact DuckDB oracle twins; none uses a Python UDF by default. Tokens
+are whitespace words (the engine-wide convention shared with
+``llm.text``); a real tokenizer plugs in through the ``tokens``
+parameter (any col -> array<string> Column callable, e.g. the
+Arrow-backed ``llm.text.arrow_regex_tokens``) — it changes only the
+token expression, never the packing plan.
 
 Scale notes (100 TB):
 
@@ -45,7 +48,13 @@ from weatherdb_spark.llm.hashing import md5_int64
 PACK_BUCKET_DOCS = 1000
 
 
-def _tokens(text_col: str):
+def _tokens(text_col: str, tokens=None):
+    """Resolve the tokenizer seam: ``tokens`` is any col ->
+    array<string> Column callable (``llm.text.tokens_expr``'s shape —
+    a JVM expression or an Arrow pandas_udf like
+    ``llm.text.arrow_regex_tokens``); None = the engine default."""
+    if tokens is not None:
+        return tokens(text_col)
     from weatherdb_spark.llm.text import tokens_expr
 
     return tokens_expr(text_col)
@@ -57,6 +66,7 @@ def chunk_windows(
     stride: int = 24,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens=None,
 ) -> DataFrame:
     """Cut each document's token stream into fixed-size windows with
     overlap ``window - stride`` (context chunking for embedding /
@@ -72,7 +82,7 @@ def chunk_windows(
     covered' contract has zero tokens to cover, hence zero rows."""
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
-    toks = _tokens(text_col)
+    toks = _tokens(text_col, tokens)
     n = F.col("_n")
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(n - window, F.lit(0)) + stride - 1) / F.lit(stride)
@@ -103,6 +113,7 @@ def pack_concat_chunk(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_docs: int = PACK_BUCKET_DOCS,
+    tokens=None,
 ) -> DataFrame:
     """GPT-style packing: concatenate every document's tokens in
     ``id_col`` order and cut the stream every ``capacity`` tokens. Each
@@ -137,7 +148,7 @@ def pack_concat_chunk(
         )
     base = df.select(
         F.col(id_col),
-        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.size(_tokens(text_col, tokens)).alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_docs).alias("_bucket"),
     )
     # dim-sized: one row per PACK_BUCKET_DOCS documents

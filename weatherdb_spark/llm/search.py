@@ -43,6 +43,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_col: str = "query",
     max_df_share: float | None = MAX_DF_SHARE,
+    tokens=None,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25 (Okapi, distinct query
     terms): ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
@@ -61,6 +62,12 @@ def bm25_topk(
     dropped term never reach the scoring shuffle. Pass ``None`` to
     disable. A query ALL of whose terms are dropped returns no rows —
     it matched nothing distinctive.
+
+    ``tokens`` swaps the tokenizer for BOTH the corpus and the query
+    side (a col -> array<string> Column callable, the
+    ``llm.text.tokens_expr`` shape; e.g. the Arrow-backed
+    ``llm.text.arrow_regex_tokens``) — term matching stays consistent
+    because one callable produces every token stream.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -70,7 +77,8 @@ def bm25_topk(
         )
     from weatherdb_spark.llm.text import tokens_expr
 
-    words = tokens_expr(text_col)
+    tok = tokens if tokens is not None else tokens_expr
+    words = tok(text_col)
     toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
                        F.size(words).alias("_dl"))
     # two corpus scalars (one tiny job's worth of agg, broadcast on)
@@ -81,7 +89,7 @@ def bm25_topk(
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(
-            tokens_expr(query_col))).alias("_w"),
+            tok(query_col))).alias("_w"),
     ).distinct()
     # the query-word semi-join lands BELOW the term-frequency aggregate
     # (Catalyst cannot push a join under a groupBy on its own): the

@@ -29,8 +29,49 @@ def tokens_expr(col) -> "F.Column":
     Swapping in a real tokenizer means changing exactly this expression;
     the modules sharing it cannot drift apart. (The dedup shingle
     builder deliberately splits on single spaces instead — see
-    ``llm/dedup.shingles_expr``.)"""
+    ``llm/dedup.shingles_expr``.)
+
+    The token-consuming operators (``chunk_windows``,
+    ``pack_concat_chunk``, ``bm25_topk``, ``unigram_logprob``) accept a
+    ``tokens`` parameter with this callable's shape — column in,
+    ``array<string>`` Column out — so a deployment swaps the tokenizer
+    per call without forking the operators; :func:`arrow_regex_tokens`
+    is the Arrow-backed example proving a Python tokenizer flows
+    through the same seam."""
     return F.split(F.trim(col if not isinstance(col, str) else F.col(col)), "\\s+")
+
+
+def arrow_regex_tokens(pattern: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"):
+    """Example ARROW-BACKED tokenizer for the ``tokens`` seam: returns a
+    ``col -> array<string> Column`` callable (the :func:`tokens_expr`
+    shape) whose tokenization runs in a vectorized pandas UDF — the
+    integration shape for a real subword tokenizer (swap the regex
+    findall for the library call; the Arrow batch transfer, NULL
+    handling, and operator plumbing stay identical). The default
+    pattern is the engine's BPE-ish token_stats regex (words / numbers
+    / single punctuation).
+
+    NULL text maps to a NULL token array, preserving the
+    NULL-emits-nothing contract of the consuming operators. A Python
+    tokenizer is the slow path next to the JVM default — batch-
+    columnar via Arrow, never row-at-a-time, but still ~10x the cost
+    of a split(); keep the default unless token EXACTNESS against a
+    model's vocabulary is required.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rx = re.compile(pattern)
+
+    @pandas_udf("array<string>")
+    def _tok(s):
+        return s.map(lambda t: None if t is None else rx.findall(t))
+
+    def tokens(col) -> "F.Column":
+        return _tok(col if not isinstance(col, str) else F.col(col))
+
+    return tokens
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -218,7 +259,8 @@ def repetition_stats(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    tokens=None,
 ) -> DataFrame:
     """Corpus unigram-LM scoring (the importance/perplexity-style
     quality filter trained on the corpus itself): fit word frequencies
@@ -232,9 +274,14 @@ def unigram_logprob(
     micro-nats BEFORE the per-document sum, so the aggregate is exact
     integer arithmetic — no float-summation-order ambiguity between
     Spark's partial aggregation and the oracle.
+
+    ``tokens`` swaps the tokenizer (the :func:`tokens_expr` callable
+    shape); the vocabulary fit and the per-doc scoring share the one
+    callable, so fit and score cannot tokenize differently.
     """
+    tok = tokens if tokens is not None else tokens_expr
     toks = df.select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_w")
+        F.col(id_col), F.explode(tok(text_col)).alias("_w")
     )
     vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_t"))

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""LLM-corpus stress: synthesize a >= 10M-document corpus (plus a
+multi-million-vector embedding table) and time the training-data
+pipeline's headline compositions end-to-end. Prints ONE JSON line so
+rounds can diff it (the ``pipeline_stress.py`` twin for the LLM family,
+whose 100x claims otherwise rest on sf<=0.1 slopes).
+
+Usage::
+
+    python tools/corpus_stress.py [--docs 10000000] [--vectors 2000000]
+
+Stages timed (each against data pre-materialized to parquet, so the
+timing is the operator, not the generator):
+
+- ``prepare_training_corpus`` over the full corpus (gates + scrub +
+  exact dedup + quota + packing, one lazy plan) — noop-written.
+- ``semantic_dedup`` over the embedding table. NOTE the parameters
+  scale with the corpus: at 2M vectors the sf0.1 default of planes=3
+  (8 buckets/table) would make every bucket ~250k residents and the
+  candidate join quadratic — the stress runs planes=16 (65k buckets/
+  table) with ``max_bucket_docs`` engaged, which is exactly how the
+  operator's docstring says to deploy it at scale.
+- Two ``CorpusStore`` appends: a large first batch against an empty
+  archive, then a SMALL second batch against the now-large archive.
+  With the epoch-partitioned layout the second append's cost tracks
+  its batch (dedup joins O(batch x archive band keys), write =
+  one epoch leaf + hard links), not the archive size — the record
+  keeps both numbers so a regression back to O(corpus) is visible.
+
+Data is deterministic (pure column arithmetic, no RNG): ~5% exact
+duplicate docs, ~10% German docs (language gate), ~5% punctuation soup
+(quality gate), ~9% PII-bearing docs (scrub), embedding clusters of 4
+near-identical vectors (semantic groups).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from weatherdb_spark.session import get_spark  # noqa: E402
+
+# stopword-heavy vocab: most docs pass the en language + quality gates
+VOCAB = (
+    ["the", "a", "of", "and", "to", "in", "is", "it"] * 3
+    + [f"word{j}" for j in range(96)]
+)
+
+
+def _docs(spark, n):
+    """Deterministic corpus: (doc_id, text, source)."""
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    # every 20th doc duplicates its predecessor's text (exact-dup load)
+    key = F.when(F.col("doc_id") % 20 == 19, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_words = 12 + (key % 8)
+    # xxhash64(key, i): a LINEAR mix (key*a + i*b) % V aliases every
+    # key pair congruent mod V/gcd into IDENTICAL word streams — the
+    # first cut of this generator near-dup-rejected 88% of the corpus
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(key, i), F.lit(len(VOCAB))) + 1).cast("int"),
+        ),
+    )
+    normal = F.concat(
+        F.array_join(words, " "), F.lit(" u"), key.cast("string")
+    )
+    pii = F.concat(normal, F.lit(" mail u"), key.cast("string"),
+                   F.lit("@x.example"))
+    german = F.concat(
+        F.lit("der die das und ist ein zu den der die das und x"),
+        key.cast("string"),
+    )
+    soup = F.concat(F.lit(";;; ??? !!! ### $$$ %%% ^^^ &&& ::: y"),
+                    key.cast("string"))
+    text = (
+        F.when(key % 10 == 3, german)
+        .when(key % 20 == 7, soup)
+        .when(key % 11 == 5, pii)
+        .otherwise(normal)
+    )
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+    )
+
+
+def _embeddings(spark, n, dim):
+    """Deterministic clustered embeddings: groups of 4 near-identical
+    vectors (the semantic-dup shape), (vec_id, embedding)."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    g = F.col("vec_id") / 4  # floor via integer division below
+    group = F.floor(g).cast("long")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (((group * 2654435761 + i * 97) % 2000) / 1000.0 - 1.0)
+            + ((F.col("vec_id") * 31 + i * 7) % 100) / 5000.0
+        ).cast("float"),
+    )
+    return base.select("vec_id", emb.alias("embedding"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=10_000_000)
+    ap.add_argument("--vectors", type=int, default=2_000_000)
+    ap.add_argument("--dim", type=int, default=32)
+    ap.add_argument("--planes", type=int, default=16)
+    ap.add_argument("--tables", type=int, default=8)
+    ap.add_argument("--append1", type=int, default=500_000)
+    ap.add_argument("--append2", type=int, default=50_000)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    load_start = os.getloadavg()
+    spark = get_spark(app_name="corpus_stress")
+    work = tempfile.mkdtemp(prefix="wdb_corpus_stress_")
+    stages: dict[str, float] = {}
+
+    def lap(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {name}: {stages[name]}s", file=sys.stderr, flush=True)
+        return out
+
+    try:
+        # ---- generation (timed separately; stages read the parquet)
+        lap("gen_docs", lambda: _docs(spark, args.docs)
+            .write.mode("overwrite").parquet(os.path.join(work, "docs")))
+        lap("gen_embeddings", lambda: _embeddings(
+            spark, args.vectors, args.dim)
+            .write.mode("overwrite").parquet(os.path.join(work, "emb")))
+        docs = spark.read.parquet(os.path.join(work, "docs"))
+        emb = spark.read.parquet(os.path.join(work, "emb"))
+
+        # ---- prepare_training_corpus: the five-stage lazy plan
+        from weatherdb_spark.functions.caching import cache_scope
+        from weatherdb_spark.llm.corpus import CorpusStore
+        from weatherdb_spark.llm.pipeline import prepare_training_corpus
+        from weatherdb_spark.llm.similarity import semantic_dedup
+
+        def _prepare():
+            with cache_scope():
+                prepare_training_corpus(
+                    docs, min_quality=0.5, lang="en", quota=args.docs,
+                    capacity=2048,
+                ).write.format("noop").mode("overwrite").save()
+
+        lap("prepare_training_corpus", _prepare)
+
+        # ---- semantic_dedup at scale-appropriate LSH parameters
+        def _semdedup():
+            with cache_scope():
+                semantic_dedup(
+                    emb, threshold=0.85, planes=args.planes,
+                    n_tables=args.tables, max_bucket_docs=64,
+                ).write.format("noop").mode("overwrite").save()
+
+        lap("semantic_dedup", _semdedup)
+
+        # ---- CorpusStore: big first append, small second append
+        store = CorpusStore(spark, os.path.join(work, "wh"),
+                            near_threshold=0.8, max_bucket_docs=32)
+        b1 = docs.filter(F.col("doc_id") < args.append1)
+        b2 = docs.filter(
+            (F.col("doc_id") >= args.append1)
+            & (F.col("doc_id") < args.append1 + args.append2)
+        )
+        r1 = lap("corpus_append_large", lambda: store.append(b1))
+        r2 = lap("corpus_append_small", lambda: store.append(b2))
+        print(f"  append1={r1} append2={r2}", file=sys.stderr, flush=True)
+
+        print(json.dumps({
+            "metric": "corpus_stress_wall",
+            "value": round(sum(stages.values()), 2),
+            "unit": "sec",
+            "docs": args.docs,
+            "vectors": args.vectors,
+            "dim": args.dim,
+            "planes": args.planes,
+            "n_tables": args.tables,
+            "append1": {"batch": args.append1, **r1},
+            "append2": {"batch": args.append2, **r2},
+            "stages": stages,
+            "load_1min_start": round(load_start[0], 2),
+            "load_5min_start": round(load_start[1], 2),
+            "load_1min_end": round(os.getloadavg()[0], 2),
+            "load_5min_end": round(os.getloadavg()[1], 2),
+        }))
+        sys.stdout.flush()
+    finally:
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,18 @@ def test_pack_tiles_sequences_exactly_and_ignores_bucketing(docs):
         assert s == (8 if sid < last else total - 8 * last)
 
 
+def test_pack_auto_sized_bucket_docs_is_value_identical(docs):
+    """bucket_docs=None auto-sizes to ~sqrt(max_id + 1) — a pure
+    compute strategy, so the rows are bit-identical to any explicit
+    value (the VERDICT r6 foot-gun: a 10^10-doc corpus at the fixed
+    default 1000 puts a 10^7-row bucket dim in one window task)."""
+    auto = sorted(map(tuple, pack_concat_chunk(
+        docs, capacity=8, bucket_docs=None).collect()))
+    explicit = sorted(map(tuple, pack_concat_chunk(
+        docs, capacity=8, bucket_docs=1000).collect()))
+    assert auto == explicit
+
+
 def test_pack_offsets_follow_doc_id_order(docs):
     out = {r.doc_id: r.tok_offset for r in
            pack_concat_chunk(docs, capacity=8).select(
@@ -695,6 +707,46 @@ def test_corpus_append_is_o_batch_with_hardlinked_epochs(spark, tmp_path):
     with _pytest.raises(ValueError, match="fresh"):
         b.write_partition_append(DOCS_TABLE, mk([(9, "x")]),
                                  "ingest_epoch", 2)
+
+
+def test_vacuum_compacts_per_epoch_and_keeps_the_layout(spark, tmp_path):
+    """Vacuum on an epoch-partitioned corpus compacts each epoch LEAF to
+    one file but keeps the epoch dirs — a flat rewrite would lose the
+    pruning key and force the next append back through the legacy
+    migration. Values, epochs, and the link-on-append contract survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    for lo in (0, 100, 200):
+        store.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("doc words "), F.col("id").cast("string"))
+                .alias("text"),
+            )
+        )
+    before = {r.doc_id: r.ingest_epoch
+              for r in store.read(with_epoch=True).collect()}
+    res = store.broker.vacuum(max_files_per_bucket=0)
+    assert DOCS_TABLE in res
+    root = store.broker.data_path(DOCS_TABLE)
+    leaves = sorted(e for e in os.listdir(root) if e.startswith("ingest_epoch="))
+    assert leaves == ["ingest_epoch=1", "ingest_epoch=2", "ingest_epoch=3"]
+    for leaf in leaves:
+        n = sum(f.endswith(".parquet")
+                for f in os.listdir(os.path.join(root, leaf)))
+        assert n == 1, f"{leaf} has {n} files after compaction"
+    assert {r.doc_id: r.ingest_epoch
+            for r in store.read(with_epoch=True).collect()} == before
+    # the compacted layout still link-appends (no re-migration)
+    assert store.broker._is_partitioned_by(DOCS_TABLE, "ingest_epoch")
+    store.append(spark.createDataFrame(
+        [(999, "a totally new final doc")], "doc_id long, text string"))
+    assert store.read().count() == 151
 
 
 def test_corpus_store_migrates_legacy_flat_layout_once(spark, tmp_path):

@@ -960,6 +960,7 @@ class Broker:
         compact: bool = False,
         add_markers=None,
         drop_markers=None,
+        partition_cols: "tuple[str, ...] | None" = None,
     ) -> None:
         """Write a new table snapshot and flip the manifest pointer.
 
@@ -972,7 +973,10 @@ class Broker:
         in-flight readers; older ones are reclaimed here, the previous
         one by :meth:`vacuum`. ``compact=True`` shuffles to one file per
         station bucket (or one file total for dim tables) — the vacuum
-        path."""
+        path. ``partition_cols`` writes a dim table with those leaf
+        dirs (``df`` must carry the columns) — how vacuum preserves an
+        epoch-partitioned table's layout (one file per leaf under
+        compact) instead of flattening it."""
         if bucket_by_station:
             df = self._with_fact_partition_cols(df)
             if compact:
@@ -990,6 +994,13 @@ class Broker:
             # an implementation detail.
             df = df.sortWithinPartitions(*self._FACT_PARTITION_COLS,
                                          "station_id", "timestamp")
+        elif partition_cols:
+            if compact:
+                # each partition value lands in one task -> one file per
+                # leaf dir; the leading sort satisfies the writer's
+                # partition-column ordering (no second SortExec)
+                df = df.repartition(*[F.col(c) for c in partition_cols])
+            df = df.sortWithinPartitions(*partition_cols)
         elif compact:
             df = df.coalesce(1)
         new = (self.table_version(table) or 0) + 1
@@ -997,6 +1008,8 @@ class Broker:
         w = df.write.mode("overwrite")  # overwrite clears crashed leftovers
         if bucket_by_station:
             w = w.partitionBy(*self._FACT_PARTITION_COLS)
+        elif partition_cols:
+            w = w.partitionBy(*partition_cols)
         w.parquet(target)
         self._flip_manifest(table, new, add_markers=add_markers,
                             drop_markers=drop_markers)
@@ -1073,16 +1086,22 @@ class Broker:
                     continue
                 n_before = self._n_parquet_files(table)
                 bucketed = table.startswith("ts_")
+                # partition-keyed dim tables (CorpusStore's epoch layout)
+                # compact per LEAF and keep their dirs — a flat rewrite
+                # would lose epoch pruning and re-trigger the layout
+                # migration on the next append; their fragmentation is a
+                # per-leaf property like the fact tables'
+                pcols = () if bucketed else self._dim_partition_cols(table)
                 fragmented = (
                     self._max_files_per_leaf(table) > max_files_per_bucket
-                    if bucketed else n_before > 4
+                    if (bucketed or pcols) else n_before > 4
                 )
                 if fragmented:
                     df = self.read(table)
                     if bucketed:
                         df = df.drop("station_bucket")
                     self.write(table, df, bucket_by_station=bucketed,
-                               compact=True)
+                               compact=True, partition_cols=pcols or None)
                     compacted[table] = (n_before, self._n_parquet_files(table))
                 v = self.table_version(table)
                 if v is not None:
@@ -2336,8 +2355,11 @@ class Broker:
                             f"{part_col} value"
                         )
                     self._link_tree(src, os.path.join(vdir, entry))
-            else:
-                # one-time layout migration of the legacy flat snapshot
+            elif self._n_parquet_files(table) > 0:
+                # one-time layout migration of the legacy flat snapshot.
+                # A zero-file snapshot (a vacuumed all-empty log: dynamic
+                # partitionBy of an empty frame writes no leaves) has
+                # nothing to migrate — and no schema to read.
                 legacy = self.spark.read.parquet(prev)
                 if part_col not in legacy.columns:
                     legacy = legacy.withColumn(part_col, F.lit(0))
@@ -2348,6 +2370,20 @@ class Broker:
         open(os.path.join(vdir, "_SUCCESS"), "a").close()
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
+
+    def _dim_partition_cols(self, table: str) -> "tuple[str, ...]":
+        """First-level partition columns of a dim table's current
+        snapshot, read from its leaf dir names (empty for flat dims and
+        fact tables — station_bucket is excluded)."""
+        root = self.data_path(table)
+        if not os.path.isdir(root):
+            return ()
+        names = {
+            e.split("=", 1)[0] for e in os.listdir(root)
+            if "=" in e and os.path.isdir(os.path.join(root, e))
+        }
+        names.discard("station_bucket")
+        return tuple(sorted(names))
 
     def _is_partitioned_by(self, table: str, part_col: str) -> bool:
         """Does the CURRENT snapshot carry ``part_col=...`` leaf dirs?"""

@@ -112,7 +112,7 @@ def pack_concat_chunk(
     capacity: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bucket_docs: int = PACK_BUCKET_DOCS,
+    bucket_docs: int | None = PACK_BUCKET_DOCS,
     tokens=None,
 ) -> DataFrame:
     """GPT-style packing: concatenate every document's tokens in
@@ -130,10 +130,19 @@ def pack_concat_chunk(
     both levels stay bounded when it is sized ~sqrt(corpus docs): the
     bucket-totals window then holds sqrt(N) rows and every within-
     bucket partition sqrt(N) rows, so even an N of 10^10 documents
-    keeps each side at ~10^5.
+    keeps each side at ~10^5. ``bucket_docs=None`` AUTO-SIZES to
+    ceil(sqrt(max_id + 1)) (one narrow max-aggregate job over the id
+    column — ids bound the bucket count since buckets are id ranges),
+    removing the foot-gun of packing a 10^10-doc corpus at the default
+    1000 (a 10^7-row bucket-totals window in one task). The explicit
+    default stays for plan-pinned callers.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    if bucket_docs is None:
+        max_id = df.agg(F.max(id_col)).first()[0]
+        bucket_docs = max(1, int((int(max_id) + 1) ** 0.5) + 1) \
+            if max_id is not None else PACK_BUCKET_DOCS
     id_type = dict(df.dtypes).get(id_col, "")
     if not (id_type in ("bigint", "int", "smallint", "tinyint")
             or id_type.startswith("decimal")):

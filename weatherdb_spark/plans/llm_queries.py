@@ -1304,9 +1304,11 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, _eval_reference(docs), n=13)
 
 
-@_register_extra(
-    "semantic_dedup",
-    oracle="""
+# shared CTE chain of the semantic-dedup family: deterministic LSH
+# planes -> buckets -> exact-verified pairs -> recursive-closure
+# components. semantic_dedup and semantic_dedup_keepby both build on it
+# (single source, like COORDS_SQL for the geometry family).
+_SEMDEDUP_CTES = """
     WITH RECURSIVE signs AS (
         SELECT g.p AS plane,
                list_transform(range(0, 64),
@@ -1351,6 +1353,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
     ),
     comp AS (SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY 1)
+"""
+
+
+@_register_extra(
+    "semantic_dedup",
+    oracle=_SEMDEDUP_CTES + """
     SELECT vec_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS group_size,
            vec_id = component_id AS is_kept
@@ -1371,6 +1379,43 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherdb_spark.llm.similarity import semantic_dedup
 
     return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_register_extra(
+    "semantic_dedup_keepby",
+    oracle=_SEMDEDUP_CTES + """
+    , qual AS (SELECT vec_id, (vec_id * 37) % 100 AS quality
+               FROM embeddings),
+    cq AS (SELECT c.vec_id, c.component_id, q.quality
+           FROM comp c JOIN qual q USING (vec_id)),
+    best AS (SELECT component_id, max(quality) AS bq FROM cq GROUP BY 1),
+    keeper AS (
+        SELECT cq.component_id, min(cq.vec_id) AS keeper_id
+        FROM cq JOIN best USING (component_id)
+        WHERE cq.quality = best.bq
+        GROUP BY 1
+    )
+    SELECT cq.vec_id, cq.component_id,
+           count(*) OVER (PARTITION BY cq.component_id) AS group_size,
+           cq.vec_id = k.keeper_id AS is_kept
+    FROM cq JOIN keeper k USING (component_id)
+    """,
+    doc="semantic_dedup with the quality-aware keeper (keep_by): the "
+        "kept representative is the group member with the highest "
+        "quality score (a deterministic id-derived score here), ties "
+        "by smallest id — SemDeDup curation keeps the BEST of each "
+        "semantic clump. Same component closure as semantic_dedup "
+        "(shared CTE block); only the keeper election differs. "
+        "EXTRA_STANDALONE.",
+)
+def semantic_dedup_keepby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "quality", (F.col("vec_id") * 37) % 100
+    )
+    return semantic_dedup(emb, threshold=0.4, keep_by="quality")
+
 
 
 @_register_extra(

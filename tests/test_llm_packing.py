@@ -792,6 +792,84 @@ def test_corpus_store_migrates_legacy_flat_layout_once(spark, tmp_path):
     assert store.read().count() == 4
 
 
+def test_corpus_side_tables_track_epochs_and_self_heal(spark, tmp_path):
+    """The persisted signature index (text md5 + MinHash band keys)
+    makes archive checks O(batch): its epoch leaves mirror the corpus's,
+    and a stale index — a crash between the corpus flip and the side
+    flips, or a lost side table — is healed by the next append's sync,
+    so duplicates of un-indexed documents are still caught."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.corpus import (
+        BANDS_TABLE,
+        DOCS_TABLE,
+        HASH_TABLE,
+        CorpusStore,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
+    store.append(spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely here now ok")],
+        "doc_id long, text string"))
+
+    b = store.broker
+    # index leaves mirror the corpus epoch; one hash row per doc, one
+    # band row per (doc, band)
+    assert store._epoch_values(HASH_TABLE) == {1}
+    assert store._epoch_values(BANDS_TABLE) == {1}
+    assert b.read(HASH_TABLE).count() == 2
+    assert b.read(BANDS_TABLE).count() == 16   # 2 docs x 8 bands
+    import hashlib
+    md5s = {r.doc_id: r.text_md5 for r in b.read(HASH_TABLE).collect()}
+    assert md5s[1] == hashlib.md5(base.encode()).hexdigest()
+
+    # crash window: the corpus gains an epoch the index never saw
+    # (exactly what a crash between the corpus flip and the side-table
+    # flips leaves behind)
+    ghost = "some entirely novel sentence that was never indexed at all"
+    b.write_partition_append(
+        DOCS_TABLE,
+        spark.createDataFrame([(50, ghost)], "doc_id long, text string"),
+        "ingest_epoch", 2,
+    )
+    assert store._epoch_values(DOCS_TABLE) == {1, 2}
+    assert store._epoch_values(HASH_TABLE) == {1}  # stale
+
+    # the next append self-heals the index AND catches dups of the
+    # un-indexed doc through it — near first (batch checks would
+    # otherwise collapse an exact+near pair within the batch)
+    out = store.append(spark.createDataFrame(
+        [(61, ghost + " extra"),            # near dup of the ghost
+         (62, "fresh content sharing nothing with anything else")],
+        "doc_id long, text string"))
+    assert out["admitted"] == 1
+    assert store._epoch_values(HASH_TABLE) == {1, 2, 3}
+    out_exact = store.append(spark.createDataFrame(
+        [(60, ghost)], "doc_id long, text string"))  # exact dup of ghost
+    assert out_exact["admitted"] == 0
+    reasons = {(r.doc_id, r.reason, r.blocked_by)
+               for r in store.rejections().collect()}
+    assert (60, "archive_exact", 50) in reasons
+    assert (61, "archive_near", 50) in reasons
+
+    # lost side table: full rebuild on the next append, dedup intact
+    shutil.rmtree(os.path.join(str(tmp_path / "wh"), BANDS_TABLE))
+    out2 = store.append(spark.createDataFrame(
+        [(70, base + " extra2")],           # near dup vs epoch-1 doc 1
+        "doc_id long, text string"))
+    assert out2 == {"admitted": 0, "rejected": 1, "version": 5}
+    # rebuilt index covers exactly the corpus content (empty epochs —
+    # zero-admission appends — legitimately have no index leaf)
+    assert store.broker.read(BANDS_TABLE).count() == 8 * store.read().count()
+    assert (70, "archive_near", 1) in {
+        (r.doc_id, r.reason, r.blocked_by)
+        for r in store.rejections().collect()}
+
+
 def test_corpus_append_null_text_is_replay_idempotent(spark, tmp_path):
     """md5(NULL) is NULL: a plain equi-join would let NULL-text docs
     bypass every dedup layer, re-admitting them on each foreachBatch

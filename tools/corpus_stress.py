@@ -20,12 +20,15 @@ timing is the operator, not the generator):
   candidate join quadratic — the stress runs planes=16 (65k buckets/
   table) with ``max_bucket_docs`` engaged, which is exactly how the
   operator's docstring says to deploy it at scale.
-- Two ``CorpusStore`` appends: a large first batch against an empty
-  archive, then a SMALL second batch against the now-large archive.
-  With the epoch-partitioned layout the second append's cost tracks
-  its batch (dedup joins O(batch x archive band keys), write =
-  one epoch leaf + hard links), not the archive size — the record
-  keeps both numbers so a regression back to O(corpus) is visible.
+- Three ``CorpusStore`` appends: a large first batch against an empty
+  archive, a SMALL second batch against the now-large archive, and a
+  TINY third. With the epoch-partitioned layout and the persisted
+  signature index an append's cost tracks its batch (band-key joins
+  against STORED keys, write = one epoch leaf + hard links), not the
+  archive size — the tiny append shows the fixed-overhead floor, and
+  a regression back to O(archive) per append (the shape the first
+  stress run caught: a 50k append costing a 500k one) is visible in
+  the spread of the three numbers.
 
 Data is deterministic (pure column arithmetic, no RNG): ~5% exact
 duplicate docs, ~10% German docs (language gate), ~5% punctuation soup
@@ -122,8 +125,9 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--planes", type=int, default=16)
     ap.add_argument("--tables", type=int, default=8)
-    ap.add_argument("--append1", type=int, default=500_000)
+    ap.add_argument("--append1", type=int, default=1_000_000)
     ap.add_argument("--append2", type=int, default=50_000)
+    ap.add_argument("--append3", type=int, default=5_000)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -177,14 +181,18 @@ def main() -> None:
         # ---- CorpusStore: big first append, small second append
         store = CorpusStore(spark, os.path.join(work, "wh"),
                             near_threshold=0.8, max_bucket_docs=32)
+        lo2 = args.append1
+        lo3 = args.append1 + args.append2
         b1 = docs.filter(F.col("doc_id") < args.append1)
-        b2 = docs.filter(
-            (F.col("doc_id") >= args.append1)
-            & (F.col("doc_id") < args.append1 + args.append2)
+        b2 = docs.filter((F.col("doc_id") >= lo2) & (F.col("doc_id") < lo3))
+        b3 = docs.filter(
+            (F.col("doc_id") >= lo3) & (F.col("doc_id") < lo3 + args.append3)
         )
         r1 = lap("corpus_append_large", lambda: store.append(b1))
         r2 = lap("corpus_append_small", lambda: store.append(b2))
-        print(f"  append1={r1} append2={r2}", file=sys.stderr, flush=True)
+        r3 = lap("corpus_append_tiny", lambda: store.append(b3))
+        print(f"  append1={r1} append2={r2} append3={r3}",
+              file=sys.stderr, flush=True)
 
         print(json.dumps({
             "metric": "corpus_stress_wall",
@@ -197,6 +205,7 @@ def main() -> None:
             "n_tables": args.tables,
             "append1": {"batch": args.append1, **r1},
             "append2": {"batch": args.append2, **r2},
+            "append3": {"batch": args.append3, **r3},
             "stages": stages,
             "load_1min_start": round(load_start[0], 2),
             "load_5min_start": round(load_start[1], 2),

@@ -15,18 +15,34 @@ and arriving documents are admitted only after
 
 Rejections are themselves recorded in a versioned ``rejections`` table
 with the reason and the blocking document — the "no silent drops" rule
-applied to corpus curation. BOTH costs are incremental: the N-th
-append's dedup joins never re-dedup the archive against itself, and
-the snapshot WRITE is O(batch) too — the corpus is partitioned by
-INGEST EPOCH (one ``ingest_epoch=N`` leaf per append, N = the snapshot
-number it landed in) and each append writes only its own epoch leaf
-while every earlier epoch hard-links byte-identically from the
-previous snapshot (``Broker.write_partition_append``, the dim-table
-twin of the fact tables' partial-year writes). The rejection log
-appends the same way, partitioned by ``corpus_version``. A corpus
-written by a pre-epoch engine migrates on its first append (one full
-rewrite into ``ingest_epoch=0``, never again). Time travel, the MVCC
-manifest flip, and the dedup/rejection semantics are unchanged.
+applied to corpus curation. EVERY append cost is incremental:
+
+- The snapshot WRITE is O(batch): the corpus is partitioned by INGEST
+  EPOCH (one ``ingest_epoch=N`` leaf per append, N = the snapshot
+  number it landed in) and each append writes only its own epoch leaf
+  while every earlier epoch hard-links byte-identically from the
+  previous snapshot (``Broker.write_partition_append``, the dim-table
+  twin of the fact tables' partial-year writes). The rejection log
+  appends the same way, partitioned by ``corpus_version``.
+- The archive-side dedup COMPUTE is O(batch) too: the archive's text
+  md5s and MinHash band keys are PERSISTED side tables
+  (``corpus_text_hashes`` / ``corpus_minhash_bands``, epoch-appended
+  alongside the corpus), so an append joins the batch's keys against
+  stored keys instead of re-shingling and re-signing the whole archive
+  per append — the 10M-doc stress (`tools/corpus_stress.py`) caught a
+  50k-doc append costing the same as a 500k-doc one before this. The
+  exact-Jaccard verify reads archive TEXT only for the band-collision
+  CANDIDATES (candidate-bounded, not archive-bounded).
+
+Side tables self-heal: each append first reconciles their epoch leaves
+against the corpus's (a directory diff — free on the happy path) and
+backfills any missing epoch from a partition-pruned read, so a crash
+between the corpus flip and the side-table flips converges instead of
+letting duplicates slip past a stale index. A corpus written by a
+pre-epoch engine migrates on its first append (one full rewrite into
+``ingest_epoch=0`` + one side-table build pass, never again). Time
+travel, the MVCC manifest flip, and the dedup/rejection semantics are
+unchanged.
 """
 
 from __future__ import annotations
@@ -41,6 +57,15 @@ if TYPE_CHECKING:
 
 DOCS_TABLE = "corpus_documents"
 REJ_TABLE = "corpus_rejections"
+HASH_TABLE = "corpus_text_hashes"
+BANDS_TABLE = "corpus_minhash_bands"
+
+#: MinHash parameters of the persisted band index — fixed per store
+#: (they define the stored keys; the within-batch check and the stored
+#: archive side must agree). Identical to the dedup-module defaults.
+NUM_PERM = 32
+N_BANDS = 8
+SHINGLE_N = 3
 
 
 class CorpusStore:
@@ -78,6 +103,99 @@ class CorpusStore:
     def versions(self) -> list[int]:
         return self.broker.table_versions(DOCS_TABLE)
 
+    # ---------------------------------------- persisted signature index
+    def _hash_frame(self, docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+        return docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+        )
+
+    def _bands_from_shingles(self, sh: DataFrame,
+                             id_col: str) -> DataFrame:
+        """(id, band, key) MinHash band keys from an (id, shingles)
+        frame — the exact pipeline ``minhash_lsh_pairs`` runs, via the
+        same helpers, so the stored index, the within-batch check, and
+        an ad-hoc archive pass cannot disagree. NULL/short texts have
+        no shingles and produce no band rows (they are the exact
+        layer's responsibility)."""
+        from weatherdb_spark.llm.dedup import (
+            _banded_keys,
+            _signatures_from_exploded,
+        )
+
+        exploded = (
+            sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))
+            .filter(F.col("_s").isNotNull())
+        )
+        sig = _signatures_from_exploded(exploded, NUM_PERM, id_col)
+        return _banded_keys(sig, N_BANDS, NUM_PERM // N_BANDS, id_col)
+
+    def _bands_frame(self, docs: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+        from weatherdb_spark.functions.partitioning import spread
+        from weatherdb_spark.llm.dedup import word_shingles
+
+        sh = word_shingles(spread(docs, id_col), text_col, SHINGLE_N) \
+            .select(F.col(id_col), "shingles")
+        return self._bands_from_shingles(sh, id_col)
+
+    def _epoch_values(self, table: str) -> "set[int] | None":
+        """Epoch leaf values of the table's current snapshot, or None
+        for a legacy/flat layout."""
+        import os
+
+        b = self.broker
+        if not b._is_partitioned_by(table, "ingest_epoch"):
+            return None
+        root = b.data_path(table)
+        return {
+            int(e.split("=", 1)[1]) for e in os.listdir(root)
+            if e.startswith("ingest_epoch=")
+            and os.path.isdir(os.path.join(root, e))
+        }
+
+    def _sync_side_tables(self, id_col: str, text_col: str) -> None:
+        """Reconcile the signature side tables with the corpus — a
+        directory diff on the happy path, a partition-pruned backfill
+        per missing epoch otherwise, a one-time full build for a legacy
+        corpus or a lost side table. Runs before every append's archive
+        checks, so a crash between the corpus flip and the side-table
+        flips self-heals instead of leaking duplicates past a stale
+        index."""
+        b = self.broker
+        if not b.exists(DOCS_TABLE):
+            return
+        docs_epochs = self._epoch_values(DOCS_TABLE)
+        builders = {
+            HASH_TABLE: self._hash_frame,
+            BANDS_TABLE: self._bands_frame,
+        }
+        for table, build in builders.items():
+            side_epochs = (
+                self._epoch_values(table) if b.exists(table) else None
+            )
+            if docs_epochs is None or side_epochs is None \
+                    or (side_epochs - docs_epochs):
+                # full (re)build — legacy flat corpus (its rows become
+                # epoch 0 on this append's write, matching the lit(0)
+                # here), missing side table, or stale ghost epochs
+                arch = self.read(with_epoch=True)
+                if "ingest_epoch" not in arch.columns:
+                    arch = arch.withColumn("ingest_epoch", F.lit(0))
+                frame = build(arch, id_col, text_col).join(
+                    arch.select(F.col(id_col), "ingest_epoch"), id_col
+                )
+                b.write(table, frame, partition_cols=("ingest_epoch",))
+                continue
+            for e in sorted(docs_epochs - side_epochs):
+                docs_e = self.read(with_epoch=True).filter(
+                    F.col("ingest_epoch") == e
+                ).drop("ingest_epoch")
+                b.write_partition_append(
+                    table, build(docs_e, id_col, text_col),
+                    "ingest_epoch", e,
+                )
+
     # ---------------------------------------------------------- append
     def append(self, new_docs: DataFrame,
                id_col: str = "doc_id", text_col: str = "text") -> dict:
@@ -89,17 +207,19 @@ class CorpusStore:
         corpus finish cleanly.
         """
         from weatherdb_spark.functions.caching import cache_scope, scoped_persist
+        from weatherdb_spark.functions.partitioning import spread
+        from weatherdb_spark.llm.bucketing import cap_bucket_residents
         from weatherdb_spark.llm.dedup import (
-            exact_contamination,
-            minhash_contamination,
-            minhash_lsh_pairs,
+            verified_pairs_from_banded,
+            word_shingles,
         )
 
         # cache_scope: the dedup operators scoped_persist their shingle
-        # intermediates (archive-sized on the contamination side); a
-        # long-lived session appending repeatedly must not accumulate
-        # dead blocks (the engine-wide cache-hygiene invariant)
+        # intermediates; a long-lived session appending repeatedly must
+        # not accumulate dead blocks (the engine-wide cache-hygiene
+        # invariant)
         with self.broker.activate(), cache_scope():
+            self._sync_side_tables(id_col, text_col)
             batch = new_docs
             rej = []
 
@@ -118,23 +238,48 @@ class CorpusStore:
                 rej.append(ids.withColumn("reason", F.lit(reason)))
                 return ids
 
-            # 1) within-batch exact collapse (smallest id survives);
-            # the batch self-contamination join yields each dup's keeper
+            # batch-side key frames, computed ONCE EACH: the md5 frame
+            # drives the within-batch AND archive exact checks, the
+            # shingle/band frames drive the within-batch AND archive
+            # near checks, and the admitted slices land in the side
+            # tables at the end — no document is shingled or hashed
+            # twice in one append
+            batch_hash = scoped_persist(
+                self._hash_frame(batch, id_col, text_col)
+            )
+
+            # 1) within-batch exact collapse (smallest id per md5 group
+            # survives; NULL md5s — NULL texts — group together, the
+            # eqNullSafe semantics replay idempotency depends on)
+            keeper = batch_hash.groupBy("text_md5").agg(
+                F.min(id_col).alias("blocked_by")
+            ).withColumnRenamed("text_md5", "_kh")
             dup = (
-                exact_contamination(batch, batch, id_col, text_col)
-                .filter(F.col("ref_id") != F.col(id_col))
-                .groupBy(id_col).agg(F.min("ref_id").alias("blocked_by"))
+                batch_hash
+                .join(keeper, F.col("text_md5").eqNullSafe(F.col("_kh")))
                 .filter(F.col("blocked_by") < F.col(id_col))
+                .select(id_col, "blocked_by")
             )
             dup = _reject(dup, "batch_exact")
             batch = batch.join(dup.select(id_col), id_col, "left_anti")
 
-            # 2) within-batch near-dup collapse (larger id of a pair)
+            # shingles + band keys of the exact-survivors (the smaller
+            # frame; every later consumer — near checks, side tables —
+            # works on subsets of it)
+            batch_sh = scoped_persist(
+                word_shingles(spread(batch, id_col), text_col, SHINGLE_N)
+                .select(F.col(id_col), "shingles")
+            )
+            batch_bands = scoped_persist(
+                self._bands_from_shingles(batch_sh, id_col)
+            )
+
+            # 2) within-batch near-dup collapse (larger id of a pair),
+            # from the SAME band/shingle frames
             near = (
-                minhash_lsh_pairs(
-                    batch, threshold=self.near_threshold,
-                    id_col=id_col, text_col=text_col,
-                    max_bucket_docs=self.max_bucket_docs,
+                verified_pairs_from_banded(
+                    batch_bands, batch_sh, self.near_threshold,
+                    id_col=id_col, max_bucket_docs=self.max_bucket_docs,
                 )
                 .groupBy(F.col("id_b").alias(id_col))
                 .agg(F.min("id_a").alias("blocked_by"))
@@ -143,21 +288,64 @@ class CorpusStore:
             batch = batch.join(near.select(id_col), id_col, "left_anti")
 
             if self.broker.exists(DOCS_TABLE):
-                archive = self.read()
-                # 3) exact vs archive
-                hit = exact_contamination(
-                    batch, archive, id_col, text_col
-                ).select(id_col, F.col("ref_id").alias("blocked_by"))
+                # 3) exact vs archive: batch md5 against the STORED hash
+                # index (pre-aggregated to one min-ref row per distinct
+                # hash; eqNullSafe so NULL-text docs dedup too — replay
+                # idempotency depends on it)
+                arch_h = self.broker.read(HASH_TABLE)
+                if "ingest_epoch" in arch_h.columns:
+                    arch_h = arch_h.drop("ingest_epoch")
+                rh = arch_h.groupBy("text_md5").agg(
+                    F.min(id_col).alias("ref_id")
+                ).withColumnRenamed("text_md5", "_rh")
+                hit = (
+                    batch_hash.join(batch.select(id_col), id_col)
+                    .join(rh, F.col("text_md5").eqNullSafe(F.col("_rh")))
+                    .select(id_col, F.col("ref_id").alias("blocked_by"))
+                )
                 hit = _reject(hit, "archive_exact")
                 batch = batch.join(hit.select(id_col), id_col, "left_anti")
-                # 4) near vs archive (asymmetric band join: archive side
-                # shuffles band keys once, batch side is the small probe)
+
+                # 4) near vs archive: batch band keys against the STORED
+                # band index (O(batch x archive band keys) join — the
+                # archive is never re-shingled); exact-Jaccard verify
+                # reads archive text only for the CANDIDATES
+                arch_b = self.broker.read(BANDS_TABLE)
+                if "ingest_epoch" in arch_b.columns:
+                    arch_b = arch_b.drop("ingest_epoch")
+                arch_b = cap_bucket_residents(
+                    arch_b.withColumnRenamed(id_col, "ref_id"),
+                    ["band", "key"], "ref_id", self.max_bucket_docs,
+                )
+                cand = (
+                    batch_bands.join(batch.select(id_col), id_col)
+                    .join(arch_b, ["band", "key"])
+                    .select(id_col, "ref_id")
+                    .distinct()
+                )
+                ref_docs = self.read().join(
+                    cand.select(F.col("ref_id").alias(id_col)).distinct(),
+                    id_col,
+                )
+                ref_sh = word_shingles(
+                    spread(ref_docs, id_col), text_col, SHINGLE_N
+                ).select(F.col(id_col).alias("ref_id"),
+                         F.col("shingles").alias("_sr"))
                 nearhit = (
-                    minhash_contamination(
-                        batch, archive, threshold=self.near_threshold,
-                        id_col=id_col, text_col=text_col,
-                        max_bucket_docs=self.max_bucket_docs,
+                    cand
+                    .join(batch_sh.select(
+                        F.col(id_col), F.col("shingles").alias("_sc")),
+                        id_col)
+                    .join(ref_sh, "ref_id")
+                    .withColumn(
+                        "jaccard",
+                        F.round(
+                            F.size(F.array_intersect("_sc", "_sr"))
+                            / F.size(F.array_union("_sc", "_sr")),
+                            6,
+                        ),
                     )
+                    .filter(F.col("jaccard") >= self.near_threshold)
                     .groupBy(id_col)
                     .agg(F.min("ref_id").alias("blocked_by"))
                 )
@@ -179,6 +367,19 @@ class CorpusStore:
             epoch = (self.broker.table_version(DOCS_TABLE) or 0) + 1
             self.broker.write_partition_append(
                 DOCS_TABLE, batch, "ingest_epoch", epoch
+            )
+            # the admitted slice's keys extend the signature index —
+            # same epoch, same O(batch) leaf-plus-links write. (A crash
+            # between the corpus flip above and these flips is healed
+            # by the next append's _sync_side_tables.)
+            adm_ids = batch.select(id_col)
+            self.broker.write_partition_append(
+                HASH_TABLE, batch_hash.join(adm_ids, id_col),
+                "ingest_epoch", epoch,
+            )
+            self.broker.write_partition_append(
+                BANDS_TABLE, batch_bands.join(adm_ids, id_col),
+                "ingest_epoch", epoch,
             )
 
             rejected = rej[0]

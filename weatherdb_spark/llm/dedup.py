@@ -277,7 +277,6 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     from weatherdb_spark.functions.caching import scoped_persist
-    from weatherdb_spark.llm.bucketing import cap_bucket_residents
 
     rows = num_perm // bands
     sh = scoped_persist(
@@ -290,6 +289,27 @@ def minhash_lsh_pairs(
     )
     sig = _signatures_from_exploded(exploded, num_perm, id_col)
     banded = _banded_keys(sig, bands, rows, id_col)
+    return verified_pairs_from_banded(
+        banded, sh, threshold, id_col, max_bucket_docs
+    )
+
+
+def verified_pairs_from_banded(
+    banded: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """The candidate-join + exact-Jaccard-verify tail of
+    :func:`minhash_lsh_pairs`, over PRECOMPUTED band keys
+    (``banded``: (id, band, key)) and shingle arrays (``sh``: (id,
+    shingles), ideally persisted). Split out so a caller that already
+    holds these frames — ``CorpusStore.append`` computes them once for
+    the archive index and its own within-batch check — never pays a
+    second shingle + signature pass over the same documents."""
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
+
     left = cap_bucket_residents(
         banded.select(F.col(id_col).alias("id_a"), "band", "key"),
         ["band", "key"], "id_a", max_bucket_docs,

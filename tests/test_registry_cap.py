@@ -53,6 +53,11 @@ EXTRA_STANDALONE = {
     "text_unigram_logprob",
     "decontaminate_ngram",
     "semantic_dedup",
+    # round-7 keep_by variant: same component closure as semantic_dedup
+    # (shared CTE chain in the oracle), keeper election differs — and
+    # its full mirrored oracle makes it standalone-grade, while its
+    # semantic sibling is itself EXTRA (no official slot to point at)
+    "semantic_dedup_keepby",
     "search_bm25_topk",
     "text_winnow_fingerprint",
     "prepare_training_corpus",

@@ -586,6 +586,65 @@ def test_data_fix_rung_honors_legacy_settings_record(spark, tmp_path):
         LAYOUT_MIGRATIONS.pop(4, None)
 
 
+def test_data_fix_legacy_record_covers_flat_tables(spark, tmp_path):
+    """A legacy-record table that is currently FLAT (manifest-less —
+    e.g. rolled back below the snapshots rung) cannot carry a sentinel
+    yet: the record must stay authoritative for it (no re-apply of the
+    non-idempotent fix), convert once the table is versioned, and a
+    DROPPED record entry must leave the record (re-created data starts
+    un-fixed — the sentinel-era contract)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import (
+        LAYOUT_MIGRATIONS,
+        DataFixMigration,
+        register_layout_migration,
+    )
+
+    fix = lambda df: df.withColumn("raw", F.col("raw") * 2)
+    unfix = lambda df: df.withColumn("raw", F.col("raw") / 2)
+    register_layout_migration(DataFixMigration(
+        4, "flat-legacy exemplar", {"ts_p": (fix, unfix)},
+    ))
+    try:
+        b = Broker(spark, str(tmp_path / "wh"))
+        # a FLAT ts_p whose values the old engine already fixed, plus a
+        # record also naming a since-dropped table
+        _fact(spark, 10, 2.0).write.parquet(b.path("ts_p"))  # 1.0 fixed
+        b.set_setting("datafix_4", _json.dumps(["ts_p", "ts_gone"]))
+
+        def mx():
+            return b.read("ts_p").agg(F.max("raw")).first()[0]
+
+        rung = LAYOUT_MIGRATIONS[4]
+        # the record is authoritative for the flat table: not incomplete,
+        # and a walk must NOT double-apply
+        assert not rung.incomplete(b)
+        rung.upgrade(b)
+        assert mx() == 2.0, "flat-but-fixed table was double-applied"
+        # still flat -> record retained, but the dropped table left it
+        assert _json.loads(b.get_setting("datafix_4")) == ["ts_p"]
+
+        # an ordinary write versions the table; the next state query
+        # converts the record into a real sentinel and drops the key
+        b.write("ts_p", b.read("ts_p"), bucket_by_station=True)
+        assert not rung.incomplete(b)
+        assert b.get_setting("datafix_4") is None
+        v = b.table_version("ts_p")
+        assert os.path.exists(os.path.join(
+            b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
+        rung.upgrade(b)
+        assert mx() == 2.0
+
+        # symmetric unwind still works post-conversion
+        rung.downgrade(b)
+        assert mx() == 1.0
+    finally:
+        LAYOUT_MIGRATIONS.pop(4, None)
+
+
 def test_downgrade_unwinds_partially_applied_rung_above_stamp(spark, tmp_path):
     """Crash window mirror of the upgrade re-entry: an upgrade of rung 4
     that dies AFTER fixing ts_p but BEFORE stamping layout=4 leaves

@@ -323,6 +323,10 @@ def test_pack_rejects_non_numeric_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         pack_concat_chunk(df, capacity=4)
+    # the auto-size path must hit the same curated error, not a raw
+    # int() ValueError after a wasted max-aggregate job
+    with pytest.raises(TypeError, match="integral"):
+        pack_concat_chunk(df, capacity=4, bucket_docs=None)
 
 
 @settings(max_examples=8, deadline=None,

@@ -246,6 +246,20 @@ class DataFixMigration(LayoutMigration):
     def marker(self) -> str:
         return f"_DATAFIX_{self.version}"
 
+    @property
+    def _setting_key(self) -> str:
+        return f"datafix_{self.version}"
+
+    def _legacy_done(self, broker: "Broker") -> set:
+        raw = broker.get_setting(self._setting_key)
+        return set(json.loads(raw)) if raw is not None else set()
+
+    def _set_legacy_done(self, broker: "Broker", done: set) -> None:
+        if done:
+            broker.set_setting(self._setting_key, json.dumps(sorted(done)))
+        else:
+            broker.drop_setting(self._setting_key)
+
     def _convert_legacy(self, broker: "Broker") -> None:
         """One-time upgrade of the PRIOR bookkeeping format: early
         engines recorded per-table completion as a ``datafix_<version>``
@@ -255,28 +269,36 @@ class DataFixMigration(LayoutMigration):
         un-applied and the next walk would RE-APPLY the non-idempotent
         fix (double-apply corruption). Honor the legacy record by
         stamping sentinels into the current snapshot of each listed
-        table, then drop the stale key. Runs before every state query /
-        walk; a no-op once the key is gone."""
-        raw = broker.get_setting(f"datafix_{self.version}")
+        table; a table whose current layout CANNOT carry a sentinel
+        (flat, manifest-less) stays in the record — which
+        :meth:`_is_done` honors as authoritative for flat tables — and
+        converts when a versioned snapshot exists. Dropped tables leave
+        the record (re-created data starts un-fixed, the sentinel-era
+        contract). Runs before every state query / walk; a no-op once
+        the key is gone."""
+        raw = broker.get_setting(self._setting_key)
         if raw is None:
             return
+        remaining = set()
         for table in json.loads(raw):
+            if not broker.exists(table):
+                continue
             v = broker.table_version(table)
             if v is None:
-                # flat/legacy layout or dropped table: nothing to stamp —
-                # a sentinel lives inside a snapshot dir. A dropped and
-                # re-created table is deliberately re-fixed (it starts
-                # sentinel-less), matching the sentinel-era contract.
+                remaining.add(table)
                 continue
             vdir = os.path.join(broker.path(table), broker._version_dirname(v))
             if os.path.isdir(vdir):
                 open(os.path.join(vdir, self.marker), "a").close()
-        broker.drop_setting(f"datafix_{self.version}")
+        self._set_legacy_done(broker, remaining)
 
     def _is_done(self, broker: "Broker", table: str) -> bool:
         v = broker.table_version(table)
         if v is None:
-            return False
+            # a flat layout has no snapshot dir to carry a sentinel;
+            # a still-present legacy record is authoritative for it
+            # (without this, a flat-but-fixed table would re-apply)
+            return table in self._legacy_done(broker)
         return os.path.exists(os.path.join(
             broker.path(table), broker._version_dirname(v), self.marker
         ))
@@ -317,6 +339,15 @@ class DataFixMigration(LayoutMigration):
                 add_markers=[self.marker] if up else None,
                 drop_markers=None if up else [self.marker],
             )
+            if not up:
+                # unfixing a table the legacy record still lists (it was
+                # flat and unstampable) must scrub the record entry, or
+                # the next conversion would re-mark the now-unfixed data
+                # as done
+                done = self._legacy_done(broker)
+                if table in done:
+                    done.discard(table)
+                    self._set_legacy_done(broker, done)
 
     def _upgrade(self, broker: "Broker") -> None:
         self._walk(broker, up=True)
@@ -2337,9 +2368,19 @@ class Broker:
         had = self.exists(table)
         new = (cur_v or 0) + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
+        leaf = f"{part_col}={part_value}"
+        # fail BEFORE the batch write job: shadowing an existing leaf's
+        # hard-link is the documented misuse, and prev + leaf are both
+        # known upfront
+        if had and os.path.isdir(
+            os.path.join(self.data_path(table, cur_v), leaf)
+        ):
+            raise ValueError(
+                f"partition {leaf} already exists in {table} snapshot "
+                f"{cur_v}; appends need a fresh {part_col} value"
+            )
         if os.path.isdir(vdir):  # crashed earlier attempt: start clean
             shutil.rmtree(vdir)
-        leaf = f"{part_col}={part_value}"
         df.write.mode("overwrite").parquet(os.path.join(vdir, leaf))
         if had:
             prev = self.data_path(table, cur_v)
@@ -2348,12 +2389,6 @@ class Broker:
                     src = os.path.join(prev, entry)
                     if not entry.startswith(f"{part_col}=") or not os.path.isdir(src):
                         continue
-                    if entry == leaf:
-                        raise ValueError(
-                            f"partition {leaf} already exists in {table} "
-                            f"snapshot {cur_v}; appends need a fresh "
-                            f"{part_col} value"
-                        )
                     self._link_tree(src, os.path.join(vdir, entry))
             elif self._n_parquet_files(table) > 0:
                 # one-time layout migration of the legacy flat snapshot.

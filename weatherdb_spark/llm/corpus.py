@@ -289,17 +289,29 @@ class CorpusStore:
 
             if self.broker.exists(DOCS_TABLE):
                 # 3) exact vs archive: batch md5 against the STORED hash
-                # index (pre-aggregated to one min-ref row per distinct
-                # hash; eqNullSafe so NULL-text docs dedup too — replay
-                # idempotency depends on it)
+                # index. The index is SEMI-JOINED to the batch's distinct
+                # md5 set BEFORE the min-ref aggregate, so the shuffle is
+                # bounded by matching hashes, never the whole index (AQE
+                # broadcasts the batch-sized key set at the usual append
+                # cadence; a giant batch degrades to a proportionate
+                # shuffle). eqNullSafe so NULL-text docs dedup too —
+                # replay idempotency depends on it.
                 arch_h = self.broker.read(HASH_TABLE)
                 if "ingest_epoch" in arch_h.columns:
                     arch_h = arch_h.drop("ingest_epoch")
-                rh = arch_h.groupBy("text_md5").agg(
-                    F.min(id_col).alias("ref_id")
-                ).withColumnRenamed("text_md5", "_rh")
+                cur_hash = batch_hash.join(batch.select(id_col), id_col)
+                bkeys = cur_hash.select(
+                    F.col("text_md5").alias("_bk")).distinct()
+                rh = (
+                    arch_h.join(
+                        bkeys, F.col("text_md5").eqNullSafe(F.col("_bk")),
+                        "left_semi",
+                    )
+                    .groupBy("text_md5").agg(F.min(id_col).alias("ref_id"))
+                    .withColumnRenamed("text_md5", "_rh")
+                )
                 hit = (
-                    batch_hash.join(batch.select(id_col), id_col)
+                    cur_hash
                     .join(rh, F.col("text_md5").eqNullSafe(F.col("_rh")))
                     .select(id_col, F.col("ref_id").alias("blocked_by"))
                 )
@@ -307,18 +319,27 @@ class CorpusStore:
                 batch = batch.join(hit.select(id_col), id_col, "left_anti")
 
                 # 4) near vs archive: batch band keys against the STORED
-                # band index (O(batch x archive band keys) join — the
-                # archive is never re-shingled); exact-Jaccard verify
-                # reads archive text only for the CANDIDATES
+                # band index (the archive is never re-shingled). Whole
+                # non-matching buckets are semi-joined away BEFORE the
+                # resident-cap window — dropping entire buckets leaves
+                # per-bucket ranks unchanged, so the cap semantics are
+                # identical while its shuffle+sort is bounded by the
+                # batch's buckets, not the index. Exact-Jaccard verify
+                # reads archive text only for the CANDIDATES.
                 arch_b = self.broker.read(BANDS_TABLE)
                 if "ingest_epoch" in arch_b.columns:
                     arch_b = arch_b.drop("ingest_epoch")
+                cur_bands = batch_bands.join(batch.select(id_col), id_col)
+                arch_b = arch_b.join(
+                    cur_bands.select("band", "key").distinct(),
+                    ["band", "key"], "left_semi",
+                )
                 arch_b = cap_bucket_residents(
                     arch_b.withColumnRenamed(id_col, "ref_id"),
                     ["band", "key"], "ref_id", self.max_bucket_docs,
                 )
                 cand = (
-                    batch_bands.join(batch.select(id_col), id_col)
+                    cur_bands
                     .join(arch_b, ["band", "key"])
                     .select(id_col, "ref_id")
                     .distinct()

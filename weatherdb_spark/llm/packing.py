@@ -139,10 +139,6 @@ def pack_concat_chunk(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    if bucket_docs is None:
-        max_id = df.agg(F.max(id_col)).first()[0]
-        bucket_docs = max(1, int((int(max_id) + 1) ** 0.5) + 1) \
-            if max_id is not None else PACK_BUCKET_DOCS
     id_type = dict(df.dtypes).get(id_col, "")
     if not (id_type in ("bigint", "int", "smallint", "tinyint")
             or id_type.startswith("decimal")):
@@ -155,6 +151,12 @@ def pack_concat_chunk(
             f"bucket the stream, got {id_type or 'missing column'}; map "
             "string ids to a dense rank first"
         )
+    if bucket_docs is None:
+        # after the type check: a string id must hit the curated
+        # TypeError above, not a raw int() failure after a wasted job
+        max_id = df.agg(F.max(id_col)).first()[0]
+        bucket_docs = max(1, int((int(max_id) + 1) ** 0.5) + 1) \
+            if max_id is not None else PACK_BUCKET_DOCS
     base = df.select(
         F.col(id_col),
         F.size(_tokens(text_col, tokens)).alias("n_tokens"),

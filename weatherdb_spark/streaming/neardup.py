@@ -656,6 +656,15 @@ def stream_ngram_decontaminate(
         .distinct()
     )
     if est_ref_ngrams is None:
+        # persist like the batch twin: the count's pass over the
+        # reference populates the cache the stream-static join reuses
+        # every micro-batch (without it the explode+distinct re-runs
+        # for the gate AND per batch). scoped_persist degrades to a
+        # plain persist outside a cache_scope — right for a long-lived
+        # stream whose static side IS meant to stay resident.
+        from weatherdb_spark.functions.caching import scoped_persist
+
+        ref_sh = scoped_persist(ref_sh)
         est_ref_ngrams = ref_sh.count()
     if est_ref_ngrams <= NGRAM_REF_BROADCAST_MAX:
         ref_sh = F.broadcast(ref_sh)

@@ -713,6 +713,64 @@ def test_corpus_append_is_o_batch_with_hardlinked_epochs(spark, tmp_path):
                                  "ingest_epoch", 2)
 
 
+def test_compact_epochs_folds_old_leaves_and_keeps_semantics(spark, tmp_path):
+    """compact_epochs bounds leaf-count growth: after thousands of
+    appends the folded tail becomes ONE leaf per table (docs + both
+    signature side tables, same epoch set — the sync invariant holds),
+    the kept recent epochs hard-link untouched, content and archive
+    dedup are unchanged, and appending continues normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.corpus import (
+        BANDS_TABLE,
+        DOCS_TABLE,
+        HASH_TABLE,
+        CorpusStore,
+    )
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    for lo in (0, 100, 200, 300, 400):
+        store.append(spark.range(lo, lo + 20).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique doc words "), F.col("id").cast("string"))
+            .alias("text")))
+    assert store._epoch_values(DOCS_TABLE) == {1, 2, 3, 4, 5}
+    kept_leaf = os.path.join(store.broker.data_path(DOCS_TABLE),
+                             "ingest_epoch=5")
+    kept_ino = {f: os.stat(os.path.join(kept_leaf, f)).st_ino
+                for f in os.listdir(kept_leaf) if f.endswith(".parquet")}
+
+    out = store.compact_epochs(keep_last=2)
+    assert out == {"folded": 3, "into_epoch": 3}
+    for t in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE):
+        assert store._epoch_values(t) == {3, 4, 5}, t
+    # content identical; kept epochs hard-linked, not rewritten
+    assert store.read().count() == 100
+    assert {r.ingest_epoch for r in store.read(with_epoch=True)
+            .filter(F.col("doc_id") < 60).collect()} == {3}
+    new_kept = os.path.join(store.broker.data_path(DOCS_TABLE),
+                            "ingest_epoch=5")
+    for f, ino in kept_ino.items():
+        assert os.stat(os.path.join(new_kept, f)).st_ino == ino
+
+    # archive dedup still sees the folded docs (index folded alongside)
+    out2 = store.append(spark.createDataFrame(
+        [(900, "unique doc words 0"),         # exact dup of folded doc 0
+         (901, "entirely new final words")],
+        "doc_id long, text string"))
+    assert out2["admitted"] == 1
+    assert (900, "archive_exact", 0) in {
+        (r.doc_id, r.reason, r.blocked_by)
+        for r in store.rejections().collect()}
+    # nothing-to-do path
+    fresh = CorpusStore(spark, str(tmp_path / "wh2"))
+    fresh.append(spark.createDataFrame([(1, "only words")],
+                                       "doc_id long, text string"))
+    assert fresh.compact_epochs()["folded"] == 0
+
+
 def test_vacuum_compacts_per_epoch_and_keeps_the_layout(spark, tmp_path):
     """Vacuum on an epoch-partitioned corpus compacts each epoch LEAF to
     one file but keeps the epoch dirs — a flat rewrite would lose the

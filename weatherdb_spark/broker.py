@@ -2337,7 +2337,8 @@ class Broker:
         self._cleanup_versions(table, new)
 
     def write_partition_append(
-        self, table: str, df: DataFrame, part_col: str, part_value: int
+        self, table: str, df: DataFrame, part_col: str, part_value: int,
+        replace_values=None,
     ) -> None:
         """APPEND-shaped snapshot write for a partition-keyed append-only
         table (CorpusStore's epoch-partitioned corpus + rejection log):
@@ -2356,7 +2357,14 @@ class Broker:
         own values) — one full data pass, never again. ``part_value``
         must be new (monotone per append — e.g. the new snapshot
         number); writing an existing partition's value would shadow its
-        hard-link, so it raises."""
+        hard-link, so it raises.
+
+        ``replace_values`` is the CONSOLIDATION mode (CorpusStore's
+        epoch compaction): the named existing leaf values are NOT
+        linked — ``df`` replaces their contents as the single
+        ``part_value`` leaf (which may itself be one of them); every
+        other leaf still hard-links. Cost is O(df), so folding the N
+        oldest epochs costs those epochs' data, never the table's."""
         import shutil
 
         if part_col in df.columns:
@@ -2364,6 +2372,7 @@ class Broker:
                 f"{part_col!r} must not be a column of the appended batch "
                 "(the partition directory encodes it); drop it first"
             )
+        replace = {f"{part_col}={v}" for v in (replace_values or ())}
         cur_v = self.table_version(table)
         had = self.exists(table)
         new = (cur_v or 0) + 1
@@ -2372,7 +2381,7 @@ class Broker:
         # fail BEFORE the batch write job: shadowing an existing leaf's
         # hard-link is the documented misuse, and prev + leaf are both
         # known upfront
-        if had and os.path.isdir(
+        if had and leaf not in replace and os.path.isdir(
             os.path.join(self.data_path(table, cur_v), leaf)
         ):
             raise ValueError(
@@ -2389,6 +2398,8 @@ class Broker:
                     src = os.path.join(prev, entry)
                     if not entry.startswith(f"{part_col}=") or not os.path.isdir(src):
                         continue
+                    if entry in replace or entry == leaf:
+                        continue  # consolidated into the new leaf
                     self._link_tree(src, os.path.join(vdir, entry))
             elif self._n_parquet_files(table) > 0:
                 # one-time layout migration of the legacy flat snapshot.

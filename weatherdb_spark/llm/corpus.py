@@ -196,6 +196,52 @@ class CorpusStore:
                     "ingest_epoch", e,
                 )
 
+    # ----------------------------------------------------- maintenance
+    def compact_epochs(self, keep_last: int = 8) -> dict:
+        """Fold all but the newest ``keep_last`` epoch leaves of the
+        corpus AND its signature side tables into ONE consolidated leaf
+        per table (valued at the newest folded epoch, so epoch order
+        stays monotone and future appends — keyed by snapshot numbers
+        above the current version — can never collide with it).
+
+        Why: every append adds one leaf per table; after thousands of
+        appends the directory listing / partition-discovery cost grows
+        with append COUNT, not data size. Folding is the maintenance
+        counter-move (call it at vacuum cadence): cost is O(folded
+        epochs' data) — the untouched recent epochs hard-link
+        byte-identically — and content, dedup semantics, and the side-
+        table sync invariant are unchanged (all three tables fold the
+        same epoch set). The rejection log deliberately keeps its
+        per-append ``corpus_version`` leaves: they ARE the audit
+        trail's key, and :meth:`~weatherdb_spark.broker.Broker.vacuum`
+        already compacts its files per leaf.
+
+        Returns ``{"folded": n_epochs, "into_epoch": e}`` (``folded``
+        0 when there was nothing to do)."""
+        if keep_last < 0:
+            raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+        with self.broker.activate():
+            epochs = sorted(self._epoch_values(DOCS_TABLE) or ())
+            fold = epochs[:len(epochs) - keep_last] if keep_last \
+                else list(epochs)
+            if len(fold) < 2:
+                return {"folded": 0, "into_epoch": None}
+            target = fold[-1]
+            for table in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE):
+                if not (self.broker.exists(table)
+                        and self.broker._is_partitioned_by(table,
+                                                           "ingest_epoch")):
+                    continue
+                df = self.broker.read(table)
+                part = df.filter(
+                    F.col("ingest_epoch").isin(fold)  # partition-pruned
+                ).drop("ingest_epoch")
+                self.broker.write_partition_append(
+                    table, part, "ingest_epoch", target,
+                    replace_values=fold,
+                )
+            return {"folded": len(fold), "into_epoch": target}
+
     # ---------------------------------------------------------- append
     def append(self, new_docs: DataFrame,
                id_col: str = "doc_id", text_col: str = "text") -> dict:

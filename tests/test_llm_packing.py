@@ -932,6 +932,52 @@ def test_corpus_side_tables_track_epochs_and_self_heal(spark, tmp_path):
         for r in store.rejections().collect()}
 
 
+def test_corpus_append_rejects_schema_drift(spark, tmp_path):
+    """The epoch-leaf write would silently accept a batch whose columns
+    diverge from the archive (the pre-epoch unionByName write threw) —
+    a mixed-schema table breaks reads long after the offending append,
+    so the mismatch must fail loudly upfront."""
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    store.append(spark.createDataFrame(
+        [(1, "first words here")], "doc_id long, text string"))
+    drifted = spark.createDataFrame(
+        [(2, "second words", "s1")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(drifted)
+    narrowed = spark.createDataFrame([(3,)], "doc_id long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(narrowed)
+    assert store.read().count() == 1  # nothing leaked into the corpus
+
+
+def test_prepare_training_corpus_custom_tokenizer_packs_its_counts(spark):
+    """The tokenizer seam flows through the flagship composition: with
+    an Arrow tokenizer, packing tiles the model's token counts, not
+    whitespace words; the gates keep their heuristic convention."""
+    import re
+
+    from weatherdb_spark.llm.pipeline import prepare_training_corpus
+    from weatherdb_spark.llm.text import arrow_regex_tokens
+
+    good = ("the fast table, row scan is a good line of data and it "
+            "works in the end for all of us here")
+    docs = spark.createDataFrame(
+        [(1, good, "s1"), (2, good + " more of the same kind", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = prepare_training_corpus(
+        docs, min_quality=0.5, lang="en", quota=10, capacity=16,
+        tokens=arrow_regex_tokens(),
+    )
+    rx = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    per_doc = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(
+        F.sum("seg_len").alias("s")).collect()}
+    assert per_doc[1] == len(rx.findall(good))        # 1 extra: the comma
+    assert per_doc[1] == len(good.split(" ")) + 1
+
+
 def test_corpus_append_null_text_is_replay_idempotent(spark, tmp_path):
     """md5(NULL) is NULL: a plain equi-join would let NULL-text docs
     bypass every dedup layer, re-admitting them on each foreachBatch

@@ -266,6 +266,20 @@ class CorpusStore:
         # invariant)
         with self.broker.activate(), cache_scope():
             self._sync_side_tables(id_col, text_col)
+            if self.broker.exists(DOCS_TABLE):
+                # the epoch-leaf write would silently accept a batch
+                # whose columns diverge from the archive's (the pre-epoch
+                # unionByName write threw) — a mixed-schema table breaks
+                # reads long after the append that caused it, so enforce
+                # the same contract upfront
+                archive_cols = set(self.read().columns)
+                batch_cols = set(new_docs.columns)
+                if archive_cols != batch_cols:
+                    raise ValueError(
+                        "append schema mismatch vs the archived corpus: "
+                        f"batch-only {sorted(batch_cols - archive_cols)}, "
+                        f"archive-only {sorted(archive_cols - batch_cols)}"
+                    )
             batch = new_docs
             rej = []
 

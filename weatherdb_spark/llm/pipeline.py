@@ -32,6 +32,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    tokens=None,
 ) -> DataFrame:
     """Filter -> scrub -> dedup -> quota -> pack, one lazy plan.
 
@@ -45,6 +46,12 @@ def prepare_training_corpus(
     together; the quota ranks AFTER dedup so duplicate copies cannot
     occupy a source's budget; packing runs last over exactly the
     surviving stream.
+
+    ``tokens`` swaps the PACKING tokenizer (the ``llm.text.tokens_expr``
+    callable shape, e.g. ``arrow_regex_tokens``) — sequence boundaries
+    then follow the model's real token counts; the heuristic quality /
+    language gates keep the whitespace convention (they are statistical
+    filters, not length accounting).
     """
     from weatherdb_spark.functions.caching import scoped_persist
     from weatherdb_spark.llm.dedup import exact_dedup
@@ -75,7 +82,8 @@ def prepare_training_corpus(
         deduped, quota, source_col, salt, id_col
     ).select(id_col)
     final = scoped_persist(deduped.join(final_ids, id_col))
-    packed = pack_concat_chunk(final, capacity, id_col, text_col)
+    packed = pack_concat_chunk(final, capacity, id_col, text_col,
+                               tokens=tokens)
     return packed.join(final.select(id_col, source_col), id_col).select(
         id_col, source_col, "n_tokens", "tok_offset", "seq_id",
         "seg_start", "seg_len",

@@ -589,10 +589,11 @@ def test_data_fix_rung_honors_legacy_settings_record(spark, tmp_path):
 def test_data_fix_legacy_record_covers_flat_tables(spark, tmp_path):
     """A legacy-record table that is currently FLAT (manifest-less —
     e.g. rolled back below the snapshots rung) cannot carry a sentinel
-    yet: the record must stay authoritative for it (no re-apply of the
-    non-idempotent fix), convert once the table is versioned, and a
-    DROPPED record entry must leave the record (re-created data starts
-    un-fixed — the sentinel-era contract)."""
+    in place: the first conversion must VERSION it with a content-
+    identical write whose atomic flip carries the sentinel — one step,
+    no window where a stale record can mark later data done — never
+    re-apply the non-idempotent fix, and drop a record entry whose
+    table is gone (re-created data starts un-fixed)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -619,26 +620,25 @@ def test_data_fix_legacy_record_covers_flat_tables(spark, tmp_path):
             return b.read("ts_p").agg(F.max("raw")).first()[0]
 
         rung = LAYOUT_MIGRATIONS[4]
-        # the record is authoritative for the flat table: not incomplete,
-        # and a walk must NOT double-apply
-        assert not rung.incomplete(b)
-        rung.upgrade(b)
-        assert mx() == 2.0, "flat-but-fixed table was double-applied"
-        # still flat -> record retained, but the dropped table left it
-        assert _json.loads(b.get_setting("datafix_4")) == ["ts_p"]
-
-        # an ordinary write versions the table; the next state query
-        # converts the record into a real sentinel and drops the key
-        b.write("ts_p", b.read("ts_p"), bucket_by_station=True)
+        # the first state query converts: the flat table is versioned
+        # content-identically WITH the sentinel, the key is gone
         assert not rung.incomplete(b)
         assert b.get_setting("datafix_4") is None
         v = b.table_version("ts_p")
-        assert os.path.exists(os.path.join(
+        assert v is not None and os.path.exists(os.path.join(
             b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
-        rung.upgrade(b)
-        assert mx() == 2.0
+        assert mx() == 2.0, "conversion changed table contents"
 
-        # symmetric unwind still works post-conversion
+        rung.upgrade(b)
+        assert mx() == 2.0, "flat-but-fixed table was double-applied"
+
+        # symmetric unwind rides the proven sentinel machinery
+        rung.downgrade(b)
+        assert mx() == 1.0
+        v = b.table_version("ts_p")
+        assert not os.path.exists(os.path.join(
+            b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
+        # and a re-entered downgrade does not double-unfix
         rung.downgrade(b)
         assert mx() == 1.0
     finally:

@@ -771,6 +771,42 @@ def test_compact_epochs_folds_old_leaves_and_keeps_semantics(spark, tmp_path):
     assert fresh.compact_epochs()["folded"] == 0
 
 
+def test_compact_epochs_stops_at_unindexed_crash_gap(spark, tmp_path):
+    """Folding must never rename away an epoch the signature index has
+    not seen (a crash between the corpus flip and the side-table
+    flips): if it did, the epoch sets would match and the sync diff
+    could never backfill the missing signatures — silent dedup misses
+    forever. compact_epochs stops at the gap; the next append heals it
+    via sync, after which it folds normally."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, HASH_TABLE, CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    for lo in (0, 100):
+        store.append(spark.range(lo, lo + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("words "), F.col("id").cast("string")).alias("text")))
+    ghost = "an epoch the index never saw"
+    store.broker.write_partition_append(   # the crash-window state
+        DOCS_TABLE,
+        spark.createDataFrame([(500, ghost)], "doc_id long, text string"),
+        "ingest_epoch", 3,
+    )
+    # fold-everything must stop BEFORE the un-indexed epoch 3
+    out = store.compact_epochs(keep_last=0)
+    assert out == {"folded": 2, "into_epoch": 2}
+    assert store._epoch_values(DOCS_TABLE) == {2, 3}
+    assert store._epoch_values(HASH_TABLE) == {2}   # gap still visible
+    # the next append self-heals epoch 3 and the dup is caught
+    res = store.append(spark.createDataFrame(
+        [(600, ghost)], "doc_id long, text string"))
+    assert res["admitted"] == 0
+    # healed: now the whole tail folds
+    assert store.compact_epochs(keep_last=0)["folded"] >= 2
+    assert store.read().count() == 21
+
+
 def test_vacuum_compacts_per_epoch_and_keeps_the_layout(spark, tmp_path):
     """Vacuum on an epoch-partitioned corpus compacts each epoch LEAF to
     one file but keeps the epoch dirs — a flat rewrite would lose the

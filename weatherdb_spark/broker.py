@@ -250,16 +250,6 @@ class DataFixMigration(LayoutMigration):
     def _setting_key(self) -> str:
         return f"datafix_{self.version}"
 
-    def _legacy_done(self, broker: "Broker") -> set:
-        raw = broker.get_setting(self._setting_key)
-        return set(json.loads(raw)) if raw is not None else set()
-
-    def _set_legacy_done(self, broker: "Broker", done: set) -> None:
-        if done:
-            broker.set_setting(self._setting_key, json.dumps(sorted(done)))
-        else:
-            broker.drop_setting(self._setting_key)
-
     def _convert_legacy(self, broker: "Broker") -> None:
         """One-time upgrade of the PRIOR bookkeeping format: early
         engines recorded per-table completion as a ``datafix_<version>``
@@ -267,38 +257,49 @@ class DataFixMigration(LayoutMigration):
         carrying that record has no sentinel files, so without this
         conversion :meth:`incomplete` would report its done tables
         un-applied and the next walk would RE-APPLY the non-idempotent
-        fix (double-apply corruption). Honor the legacy record by
-        stamping sentinels into the current snapshot of each listed
-        table; a table whose current layout CANNOT carry a sentinel
-        (flat, manifest-less) stays in the record — which
-        :meth:`_is_done` honors as authoritative for flat tables — and
-        converts when a versioned snapshot exists. Dropped tables leave
-        the record (re-created data starts un-fixed, the sentinel-era
-        contract). Runs before every state query / walk; a no-op once
-        the key is gone."""
+        fix (double-apply corruption).
+
+        Conversion is record -> sentinel, completed HERE for every
+        listed table: a versioned table gets the sentinel stamped into
+        its current snapshot; a FLAT (manifest-less) table gets a
+        content-identical versioning write whose atomic manifest flip
+        CARRIES the sentinel — so in every crash window either the old
+        flat state + record survive intact (re-run converges) or the
+        sentinel is already authoritative. The record never outlives
+        the first conversion, closing the window where a stale record
+        could mark later data done. Dropped tables leave the record
+        (re-created data starts un-fixed — though a table dropped and
+        re-created FLAT before the first conversion is indistinguishable
+        from the recorded one by name alone; an operator who did that
+        must remove the record entry by hand, as with any pre-sentinel
+        bookkeeping). Runs before every state query / walk; a no-op
+        once the key is gone."""
         raw = broker.get_setting(self._setting_key)
         if raw is None:
             return
-        remaining = set()
         for table in json.loads(raw):
             if not broker.exists(table):
                 continue
             v = broker.table_version(table)
             if v is None:
-                remaining.add(table)
+                df = broker.read(table)
+                if "station_bucket" in df.columns:
+                    df = df.drop("station_bucket")
+                broker.write(
+                    table, df,
+                    bucket_by_station=table.startswith("ts_"),
+                    add_markers=[self.marker],
+                )
                 continue
             vdir = os.path.join(broker.path(table), broker._version_dirname(v))
             if os.path.isdir(vdir):
                 open(os.path.join(vdir, self.marker), "a").close()
-        self._set_legacy_done(broker, remaining)
+        broker.drop_setting(self._setting_key)
 
     def _is_done(self, broker: "Broker", table: str) -> bool:
         v = broker.table_version(table)
         if v is None:
-            # a flat layout has no snapshot dir to carry a sentinel;
-            # a still-present legacy record is authoritative for it
-            # (without this, a flat-but-fixed table would re-apply)
-            return table in self._legacy_done(broker)
+            return False
         return os.path.exists(os.path.join(
             broker.path(table), broker._version_dirname(v), self.marker
         ))
@@ -339,15 +340,6 @@ class DataFixMigration(LayoutMigration):
                 add_markers=[self.marker] if up else None,
                 drop_markers=None if up else [self.marker],
             )
-            if not up:
-                # unfixing a table the legacy record still lists (it was
-                # flat and unstampable) must scrub the record entry, or
-                # the next conversion would re-mark the now-unfixed data
-                # as done
-                done = self._legacy_done(broker)
-                if table in done:
-                    done.discard(table)
-                    self._set_legacy_done(broker, done)
 
     def _upgrade(self, broker: "Broker") -> None:
         self._walk(broker, up=True)

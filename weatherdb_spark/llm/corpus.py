@@ -224,6 +224,25 @@ class CorpusStore:
             epochs = sorted(self._epoch_values(DOCS_TABLE) or ())
             fold = epochs[:len(epochs) - keep_last] if keep_last \
                 else list(epochs)
+            # fold only the PREFIX every signature side table also has:
+            # a crash between the corpus flip and the side flips leaves
+            # the newest docs epoch un-indexed, and folding it would
+            # rename the gap away — the epoch sets would then match and
+            # _sync_side_tables' directory diff could never backfill the
+            # missing signatures (silent dedup misses forever). Stopping
+            # at the first side-missing epoch keeps the gap visible; the
+            # next append heals it, after which it folds normally.
+            for side in (HASH_TABLE, BANDS_TABLE):
+                if not self.broker.exists(side):
+                    fold = []
+                    break
+                have = self._epoch_values(side) or set()
+                covered = []
+                for e in fold:
+                    if e not in have:
+                        break
+                    covered.append(e)
+                fold = covered
             if len(fold) < 2:
                 return {"folded": 0, "into_epoch": None}
             target = fold[-1]
@@ -268,17 +287,22 @@ class CorpusStore:
             self._sync_side_tables(id_col, text_col)
             if self.broker.exists(DOCS_TABLE):
                 # the epoch-leaf write would silently accept a batch
-                # whose columns diverge from the archive's (the pre-epoch
-                # unionByName write threw) — a mixed-schema table breaks
-                # reads long after the append that caused it, so enforce
-                # the same contract upfront
-                archive_cols = set(self.read().columns)
-                batch_cols = set(new_docs.columns)
-                if archive_cols != batch_cols:
+                # whose columns (or their TYPES — a string doc_id next
+                # to bigint leaves breaks the parquet scan) diverge from
+                # the archive's; the pre-epoch unionByName write threw
+                # (or coerced in a full rewrite, which a leaf write
+                # cannot). A mixed-schema table breaks reads long after
+                # the append that caused it, so enforce the contract
+                # upfront — cast the batch first if a type differs.
+                archive_types = dict(self.read().dtypes)
+                batch_types = dict(new_docs.dtypes)
+                if archive_types != batch_types:
+                    drift = sorted(
+                        set(archive_types.items()) ^ set(batch_types.items())
+                    )
                     raise ValueError(
-                        "append schema mismatch vs the archived corpus: "
-                        f"batch-only {sorted(batch_cols - archive_cols)}, "
-                        f"archive-only {sorted(archive_cols - batch_cols)}"
+                        "append schema mismatch vs the archived corpus "
+                        f"(column, type) drift: {drift}"
                     )
             batch = new_docs
             rej = []
@@ -359,7 +383,12 @@ class CorpusStore:
                 arch_h = self.broker.read(HASH_TABLE)
                 if "ingest_epoch" in arch_h.columns:
                     arch_h = arch_h.drop("ingest_epoch")
-                cur_hash = batch_hash.join(batch.select(id_col), id_col)
+                # persisted: feeds the index semi-join AND the hit join —
+                # unpersisted it would re-run the anti-join chain (and
+                # the new_docs scan under it) once per consumer
+                cur_hash = scoped_persist(
+                    batch_hash.join(batch.select(id_col), id_col)
+                )
                 bkeys = cur_hash.select(
                     F.col("text_md5").alias("_bk")).distinct()
                 rh = (
@@ -389,7 +418,11 @@ class CorpusStore:
                 arch_b = self.broker.read(BANDS_TABLE)
                 if "ingest_epoch" in arch_b.columns:
                     arch_b = arch_b.drop("ingest_epoch")
-                cur_bands = batch_bands.join(batch.select(id_col), id_col)
+                # persisted for the same two-consumer reason as cur_hash
+                # (bucket semi-join + candidate join)
+                cur_bands = scoped_persist(
+                    batch_bands.join(batch.select(id_col), id_col)
+                )
                 arch_b = arch_b.join(
                     cur_bands.select("band", "key").distinct(),
                     ["band", "key"], "left_semi",

@@ -164,6 +164,35 @@ def test_ivf_index_incremental_append_matches_fresh_build(spark, tmp_path):
         == emb.count()
 
 
+def test_ivf_cell_stats_reports_every_cell_and_append_growth(spark, tmp_path):
+    """The serving-index observability companion: one row per centroid
+    (zero-filled for empty cells), shares summing to 1, and append
+    growth visible — the signal that says rebuild when frozen centroids
+    drift from the ingest distribution."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_cell_stats,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_cells=16)
+    before = {r.cell: r.n_vectors for r in ivf_cell_stats(spark, idx).collect()}
+    assert set(before) == set(range(16))          # every cell, zero-filled
+    n_half = emb.filter(F.col("vec_id") % 2 == 0).count()
+    assert sum(before.values()) == n_half
+
+    append_to_ivf_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    stats = ivf_cell_stats(spark, idx).collect()
+    after = {r.cell: r.n_vectors for r in stats}
+    assert sum(after.values()) == emb.count()
+    assert all(after[c] >= before[c] for c in before)
+    assert abs(sum(r.share for r in stats) - 1.0) < 1e-6
+
+
 def test_semantic_dedup_keeps_one_representative_per_group(spark):
     import numpy as np
 

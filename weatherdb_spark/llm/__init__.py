@@ -15,8 +15,8 @@ __all__ = [
     # similarity + lexical search
     "brute_topk", "ivf_topk", "lsh_bucket_topk", "cosine_pairs",
     "cosine_pairs_lsh", "semantic_dedup", "build_ivf_index",
-    "append_to_ivf_index", "ivf_topk_indexed", "recall_vs_brute",
-    "bm25_topk",
+    "append_to_ivf_index", "ivf_topk_indexed", "ivf_cell_stats",
+    "recall_vs_brute", "bm25_topk",
     # sampling / mixing
     "deterministic_sample", "stratified_mix", "source_quota_cap",
     # sequence shaping
@@ -40,7 +40,8 @@ _HOMES = {
     "lsh_bucket_topk": "similarity", "cosine_pairs": "similarity",
     "cosine_pairs_lsh": "similarity", "semantic_dedup": "similarity",
     "build_ivf_index": "similarity", "append_to_ivf_index": "similarity",
-    "ivf_topk_indexed": "similarity", "recall_vs_brute": "similarity",
+    "ivf_topk_indexed": "similarity", "ivf_cell_stats": "similarity",
+    "recall_vs_brute": "similarity",
     "bm25_topk": "search",
     "deterministic_sample": "sampling", "stratified_mix": "sampling",
     "source_quota_cap": "sampling",

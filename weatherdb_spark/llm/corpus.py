@@ -97,6 +97,12 @@ class CorpusStore:
         return df
 
     def rejections(self) -> DataFrame:
+        if not self.broker.exists(REJ_TABLE):
+            raise ValueError(
+                "no rejection log yet: nothing has been appended to this "
+                "corpus (the log is created by the first append, even "
+                "when it rejects nothing)"
+            )
         # corpus_version is the partition key (discovery restores it)
         return self.broker.read(REJ_TABLE)
 

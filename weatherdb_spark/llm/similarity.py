@@ -491,6 +491,31 @@ def append_to_ivf_index(
     )
 
 
+def ivf_cell_stats(spark, index_path: str) -> DataFrame:
+    """Per-cell population of a persisted IVF index: (cell, n_vectors,
+    share) for every centroid, zero-filled — the observability
+    companion to :func:`append_to_ivf_index` (appends assign against
+    FROZEN centroids, so a drifting ingest distribution piles into few
+    cells and probe cost quietly climbs toward a scan of those cells).
+    Read it at maintenance cadence; a top-cell share far above
+    ~1/n_cells says rebuild (:func:`build_ivf_index` retrains). The
+    count aggregates the cell PARTITION COLUMN only — parquet scans no
+    data pages."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_path, "centroids")) \
+        .select("cell")
+    inv = spark.read.parquet(os.path.join(index_path, "inverted"))
+    counts = inv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = F.sum("n_vectors").over(W.partitionBy())  # n_cells-sized dim
+    return (
+        cent.join(counts, "cell", "left")
+        .withColumn("n_vectors", F.coalesce("n_vectors", F.lit(0)))
+        .withColumn("share", F.round(F.col("n_vectors") / total, 6))
+        .orderBy("cell")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -589,11 +589,12 @@ def test_data_fix_rung_honors_legacy_settings_record(spark, tmp_path):
 def test_data_fix_legacy_record_covers_flat_tables(spark, tmp_path):
     """A legacy-record table that is currently FLAT (manifest-less —
     e.g. rolled back below the snapshots rung) cannot carry a sentinel
-    in place: the first conversion must VERSION it with a content-
-    identical write whose atomic flip carries the sentinel — one step,
-    no window where a stale record can mark later data done — never
-    re-apply the non-idempotent fix, and drop a record entry whose
-    table is gone (re-created data starts un-fixed)."""
+    in place: the first WALK must VERSION it with a content-identical
+    write whose atomic flip carries the sentinel — one step, no window
+    where a stale record can mark later data done — never re-apply the
+    non-idempotent fix, and drop a record entry whose table is gone
+    (re-created data starts un-fixed). The state predicates read the
+    record WITHOUT converting (querying state never writes)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -620,16 +621,21 @@ def test_data_fix_legacy_record_covers_flat_tables(spark, tmp_path):
             return b.read("ts_p").agg(F.max("raw")).first()[0]
 
         rung = LAYOUT_MIGRATIONS[4]
-        # the first state query converts: the flat table is versioned
-        # content-identically WITH the sentinel, the key is gone
+        # state queries are READ-ONLY: the record covers the table, so
+        # the rung reports done — but nothing is converted or written
         assert not rung.incomplete(b)
+        assert rung.partially_applied(b)
+        assert b.get_setting("datafix_4") is not None
+        assert b.table_version("ts_p") is None  # still flat
+
+        # the first WALK converts: the flat table is versioned
+        # content-identically WITH the sentinel, the key is gone — and
+        # the record-covered table is NOT double-applied
+        rung.upgrade(b)
         assert b.get_setting("datafix_4") is None
         v = b.table_version("ts_p")
         assert v is not None and os.path.exists(os.path.join(
             b.path("ts_p"), b._version_dirname(v), "_DATAFIX_4"))
-        assert mx() == 2.0, "conversion changed table contents"
-
-        rung.upgrade(b)
         assert mx() == 2.0, "flat-but-fixed table was double-applied"
 
         # symmetric unwind rides the proven sentinel machinery

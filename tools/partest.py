@@ -13,7 +13,7 @@ Shards are balanced by measured per-file wall weights (from a
 --durations profile; unknown files get a default) using greedy
 longest-processing-time assignment.
 
-Usage: python tools/partest.py [n_workers]   (default 4)
+Usage: python tools/partest.py [n_workers | --workers N]   (default 4)
 Exit code is non-zero if any shard fails; per-shard tails print on
 failure. Measured on a calm window: 25:03 sequential -> ~8 min at 4
 workers (the longest shard dominates).
@@ -68,8 +68,24 @@ def shard(files: list[str], n: int) -> list[list[str]]:
     return [s[1] for s in shards if s[1]]
 
 
+def parse_workers(argv: list[str]) -> int:
+    """Accept both spellings: ``partest.py 6`` and ``partest.py
+    --workers 6`` (``--workers=6`` too) — the flag form used to crash
+    on ``int('--workers')``."""
+    args = argv[1:]
+    if not args:
+        return 4
+    if args[0] in ("-w", "--workers"):
+        if len(args) < 2:
+            raise SystemExit("--workers needs a value, e.g. --workers 6")
+        return int(args[1])
+    if args[0].startswith("--workers="):
+        return int(args[0].split("=", 1)[1])
+    return int(args[0])
+
+
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n = parse_workers(sys.argv)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(repo, "tests", "test_*.py")))
     if not files:

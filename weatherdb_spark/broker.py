@@ -272,8 +272,11 @@ class DataFixMigration(LayoutMigration):
         re-created FLAT before the first conversion is indistinguishable
         from the recorded one by name alone; an operator who did that
         must remove the record entry by hand, as with any pre-sentinel
-        bookkeeping). Runs before every state query / walk; a no-op
-        once the key is gone."""
+        bookkeeping). Runs at the start of every WALK (the mutation
+        path) and is a no-op once the key is gone; the state predicates
+        :meth:`incomplete` / :meth:`partially_applied` instead READ the
+        record (:meth:`_legacy_done`) without converting — merely
+        querying migration state must never write the warehouse."""
         raw = broker.get_setting(self._setting_key)
         if raw is None:
             return
@@ -304,25 +307,39 @@ class DataFixMigration(LayoutMigration):
             broker.path(table), broker._version_dirname(v), self.marker
         ))
 
+    def _legacy_done(self, broker: "Broker") -> set:
+        """Tables the PRIOR bookkeeping format records as fixed — the
+        read-only view of the record :meth:`_convert_legacy` retires.
+        The state predicates consult it instead of converting, so a
+        caller merely querying migration state never mutates the
+        warehouse; the conversion itself happens on the next walk."""
+        raw = broker.get_setting(self._setting_key)
+        return set(json.loads(raw)) if raw else set()
+
     def incomplete(self, broker: "Broker") -> bool:
-        """True when some existing fixable table lacks the sentinel —
-        the walker re-enters the rung at the stamped revision."""
-        self._convert_legacy(broker)
+        """True when some existing fixable table lacks the sentinel
+        (and the legacy record doesn't cover it) — the walker re-enters
+        the rung at the stamped revision. Read-only."""
+        legacy = self._legacy_done(broker)
         return any(
-            broker.exists(t) and not self._is_done(broker, t)
+            broker.exists(t)
+            and not (self._is_done(broker, t) or t in legacy)
             for t in self.fixes
         )
 
     def partially_applied(self, broker: "Broker") -> bool:
-        """True when ANY table carries the sentinel — the downgrade
-        mirror of :meth:`incomplete`: an upgrade that crashed after
-        fixing some tables but before stamping the layout leaves their
-        contents at the HIGHER revision behind the lower stamp, and
+        """True when ANY table carries the sentinel (or the legacy
+        record marks it done) — the downgrade mirror of
+        :meth:`incomplete`: an upgrade that crashed after fixing some
+        tables but before stamping the layout leaves their contents at
+        the HIGHER revision behind the lower stamp, and
         :meth:`Broker.downgrade_db_schema` must unwind this rung first
-        or the rolled-back warehouse keeps half-fixed values."""
-        self._convert_legacy(broker)
+        or the rolled-back warehouse keeps half-fixed values.
+        Read-only."""
+        legacy = self._legacy_done(broker)
         return any(
-            broker.exists(t) and self._is_done(broker, t)
+            broker.exists(t)
+            and (self._is_done(broker, t) or t in legacy)
             for t in self.fixes
         )
 
@@ -2401,11 +2418,84 @@ class Broker:
                 legacy = self.spark.read.parquet(prev)
                 if part_col not in legacy.columns:
                     legacy = legacy.withColumn(part_col, F.lit(0))
+                else:
+                    # the legacy rows partition by their OWN part_col
+                    # values next to the freshly-written batch leaf: a
+                    # legacy value colliding with part_value (or a
+                    # replace value) would silently MERGE into it — the
+                    # same shadowing the upfront leaf check rejects for
+                    # partitioned snapshots. Current callers are safe
+                    # only by construction (epochs are monotone, legacy
+                    # corpora lack the column); make it an invariant.
+                    forbidden = {part_value, *(replace_values or ())}
+                    clash = (
+                        legacy.filter(F.col(part_col).isin(list(forbidden)))
+                        .limit(1).count()
+                    )
+                    if clash:
+                        raise ValueError(
+                            f"legacy snapshot of {table} contains rows "
+                            f"with {part_col} in {sorted(forbidden)} — "
+                            "migrating them would silently merge into "
+                            f"the new {leaf} leaf; pick a fresh "
+                            f"{part_col} value above the legacy range"
+                        )
                 legacy.write.mode("append").partitionBy(part_col).parquet(vdir)
         # root _SUCCESS: per-leaf writes commit inside their leaf dirs,
         # but exists() (and humans) look for the table-level marker the
         # partitionBy writer would have left
         open(os.path.join(vdir, "_SUCCESS"), "a").close()
+        self._flip_manifest(table, new)
+        self._cleanup_versions(table, new)
+
+    def write_partition_merge(
+        self, table: str, df: DataFrame, part_col: str,
+    ) -> None:
+        """MULTI-LEAF append snapshot for a partition-keyed table whose
+        batches span many EXISTING partition values (the IVF inverted
+        file's cells — contrast :meth:`write_partition_append`, whose
+        whole batch is ONE fresh leaf): the new snapshot holds the
+        batch's rows as new files inside their ``part_col`` leaves
+        while every previous file — the touched leaves' old files and
+        the untouched leaves alike — hard-links byte-identically from
+        the previous snapshot. O(batch) data pass, and the same atomic
+        manifest flip / previous-snapshot retention as :meth:`write`:
+        a crash mid-merge leaves the current snapshot authoritative and
+        a concurrent reader (planned against the manifest-pinned dir)
+        never sees a half-written bag.
+
+        ``df`` MUST contain ``part_col`` (its values route the rows —
+        the opposite contract of the single-leaf append). Repeated
+        merges accumulate small files per touched leaf; :meth:`vacuum`
+        is the compaction counter-move (per-leaf rewrite, partition
+        dirs preserved). A table not yet partitioned by ``part_col``
+        raises — rewrite it once with
+        ``write(partition_cols=(part_col,))`` first."""
+        import shutil
+
+        if part_col not in df.columns:
+            raise ValueError(
+                f"{part_col!r} must be a column of the merged batch "
+                "(its values route rows to their leaves); use "
+                "write_partition_append for a single-value batch"
+            )
+        had = self.exists(table)
+        cur_v = self.table_version(table)
+        if had and not self._is_partitioned_by(table, part_col):
+            raise ValueError(
+                f"{table} is not partitioned by {part_col!r} (legacy "
+                "flat layout); rewrite it once with "
+                f"write(partition_cols=({part_col!r},)) before merging"
+            )
+        new = (cur_v or 0) + 1
+        vdir = os.path.join(self.path(table), self._version_dirname(new))
+        if os.path.isdir(vdir):  # crashed earlier attempt: start clean
+            shutil.rmtree(vdir)
+        # batch job first (the only data pass), then the fs-op links;
+        # Spark task-UUID file names keep the two file sets disjoint
+        df.write.mode("overwrite").partitionBy(part_col).parquet(vdir)
+        if had:
+            self._link_tree(self.data_path(table, cur_v), vdir)
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 

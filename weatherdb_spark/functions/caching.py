@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 _local = threading.local()
 
 
+def scope_active() -> bool:
+    """True when a :func:`cache_scope` is active on this thread — for
+    callers whose persist is a pure reuse optimization: inside a scope
+    the block is released on exit, outside one the caller should skip
+    the persist (recompute once) rather than leak a never-unpersisted
+    block into a long-lived session."""
+    return bool(getattr(_local, "stack", None))
+
+
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` that the innermost :func:`cache_scope` will
     unpersist on exit. Plain persist when no scope is active."""

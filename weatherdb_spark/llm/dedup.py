@@ -416,28 +416,54 @@ def simhash_pairs_exact(
     banding.
     """
     fp = simhash(df, bits, id_col, text_col)
+    return hamming_pairs_exact(fp, "simhash", max_hamming, bits, id_col)
+
+
+def hamming_pairs_exact(
+    fp: DataFrame,
+    fp_col: str,
+    max_hamming: int = 6,
+    bits: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL (id_a, id_b, hamming) pairs whose ``fp_col`` int64
+    fingerprints differ in at most ``max_hamming`` bits — the generic
+    multi-index pigeonhole join :func:`simhash_pairs_exact` is built on
+    (same :func:`simhash_blocks` layout), factored out so ANY int64
+    fingerprint family rides it: SimHash over text, dHash/pHash over
+    image payloads (``llm.multimodal.image_neardup_pairs``), audio
+    chroma hashes. Exact (recall 1 by pigeonhole), every shuffle keyed
+    on (block, key) — no cross join at any corpus size.
+
+    Block keys extract with an UNSIGNED shift: a fingerprint using all
+    64 bits (dHash) is negative as an int64, and an arithmetic shift
+    followed by Spark's sign-following ``%`` would give two fps with
+    identical low-block bits DIFFERENT keys (silent recall loss).
+    Unsigned-shifted keys are bit-identical to the arithmetic form for
+    the non-negative fps (simhash at bits<=32) the streaming twin
+    shares its layout with."""
     blocks = simhash_blocks(bits, max_hamming)
     banded = fp.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        (F.shiftright(F.col("simhash"), lo)
+                        (F.shiftrightunsigned(F.col(fp_col), lo)
                          % F.lit(2 ** width)).alias("key"),
                     )
                     for i, lo, width in blocks
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.block", "bk.key")
+    ).select(id_col, fp_col, "bk.block", "bk.key")
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "block", "key"
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"), "block", "key"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "block", "key"
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("_fb"), "block", "key"
     )
     return (
         a.join(b, ["block", "key"])
@@ -772,15 +798,16 @@ def ngram_contamination(
     guaranteed exchange is the per-doc count's hash aggregation.
 
     The broadcast is SIZE-GATED (:data:`NGRAM_REF_BROADCAST_MAX`): the
-    reference hash set is counted (one eval-set-sized job; the persist
-    the count populates is reused by the join) — or taken from
+    reference hash set is counted (one eval-set-sized job; under an
+    active ``cache_scope`` the count's persist is reused by the join,
+    otherwise the join recomputes it — no leaked blocks) — or taken from
     ``est_ref_ngrams`` when the caller already knows it — and only a
     set under the gate gets the broadcast hint; above it the join is
     left to Catalyst/AQE (shuffled on the 8-byte key). A forced
     ``F.broadcast`` of a multi-benchmark production reference (distinct
     13-grams ~ tokens, 10^8-10^9 rows) would OOM the driver.
     """
-    from weatherdb_spark.functions.caching import scoped_persist
+    from weatherdb_spark.functions.caching import scope_active, scoped_persist
 
     if n < 1:
         raise ValueError(f"n must be positive, got {n}")
@@ -790,7 +817,14 @@ def ngram_contamination(
         .distinct()
     )
     if est_ref_ngrams is None:
-        ref_sh = scoped_persist(ref_sh)
+        # persist ONLY under an active cache_scope (which releases it on
+        # exit): outside one, a persist here would never be unpersisted
+        # — repeated calls in a long-lived session would accumulate dead
+        # reference-set blocks, the exact leak the caching module
+        # exists to prevent. Unpersisted, the join recomputes the
+        # eval-set-sized explode once — cheap next to the corpus side.
+        if scope_active():
+            ref_sh = scoped_persist(ref_sh)
         est_ref_ngrams = ref_sh.count()
     if est_ref_ngrams <= NGRAM_REF_BROADCAST_MAX:
         ref_sh = F.broadcast(ref_sh)

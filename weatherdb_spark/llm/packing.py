@@ -89,7 +89,10 @@ def chunk_windows(
     ).cast("int")
     out = (
         df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
-        .filter(n.isNotNull())
+        # filter on the ARRAY's nullness, not the size column: under
+        # spark.sql.legacy.sizeOfNull=true (ANSI off) size(NULL) is -1,
+        # not NULL, and the phantom chunk would silently return
+        .filter(F.col("_toks").isNotNull())
         .select(
             id_col,
             "_toks",

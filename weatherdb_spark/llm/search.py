@@ -19,9 +19,13 @@ rank between Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+logger = logging.getLogger(__name__)
 
 
 #: default degenerate-term gate: a query term present in more than this
@@ -106,6 +110,19 @@ def bm25_topk(
     postings = tf
     dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_share is not None:
+        # NO SILENT CAPS (the cap_bucket_residents precedent): the gate
+        # is declarative — which terms fall is decided executor-side at
+        # action time — so the activation is logged with the
+        # quantifying companion named, instead of a query silently
+        # returning fewer (or zero) rows.
+        logger.warning(
+            "BM25 degenerate-term gate active: query terms present in "
+            "more than %.0f%% of documents are dropped before scoring "
+            "(a query whose EVERY term exceeds the share returns no "
+            "rows). Quantify with llm.search.bm25_dropped_terms at the "
+            "same parameters, or pass max_df_share=None to disable.",
+            max_df_share * 100,
+        )
         # the guard lives on the query-vocabulary-sized df dim: the
         # scoring join below is INNER on the broadcast dfreq, so a
         # dropped term's postings are filtered map-side before the
@@ -143,4 +160,57 @@ def bm25_topk(
         F.col("rank").cast("long").alias("rank"),
         id_col,
         F.round(F.col("_sm") / 1e6, 6).alias("score_bm25"),
+    )
+
+
+def bm25_dropped_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    max_df_share: float = MAX_DF_SHARE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query",
+    tokens=None,
+) -> DataFrame:
+    """The 'no silent caps' companion to :func:`bm25_topk`'s
+    ``max_df_share`` gate (the :func:`~weatherdb_spark.llm.bucketing.
+    bucket_overflow` twin): one row per DROPPED query term with its
+    document frequency and share — run it at the same parameters to see
+    exactly which terms the gate removed and why a query returned fewer
+    (or zero) rows. Empty result == the gate never engaged and the
+    gated top-k is identical to ``max_df_share=None``.
+
+    Same token pipeline as the scorer (one ``tokens`` callable feeds
+    both), same df definition (documents containing the term at least
+    once among the distinct query terms' postings), so the report and
+    the gate cannot disagree.
+    """
+    if not 0 < max_df_share <= 1:
+        raise ValueError(
+            f"max_df_share must be in (0, 1], got {max_df_share}"
+        )
+    from weatherdb_spark.llm.text import tokens_expr
+
+    tok = tokens if tokens is not None else tokens_expr
+    words = tok(text_col)
+    qterms = (
+        queries.select(
+            F.explode(F.array_distinct(tok(query_col))).alias("_w"))
+        .distinct()
+    )
+    toks = docs.select(F.col(id_col), F.explode(words).alias("_w"))
+    dfreq = (
+        toks.join(F.broadcast(qterms), "_w")
+        .groupBy("_w").agg(F.count_distinct(id_col).alias("doc_freq"))
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dfreq.join(F.broadcast(stats))
+        .filter(F.col("doc_freq") > max_df_share * F.col("n_docs"))
+        .select(
+            F.col("_w").alias("word"),
+            "doc_freq",
+            "n_docs",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 6).alias("df_share"),
+        )
     )

@@ -100,25 +100,30 @@ def test_ivf_index_build_probe_matches_adhoc(spark, tmp_path):
     )[1][:200]
 
     # a rebuilt index on the same inputs is byte-stable in content:
-    # same centroids, same assignment
-    cent = spark.read.parquet(idx + "/centroids")
+    # same centroids, same assignment (read through the MVCC manifest)
+    from weatherdb_spark.llm.similarity import _ivf_frames
+
+    cent, inv = _ivf_frames(spark, idx)
     assert cent.count() == 16
-    inv = spark.read.parquet(idx + "/inverted")
     assert inv.count() == emb.count()
     assert inv.select("cell").distinct().count() <= 16
 
 
 def test_ivf_index_incremental_append_matches_fresh_build(spark, tmp_path):
     """append_to_ivf_index grows a serving index in O(batch): new
-    vectors are assigned with the STORED centroids and appended
-    partition-wise. Probes after two appends must be row-identical to
-    a fresh build over the union AT THE SAME CENTROID SET, and the
-    untouched cells' files must not be rewritten."""
+    vectors are assigned with the STORED centroids and merged as a new
+    MVCC snapshot in which every pre-existing file HARD-LINKS from the
+    previous one (inode equality — no data pass). Probes after two
+    appends must be row-identical to a fresh build over the union AT
+    THE SAME CENTROID SET."""
     import os
 
     from pyspark.sql import functions as F
 
+    from weatherdb_spark.broker import Broker
     from weatherdb_spark.llm.similarity import (
+        IVF_INVERTED_TABLE,
+        _ivf_frames,
         append_to_ivf_index,
         build_ivf_index,
         ivf_topk_indexed,
@@ -132,24 +137,33 @@ def test_ivf_index_incremental_append_matches_fresh_build(spark, tmp_path):
 
     grown = str(tmp_path / "grown")
     build_ivf_index(part1, grown, n_cells=16, seed=42)
-    pre_files = {
-        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
-        for r, _d, fs in os.walk(os.path.join(grown, "inverted"))
-        for f in fs if f.endswith(".parquet")
-    }
+    b = Broker(spark, grown)
+
+    def _inodes():
+        root = b.data_path(IVF_INVERTED_TABLE)
+        return {
+            os.path.relpath(os.path.join(r, f), root):
+                os.stat(os.path.join(r, f)).st_ino
+            for r, _d, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")
+        }
+
+    pre = _inodes()
     append_to_ivf_index(spark, grown, part2)
+    mid = _inodes()
+    # O(batch): every pre-existing file enters the new snapshot as the
+    # SAME inode (hard link), plus the batch's new files
+    assert set(pre) <= set(mid)
+    assert all(mid[p] == ino for p, ino in pre.items()), \
+        "append rewrote an existing inverted file"
+    assert len(mid) > len(pre)
     append_to_ivf_index(spark, grown, part3)
-    # O(batch): every pre-existing inverted file still present, unmoved
-    for p, mtime in pre_files.items():
-        assert os.path.exists(p) and os.path.getmtime(p) == mtime, \
-            f"append rewrote {p}"
 
     # fresh build over the union pinned to the STORED centroid set
     import numpy as np
+    cent_grown, inv_grown = _ivf_frames(spark, grown)
     stored = np.array([
-        list(r.centroid) for r in
-        spark.read.parquet(os.path.join(grown, "centroids"))
-        .sort("cell").collect()
+        list(r.centroid) for r in cent_grown.sort("cell").collect()
     ])
     fresh = str(tmp_path / "fresh")
     build_ivf_index(emb, fresh, n_cells=16, centroids=stored)
@@ -160,8 +174,7 @@ def test_ivf_index_incremental_append_matches_fresh_build(spark, tmp_path):
             ivf_topk_indexed(spark, fresh, q, k=5, n_probe=7).collect()}
     assert got == want and got
     # the grown inverted file holds exactly the union
-    assert spark.read.parquet(os.path.join(grown, "inverted")).count() \
-        == emb.count()
+    assert inv_grown.count() == emb.count()
 
 
 def test_ivf_cell_stats_reports_every_cell_and_append_growth(spark, tmp_path):
@@ -262,3 +275,195 @@ def test_semantic_dedup_quality_aware_keeper(spark):
     default = semantic_dedup(df, threshold=0.9, planes=2, n_tables=24)
     assert {r.component_id: r.vec_id for r in default.collect()
             if r.is_kept} == {0: 0, 3: 3, 6: 6}
+
+
+def test_ivf_append_crash_window_never_visible_to_probes(spark, tmp_path):
+    """A crash mid-append (before the manifest flip) must leave the old
+    snapshot authoritative: probes return exactly the pre-append rows —
+    never a half-written bag — and the retried append converges with no
+    duplication (the torn version dir is swept)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.llm.similarity import (
+        IVF_INVERTED_TABLE,
+        _ivf_frames,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    part1 = emb.filter(F.col("vec_id") % 2 == 0)
+    part2 = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(part1, idx, n_cells=16, seed=42)
+    before = {tuple(r) for r in
+              ivf_topk_indexed(spark, idx, q, k=5, n_probe=7).collect()}
+    n_before = _ivf_frames(spark, idx)[1].count()
+
+    real_flip = Broker._flip_manifest
+
+    def torn_flip(self, table, version, **kw):
+        if table == IVF_INVERTED_TABLE:
+            raise RuntimeError("simulated crash before the flip")
+        return real_flip(self, table, version, **kw)
+
+    Broker._flip_manifest = torn_flip
+    try:
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            append_to_ivf_index(spark, idx, part2)
+    finally:
+        Broker._flip_manifest = real_flip
+
+    # the torn append is INVISIBLE: same rows, same probe results
+    assert _ivf_frames(spark, idx)[1].count() == n_before
+    assert {tuple(r) for r in
+            ivf_topk_indexed(spark, idx, q, k=5, n_probe=7).collect()} \
+        == before
+
+    # the retry sweeps the torn version dir and lands exactly once
+    append_to_ivf_index(spark, idx, part2)
+    assert _ivf_frames(spark, idx)[1].count() == emb.count()
+
+
+def test_ivf_compaction_folds_small_files_probe_identical(spark, tmp_path):
+    """Appends accumulate files per touched cell; compact_ivf_index
+    folds them to one file per leaf with row-identical probes — the
+    small-file counter-move (the corpus compact_epochs twin)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.llm.similarity import (
+        IVF_INVERTED_TABLE,
+        _ivf_frames,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), idx,
+                    n_cells=8, seed=42)
+    for m in (1, 2, 3):
+        append_to_ivf_index(spark, idx, emb.filter(F.col("vec_id") % 4 == m))
+    b = Broker(spark, idx)
+
+    def _max_per_leaf():
+        return b._max_files_per_leaf(IVF_INVERTED_TABLE)
+
+    assert _max_per_leaf() > 2, "fixture failed to fragment the index"
+    before = {tuple(r) for r in
+              ivf_topk_indexed(spark, idx, q, k=5, n_probe=5).collect()}
+    res = compact_ivf_index(spark, idx)
+    assert IVF_INVERTED_TABLE in res
+    f_before, f_after = res[IVF_INVERTED_TABLE]
+    assert f_after < f_before
+    assert _max_per_leaf() == 1
+    # partition layout preserved (probes stay pruned) + rows identical
+    root = b.data_path(IVF_INVERTED_TABLE)
+    assert any(e.startswith("cell=") for e in os.listdir(root))
+    assert {tuple(r) for r in
+            ivf_topk_indexed(spark, idx, q, k=5, n_probe=5).collect()} \
+        == before
+    assert _ivf_frames(spark, idx)[1].count() == emb.count()
+
+
+def test_ivf_legacy_raw_layout_reads_and_migrates_on_append(spark, tmp_path):
+    """A pre-r8 index (raw centroids/ + inverted/ parquet, no manifest)
+    stays readable, and the first append migrates it into the broker
+    layout once — identical probe rows, raw dirs retired."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        IVF_INVERTED_TABLE,
+        _ivf_frames,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    part1 = emb.filter(F.col("vec_id") % 2 == 0)
+    q = emb.filter(F.col("vec_id") < 8)
+    src = str(tmp_path / "src")
+    build_ivf_index(part1, src, n_cells=16, seed=42)
+    cent, inv = _ivf_frames(spark, src)
+
+    legacy = str(tmp_path / "legacy")
+    cent.write.parquet(os.path.join(legacy, "centroids"))
+    inv.write.partitionBy("cell").parquet(os.path.join(legacy, "inverted"))
+
+    before = {tuple(r) for r in
+              ivf_topk_indexed(spark, legacy, q, k=5, n_probe=7).collect()}
+    assert before  # raw-layout fallback read works
+
+    # empty append: pure migration, zero new rows
+    append_to_ivf_index(spark, legacy, part1.limit(0))
+    assert not os.path.isdir(os.path.join(legacy, "inverted"))
+    assert {tuple(r) for r in
+            ivf_topk_indexed(spark, legacy, q, k=5, n_probe=7).collect()} \
+        == before
+    assert _ivf_frames(spark, legacy)[1].count() == part1.count()
+
+    # and a real append lands on the migrated layout
+    part2 = emb.filter(F.col("vec_id") % 2 == 1)
+    append_to_ivf_index(spark, legacy, part2)
+    assert _ivf_frames(spark, legacy)[1].count() == emb.count()
+
+
+def test_check_ivf_index_flags_drifted_append(spark, tmp_path, capsys):
+    """The rebuild policy: a balanced index passes; a skewed append
+    (frozen centroids, drifted ingest) pushes one cell's share over the
+    threshold and flips rebuild_recommended. CLI prints the same JSON."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.cli import main
+    from weatherdb_spark.llm.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        check_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8, seed=42)
+    calm = check_ivf_index(spark, idx, max_top_share=0.8)
+    assert calm["rebuild_recommended"] is False
+    assert calm["n_cells"] == 8 and calm["n_vectors"] == emb.count()
+
+    # drifted ingest: thousands of copies of ONE vector pile into one
+    # cell (assignment is frozen at the stored centroids)
+    one = emb.limit(1).collect()[0]
+    skew = spark.createDataFrame(
+        [(100000 + i, one.embedding) for i in range(4 * emb.count())],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_index(spark, idx, skew)
+    drifted = check_ivf_index(spark, idx, max_top_share=0.8)
+    assert drifted["rebuild_recommended"] is True
+    assert drifted["top_share"] > 0.8
+
+    # explicit-threshold validation + default threshold shape
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_top_share"):
+        check_ivf_index(spark, idx, max_top_share=1.5)
+    dflt = check_ivf_index(spark, idx)
+    assert dflt["max_top_share"] == 0.5  # 4 / 8 cells
+
+    # CLI hook prints the decision as one JSON line
+    import json as _json
+    assert main(["check-ivf-index", "--index-path", idx,
+                 "--max-top-share", "0.8"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out)["rebuild_recommended"] is True
+    assert main(["compact-ivf-index", "--index-path", idx]) == 0

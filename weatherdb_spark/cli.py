@@ -208,6 +208,22 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("MINLON", "MINLAT", "MAXLON", "MAXLAT"))
     dd.add_argument("--overwrite", action="store_true")
 
+    ci = sub.add_parser(
+        "check-ivf-index",
+        help="IVF serving-index drift check: rebuild recommended when "
+             "the top cell's share exceeds --max-top-share (default "
+             "4/n_cells); prints one JSON line",
+    )
+    ci.add_argument("--index-path", required=True)
+    ci.add_argument("--max-top-share", type=float, default=None)
+
+    cv = sub.add_parser(
+        "compact-ivf-index",
+        help="fold the per-cell small files appends accumulate "
+             "(row-identical probes; reclaims superseded snapshots)",
+    )
+    cv.add_argument("--index-path", required=True)
+
     ct = wh(sub.add_parser("create-ts", help="export station timeseries CSVs"))
     ct.add_argument("--stations", nargs="+", type=int, required=True)
     ct.add_argument("--out-dir", required=True)
@@ -268,6 +284,23 @@ def main(argv: list[str] | None = None) -> int:
     from weatherdb_spark.session import get_spark
 
     spark = get_spark(app_name=f"weatherdb_spark_cli_{args.command}")
+
+    if args.command == "check-ivf-index":
+        # serving-index maintenance: its own warehouse at --index-path
+        import json as _json
+
+        from weatherdb_spark.llm.similarity import check_ivf_index
+
+        print(_json.dumps(check_ivf_index(
+            spark, args.index_path, max_top_share=args.max_top_share)))
+        return 0
+
+    if args.command == "compact-ivf-index":
+        from weatherdb_spark.llm.similarity import compact_ivf_index
+
+        print(compact_ivf_index(spark, args.index_path))
+        return 0
+
     broker = Broker(spark, args.warehouse)
 
     if args.command == "update-db":

@@ -395,6 +395,56 @@ def _nearest_cell(vec: Column, centroids: "np.ndarray") -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+#: Broker table names of the persisted IVF serving index — the index
+#: warehouse lives at ``index_path`` (its own MVCC snapshots, mutex,
+#: vacuum), so writes are atomic manifest flips like every other table
+#: in the engine instead of bare parquet appends.
+IVF_CENTROIDS_TABLE = "ivf_centroids"
+IVF_INVERTED_TABLE = "ivf_inverted"
+
+
+def _ivf_broker(spark, index_path: str):
+    from weatherdb_spark.broker import Broker
+
+    return Broker(spark, index_path)
+
+
+def _ivf_frames(spark, index_path: str) -> "tuple[DataFrame, DataFrame]":
+    """(centroids, inverted) of the index at ``index_path`` — the MVCC
+    broker layout first (manifest-pinned snapshot dirs), falling back
+    to the pre-r8 raw-parquet layout (``centroids/`` + ``inverted/``
+    directly under the path; read-only — the first append migrates
+    it)."""
+    import os
+
+    b = _ivf_broker(spark, index_path)
+    if b.exists(IVF_INVERTED_TABLE):
+        return b.read(IVF_CENTROIDS_TABLE), b.read(IVF_INVERTED_TABLE)
+    legacy = os.path.join(index_path, "inverted")
+    if not os.path.isdir(legacy):
+        raise ValueError(f"no IVF index at {index_path}")
+    return (
+        spark.read.parquet(os.path.join(index_path, "centroids")),
+        spark.read.parquet(legacy),
+    )
+
+
+def _migrate_legacy_ivf(spark, broker, index_path: str) -> None:
+    """One-time rewrite of a pre-r8 raw-parquet index into the broker
+    layout (cell-partitioned snapshot + manifest): one full data pass,
+    never again. The raw dirs are removed after the flip — from then on
+    every reader resolves through the manifest."""
+    import os
+    import shutil
+
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    inv = spark.read.parquet(os.path.join(index_path, "inverted"))
+    broker.write(IVF_CENTROIDS_TABLE, cent)
+    broker.write(IVF_INVERTED_TABLE, inv, partition_cols=("cell",))
+    for d in ("centroids", "inverted"):
+        shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -405,11 +455,14 @@ def build_ivf_index(
     centroids: "np.ndarray | None" = None,
 ) -> None:
     """Persist an IVF index: train the deterministic coarse quantizer
-    ONCE, then write two parquet tables under ``path``:
+    ONCE, then write two BROKER tables under ``path`` (the index is its
+    own little MVCC warehouse — atomic manifest flips, warehouse mutex,
+    previous-snapshot retention for in-flight probes, vacuum):
 
-    - ``centroids``: (cell, centroid array<double>) — n_cells rows.
-    - ``inverted``: the corpus with its cell id, ``partitionBy(cell)``
-      so a probe scans only its cells' directories (partition pruning).
+    - :data:`IVF_CENTROIDS_TABLE`: (cell, centroid array<double>).
+    - :data:`IVF_INVERTED_TABLE`: the corpus with its cell id,
+      partitioned by ``cell`` so a probe scans only its cells'
+      directories (partition pruning).
 
     The 100 TB shape: :func:`ivf_topk` re-trains and re-shuffles the
     corpus on EVERY query batch — right for ad-hoc exploration, wasteful
@@ -423,8 +476,6 @@ def build_ivf_index(
     index without moving its cell boundaries) and the reference frame
     for :func:`append_to_ivf_index`'s identity contract.
     """
-    import os
-
     from weatherdb_spark.functions.caching import scoped_persist
 
     # persisted: _train_centroids' count materializes it, and the
@@ -436,17 +487,18 @@ def build_ivf_index(
     if centroids is None:
         centroids = _train_centroids(corp, n_cells, seed)
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
-    )
-    corp.withColumn(
-        "cell", _nearest_cell(F.col("_cv"), centroids)
-    ).write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "inverted")
-    )
+    b = _ivf_broker(spark, path)
+    with b.activate():
+        b.write(IVF_CENTROIDS_TABLE, spark.createDataFrame(
+            [(int(i), [float(x) for x in c])
+             for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1))
+        b.write(
+            IVF_INVERTED_TABLE,
+            corp.withColumn("cell", _nearest_cell(F.col("_cv"), centroids)),
+            partition_cols=("cell",),
+        )
 
 
 def append_to_ivf_index(
@@ -458,10 +510,18 @@ def append_to_ivf_index(
 ) -> None:
     """Incrementally grow a persisted IVF index (a serving corpus that
     keeps ingesting): assign the new vectors to cells with the STORED
-    centroids — no retrain, no full-corpus shuffle, no read of the
-    existing inverted file — and append them partition-wise (parquet
-    append under the existing ``cell=N/`` directories; untouched cells'
-    files are never rewritten). Cost is O(batch).
+    centroids — no retrain, no full-corpus shuffle, no data read of the
+    existing inverted file — and land them via
+    :meth:`~weatherdb_spark.broker.Broker.write_partition_merge`: a NEW
+    snapshot in which the batch's rows are fresh files inside their
+    ``cell=N/`` leaves and every existing file hard-links
+    byte-identically. Cost is O(batch) — and unlike a bare parquet
+    ``mode("append")`` the write is CRASH-SAFE and READER-ISOLATED: the
+    atomic manifest flip means a concurrent probe plans over either the
+    old snapshot or the new one, never a half-written bag, and a crash
+    mid-append leaves the old snapshot authoritative (the torn version
+    dir is swept on the retry). Appends run under the index warehouse
+    mutex, so two writers serialize instead of interleaving.
 
     Identity contract: because the assignment reuses the exact build
     expression (:func:`_sq_dists_to_centroids` — same sequential float
@@ -469,26 +529,81 @@ def append_to_ivf_index(
     index return rows identical to :func:`build_ivf_index` run fresh
     over the union at the same centroid set. The centroids do NOT
     drift toward the new data — the standard IVF serving trade-off;
-    retrain via a fresh :func:`build_ivf_index` when the distribution
-    moves enough to hurt recall. Appending an id already in the index
-    duplicates it (the index is a bag, like the build's input).
-    """
-    import os
+    :func:`check_ivf_index` watches the drift and recommends the
+    rebuild (a fresh :func:`build_ivf_index` retrains). Appending an id
+    already in the index duplicates it (the index is a bag, like the
+    build's input). Repeated appends accumulate small files per touched
+    cell; :func:`compact_ivf_index` folds them (row-identical probes).
 
-    cent_rows = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .sort("cell").collect()
-    )
-    centroids = np.array([list(r.centroid) for r in cent_rows],
-                         dtype="float64")
-    new = spread(new_embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
-    new.withColumn(
-        "cell", _nearest_cell(F.col("_cv"), centroids)
-    ).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_path, "inverted")
-    )
+    A pre-r8 raw-parquet index migrates into the broker layout on its
+    first append (one full pass, never again).
+    """
+    b = _ivf_broker(spark, index_path)
+    with b.activate():
+        if not b.exists(IVF_INVERTED_TABLE):
+            _migrate_legacy_ivf(spark, b, index_path)
+        cent_rows = b.read(IVF_CENTROIDS_TABLE).sort("cell").collect()
+        centroids = np.array([list(r.centroid) for r in cent_rows],
+                             dtype="float64")
+        new = spread(new_embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        b.write_partition_merge(
+            IVF_INVERTED_TABLE,
+            new.withColumn("cell", _nearest_cell(F.col("_cv"), centroids)),
+            "cell",
+        )
+
+
+def compact_ivf_index(spark, index_path: str) -> dict:
+    """Per-cell file compaction for an appended serving index — the
+    :meth:`CorpusStore.compact_epochs` twin: every
+    :func:`append_to_ivf_index` adds files to its touched ``cell=N/``
+    leaves, and after thousands of appends probe planning pays per-file
+    costs that dwarf the data. Delegates to the index warehouse's
+    :meth:`~weatherdb_spark.broker.Broker.vacuum` (rewrites a table to
+    one file per leaf when any leaf exceeds the threshold, preserving
+    the cell partition dirs — probes stay partition-pruned and
+    row-identical) and reclaims superseded snapshots. Returns vacuum's
+    ``{table: (files_before, files_after)}``. Call at maintenance
+    cadence; a no-op on a compact index."""
+    return _ivf_broker(spark, index_path).vacuum()
+
+
+def check_ivf_index(
+    spark, index_path: str, max_top_share: float | None = None,
+) -> dict:
+    """The maintenance DECISION on top of :func:`ivf_cell_stats`:
+    appends assign against FROZEN centroids, so a drifting ingest
+    distribution piles into few cells and probe cost quietly climbs
+    toward a scan of those cells. This check turns the drift story into
+    an invariant: rebuild is recommended when the most populated cell
+    holds more than ``max_top_share`` of the vectors (default
+    ``4 / n_cells`` — four times the balanced share, comfortably above
+    k-means' natural imbalance on clustered data but far below a
+    degenerate pile-up). Returns a dict with ``rebuild_recommended``,
+    the top cell and its share, and the threshold used; wire the
+    rebuild itself as a fresh :func:`build_ivf_index` (retrains). CLI:
+    ``weatherdb-spark check-ivf-index --index-path ...``."""
+    stats = ivf_cell_stats(spark, index_path).collect()
+    n_cells = len(stats)
+    if max_top_share is None:
+        max_top_share = min(1.0, 4.0 / max(n_cells, 1))
+    elif not 0 < max_top_share <= 1:
+        raise ValueError(
+            f"max_top_share must be in (0, 1], got {max_top_share}"
+        )
+    n_vectors = sum(r.n_vectors for r in stats)
+    top = max(stats, key=lambda r: (r.n_vectors, -r.cell), default=None)
+    top_share = (top.n_vectors / n_vectors) if (top and n_vectors) else 0.0
+    return {
+        "rebuild_recommended": bool(n_vectors and top_share > max_top_share),
+        "top_cell": int(top.cell) if top else None,
+        "top_share": round(top_share, 6),
+        "max_top_share": round(float(max_top_share), 6),
+        "n_cells": n_cells,
+        "n_vectors": int(n_vectors),
+    }
 
 
 def ivf_cell_stats(spark, index_path: str) -> DataFrame:
@@ -501,11 +616,8 @@ def ivf_cell_stats(spark, index_path: str) -> DataFrame:
     ~1/n_cells says rebuild (:func:`build_ivf_index` retrains). The
     count aggregates the cell PARTITION COLUMN only — parquet scans no
     data pages."""
-    import os
-
-    cent = spark.read.parquet(os.path.join(index_path, "centroids")) \
-        .select("cell")
-    inv = spark.read.parquet(os.path.join(index_path, "inverted"))
+    cent_full, inv = _ivf_frames(spark, index_path)
+    cent = cent_full.select("cell")
     counts = inv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(W.partitionBy())  # n_cells-sized dim
     return (
@@ -534,14 +646,10 @@ def ivf_topk_indexed(
     to :func:`ivf_topk` at the same (corpus, seed): same centroids (pure
     function), same lowest-cell tie-breaks, same exact-cosine rank.
     """
-    import os
-
     from pyspark.sql import types as T
 
-    cent_rows = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .sort("cell").collect()
-    )
+    cent_df, inv_full = _ivf_frames(spark, index_path)
+    cent_rows = cent_df.sort("cell").collect()
     centroids = [list(r.centroid) for r in cent_rows]
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
@@ -582,7 +690,7 @@ def ivf_topk_indexed(
         ],
         schema,
     )
-    inv = spark.read.parquet(os.path.join(index_path, "inverted")).filter(
+    inv = inv_full.filter(
         F.col("cell").isin(probe_cells)  # static -> partition pruning
     )
     scored = (

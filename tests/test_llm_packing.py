@@ -1029,3 +1029,291 @@ def test_corpus_append_null_text_is_replay_idempotent(spark, tmp_path):
     replay = store.append(b)          # foreachBatch replay of the batch
     assert replay["admitted"] == 0 and replay["rejected"] == 2
     assert store.read().count() == 2  # the corpus did not grow
+
+
+def test_corpus_read_epochs_prunes_partitions(spark, tmp_path):
+    """read_epochs carries a STATIC ingest_epoch IN predicate, so the
+    parquet scan lists only the asked epochs' leaves (PartitionFilters)
+    — the mechanism that keeps append's exact-Jaccard verify
+    O(candidate epochs), closing the last O(corpus) append leg."""
+    import re
+
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet white black gray",
+    ]
+    for i, t in enumerate(texts):
+        store.append(spark.createDataFrame(
+            [(i, t)], "doc_id long, text string"))
+    assert sorted(store._epoch_values("corpus_documents")) == [1, 2, 3]
+
+    df = store.read_epochs([2])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "ingest_epoch" in pf, plan
+    assert [r.doc_id for r in df.collect()] == [1]
+    # empty epoch list -> zero rows, documents' own schema
+    assert store.read_epochs([]).count() == 0
+    assert "ingest_epoch" not in store.read_epochs([]).columns
+
+
+def test_corpus_read_epochs_raises_on_legacy_flat_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    # a pre-epoch engine wrote the corpus flat (no partition leaves)
+    store.broker.write(DOCS_TABLE, spark.createDataFrame(
+        [(1, "legacy words here")], "doc_id long, text string"))
+    with _pytest.raises(ValueError, match="not epoch-partitioned"):
+        store.read_epochs([0])
+
+
+def test_corpus_near_verify_rejections_identical_across_epochs(spark, tmp_path):
+    """The epoch-pruned candidate text read must not change WHAT gets
+    rejected: near-dups of docs living in different (non-adjacent)
+    epochs are still verified and blocked by the right resident."""
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
+    t1 = "the quick brown fox jumps over the lazy dog by the river today"
+    t2 = "completely different content about mountains snow and winter air"
+    store.append(spark.createDataFrame([(1, t1)], "doc_id long, text string"))
+    store.append(spark.createDataFrame([(2, t2)], "doc_id long, text string"))
+    store.append(spark.createDataFrame(
+        [(3, "unrelated third epoch filler words beyond any overlap")],
+        "doc_id long, text string"))
+    # one batch with near-dups of epoch-1 AND epoch-2 residents plus a
+    # fresh doc: the verify must fetch texts from BOTH candidate epochs
+    batch = spark.createDataFrame(
+        [(10, t1 + " extra"), (11, t2 + " extra"),
+         (12, "genuinely novel words nothing shares any shingle with")],
+        "doc_id long, text string")
+    res = store.append(batch)
+    assert res == {"admitted": 1, "rejected": 2, "version": 4}
+    reasons = {(r.doc_id, r.reason, r.blocked_by)
+               for r in store.rejections().collect()
+               if r.doc_id in (10, 11, 12)}
+    assert reasons == {(10, "archive_near", 1), (11, "archive_near", 2)}
+
+
+def _unit_vec(seed: int, dim: int = 64, jitter: float = 0.0):
+    """Deterministic 64-dim unit vector; jitter rotates it slightly so
+    two vectors at the same seed are near- (not exactly) identical."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    v = [rng.uniform(-1, 1) for _ in range(dim)]
+    if jitter:
+        v = [x + jitter * ((i % 2) * 2 - 1) for i, x in enumerate(v)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def test_corpus_semantic_dedup_at_append(spark, tmp_path):
+    """The embedding_col= archive check: a paraphrase (different text,
+    near-identical embedding) sails past exact AND MinHash text dedup
+    but is rejected archive_semantic with the blocking resident named;
+    distant embeddings and NULL embeddings are admitted."""
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import EMB_TABLE, CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    store = CorpusStore(spark, str(tmp_path / "wh"),
+                        semantic_threshold=0.98)
+    base = spark.createDataFrame(
+        [(1, "the original phrasing of a very particular idea",
+          _unit_vec(7)),
+         (2, "an unrelated second document about other matters",
+          _unit_vec(99))],
+        schema,
+    )
+    assert store.append(base, embedding_col="embedding") == {
+        "admitted": 2, "rejected": 0, "version": 1}
+    assert store.broker.exists(EMB_TABLE)
+
+    b2 = spark.createDataFrame(
+        [(10, "a completely rewritten paraphrase sharing no words",
+          _unit_vec(7, jitter=0.001)),       # near-identical to doc 1
+         (11, "fresh content with a genuinely new embedding",
+          _unit_vec(1234)),                  # far from both
+         (12, "a doc with no embedding at all skips the check", None)],
+        schema,
+    )
+    res = store.append(b2, embedding_col="embedding")
+    assert res == {"admitted": 2, "rejected": 1, "version": 2}
+    rej = {(r.doc_id, r.reason, r.blocked_by)
+           for r in store.rejections().collect()}
+    assert rej == {(10, "archive_semantic", 1)}
+    assert {r.doc_id for r in store.read().collect()} == {1, 2, 11, 12}
+
+    # appends WITHOUT the column skip the check (same vector admitted)
+    b3 = spark.createDataFrame(
+        [(20, "another paraphrase but nobody asked for the check",
+          _unit_vec(7, jitter=0.002))], schema)
+    assert store.append(b3)["admitted"] == 1
+    # ... and the NEXT embedding-carrying append backfills epoch 3 into
+    # the index (sync diff), so doc 20 now blocks its own near-copies
+    b4 = spark.createDataFrame(
+        [(30, "yet another rewrite of that same particular idea",
+          _unit_vec(7, jitter=0.003))], schema)
+    res4 = store.append(b4, embedding_col="embedding")
+    assert res4["admitted"] == 0 and res4["rejected"] == 1
+    blocked = {r.blocked_by for r in store.rejections().collect()
+               if r.doc_id == 30}
+    assert blocked == {1}  # min archived id among the colliding refs
+
+
+def test_corpus_semantic_side_table_self_heals(spark, tmp_path):
+    """A lost embedding-bucket side table rebuilds from the archived
+    docs on the next embedding-carrying append — same self-healing
+    contract as the text signature tables."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import EMB_TABLE, CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    store = CorpusStore(spark, str(tmp_path / "wh"),
+                        semantic_threshold=0.98)
+    store.append(spark.createDataFrame(
+        [(1, "first words here", _unit_vec(5))], schema),
+        embedding_col="embedding")
+    shutil.rmtree(store.broker.path(EMB_TABLE))
+    assert not store.broker.exists(EMB_TABLE)
+
+    dup = spark.createDataFrame(
+        [(9, "no shared words at all", _unit_vec(5, jitter=0.001))], schema)
+    res = store.append(dup, embedding_col="embedding")
+    assert res == {"admitted": 0, "rejected": 1, "version": 2}
+    assert store.broker.exists(EMB_TABLE)
+
+
+def test_corpus_compact_epochs_folds_embedding_side_table(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import EMB_TABLE, CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    for i in range(4):
+        store.append(spark.createDataFrame(
+            [(i, f"unique doc number {i} of its own words",
+              _unit_vec(i * 31 + 1))], schema),
+            embedding_col="embedding")
+    assert sorted(store._epoch_values(EMB_TABLE)) == [1, 2, 3, 4]
+    res = store.compact_epochs(keep_last=1)
+    assert res["folded"] == 3 and res["into_epoch"] == 3
+    assert sorted(store._epoch_values(EMB_TABLE)) == [3, 4]
+    # index content unchanged: a near-copy of the OLDEST doc (now in
+    # the folded leaf) is still rejected semantically
+    dup = spark.createDataFrame(
+        [(50, "rephrased without shared vocabulary", _unit_vec(1, jitter=0.001))],
+        schema)
+    store2 = CorpusStore(spark, str(tmp_path / "wh"),
+                         semantic_threshold=0.98)
+    res2 = store2.append(dup, embedding_col="embedding")
+    assert res2["admitted"] == 0 and res2["rejected"] == 1
+
+
+def test_wordpiece_tokens_greedy_longest_match(spark):
+    """The published WordPiece semantics: greedy longest-match-first,
+    ## continuations, whole-word UNK on unsegmentable words, NULL in ->
+    NULL array out."""
+    from weatherdb_spark.llm.text import wordpiece_tokens
+
+    tok = wordpiece_tokens(
+        ["un", "##afford", "##able", "##b", "a", "able", "affordable"])
+    df = spark.createDataFrame(
+        [(1, "unaffordable"), (2, "affordable"), (3, "a ab"),
+         (4, "zzz"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.t for r in
+           df.select("doc_id", tok("text").alias("t")).collect()}
+    assert got[1] == ["un", "##afford", "##able"]
+    assert got[2] == ["affordable"]          # longest match, no split
+    assert got[3] == ["a", "a", "##b"]
+    assert got[4] == ["[UNK]"]
+    assert got[5] is None
+
+
+def test_wordpiece_vocab_file_and_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from weatherdb_spark.llm.text import wordpiece_tokens
+
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("the\ndata\n##set\n\n")   # blank line ignored
+    tok = wordpiece_tokens(str(vf))
+    df = spark.createDataFrame([(1, "the dataset")], "doc_id long, text string")
+    [r] = df.select(tok("text").alias("t")).collect()
+    assert r.t == ["the", "data", "##set"]
+    with _pytest.raises(ValueError, match="non-empty"):
+        wordpiece_tokens([])
+    # adversarial megaword short-circuits to UNK instead of O(n^2)
+    longword = "x" * 500
+    tok2 = wordpiece_tokens(["x", "##x"], max_word_chars=100)
+    df2 = spark.createDataFrame([(1, longword)], "doc_id long, text string")
+    [r2] = df2.select(tok2("text").alias("t")).collect()
+    assert r2.t == ["[UNK]"]
+
+
+def test_prepare_training_corpus_wordpiece_packs_subword_counts(spark):
+    """A trained-vocab tokenizer through the flagship composition:
+    sequence boundaries follow SUBWORD counts (7 pieces), not
+    whitespace words (5) — the proof the seam carries a real model
+    tokenizer, not just a regex."""
+    from weatherdb_spark.llm.pipeline import prepare_training_corpus
+    from weatherdb_spark.llm.text import wordpiece_tokens
+
+    good = ("the fast table, row scan is a good line of data and it "
+            "works in the end for all of us here")
+    # every word of the fixture, except 'works' and 'table' segment
+    # into two pieces each (+ the comma as its own piece)
+    words = set(good.replace(",", "").split())
+    vocab = sorted((words - {"works", "table"})
+                   | {"work", "##s", "tab", "##le", ","})
+    tok = wordpiece_tokens(vocab)
+    docs = spark.createDataFrame(
+        [(1, good, "s1")], "doc_id long, text string, source string",
+    )
+    out = prepare_training_corpus(
+        docs, min_quality=0.5, lang="en", quota=10, capacity=16,
+        tokens=tok,
+    )
+    n_ws = len(good.split(" "))
+    n_subword = n_ws + 1 + 2   # comma piece + one extra per split word
+    per_doc = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(
+        F.sum("seg_len").alias("s")).collect()}
+    assert per_doc[1] == n_subword
+    assert per_doc[1] != n_ws
+    # the 16-token capacity cuts at subword boundaries: segment rows
+    # tile [0, n_subword) exactly
+    segs = sorted((r.seg_start, r.seg_len) for r in
+                  out.filter(F.col("doc_id") == 1).collect())
+    covered = []
+    for s, ln in segs:
+        covered.extend(range(s, s + ln))
+    assert covered == list(range(n_subword))

@@ -32,7 +32,11 @@ applied to corpus curation. EVERY append cost is incremental:
   per append — the 10M-doc stress (`tools/corpus_stress.py`) caught a
   50k-doc append costing the same as a 500k-doc one before this. The
   exact-Jaccard verify reads archive TEXT only for the band-collision
-  CANDIDATES (candidate-bounded, not archive-bounded).
+  CANDIDATES, and only from THEIR ingest-epoch leaves (the band index
+  carries each resident's epoch; the candidates' distinct epochs
+  become a static partition-pruning predicate on the text read via
+  :meth:`CorpusStore.read_epochs`) — candidate-bounded in rows AND in
+  bytes scanned, not archive-bounded.
 
 Side tables self-heal: each append first reconciles their epoch leaves
 against the corpus's (a directory diff — free on the happy path) and
@@ -59,6 +63,7 @@ DOCS_TABLE = "corpus_documents"
 REJ_TABLE = "corpus_rejections"
 HASH_TABLE = "corpus_text_hashes"
 BANDS_TABLE = "corpus_minhash_bands"
+EMB_TABLE = "corpus_embedding_buckets"
 
 #: MinHash parameters of the persisted band index — fixed per store
 #: (they define the stored keys; the within-batch check and the stored
@@ -66,6 +71,15 @@ BANDS_TABLE = "corpus_minhash_bands"
 NUM_PERM = 32
 N_BANDS = 8
 SHINGLE_N = 3
+
+#: Random-hyperplane LSH parameters of the persisted embedding-bucket
+#: index (the optional ``embedding_col=`` semantic check) — fixed per
+#: store for the same stored-keys reason, and identical to the
+#: ``cosine_pairs_lsh`` defaults so an ad-hoc whole-corpus pass buckets
+#: the same way the archive index does.
+SEM_PLANES = 3
+SEM_N_TABLES = 16
+SEM_DIM = 64
 
 
 class CorpusStore:
@@ -75,13 +89,15 @@ class CorpusStore:
 
     def __init__(self, spark: "SparkSession", warehouse_dir: str,
                  near_threshold: float = 0.8,
-                 max_bucket_docs: int | None = None):
+                 max_bucket_docs: int | None = None,
+                 semantic_threshold: float = 0.9):
         from weatherdb_spark.broker import Broker
 
         self.broker = Broker(spark, warehouse_dir)
         self.spark = spark
         self.near_threshold = near_threshold
         self.max_bucket_docs = max_bucket_docs
+        self.semantic_threshold = semantic_threshold
 
     # ------------------------------------------------------------ read
     def read(self, version: int | None = None,
@@ -95,6 +111,31 @@ class CorpusStore:
         if not with_epoch and "ingest_epoch" in df.columns:
             df = df.drop("ingest_epoch")
         return df
+
+    def read_epochs(self, epochs) -> DataFrame:
+        """Partition-pruned read of ONLY the given ingest epochs'
+        leaves (``ingest_epoch`` dropped — the documents' own schema).
+        The epoch list is a STATIC ``IN`` predicate, so the parquet
+        scan lists just those ``ingest_epoch=N`` directories
+        (PartitionFilters — plan-pinned by test), never the corpus:
+        this is what keeps :meth:`append`'s exact-Jaccard verify
+        O(candidate epochs) instead of O(corpus). Raises on a legacy
+        flat corpus (no epoch leaves to prune — callers fall back to
+        :meth:`read`)."""
+        if not self.broker._is_partitioned_by(DOCS_TABLE, "ingest_epoch"):
+            raise ValueError(
+                f"{DOCS_TABLE} is not epoch-partitioned (legacy flat "
+                "layout) — read() the whole corpus instead; the first "
+                "append migrates it"
+            )
+        epochs = [int(e) for e in epochs]
+        if not epochs:
+            return self.read(with_epoch=True).limit(0).drop("ingest_epoch")
+        return (
+            self.read(with_epoch=True)
+            .filter(F.col("ingest_epoch").isin(epochs))
+            .drop("ingest_epoch")
+        )
 
     def rejections(self) -> DataFrame:
         if not self.broker.exists(REJ_TABLE):
@@ -145,6 +186,28 @@ class CorpusStore:
             .select(F.col(id_col), "shingles")
         return self._bands_from_shingles(sh, id_col)
 
+    def _emb_buckets_frame(self, docs: DataFrame, id_col: str,
+                           embedding_col: str) -> DataFrame:
+        """(id, table, bucket) random-hyperplane LSH keys of the
+        embedding column — the exact bucket stream ``cosine_pairs_lsh``
+        builds, via the same signature helper at the store's pinned
+        :data:`SEM_PLANES`/:data:`SEM_N_TABLES`/:data:`SEM_DIM`, so the
+        stored index and an ad-hoc whole-corpus pass cannot disagree.
+        NULL embeddings produce no bucket rows (no semantic check for
+        them — mirroring NULL texts' no-shingle behavior)."""
+        from weatherdb_spark.functions.partitioning import spread
+        from weatherdb_spark.llm.similarity import _with_bucket_signature
+
+        b = spread(docs, id_col).select(
+            F.col(id_col), F.col(embedding_col).alias("_v")
+        )
+        return _with_bucket_signature(
+            b, "_v", SEM_PLANES, SEM_N_TABLES, SEM_DIM
+        ).select(
+            F.col(id_col),
+            F.posexplode(F.col("_sig")).alias("table", "bucket"),
+        )
+
     def _epoch_values(self, table: str) -> "set[int] | None":
         """Epoch leaf values of the table's current snapshot, or None
         for a legacy/flat layout."""
@@ -160,14 +223,19 @@ class CorpusStore:
             and os.path.isdir(os.path.join(root, e))
         }
 
-    def _sync_side_tables(self, id_col: str, text_col: str) -> None:
+    def _sync_side_tables(self, id_col: str, text_col: str,
+                          embedding_col: str | None = None) -> None:
         """Reconcile the signature side tables with the corpus — a
         directory diff on the happy path, a partition-pruned backfill
         per missing epoch otherwise, a one-time full build for a legacy
         corpus or a lost side table. Runs before every append's archive
         checks, so a crash between the corpus flip and the side-table
         flips self-heals instead of leaking duplicates past a stale
-        index."""
+        index. The embedding-bucket side table syncs only when the
+        append carries ``embedding_col`` (its builder needs the column
+        name); epochs appended without it backfill from the archived
+        docs on the next embedding-carrying append — the docs schema is
+        drift-guarded, so the column is always there to read."""
         b = self.broker
         if not b.exists(DOCS_TABLE):
             return
@@ -176,6 +244,11 @@ class CorpusStore:
             HASH_TABLE: self._hash_frame,
             BANDS_TABLE: self._bands_frame,
         }
+        if embedding_col is not None:
+            builders[EMB_TABLE] = (
+                lambda docs, i, _t: self._emb_buckets_frame(
+                    docs, i, embedding_col)
+            )
         for table, build in builders.items():
             side_epochs = (
                 self._epoch_values(table) if b.exists(table) else None
@@ -238,7 +311,13 @@ class CorpusStore:
             # missing signatures (silent dedup misses forever). Stopping
             # at the first side-missing epoch keeps the gap visible; the
             # next append heals it, after which it folds normally.
-            for side in (HASH_TABLE, BANDS_TABLE):
+            # the embedding-bucket table participates only when the
+            # store uses semantic indexing (absent = never created,
+            # which must not veto folding the text side tables)
+            sides = [HASH_TABLE, BANDS_TABLE]
+            if self.broker.exists(EMB_TABLE):
+                sides.append(EMB_TABLE)
+            for side in sides:
                 if not self.broker.exists(side):
                     fold = []
                     break
@@ -252,7 +331,7 @@ class CorpusStore:
             if len(fold) < 2:
                 return {"folded": 0, "into_epoch": None}
             target = fold[-1]
-            for table in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE):
+            for table in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE, EMB_TABLE):
                 if not (self.broker.exists(table)
                         and self.broker._is_partitioned_by(table,
                                                            "ingest_epoch")):
@@ -269,9 +348,28 @@ class CorpusStore:
 
     # ---------------------------------------------------------- append
     def append(self, new_docs: DataFrame,
-               id_col: str = "doc_id", text_col: str = "text") -> dict:
+               id_col: str = "doc_id", text_col: str = "text",
+               embedding_col: str | None = None) -> dict:
         """Admit ``new_docs`` into the corpus; returns
         ``{"admitted": n, "rejected": n, "version": v}``.
+
+        ``embedding_col`` opts the append into the SEMANTIC archive
+        check: the batch's random-hyperplane LSH bucket keys (the
+        ``cosine_pairs_lsh`` stream, same helpers) join the persisted
+        :data:`EMB_TABLE` index, exact cosine verifies the candidates
+        against their epoch-pruned archived vectors, and a batch doc
+        within ``semantic_threshold`` of ANY archived doc is rejected
+        with reason ``archive_semantic`` — catching paraphrases and
+        re-encodes that text dedup (exact md5 / MinHash shingles)
+        misses. The index is a per-epoch side table like the text
+        signatures: self-healing by the same directory diff, folded by
+        the same :meth:`compact_epochs`. Appends WITHOUT the column
+        skip the check and leave the index's backfill to the next
+        embedding-carrying append (the schema-drift guard keeps the
+        column readable in every epoch). Within-batch semantic collapse
+        is deliberately not performed — run :func:`~weatherdb_spark.
+        llm.similarity.semantic_dedup` over the batch first if the
+        batch itself may contain paraphrase groups.
 
         Runs under the warehouse mutex like every Broker stage: the
         write is a snapshot flip, so readers planned against the old
@@ -289,8 +387,13 @@ class CorpusStore:
         # intermediates; a long-lived session appending repeatedly must
         # not accumulate dead blocks (the engine-wide cache-hygiene
         # invariant)
+        if embedding_col is not None and embedding_col not in new_docs.columns:
+            raise ValueError(
+                f"embedding_col {embedding_col!r} is not a column of the "
+                f"batch (columns: {new_docs.columns})"
+            )
         with self.broker.activate(), cache_scope():
-            self._sync_side_tables(id_col, text_col)
+            self._sync_side_tables(id_col, text_col, embedding_col)
             if self.broker.exists(DOCS_TABLE):
                 # the epoch-leaf write would silently accept a batch
                 # whose columns (or their TYPES — a string doc_id next
@@ -363,6 +466,13 @@ class CorpusStore:
             batch_bands = scoped_persist(
                 self._bands_from_shingles(batch_sh, id_col)
             )
+            # embedding bucket keys of the exact-survivors (archive
+            # semantic check + the admitted slice's index write)
+            batch_emb = (
+                scoped_persist(
+                    self._emb_buckets_frame(batch, id_col, embedding_col))
+                if embedding_col is not None else None
+            )
 
             # 2) within-batch near-dup collapse (larger id of a pair),
             # from the SAME band/shingle frames
@@ -422,8 +532,12 @@ class CorpusStore:
                 # batch's buckets, not the index. Exact-Jaccard verify
                 # reads archive text only for the CANDIDATES.
                 arch_b = self.broker.read(BANDS_TABLE)
-                if "ingest_epoch" in arch_b.columns:
-                    arch_b = arch_b.drop("ingest_epoch")
+                # the band rows KEEP their ingest_epoch: a candidate's
+                # epoch names exactly which corpus leaf holds its text,
+                # so the exact-Jaccard verify below reads only the
+                # candidates' epoch leaves instead of the whole corpus
+                # — the last O(corpus) leg of an append without it
+                band_epoch = "ingest_epoch" in arch_b.columns
                 # persisted for the same two-consumer reason as cur_hash
                 # (bucket semi-join + candidate join)
                 cur_bands = scoped_persist(
@@ -437,13 +551,35 @@ class CorpusStore:
                     arch_b.withColumnRenamed(id_col, "ref_id"),
                     ["band", "key"], "ref_id", self.max_bucket_docs,
                 )
-                cand = (
+                # (id, ref_id) pairs are unchanged by carrying the
+                # epoch: a ref doc lives in exactly one epoch. Persisted
+                # — the dim-sized epoch collect below AND the verify
+                # join both consume it.
+                cand = scoped_persist(
                     cur_bands
                     .join(arch_b, ["band", "key"])
-                    .select(id_col, "ref_id")
+                    .select(
+                        id_col, "ref_id",
+                        *(["ingest_epoch"] if band_epoch else []),
+                    )
                     .distinct()
                 )
-                ref_docs = self.read().join(
+                if band_epoch and self.broker._is_partitioned_by(
+                        DOCS_TABLE, "ingest_epoch"):
+                    # candidate epochs are append-count-bounded (dim-
+                    # sized) — collected driver-side so the text read
+                    # carries a STATIC IN predicate and partition
+                    # pruning skips every other epoch's leaves
+                    cand_epochs = sorted(
+                        r[0] for r in
+                        cand.select("ingest_epoch").distinct().collect()
+                    )
+                    arch_text = self.read_epochs(cand_epochs)
+                else:
+                    # legacy flat corpus (migrates on this append's
+                    # write) — nothing to prune yet
+                    arch_text = self.read()
+                ref_docs = arch_text.join(
                     cand.select(F.col("ref_id").alias(id_col)).distinct(),
                     id_col,
                 )
@@ -471,6 +607,71 @@ class CorpusStore:
                 )
                 nearhit = _reject(nearhit, "archive_near")
                 batch = batch.join(nearhit.select(id_col), id_col, "left_anti")
+
+                # 5) semantic vs archive (opt-in): batch bucket keys
+                # against the STORED embedding index — same asymmetric
+                # shape as the band check (bucket semi-join, resident
+                # cap, epoch-pruned exact verify), cosine instead of
+                # Jaccard
+                if batch_emb is not None and self.broker.exists(EMB_TABLE):
+                    from weatherdb_spark.llm.similarity import cosine
+
+                    arch_e = self.broker.read(EMB_TABLE)
+                    e_epoch = "ingest_epoch" in arch_e.columns
+                    cur_emb = scoped_persist(
+                        batch_emb.join(batch.select(id_col), id_col)
+                    )
+                    arch_e = arch_e.join(
+                        cur_emb.select("table", "bucket").distinct(),
+                        ["table", "bucket"], "left_semi",
+                    )
+                    arch_e = cap_bucket_residents(
+                        arch_e.withColumnRenamed(id_col, "ref_id"),
+                        ["table", "bucket"], "ref_id", self.max_bucket_docs,
+                    )
+                    ecand = scoped_persist(
+                        cur_emb
+                        .join(arch_e, ["table", "bucket"])
+                        .select(
+                            id_col, "ref_id",
+                            *(["ingest_epoch"] if e_epoch else []),
+                        )
+                        .distinct()
+                    )
+                    if e_epoch and self.broker._is_partitioned_by(
+                            DOCS_TABLE, "ingest_epoch"):
+                        e_epochs = sorted(
+                            r[0] for r in
+                            ecand.select("ingest_epoch").distinct().collect()
+                        )
+                        arch_vec_src = self.read_epochs(e_epochs)
+                    else:
+                        arch_vec_src = self.read()
+                    ref_vecs = arch_vec_src.join(
+                        ecand.select(
+                            F.col("ref_id").alias(id_col)).distinct(),
+                        id_col,
+                    ).select(
+                        F.col(id_col).alias("ref_id"),
+                        F.col(embedding_col).alias("_vr"),
+                    )
+                    semhit = (
+                        ecand
+                        .join(batch.select(
+                            F.col(id_col),
+                            F.col(embedding_col).alias("_vc")), id_col)
+                        .join(ref_vecs, "ref_id")
+                        .withColumn(
+                            "cos",
+                            F.round(cosine(F.col("_vc"), F.col("_vr")), 6),
+                        )
+                        .filter(F.col("cos") >= self.semantic_threshold)
+                        .groupBy(id_col)
+                        .agg(F.min("ref_id").alias("blocked_by"))
+                    )
+                    semhit = _reject(semhit, "archive_semantic")
+                    batch = batch.join(
+                        semhit.select(id_col), id_col, "left_anti")
 
             # materialize the admitted batch ONCE (count populates the
             # cache; the epoch-leaf write reuses it; the scope releases
@@ -501,6 +702,11 @@ class CorpusStore:
                 BANDS_TABLE, batch_bands.join(adm_ids, id_col),
                 "ingest_epoch", epoch,
             )
+            if batch_emb is not None:
+                self.broker.write_partition_append(
+                    EMB_TABLE, batch_emb.join(adm_ids, id_col),
+                    "ingest_epoch", epoch,
+                )
 
             rejected = rej[0]
             for r in rej[1:]:
@@ -525,6 +731,7 @@ def stream_into_corpus(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    embedding_col: str | None = None,
     await_termination: bool = True,
 ):
     """Tail a document stream into the :class:`CorpusStore`: each

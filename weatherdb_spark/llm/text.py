@@ -74,6 +74,83 @@ def arrow_regex_tokens(pattern: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"):
     return tokens
 
 
+def wordpiece_tokens(
+    vocab,
+    unk_token: str = "[UNK]",
+    max_word_chars: int = 100,
+    pre_pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]",
+):
+    """Vocabulary-driven SUBWORD tokenizer for the ``tokens`` seam —
+    greedy longest-match-first WordPiece (Wu et al. 2016; the BERT
+    ``vocab.txt`` convention: continuation pieces carry a ``##``
+    prefix, a word with no valid segmentation becomes ``unk_token``).
+    Returns the standard col -> ``array<string>`` Column callable, so
+    it flows through every token-consuming operator (``chunk_windows``,
+    ``pack_concat_chunk``, ``bm25_topk``, ``unigram_logprob``,
+    ``prepare_training_corpus``) — sequence boundaries then follow the
+    MODEL's token counts, not whitespace words.
+
+    ``vocab`` is an iterable of piece strings or a path to a vocab
+    file (one piece per line, the published format). It is read ONCE
+    driver-side and shipped inside the pandas-UDF closure — a plain
+    task-binary constant, NOT a broadcast join: the vocab is a
+    dim-sized lookup the executor probes per word, and turning it into
+    a join would shuffle the exploded token stream for no reason.
+
+    Execution is Arrow batch-columnar (pandas UDF) like
+    :func:`arrow_regex_tokens`; NULL text maps to a NULL array
+    (NULL-emits-nothing downstream). ``pre_pattern`` is the
+    pre-tokenizer (words / punctuation — whitespace never reaches the
+    matcher); words longer than ``max_word_chars`` short-circuit to
+    ``unk_token``, the standard guard against adversarial
+    megabyte-"words" going O(len^2) in the matcher."""
+    import os
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(vocab, (str, os.PathLike)):
+        with open(vocab, encoding="utf-8") as fh:
+            vocab = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    vocab_set = frozenset(vocab)
+    if not vocab_set:
+        raise ValueError("wordpiece_tokens needs a non-empty vocabulary")
+    rx = re.compile(pre_pattern)
+
+    def _wp_word(word: str) -> list:
+        if len(word) > max_word_chars:
+            return [unk_token]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab_set:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [unk_token]   # no segmentation: whole word UNK
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    @pandas_udf("array<string>")
+    def _tok(s):
+        return s.map(
+            lambda t: None if t is None else
+            [p for w in rx.findall(t) for p in _wp_word(w)]
+        )
+
+    def tokens(col) -> "F.Column":
+        return _tok(col if not isinstance(col, str) else F.col(col))
+
+    return tokens
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
     (words / numbers / single punctuation)."""

@@ -63,3 +63,89 @@ def test_frame_sample_chunks(payloads):
         .orderBy("frame_no").collect()
     ]
     assert all(s == 16 for s in sizes[:-1]) and 0 < sizes[-1] <= 16
+
+
+def test_dhash_brute_force_ground_truth(spark):
+    """image_neardup_pairs must emit EXACTLY the pairs a brute-force
+    popcount over the collected dHashes finds (recall 1 by pigeonhole,
+    precision 1 by the exact filter) — on the driver's documents
+    fixture, non-degenerately."""
+    from tests.conftest import SF_DIR
+
+    from weatherdb_spark.llm.multimodal import (
+        dhash_images,
+        image_neardup_pairs,
+    )
+    from weatherdb_spark.sources.testdata import load
+
+    docs = attach_binary_payload(load(spark, SF_DIR, "documents"))
+    fps = {r.doc_id: r.dhash for r in dhash_images(docs).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin((fps[a] ^ fps[b]) & (2 ** 64 - 1)).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & (2 ** 64 - 1)).count("1") <= 10
+    }
+    got = {tuple(r) for r in
+           image_neardup_pairs(docs, max_hamming=10).collect()}
+    assert brute, "degenerate fixture: no near-dup pairs at radius 10"
+    assert got == brute
+
+
+def test_dhash_identical_and_reencoded_payloads_pair_up(spark):
+    """A byte-identical copy pairs at hamming 0; a 're-encoded' copy
+    (same gradient structure, shifted byte values) pairs within the
+    radius while text-level dedup sees different bytes."""
+    from weatherdb_spark.llm.multimodal import image_neardup_pairs
+
+    base = bytes(range(72))                      # rising gradient grid
+    shifted = bytes(v + 100 for v in range(72))  # same comparisons
+    other = bytes(reversed(range(72)))           # inverted gradient
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)),
+         (3, bytearray(shifted)), (4, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(df, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0   # re-encode preserves every gradient bit
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_hamming_pairs_exact_negative_fingerprints(spark):
+    """dHash uses all 64 bits, so fingerprints can be NEGATIVE int64s;
+    the block keys must extract UNSIGNED (an arithmetic shift + Spark's
+    sign-following % would hand identical low blocks different keys —
+    silent recall loss). Two crafted grids set bit 63 (negative hash)
+    and differ in exactly one low bit."""
+    from weatherdb_spark.llm.dedup import hamming_pairs_exact
+    from weatherdb_spark.llm.multimodal import dhash_images
+
+    g1 = bytearray(72)
+    # every row's last comparison true -> bits 7,15,...,63 set (incl.
+    # the sign bit); grid cols 7 < 8 per row
+    for r in range(8):
+        g1[r * 9 + 8] = 1
+    g2 = bytearray(g1)
+    g2[0:2] = b"\x00\x01"       # bit 0 set in g2 only -> hamming 1
+    df = spark.createDataFrame(
+        [(1, bytes(g1)), (2, bytes(g2))], "doc_id long, payload binary"
+    )
+    fps = {r.doc_id: r.dhash for r in dhash_images(df).collect()}
+    assert fps[1] < 0 and fps[2] < 0, "fixture failed to set bit 63"
+    assert bin((fps[1] ^ fps[2]) & (2 ** 64 - 1)).count("1") == 1
+    got = {tuple(r) for r in
+           hamming_pairs_exact(dhash_images(df), "dhash",
+                               max_hamming=1, bits=64).collect()}
+    assert got == {(1, 2, 1)}
+
+
+def test_dhash_null_payload_hashes_zero_grid(spark):
+    from weatherdb_spark.llm.multimodal import dhash_images
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b""))], "doc_id long, payload binary"
+    )
+    fps = {r.doc_id: r.dhash for r in dhash_images(df).collect()}
+    assert fps == {1: 0, 2: 0}

@@ -16,7 +16,8 @@ __all__ = [
     "brute_topk", "ivf_topk", "lsh_bucket_topk", "cosine_pairs",
     "cosine_pairs_lsh", "semantic_dedup", "build_ivf_index",
     "append_to_ivf_index", "ivf_topk_indexed", "ivf_cell_stats",
-    "recall_vs_brute", "bm25_topk",
+    "compact_ivf_index", "check_ivf_index",
+    "recall_vs_brute", "bm25_topk", "bm25_dropped_terms",
     # sampling / mixing
     "deterministic_sample", "stratified_mix", "source_quota_cap",
     # sequence shaping
@@ -25,7 +26,8 @@ __all__ = [
     # text analysis
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
-    "scrub_pii", "tokens_expr", "arrow_regex_tokens", "compression_ratio",
+    "scrub_pii", "tokens_expr", "arrow_regex_tokens",
+    "wordpiece_tokens", "compression_ratio",
     # end-to-end composition + corpus management
     "prepare_training_corpus", "CorpusStore", "stream_into_corpus",
 ]
@@ -41,8 +43,9 @@ _HOMES = {
     "cosine_pairs_lsh": "similarity", "semantic_dedup": "similarity",
     "build_ivf_index": "similarity", "append_to_ivf_index": "similarity",
     "ivf_topk_indexed": "similarity", "ivf_cell_stats": "similarity",
+    "compact_ivf_index": "similarity", "check_ivf_index": "similarity",
     "recall_vs_brute": "similarity",
-    "bm25_topk": "search",
+    "bm25_topk": "search", "bm25_dropped_terms": "search",
     "deterministic_sample": "sampling", "stratified_mix": "sampling",
     "source_quota_cap": "sampling",
     "chunk_windows": "packing", "pack_concat_chunk": "packing",
@@ -51,7 +54,8 @@ _HOMES = {
     "bag_fingerprint": "text", "winnow_fingerprints": "text",
     "repetition_stats": "text", "unigram_logprob": "text",
     "scrub_pii": "text", "tokens_expr": "text",
-    "arrow_regex_tokens": "text", "compression_ratio": "text",
+    "arrow_regex_tokens": "text", "wordpiece_tokens": "text",
+    "compression_ratio": "text",
     "prepare_training_corpus": "pipeline",
     "CorpusStore": "corpus",
     "stream_into_corpus": "corpus",

@@ -147,3 +147,82 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.expr(f"substring(payload, frame_no * {every_n_bytes} + 1, {every_n_bytes})")
         .alias("frame_bytes"),
     )
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+#: dHash grid: 8 rows x 9 columns of "pixels", 8 adjacent-pixel
+#: comparisons per row -> a 64-bit fingerprint (the standard dHash
+#: shape; Krawetz, "Kind of Like That", hackerfactor 2013).
+_DHASH_ROWS = 8
+_DHASH_COLS = 9
+
+
+def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash fingerprint per image payload — the
+    image twin of :func:`~weatherdb_spark.llm.dedup.simhash`: a 64-bit
+    gradient signature that is STABLE under re-encoding, scaling, and
+    mild edits, so near-duplicate images land within a small hamming
+    distance. Arrow mapInPandas over the same fake-decode path as the
+    other multimodal operators (the grid resampler is the
+    :func:`resize_images` byte subsample; a real deployment swaps in
+    PIL grayscale-resize to 9x8 — the hashing, batching, and schema
+    stay identical).
+
+    Bit r*8+c of the hash is 1 iff grid[r][c] < grid[r][c+1]; all 64
+    bits are used, so the int64 may be NEGATIVE (bit 63) — downstream
+    consumers must extract block keys unsigned
+    (:func:`~weatherdb_spark.llm.dedup.hamming_pairs_exact` does).
+    NULL/empty payloads hash the zero grid (hash 0) rather than failing
+    the task, mirroring :func:`_fake_decode`."""
+    n = _DHASH_ROWS * _DHASH_COLS
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                raw = bytes(b or b"")
+                step = max(1, len(raw) // n)
+                g = raw[::step][:n].ljust(n, b"\x00")
+                h = 0
+                bit = 0
+                for r in range(_DHASH_ROWS):
+                    row = g[r * _DHASH_COLS:(r + 1) * _DHASH_COLS]
+                    for c in range(_DHASH_COLS - 1):
+                        if row[c] < row[c + 1]:
+                            h |= 1 << bit
+                        bit += 1
+                if h >= 2 ** 63:      # wrap to signed int64
+                    h -= 2 ** 64
+                out.append(h)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"), "dhash": out,
+            })
+
+    return df.mapInPandas(_dh, DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash fingerprints + the EXACT
+    multi-index pigeonhole hamming join
+    (:func:`~weatherdb_spark.llm.dedup.hamming_pairs_exact` — the same
+    machinery the text SimHash family rides). Returns (id_a, id_b,
+    hamming) for every pair within ``max_hamming`` differing bits —
+    recall 1 by pigeonhole, no cross join at any corpus size: the
+    fingerprint stream explodes into ``max_hamming + 1`` block keys and
+    every shuffle is keyed. The standard image-dedup shape for a
+    training pipeline: re-encoded/resized copies of one image share
+    most gradient bits and surface here while text dedup sees only
+    opaque bytes."""
+    from weatherdb_spark.llm.dedup import hamming_pairs_exact
+
+    fp = dhash_images(df.select(F.col(id_col).alias("doc_id"), "payload"))
+    return hamming_pairs_exact(fp, "dhash", max_hamming, bits=64,
+                               id_col="doc_id")

@@ -1632,3 +1632,68 @@ def prepare_training_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "tok_offset", "seq_id", "seg_start", "seg_len",
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal near-dup: dHash fingerprints + exact pigeonhole hamming join
+# --------------------------------------------------------------------------
+
+# the oracle recomputes the dHash grid per document in SQL (byte value
+# via ascii(substr(..)) — the documents fixture is pure ASCII, so
+# char indexing == byte indexing; pinned by the pytest fixture check)
+# and brute-forces ALL pairs with a per-bit hamming sum, so the banded
+# Spark path is value-checked against an O(n^2) ground truth: recall 1
+# is part of the contract, not just determinism.
+_DHASH_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, text AS raw,
+               octet_length(encode(text)) AS n,
+               greatest(1, octet_length(encode(text)) // 72) AS st
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 72),
+                   i -> CASE WHEN i * st < n
+                        THEN ascii(substr(raw, i * st + 1, 1))
+                        ELSE 0 END) AS gr
+        FROM p
+    ),
+    bits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                   k -> CASE WHEN gr[(k // 8) * 9 + (k % 8) + 1]
+                             < gr[(k // 8) * 9 + (k % 8) + 2]
+                        THEN 1 ELSE 0 END) AS b
+        FROM g
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(list_sum(list_transform(range(0, 64),
+               k -> CASE WHEN a.b[k + 1] != c.b[k + 1]
+                    THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+    FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+    WHERE list_sum(list_transform(range(0, 64),
+               k -> CASE WHEN a.b[k + 1] != c.b[k + 1]
+                    THEN 1 ELSE 0 END)) <= 10
+"""
+
+
+@_register_extra(
+    "multimodal_image_neardup",
+    oracle=_DHASH_ORACLE,
+    doc="Image near-duplicate pairs: 64-bit dHash perceptual "
+        "fingerprints over the binary payload (Arrow mapInPandas, the "
+        "fake-decode grid) + the EXACT multi-index pigeonhole hamming "
+        "join shared with SimHash (llm.dedup.hamming_pairs_exact) — "
+        "recall 1 within the radius, every shuffle keyed. Oracle: "
+        "O(n^2) per-bit brute force. The training-pipeline image-dedup "
+        "shape; text dedup sees only opaque bytes.",
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weatherdb_spark.llm.multimodal import (
+        attach_binary_payload,
+        image_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return image_neardup_pairs(attach_binary_payload(docs), max_hamming=10)

@@ -1317,3 +1317,28 @@ def test_prepare_training_corpus_wordpiece_packs_subword_counts(spark):
     for s, ln in segs:
         covered.extend(range(s, s + ln))
     assert covered == list(range(n_subword))
+
+
+def test_corpus_clean_append_skips_rejection_snapshot(spark, tmp_path):
+    """A clean append (nothing rejected) skips the rejection-log write
+    — an empty leaf carries no audit information and the snapshot flip
+    is pure fixed overhead on the small-append floor. The FIRST append
+    still creates the log (rejections() contract), and a rejecting
+    append still snapshots it."""
+    from weatherdb_spark.llm.corpus import REJ_TABLE, CorpusStore
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    store.append(mk([(1, "first words of their own kind")]))
+    assert store.broker.exists(REJ_TABLE)       # created by append 1
+    v1 = store.broker.table_version(REJ_TABLE)
+    assert store.rejections().count() == 0
+
+    store.append(mk([(2, "second unrelated set of words")]))
+    assert store.broker.table_version(REJ_TABLE) == v1  # clean: skipped
+
+    res = store.append(mk([(3, "first words of their own kind")]))
+    assert res["rejected"] == 1
+    assert store.broker.table_version(REJ_TABLE) == v1 + 1
+    assert {(r.doc_id, r.reason) for r in store.rejections().collect()} \
+        == {(3, "archive_exact")}

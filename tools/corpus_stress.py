@@ -194,6 +194,32 @@ def main() -> None:
         print(f"  append1={r1} append2={r2} append3={r3}",
               file=sys.stderr, flush=True)
 
+        # ---- IVF serving index: build on 90% of the vectors, then a
+        # 10% MVCC merge-append (r8: write_partition_merge — new files
+        # per touched cell + hard-linked history + atomic flip). The
+        # append must track its BATCH, not the index: a regression to
+        # an O(index) rewrite shows as append ~ build here.
+        from weatherdb_spark.llm.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            ivf_cell_stats,
+        )
+
+        cut = args.vectors - args.vectors // 10
+        idx = os.path.join(work, "ivf")
+        lap("ivf_build", lambda: build_ivf_index(
+            emb.filter(F.col("vec_id") < cut), idx, n_cells=64))
+        lap("ivf_append_10pct", lambda: append_to_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") >= cut)))
+        n_indexed = lap(
+            "ivf_cell_stats",
+            lambda: ivf_cell_stats(spark, idx)
+            .agg(F.sum("n_vectors")).first()[0],
+        )
+        assert n_indexed == args.vectors, (
+            f"IVF index lost rows: {n_indexed} != {args.vectors}"
+        )
+
         print(json.dumps({
             "metric": "corpus_stress_wall",
             "value": round(sum(stages.values()), 2),

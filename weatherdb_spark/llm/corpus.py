@@ -392,6 +392,19 @@ class CorpusStore:
                 f"embedding_col {embedding_col!r} is not a column of the "
                 f"batch (columns: {new_docs.columns})"
             )
+        if embedding_col is not None and self.broker.exists(DOCS_TABLE):
+            # the index backfill reads the ARCHIVE's embeddings; a
+            # text-only archive would fail deep inside the sync build
+            # with a raw unresolved-column error — the schema-drift
+            # guard below would name the problem, but only after the
+            # sync, so name it first
+            arch_cols = self.read().columns
+            if embedding_col not in arch_cols:
+                raise ValueError(
+                    f"embedding_col {embedding_col!r} is not a column of "
+                    f"the archived corpus (columns: {arch_cols}); the "
+                    "semantic index needs the column in every epoch"
+                )
         with self.broker.activate(), cache_scope():
             self._sync_side_tables(id_col, text_col, embedding_col)
             if self.broker.exists(DOCS_TABLE):
@@ -713,11 +726,17 @@ class CorpusStore:
                 rejected = rejected.unionByName(r)
             n_rejected = rejected.count()
             # the rejection log appends the same way, keyed by the
-            # corpus version the drops were decided against
-            self.broker.write_partition_append(
-                REJ_TABLE, rejected, "corpus_version",
-                self.broker.table_version(DOCS_TABLE),
-            )
+            # corpus version the drops were decided against. A CLEAN
+            # append skips the write (an empty leaf carries no audit
+            # information and the snapshot flip is pure fixed overhead
+            # — the round-7 stress showed small appends dominated by
+            # such per-append jobs); the FIRST append always writes so
+            # rejections() exists from version 1, per its contract.
+            if n_rejected or not self.broker.exists(REJ_TABLE):
+                self.broker.write_partition_append(
+                    REJ_TABLE, rejected, "corpus_version",
+                    self.broker.table_version(DOCS_TABLE),
+                )
             return {
                 "admitted": admitted,
                 "rejected": n_rejected,

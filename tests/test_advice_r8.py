@@ -159,7 +159,9 @@ def test_datafix_state_predicates_do_not_write(spark, tmp_path):
 def test_partest_parses_workers_flag():
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
     try:
         from partest import parse_workers
     finally:

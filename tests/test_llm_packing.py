@@ -1159,21 +1159,27 @@ def test_corpus_semantic_dedup_at_append(spark, tmp_path):
     assert rej == {(10, "archive_semantic", 1)}
     assert {r.doc_id for r in store.read().collect()} == {1, 2, 11, 12}
 
-    # appends WITHOUT the column skip the check (same vector admitted)
+    # the opt-in is STICKY (a store property, not a per-append flag):
+    # an append WITHOUT the argument still maintains the index and
+    # runs the check against the recorded column
     b3 = spark.createDataFrame(
-        [(20, "another paraphrase but nobody asked for the check",
+        [(20, "another paraphrase and nobody re-passed the flag",
           _unit_vec(7, jitter=0.002))], schema)
-    assert store.append(b3)["admitted"] == 1
-    # ... and the NEXT embedding-carrying append backfills epoch 3 into
-    # the index (sync diff), so doc 20 now blocks its own near-copies
-    b4 = spark.createDataFrame(
-        [(30, "yet another rewrite of that same particular idea",
-          _unit_vec(7, jitter=0.003))], schema)
-    res4 = store.append(b4, embedding_col="embedding")
-    assert res4["admitted"] == 0 and res4["rejected"] == 1
+    res3 = store.append(b3)
+    assert res3["admitted"] == 0 and res3["rejected"] == 1
     blocked = {r.blocked_by for r in store.rejections().collect()
-               if r.doc_id == 30}
+               if r.doc_id == 20}
     assert blocked == {1}  # min archived id among the colliding refs
+    # a genuinely new embedding is still admitted without the flag
+    b4 = spark.createDataFrame(
+        [(30, "fresh late arrival with its very own vector",
+          _unit_vec(777))], schema)
+    assert store.append(b4)["admitted"] == 1
+    # a DIFFERENT column name later is refused: the stored bucket keys
+    # are one vector space
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="vector spaces"):
+        store.append(b4, embedding_col="other")
 
 
 def test_corpus_semantic_side_table_self_heals(spark, tmp_path):

@@ -712,3 +712,163 @@ def test_ivf_topk_deterministic_under_repartitioning(spark):
     out2 = sorted(map(tuple, ivf_topk(emb2, q, k=3, n_cells=6,
                                       n_probe=2).collect()))
     assert out1 == out2 and len(out1) == 12
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_hamming_pairs_mixed_sign_block0_agreement(spark):
+    """Two 64-bit fingerprints differing ONLY in bit 63 (one negative,
+    one non-negative) agree on block 0 alone; sign-following key
+    extraction (arithmetic shift or Spark's %) would hand the two sides
+    different block-0 keys and silently miss the pair — the bitwise-AND
+    mask keeps recall 1."""
+    from weatherdb_spark.llm.dedup import hamming_pairs_exact
+    from weatherdb_spark.llm.multimodal import dhash_images
+
+    g1 = bytearray(72)
+    g1[71] = 1            # bit 63 only (row 7: grid[70] < grid[71])
+    g2 = bytearray(72)    # all-zero grid -> fingerprint 0
+    df = spark.createDataFrame(
+        [(1, bytes(g1)), (2, bytes(g2))], "doc_id long, payload binary"
+    )
+    fps = {r.doc_id: r.dhash for r in dhash_images(df).collect()}
+    assert fps[1] < 0 and fps[2] == 0
+    got = {tuple(r) for r in
+           hamming_pairs_exact(dhash_images(df), "dhash",
+                               max_hamming=1, bits=64).collect()}
+    assert got == {(1, 2, 1)}
+
+
+def test_image_neardup_max_hamming_zero(spark):
+    """max_hamming=0 (exact-duplicate images) makes the single block 64
+    bits wide; 2**64 fits no JVM long — the key must be the fingerprint
+    itself, not a modulo."""
+    from weatherdb_spark.llm.multimodal import image_neardup_pairs
+
+    p = bytes(range(72))
+    df = spark.createDataFrame(
+        [(1, p), (2, p), (3, bytes(reversed(p)))],
+        "doc_id long, payload binary",
+    )
+    got = {tuple(r) for r in
+           image_neardup_pairs(df, max_hamming=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_compact_ivf_index_migrates_legacy_layout_first(spark, tmp_path):
+    """Vacuuming a pre-r8 raw-parquet index must not version the RAW
+    dirs under their legacy names (which stranded every reader): it
+    migrates to the broker layout first, probes identical after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from weatherdb_spark.llm.similarity import (
+        IVF_INVERTED_TABLE,
+        _ivf_frames,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+    )
+    from weatherdb_spark.sources.testdata import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    src = str(tmp_path / "src")
+    build_ivf_index(emb, src, n_cells=8, seed=42)
+    cent, inv = _ivf_frames(spark, src)
+    legacy = str(tmp_path / "legacy")
+    cent.write.parquet(os.path.join(legacy, "centroids"))
+    # several files per cell leaf so vacuum has something to fold
+    inv.repartition(6).write.partitionBy("cell").parquet(
+        os.path.join(legacy, "inverted"))
+    before = {tuple(r) for r in
+              ivf_topk_indexed(spark, legacy, q, k=3, n_probe=4).collect()}
+
+    compact_ivf_index(spark, legacy)
+    from weatherdb_spark.broker import Broker
+    assert Broker(spark, legacy).exists(IVF_INVERTED_TABLE)
+    assert not os.path.isdir(os.path.join(legacy, "inverted"))
+    after = {tuple(r) for r in
+             ivf_topk_indexed(spark, legacy, q, k=3, n_probe=4).collect()}
+    assert after == before and after
+
+
+def test_partition_merge_rejects_unversioned_partitioned_table(spark, tmp_path):
+    """A partitioned but MANIFEST-LESS table resolves its data path to
+    the table root; linking 'the previous snapshot' from there would
+    recurse into the freshly written version dir. Refused upfront."""
+    import pytest as _pytest
+
+    from weatherdb_spark.broker import Broker
+
+    b = Broker(spark, str(tmp_path / "wh"))
+    spark.createDataFrame([(1, 0), (2, 1)], "id long, cell int") \
+        .write.partitionBy("cell").parquet(b.path("dimtab"))
+    batch = spark.createDataFrame([(3, 0)], "id long, cell int")
+    with _pytest.raises(ValueError, match="unversioned"):
+        b.write_partition_merge("dimtab", batch, "cell")
+
+
+def test_stream_into_corpus_threads_embedding_col(spark, tmp_path):
+    """The streaming sink passes embedding_col through to append — a
+    paraphrase arriving in a LATER micro-batch is rejected
+    archive_semantic, not silently admitted."""
+    import math
+    import os
+    import random
+
+    import pandas as pd
+
+    from weatherdb_spark.llm.corpus import CorpusStore, stream_into_corpus
+
+    def unit(seed, jitter=0.0):
+        rng = random.Random(seed)
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        if jitter:
+            v = [x + jitter * ((i % 2) * 2 - 1) for i, x in enumerate(v)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1], "text": ["the original phrasing of one idea"],
+        "embedding": [str(unit(7))],
+    }).to_json(src / "a.json", orient="records", lines=True)
+    pd.DataFrame({
+        "doc_id": [2], "text": ["a full rewrite sharing no words"],
+        "embedding": [str(unit(7, jitter=0.001))],
+    }).to_json(src / "b.json", orient="records", lines=True)
+    os.utime(src / "a.json", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.json", (1_700_000_100, 1_700_000_100))
+
+    from pyspark.sql import functions as F
+    store = CorpusStore(spark, str(tmp_path / "wh"),
+                        semantic_threshold=0.98)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, embedding string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+        .withColumn(
+            "embedding",
+            F.from_json("embedding", "array<float>"),
+        )
+    )
+    stream_into_corpus(stream, store, str(tmp_path / "ck"),
+                       embedding_col="embedding")
+    assert {r.doc_id for r in store.read().collect()} == {1}
+    rej = {(r.doc_id, r.reason, r.blocked_by)
+           for r in store.rejections().collect()}
+    assert rej == {(2, "archive_semantic", 1)}
+
+
+def test_bm25_dropped_terms_none_share_is_empty(spark):
+    from weatherdb_spark.llm.search import bm25_dropped_terms
+
+    docs = spark.createDataFrame([(1, "the the the")], "doc_id long, text string")
+    queries = spark.createDataFrame([(1, "the")], "query_id long, query string")
+    rep = bm25_dropped_terms(docs, queries, max_df_share=None)
+    assert rep.count() == 0
+    assert rep.columns == ["word", "doc_freq", "n_docs", "df_share"]

@@ -2487,6 +2487,16 @@ class Broker:
                 "flat layout); rewrite it once with "
                 f"write(partition_cols=({part_col!r},)) before merging"
             )
+        if had and cur_v is None:
+            # partitioned but MANIFEST-LESS: data_path resolves to the
+            # table root, and linking "the previous snapshot" from
+            # there would recurse into the freshly written version dir
+            # (junk nested trees). One versioning write fixes it.
+            raise ValueError(
+                f"{table} is partitioned but unversioned (no manifest); "
+                f"rewrite it once with write(partition_cols="
+                f"({part_col!r},)) before merging"
+            )
         new = (cur_v or 0) + 1
         vdir = os.path.join(self.path(table), self._version_dirname(new))
         if os.path.isdir(vdir):  # crashed earlier attempt: start clean

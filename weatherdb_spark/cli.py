@@ -296,9 +296,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "compact-ivf-index":
+        import json as _json
+
         from weatherdb_spark.llm.similarity import compact_ivf_index
 
-        print(compact_ivf_index(spark, args.index_path))
+        # same machine-readable shape as check-ivf-index (tuples ->
+        # lists so the line parses as JSON)
+        res = compact_ivf_index(spark, args.index_path)
+        print(_json.dumps({t: list(v) for t, v in res.items()}))
         return 0
 
     broker = Broker(spark, args.warehouse)

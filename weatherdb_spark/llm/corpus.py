@@ -81,6 +81,14 @@ SEM_PLANES = 3
 SEM_N_TABLES = 16
 SEM_DIM = 64
 
+#: Broker settings key recording the store's embedding column: semantic
+#: indexing is a property of the STORE, not of one append — the first
+#: ``embedding_col=`` append records the name, and every later append
+#: maintains the index and runs the check automatically (otherwise
+#: embedding-less appends would leave permanent index gaps that stall
+#: ``compact_epochs`` and let paraphrases through).
+EMB_COL_SETTING = "corpus_embedding_col"
+
 
 class CorpusStore:
     """See module docstring. ``warehouse_dir`` may be shared with a
@@ -231,11 +239,13 @@ class CorpusStore:
         corpus or a lost side table. Runs before every append's archive
         checks, so a crash between the corpus flip and the side-table
         flips self-heals instead of leaking duplicates past a stale
-        index. The embedding-bucket side table syncs only when the
-        append carries ``embedding_col`` (its builder needs the column
-        name); epochs appended without it backfill from the archived
-        docs on the next embedding-carrying append — the docs schema is
-        drift-guarded, so the column is always there to read."""
+        index. The embedding-bucket side table syncs whenever the store
+        has a recorded embedding column (``embedding_col`` here is the
+        STICKY resolution :meth:`append` performs against
+        :data:`EMB_COL_SETTING`) — the docs schema is drift-guarded, so
+        the column is always there to read, and a gap epoch (crash
+        window) backfills on the very next append rather than waiting
+        for an embedding-carrying one."""
         b = self.broker
         if not b.exists(DOCS_TABLE):
             return
@@ -353,7 +363,7 @@ class CorpusStore:
         """Admit ``new_docs`` into the corpus; returns
         ``{"admitted": n, "rejected": n, "version": v}``.
 
-        ``embedding_col`` opts the append into the SEMANTIC archive
+        ``embedding_col`` opts the STORE into the SEMANTIC archive
         check: the batch's random-hyperplane LSH bucket keys (the
         ``cosine_pairs_lsh`` stream, same helpers) join the persisted
         :data:`EMB_TABLE` index, exact cosine verifies the candidates
@@ -363,13 +373,18 @@ class CorpusStore:
         re-encodes that text dedup (exact md5 / MinHash shingles)
         misses. The index is a per-epoch side table like the text
         signatures: self-healing by the same directory diff, folded by
-        the same :meth:`compact_epochs`. Appends WITHOUT the column
-        skip the check and leave the index's backfill to the next
-        embedding-carrying append (the schema-drift guard keeps the
-        column readable in every epoch). Within-batch semantic collapse
-        is deliberately not performed — run :func:`~weatherdb_spark.
-        llm.similarity.semantic_dedup` over the batch first if the
-        batch itself may contain paraphrase groups.
+        the same :meth:`compact_epochs`. The opt-in is STICKY: the
+        first embedding-carrying append records the column name
+        (:data:`EMB_COL_SETTING`), and every later append maintains
+        the index and runs the check without re-passing the argument —
+        otherwise embedding-less appends would leave permanent index
+        gaps that stall epoch compaction and admit paraphrases
+        silently. Passing a DIFFERENT column name later raises (the
+        stored keys would mix two vector spaces). Within-batch
+        semantic collapse is deliberately not performed — run
+        :func:`~weatherdb_spark.llm.similarity.semantic_dedup` over
+        the batch first if the batch itself may contain paraphrase
+        groups.
 
         Runs under the warehouse mutex like every Broker stage: the
         write is a snapshot flip, so readers planned against the old
@@ -387,6 +402,16 @@ class CorpusStore:
         # intermediates; a long-lived session appending repeatedly must
         # not accumulate dead blocks (the engine-wide cache-hygiene
         # invariant)
+        stored_col = self.broker.get_setting(EMB_COL_SETTING)
+        if embedding_col is None:
+            embedding_col = stored_col  # sticky store-level opt-in
+        elif stored_col is not None and stored_col != embedding_col:
+            raise ValueError(
+                f"this store's semantic index is keyed on {stored_col!r}; "
+                f"appending with embedding_col={embedding_col!r} would mix "
+                "two vector spaces in one bucket table — rebuild the "
+                "corpus to change the column"
+            )
         if embedding_col is not None and embedding_col not in new_docs.columns:
             raise ValueError(
                 f"embedding_col {embedding_col!r} is not a column of the "
@@ -406,6 +431,10 @@ class CorpusStore:
                     "semantic index needs the column in every epoch"
                 )
         with self.broker.activate(), cache_scope():
+            if embedding_col is not None and stored_col is None:
+                # first embedding-carrying append: record the store's
+                # vector column (under the mutex, like every setting)
+                self.broker.set_setting(EMB_COL_SETTING, embedding_col)
             self._sync_side_tables(id_col, text_col, embedding_col)
             if self.broker.exists(DOCS_TABLE):
                 # the epoch-leaf write would silently accept a batch
@@ -770,7 +799,8 @@ def stream_into_corpus(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.append(batch_df, id_col=id_col, text_col=text_col)
+        store.append(batch_df, id_col=id_col, text_col=text_col,
+                     embedding_col=embedding_col)
 
     q = (
         stream.writeStream.foreachBatch(_sink)

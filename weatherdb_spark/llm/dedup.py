@@ -435,13 +435,23 @@ def hamming_pairs_exact(
     chroma hashes. Exact (recall 1 by pigeonhole), every shuffle keyed
     on (block, key) — no cross join at any corpus size.
 
-    Block keys extract with an UNSIGNED shift: a fingerprint using all
-    64 bits (dHash) is negative as an int64, and an arithmetic shift
-    followed by Spark's sign-following ``%`` would give two fps with
-    identical low-block bits DIFFERENT keys (silent recall loss).
-    Unsigned-shifted keys are bit-identical to the arithmetic form for
-    the non-negative fps (simhash at bits<=32) the streaming twin
-    shares its layout with."""
+    Block keys extract with an unsigned shift + a bitwise AND mask: a
+    fingerprint using all 64 bits (dHash) is negative as an int64, and
+    sign-following arithmetic (``shiftright`` or Spark's ``%``, whose
+    remainder follows the dividend — including at shift 0, where even
+    the unsigned shift is the identity) would give two fps with
+    identical low-block bits DIFFERENT keys (silent recall loss; the
+    mixed-sign block-0 case is pinned by test). The mask form is
+    bit-identical to the modulo form for the non-negative fps (simhash
+    at bits<=32) the streaming twin and the mirrored oracles share the
+    layout with; a full-width block (bits=64, max_hamming=0) keys on
+    the fingerprint itself — ``2**64`` fits no JVM long."""
+    def _key(lo: int, width: int):
+        shifted = F.shiftrightunsigned(F.col(fp_col), lo)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     blocks = simhash_blocks(bits, max_hamming)
     banded = fp.select(
         id_col,
@@ -451,8 +461,7 @@ def hamming_pairs_exact(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        (F.shiftrightunsigned(F.col(fp_col), lo)
-                         % F.lit(2 ** width)).alias("key"),
+                        _key(lo, width).alias("key"),
                     )
                     for i, lo, width in blocks
                 ]

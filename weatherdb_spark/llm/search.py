@@ -35,6 +35,12 @@ logger = logging.getLogger(__name__)
 #: otherwise pull a corpus-sized posting list into one query's window.
 MAX_DF_SHARE = 0.5
 
+# the activation warning fires once per process, not once per call: a
+# serving path scoring one query per call would otherwise flood the log
+# with an unchanged message (real drops are quantified on demand with
+# bm25_dropped_terms)
+_GATE_LOGGED = False
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -112,17 +118,22 @@ def bm25_topk(
     if max_df_share is not None:
         # NO SILENT CAPS (the cap_bucket_residents precedent): the gate
         # is declarative — which terms fall is decided executor-side at
-        # action time — so the activation is logged with the
-        # quantifying companion named, instead of a query silently
-        # returning fewer (or zero) rows.
-        logger.warning(
-            "BM25 degenerate-term gate active: query terms present in "
-            "more than %.0f%% of documents are dropped before scoring "
-            "(a query whose EVERY term exceeds the share returns no "
-            "rows). Quantify with llm.search.bm25_dropped_terms at the "
-            "same parameters, or pass max_df_share=None to disable.",
-            max_df_share * 100,
-        )
+        # action time — so the activation is logged (once per process)
+        # with the quantifying companion named, instead of a query
+        # silently returning fewer (or zero) rows.
+        global _GATE_LOGGED
+        if not _GATE_LOGGED:
+            _GATE_LOGGED = True
+            logger.warning(
+                "BM25 degenerate-term gate active: query terms present "
+                "in more than %.0f%% of documents are dropped before "
+                "scoring (a query whose EVERY term exceeds the share "
+                "returns no rows). Quantify with "
+                "llm.search.bm25_dropped_terms at the same parameters, "
+                "or pass max_df_share=None to disable. (Logged once per "
+                "process.)",
+                max_df_share * 100,
+            )
         # the guard lives on the query-vocabulary-sized df dim: the
         # scoring join below is INNER on the broadcast dfreq, so a
         # dropped term's postings are filtered map-side before the
@@ -166,7 +177,7 @@ def bm25_topk(
 def bm25_dropped_terms(
     docs: DataFrame,
     queries: DataFrame,
-    max_df_share: float = MAX_DF_SHARE,
+    max_df_share: float | None = MAX_DF_SHARE,
     id_col: str = "doc_id",
     text_col: str = "text",
     query_col: str = "query",
@@ -183,8 +194,15 @@ def bm25_dropped_terms(
     Same token pipeline as the scorer (one ``tokens`` callable feeds
     both), same df definition (documents containing the term at least
     once among the distinct query terms' postings), so the report and
-    the gate cannot disagree.
+    the gate cannot disagree. ``max_df_share=None`` mirrors the
+    scorer's gate-off mode: nothing is dropped, so the report is empty
+    by construction.
     """
+    if max_df_share is None:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "word string, doc_freq long, n_docs long, df_share double"
+        )
     if not 0 < max_df_share <= 1:
         raise ValueError(
             f"max_df_share must be in (0, 1], got {max_df_share}"

@@ -566,8 +566,18 @@ def compact_ivf_index(spark, index_path: str) -> dict:
     the cell partition dirs — probes stay partition-pruned and
     row-identical) and reclaims superseded snapshots. Returns vacuum's
     ``{table: (files_before, files_after)}``. Call at maintenance
-    cadence; a no-op on a compact index."""
-    return _ivf_broker(spark, index_path).vacuum()
+    cadence; a no-op on a compact index. A pre-r8 raw-parquet index
+    migrates into the broker layout first (as the append does) —
+    vacuuming the raw dirs as if they were broker tables would version
+    them under the LEGACY names and strand every reader."""
+    import os
+
+    b = _ivf_broker(spark, index_path)
+    with b.activate():
+        if not b.exists(IVF_INVERTED_TABLE) and os.path.isdir(
+                os.path.join(index_path, "inverted")):
+            _migrate_legacy_ivf(spark, b, index_path)
+    return b.vacuum()
 
 
 def check_ivf_index(

@@ -111,7 +111,10 @@ def wordpiece_tokens(
 
     if isinstance(vocab, (str, os.PathLike)):
         with open(vocab, encoding="utf-8") as fh:
-            vocab = [ln.rstrip("\n") for ln in fh if ln.strip()]
+            # rstrip \r too: a CRLF vocab.txt (the common download)
+            # would otherwise leave \r on every piece and silently
+            # tokenize EVERY word to [UNK]
+            vocab = [ln.rstrip("\r\n") for ln in fh if ln.strip()]
     vocab_set = frozenset(vocab)
     if not vocab_set:
         raise ValueError("wordpiece_tokens needs a non-empty vocabulary")

@@ -1348,3 +1348,86 @@ def test_corpus_clean_append_skips_rejection_snapshot(spark, tmp_path):
     assert store.broker.table_version(REJ_TABLE) == v1 + 1
     assert {(r.doc_id, r.reason) for r in store.rejections().collect()} \
         == {(3, "archive_exact")}
+
+
+def test_corpus_image_dedup_at_append(spark, tmp_path):
+    """The image_col= archive check: a re-encoded image (same gradient
+    structure, different bytes AND different caption text) sails past
+    every text layer but is rejected archive_image; a genuinely
+    different image and a NULL payload are admitted. The opt-in is
+    sticky like the semantic one."""
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import IMG_TABLE, CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("image", T.BinaryType()),
+    ])
+    base = bytes(range(72))                      # rising gradient grid
+    reenc = bytes(v + 50 for v in range(72))     # same comparisons
+    other = bytes(reversed(range(72)))           # inverted gradient
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    store.append(spark.createDataFrame(
+        [(1, "original caption words here", bytearray(base))], schema),
+        image_col="image")
+    assert store.broker.exists(IMG_TABLE)
+
+    b2 = spark.createDataFrame(
+        [(10, "totally different caption no shared words",
+          bytearray(reenc)),
+         (11, "another caption for a different picture",
+          bytearray(other)),
+         (12, "a doc with no image at all", None)],
+        schema,
+    )
+    res = store.append(b2)   # sticky: no flag re-passed
+    assert res == {"admitted": 2, "rejected": 1, "version": 2}
+    rej = {(r.doc_id, r.reason, r.blocked_by)
+           for r in store.rejections().collect()}
+    assert rej == {(10, "archive_image", 1)}
+    # renaming the image column later is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="image"):
+        store.append(b2, image_col="text")
+
+
+def test_corpus_image_side_table_self_heals_and_folds(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import IMG_TABLE, CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("image", T.BinaryType()),
+    ])
+    import random
+
+    store = CorpusStore(spark, str(tmp_path / "wh"))
+    # pseudo-random payloads: distinct gradient structures, so the
+    # three fingerprints sit ~32 bits apart (a shared monotone gradient
+    # would give every payload the same all-ones dHash)
+    payloads = [random.Random(i).randbytes(72) for i in range(3)]
+    for i in range(3):
+        res_i = store.append(spark.createDataFrame(
+            [(i, f"caption number {i} all its own",
+              bytearray(payloads[i]))],
+            schema), image_col="image")
+        assert res_i["admitted"] == 1
+    # lost side table rebuilds on the next append (sync diff)...
+    shutil.rmtree(store.broker.path(IMG_TABLE))
+    dup = spark.createDataFrame(
+        [(9, "no words in common with anything",
+          bytearray(payloads[0]))], schema)
+    res = store.append(dup)
+    assert res == {"admitted": 0, "rejected": 1, "version": 4}
+    assert store.broker.exists(IMG_TABLE)
+    # ... and compaction folds the image table with its siblings
+    folded = store.compact_epochs(keep_last=1)
+    assert folded["folded"] >= 2
+    assert sorted(store._epoch_values(IMG_TABLE))[-1] == \
+        max(store._epoch_values("corpus_documents"))

@@ -89,6 +89,16 @@ SEM_DIM = 64
 #: ``compact_epochs`` and let paraphrases through).
 EMB_COL_SETTING = "corpus_embedding_col"
 
+#: The image twin: dHash fingerprints of the store's binary payload
+#: column (``corpus_image_dhash`` side table), same sticky opt-in.
+IMG_TABLE = "corpus_image_dhash"
+IMG_COL_SETTING = "corpus_image_col"
+
+#: Hamming radius of the archive image check — two payloads whose
+#: 64-bit dHashes differ in at most this many gradient bits are
+#: near-duplicate images (the standard dHash working radius).
+IMG_MAX_HAMMING = 6
+
 
 class CorpusStore:
     """See module docstring. ``warehouse_dir`` may be shared with a
@@ -194,6 +204,25 @@ class CorpusStore:
             .select(F.col(id_col), "shingles")
         return self._bands_from_shingles(sh, id_col)
 
+    def _img_hash_frame(self, docs: DataFrame, id_col: str,
+                        payload_col: str) -> DataFrame:
+        """(id, dhash) perceptual fingerprints of the binary payload
+        column — the exact hashes ``llm.multimodal.dhash_images``
+        computes, so the stored index and an ad-hoc whole-corpus
+        ``image_neardup_pairs`` cannot disagree. NULL payloads are
+        SKIPPED (no image -> no image check — hashing them would make
+        every imageless doc a hamming-0 'duplicate' of the first)."""
+        from weatherdb_spark.functions.partitioning import spread
+        from weatherdb_spark.llm.multimodal import dhash_images
+
+        with_img = spread(
+            docs.filter(F.col(payload_col).isNotNull()), id_col
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+        )
+        return dhash_images(with_img).withColumnRenamed("doc_id", id_col)
+
     def _emb_buckets_frame(self, docs: DataFrame, id_col: str,
                            embedding_col: str) -> DataFrame:
         """(id, table, bucket) random-hyperplane LSH keys of the
@@ -232,7 +261,8 @@ class CorpusStore:
         }
 
     def _sync_side_tables(self, id_col: str, text_col: str,
-                          embedding_col: str | None = None) -> None:
+                          embedding_col: str | None = None,
+                          image_col: str | None = None) -> None:
         """Reconcile the signature side tables with the corpus — a
         directory diff on the happy path, a partition-pruned backfill
         per missing epoch otherwise, a one-time full build for a legacy
@@ -258,6 +288,11 @@ class CorpusStore:
             builders[EMB_TABLE] = (
                 lambda docs, i, _t: self._emb_buckets_frame(
                     docs, i, embedding_col)
+            )
+        if image_col is not None:
+            builders[IMG_TABLE] = (
+                lambda docs, i, _t: self._img_hash_frame(
+                    docs, i, image_col)
             )
         for table, build in builders.items():
             side_epochs = (
@@ -321,12 +356,14 @@ class CorpusStore:
             # missing signatures (silent dedup misses forever). Stopping
             # at the first side-missing epoch keeps the gap visible; the
             # next append heals it, after which it folds normally.
-            # the embedding-bucket table participates only when the
-            # store uses semantic indexing (absent = never created,
-            # which must not veto folding the text side tables)
+            # the embedding-bucket / image-hash tables participate only
+            # when the store uses those indexes (absent = never
+            # created, which must not veto folding the text side
+            # tables)
             sides = [HASH_TABLE, BANDS_TABLE]
-            if self.broker.exists(EMB_TABLE):
-                sides.append(EMB_TABLE)
+            for opt in (EMB_TABLE, IMG_TABLE):
+                if self.broker.exists(opt):
+                    sides.append(opt)
             for side in sides:
                 if not self.broker.exists(side):
                     fold = []
@@ -341,7 +378,8 @@ class CorpusStore:
             if len(fold) < 2:
                 return {"folded": 0, "into_epoch": None}
             target = fold[-1]
-            for table in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE, EMB_TABLE):
+            for table in (DOCS_TABLE, HASH_TABLE, BANDS_TABLE,
+                          EMB_TABLE, IMG_TABLE):
                 if not (self.broker.exists(table)
                         and self.broker._is_partitioned_by(table,
                                                            "ingest_epoch")):
@@ -359,7 +397,8 @@ class CorpusStore:
     # ---------------------------------------------------------- append
     def append(self, new_docs: DataFrame,
                id_col: str = "doc_id", text_col: str = "text",
-               embedding_col: str | None = None) -> dict:
+               embedding_col: str | None = None,
+               image_col: str | None = None) -> dict:
         """Admit ``new_docs`` into the corpus; returns
         ``{"admitted": n, "rejected": n, "version": v}``.
 
@@ -386,6 +425,20 @@ class CorpusStore:
         the batch first if the batch itself may contain paraphrase
         groups.
 
+        ``image_col`` is the multimodal twin: the batch's binary
+        payloads dHash-fingerprint (``llm.multimodal.dhash_images``)
+        and join the persisted :data:`IMG_TABLE` index via the
+        pigeonhole block keys
+        (``llm.dedup.banded_fingerprint_keys``); a batch image within
+        :data:`IMG_MAX_HAMMING` gradient bits of ANY archived image is
+        rejected ``archive_image`` — re-encoded/rescaled copies that
+        byte-level text dedup cannot see. Same sticky opt-in
+        (:data:`IMG_COL_SETTING`), same self-healing epoch side table,
+        same :meth:`compact_epochs` fold; NULL payloads skip the check.
+        Unlike the text/semantic verifies, no second archive read is
+        needed — the stored fingerprints themselves decide (exact
+        popcount).
+
         Runs under the warehouse mutex like every Broker stage: the
         write is a snapshot flip, so readers planned against the old
         corpus finish cleanly.
@@ -402,40 +455,54 @@ class CorpusStore:
         # intermediates; a long-lived session appending repeatedly must
         # not accumulate dead blocks (the engine-wide cache-hygiene
         # invariant)
-        stored_col = self.broker.get_setting(EMB_COL_SETTING)
-        if embedding_col is None:
-            embedding_col = stored_col  # sticky store-level opt-in
-        elif stored_col is not None and stored_col != embedding_col:
-            raise ValueError(
-                f"this store's semantic index is keyed on {stored_col!r}; "
-                f"appending with embedding_col={embedding_col!r} would mix "
-                "two vector spaces in one bucket table — rebuild the "
-                "corpus to change the column"
-            )
-        if embedding_col is not None and embedding_col not in new_docs.columns:
-            raise ValueError(
-                f"embedding_col {embedding_col!r} is not a column of the "
-                f"batch (columns: {new_docs.columns})"
-            )
-        if embedding_col is not None and self.broker.exists(DOCS_TABLE):
-            # the index backfill reads the ARCHIVE's embeddings; a
-            # text-only archive would fail deep inside the sync build
-            # with a raw unresolved-column error — the schema-drift
-            # guard below would name the problem, but only after the
-            # sync, so name it first
-            arch_cols = self.read().columns
-            if embedding_col not in arch_cols:
+        def _sticky(setting: str, given: str | None, what: str):
+            """Resolve a sticky store-level column opt-in against its
+            recorded setting; raise on a conflicting rename."""
+            stored = self.broker.get_setting(setting)
+            if given is None:
+                return stored, stored
+            if stored is not None and stored != given:
                 raise ValueError(
-                    f"embedding_col {embedding_col!r} is not a column of "
-                    f"the archived corpus (columns: {arch_cols}); the "
-                    "semantic index needs the column in every epoch"
+                    f"this store's {what} index is keyed on {stored!r}; "
+                    f"appending with {given!r} would mix two {what} "
+                    "spaces in one index table — rebuild the corpus to "
+                    "change the column"
                 )
+            return given, stored
+
+        embedding_col, stored_emb = _sticky(
+            EMB_COL_SETTING, embedding_col, "semantic")
+        image_col, stored_img = _sticky(
+            IMG_COL_SETTING, image_col, "image")
+        for what, col in (("embedding_col", embedding_col),
+                          ("image_col", image_col)):
+            if col is not None and col not in new_docs.columns:
+                raise ValueError(
+                    f"{what} {col!r} is not a column of the batch "
+                    f"(columns: {new_docs.columns})"
+                )
+            if col is not None and self.broker.exists(DOCS_TABLE):
+                # the index backfill reads the ARCHIVE's column; a
+                # corpus without it would fail deep inside the sync
+                # build with a raw unresolved-column error — the
+                # schema-drift guard below would name the problem, but
+                # only after the sync, so name it first
+                arch_cols = self.read().columns
+                if col not in arch_cols:
+                    raise ValueError(
+                        f"{what} {col!r} is not a column of the "
+                        f"archived corpus (columns: {arch_cols}); the "
+                        "index needs the column in every epoch"
+                    )
         with self.broker.activate(), cache_scope():
-            if embedding_col is not None and stored_col is None:
-                # first embedding-carrying append: record the store's
-                # vector column (under the mutex, like every setting)
+            # first opting-in append: record the store's column (under
+            # the mutex, like every setting)
+            if embedding_col is not None and stored_emb is None:
                 self.broker.set_setting(EMB_COL_SETTING, embedding_col)
-            self._sync_side_tables(id_col, text_col, embedding_col)
+            if image_col is not None and stored_img is None:
+                self.broker.set_setting(IMG_COL_SETTING, image_col)
+            self._sync_side_tables(id_col, text_col, embedding_col,
+                                   image_col)
             if self.broker.exists(DOCS_TABLE):
                 # the epoch-leaf write would silently accept a batch
                 # whose columns (or their TYPES — a string doc_id next
@@ -514,6 +581,12 @@ class CorpusStore:
                 scoped_persist(
                     self._emb_buckets_frame(batch, id_col, embedding_col))
                 if embedding_col is not None else None
+            )
+            # dHash fingerprints likewise (archive image check + write)
+            batch_img = (
+                scoped_persist(
+                    self._img_hash_frame(batch, id_col, image_col))
+                if image_col is not None else None
             )
 
             # 2) within-batch near-dup collapse (larger id of a pair),
@@ -715,6 +788,52 @@ class CorpusStore:
                     batch = batch.join(
                         semhit.select(id_col), id_col, "left_anti")
 
+                # 6) image vs archive (opt-in): batch dHash pigeonhole
+                # block keys against the STORED fingerprint index —
+                # same asymmetric shape (bucket semi-join + resident
+                # cap), verified by exact popcount on the fingerprints
+                # themselves: no second archive read at all
+                if batch_img is not None and self.broker.exists(IMG_TABLE):
+                    from weatherdb_spark.llm.dedup import (
+                        banded_fingerprint_keys,
+                    )
+
+                    arch_i = self.broker.read(IMG_TABLE)
+                    if "ingest_epoch" in arch_i.columns:
+                        arch_i = arch_i.drop("ingest_epoch")
+                    cur_img = scoped_persist(
+                        batch_img.join(batch.select(id_col), id_col)
+                    )
+                    cur_keys = banded_fingerprint_keys(
+                        cur_img, "dhash", IMG_MAX_HAMMING, 64, id_col
+                    ).withColumnRenamed("dhash", "_fb")
+                    arch_keys = banded_fingerprint_keys(
+                        arch_i.withColumnRenamed(id_col, "ref_id"),
+                        "dhash", IMG_MAX_HAMMING, 64, "ref_id",
+                    ).withColumnRenamed("dhash", "_fr")
+                    arch_keys = arch_keys.join(
+                        cur_keys.select("block", "key").distinct(),
+                        ["block", "key"], "left_semi",
+                    )
+                    arch_keys = cap_bucket_residents(
+                        arch_keys, ["block", "key"], "ref_id",
+                        self.max_bucket_docs,
+                    )
+                    imghit = (
+                        cur_keys.join(arch_keys, ["block", "key"])
+                        .withColumn(
+                            "hamming",
+                            F.bit_count(
+                                F.col("_fb").bitwiseXOR(F.col("_fr"))),
+                        )
+                        .filter(F.col("hamming") <= IMG_MAX_HAMMING)
+                        .groupBy(id_col)
+                        .agg(F.min("ref_id").alias("blocked_by"))
+                    )
+                    imghit = _reject(imghit, "archive_image")
+                    batch = batch.join(
+                        imghit.select(id_col), id_col, "left_anti")
+
             # materialize the admitted batch ONCE (count populates the
             # cache; the epoch-leaf write reuses it; the scope releases
             # it): the dedup chain would otherwise re-execute for the
@@ -749,6 +868,11 @@ class CorpusStore:
                     EMB_TABLE, batch_emb.join(adm_ids, id_col),
                     "ingest_epoch", epoch,
                 )
+            if batch_img is not None:
+                self.broker.write_partition_append(
+                    IMG_TABLE, batch_img.join(adm_ids, id_col),
+                    "ingest_epoch", epoch,
+                )
 
             rejected = rej[0]
             for r in rej[1:]:
@@ -780,6 +904,7 @@ def stream_into_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     embedding_col: str | None = None,
+    image_col: str | None = None,
     await_termination: bool = True,
 ):
     """Tail a document stream into the :class:`CorpusStore`: each
@@ -800,7 +925,7 @@ def stream_into_corpus(
         if batch_df.isEmpty():
             return
         store.append(batch_df, id_col=id_col, text_col=text_col,
-                     embedding_col=embedding_col)
+                     embedding_col=embedding_col, image_col=image_col)
 
     q = (
         stream.writeStream.foreachBatch(_sink)

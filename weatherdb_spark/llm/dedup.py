@@ -419,6 +419,42 @@ def simhash_pairs_exact(
     return hamming_pairs_exact(fp, "simhash", max_hamming, bits, id_col)
 
 
+def banded_fingerprint_keys(
+    fp: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    bits: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp, block, key) — the multi-index pigeonhole block-key
+    explosion shared by :func:`hamming_pairs_exact`'s self-join and the
+    asymmetric archive checks (``CorpusStore``'s image index): one row
+    per (doc, block), keys extracted sign-safely (unsigned shift +
+    bitwise-AND mask; the whole fingerprint for a full 64-bit block)."""
+    def _key(lo: int, width: int):
+        shifted = F.shiftrightunsigned(F.col(fp_col), lo)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = simhash_blocks(bits, max_hamming)
+    return fp.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        _key(lo, width).alias("key"),
+                    )
+                    for i, lo, width in blocks
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, fp_col, "bk.block", "bk.key")
+
+
 def hamming_pairs_exact(
     fp: DataFrame,
     fp_col: str,
@@ -446,28 +482,7 @@ def hamming_pairs_exact(
     at bits<=32) the streaming twin and the mirrored oracles share the
     layout with; a full-width block (bits=64, max_hamming=0) keys on
     the fingerprint itself — ``2**64`` fits no JVM long."""
-    def _key(lo: int, width: int):
-        shifted = F.shiftrightunsigned(F.col(fp_col), lo)
-        if width >= 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
-
-    blocks = simhash_blocks(bits, max_hamming)
-    banded = fp.select(
-        id_col,
-        fp_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block"),
-                        _key(lo, width).alias("key"),
-                    )
-                    for i, lo, width in blocks
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, fp_col, "bk.block", "bk.key")
+    banded = banded_fingerprint_keys(fp, fp_col, max_hamming, bits, id_col)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"), "block", "key"
     )

@@ -1078,17 +1078,25 @@ def test_corpus_read_epochs_raises_on_legacy_flat_layout(spark, tmp_path):
 def test_corpus_near_verify_rejections_identical_across_epochs(spark, tmp_path):
     """The epoch-pruned candidate text read must not change WHAT gets
     rejected: near-dups of docs living in different (non-adjacent)
-    epochs are still verified and blocked by the right resident."""
-    from weatherdb_spark.llm.corpus import CorpusStore
+    epochs are still verified and blocked by the right resident. Five
+    archive epochs so the EPOCH_PRUNE_MIN gate is OPEN and the pruned
+    path actually runs (fewer epochs take the plain read)."""
+    from weatherdb_spark.llm.corpus import EPOCH_PRUNE_MIN, CorpusStore
 
     store = CorpusStore(spark, str(tmp_path / "wh"), near_threshold=0.8)
     t1 = "the quick brown fox jumps over the lazy dog by the river today"
     t2 = "completely different content about mountains snow and winter air"
+    fillers = [
+        "unrelated third epoch filler words beyond any overlap",
+        "fourth epoch padding sentence with its very own vocabulary",
+        "fifth epoch content again sharing no shingles with anyone",
+    ]
     store.append(spark.createDataFrame([(1, t1)], "doc_id long, text string"))
     store.append(spark.createDataFrame([(2, t2)], "doc_id long, text string"))
-    store.append(spark.createDataFrame(
-        [(3, "unrelated third epoch filler words beyond any overlap")],
-        "doc_id long, text string"))
+    for i, t in enumerate(fillers):
+        store.append(spark.createDataFrame(
+            [(3 + i, t)], "doc_id long, text string"))
+    assert len(store._epoch_values("corpus_documents")) > EPOCH_PRUNE_MIN
     # one batch with near-dups of epoch-1 AND epoch-2 residents plus a
     # fresh doc: the verify must fetch texts from BOTH candidate epochs
     batch = spark.createDataFrame(
@@ -1096,7 +1104,7 @@ def test_corpus_near_verify_rejections_identical_across_epochs(spark, tmp_path):
          (12, "genuinely novel words nothing shares any shingle with")],
         "doc_id long, text string")
     res = store.append(batch)
-    assert res == {"admitted": 1, "rejected": 2, "version": 4}
+    assert res == {"admitted": 1, "rejected": 2, "version": 6}
     reasons = {(r.doc_id, r.reason, r.blocked_by)
                for r in store.rejections().collect()
                if r.doc_id in (10, 11, 12)}

@@ -99,6 +99,13 @@ IMG_COL_SETTING = "corpus_image_col"
 #: near-duplicate images (the standard dHash working radius).
 IMG_MAX_HAMMING = 6
 
+#: Epoch-pruned verify reads engage only when the corpus has MORE
+#: epoch leaves than this: deriving the colliding-epoch set costs one
+#: extra band-index scan per append (~1-2 s at a 10M-doc archive), and
+#: with few epochs the "pruned" read touches them all anyway — pure
+#: overhead. The count comes from a directory listing (free).
+EPOCH_PRUNE_MIN = 4
+
 
 class CorpusStore:
     """See module docstring. ``warehouse_dir`` may be shared with a
@@ -647,17 +654,48 @@ class CorpusStore:
                 # batch's buckets, not the index. Exact-Jaccard verify
                 # reads archive text only for the CANDIDATES.
                 arch_b = self.broker.read(BANDS_TABLE)
-                # the band rows KEEP their ingest_epoch: a candidate's
-                # epoch names exactly which corpus leaf holds its text,
-                # so the exact-Jaccard verify below reads only the
-                # candidates' epoch leaves instead of the whole corpus
-                # — the last O(corpus) leg of an append without it
                 band_epoch = "ingest_epoch" in arch_b.columns
                 # persisted for the same two-consumer reason as cur_hash
                 # (bucket semi-join + candidate join)
                 cur_bands = scoped_persist(
                     batch_bands.join(batch.select(id_col), id_col)
                 )
+                docs_epochs = (
+                    self._epoch_values(DOCS_TABLE)
+                    if self.broker._is_partitioned_by(
+                        DOCS_TABLE, "ingest_epoch")
+                    else None
+                ) or set()
+                if band_epoch and len(docs_epochs) > EPOCH_PRUNE_MIN:
+                    # the exact-Jaccard verify below reads archive text
+                    # only from the COLLIDING EPOCHS' leaves — the last
+                    # O(corpus) leg of an append without it. The epoch
+                    # set comes from the band index BEFORE the candidate
+                    # join: one projected scan of (band, key, epoch)
+                    # with the batch's key set broadcast-semi-joined, a
+                    # dim-sized distinct, one driver collect. A strict
+                    # superset of the final candidates' epochs (pruning
+                    # stays correct, marginally coarser) — deriving it
+                    # from the candidate frame instead forced an EAGER
+                    # persist of the full band-join chain, which A/B
+                    # measured at +9 s on a 50k append vs this form's
+                    # ~1 s scan (the lazy chain then fuses into the
+                    # verify job exactly as before).
+                    coll_epochs = sorted(
+                        r[0] for r in arch_b.join(
+                            cur_bands.select("band", "key").distinct(),
+                            ["band", "key"], "left_semi",
+                        ).select("ingest_epoch").distinct().collect()
+                    )
+                    arch_text = self.read_epochs(coll_epochs)
+                else:
+                    # legacy flat corpus (nothing to prune yet —
+                    # migrates on this append's write) or a few-epoch
+                    # corpus below the EPOCH_PRUNE_MIN gate (the extra
+                    # epoch-set job would cost more than it saves)
+                    arch_text = self.read()
+                if band_epoch:
+                    arch_b = arch_b.drop("ingest_epoch")
                 arch_b = arch_b.join(
                     cur_bands.select("band", "key").distinct(),
                     ["band", "key"], "left_semi",
@@ -666,34 +704,12 @@ class CorpusStore:
                     arch_b.withColumnRenamed(id_col, "ref_id"),
                     ["band", "key"], "ref_id", self.max_bucket_docs,
                 )
-                # (id, ref_id) pairs are unchanged by carrying the
-                # epoch: a ref doc lives in exactly one epoch. Persisted
-                # — the dim-sized epoch collect below AND the verify
-                # join both consume it.
-                cand = scoped_persist(
+                cand = (
                     cur_bands
                     .join(arch_b, ["band", "key"])
-                    .select(
-                        id_col, "ref_id",
-                        *(["ingest_epoch"] if band_epoch else []),
-                    )
+                    .select(id_col, "ref_id")
                     .distinct()
                 )
-                if band_epoch and self.broker._is_partitioned_by(
-                        DOCS_TABLE, "ingest_epoch"):
-                    # candidate epochs are append-count-bounded (dim-
-                    # sized) — collected driver-side so the text read
-                    # carries a STATIC IN predicate and partition
-                    # pruning skips every other epoch's leaves
-                    cand_epochs = sorted(
-                        r[0] for r in
-                        cand.select("ingest_epoch").distinct().collect()
-                    )
-                    arch_text = self.read_epochs(cand_epochs)
-                else:
-                    # legacy flat corpus (migrates on this append's
-                    # write) — nothing to prune yet
-                    arch_text = self.read()
                 ref_docs = arch_text.join(
                     cand.select(F.col("ref_id").alias(id_col)).distinct(),
                     id_col,

@@ -851,3 +851,77 @@ def test_stream_ngram_decontaminate_matches_batch(spark, tmp_path):
               for r in ngram_contamination(batch_docs, reference, n=13).collect()}
     assert folded == expect
     assert {d for d, _ in folded} == {1, 3}  # quote + copy, not doc 2
+
+
+def test_stream_image_neardup_across_batches(spark, tmp_path):
+    """The multimodal member of the streaming dedup family: a
+    re-encoded image (same gradients, shifted byte values) arriving in
+    a LATER micro-batch pairs with its earlier twin by dHash; an
+    inverted-gradient image never pairs; NULL payloads are dropped.
+    The per-row fingerprints are the batch dhash_images values exactly
+    (one shared dhash_bytes definition), incl. NEGATIVE 64-bit hashes
+    — the sign-safe block keys are what make that work."""
+    from weatherdb_spark.llm.multimodal import (
+        dhash_bytes,
+        image_neardup_pairs,
+    )
+    from weatherdb_spark.streaming.neardup import stream_image_neardup
+
+    base = bytes(range(72))                       # rising gradient
+    reenc = bytes(v + 100 for v in range(72))     # same comparisons
+    other = bytes(reversed(range(72)))            # inverted gradient
+    assert dhash_bytes(base) < 0                  # all-ones: negative
+    import glob
+    import shutil
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    # the file stream source does not recurse: stage each micro-batch's
+    # parquet and move its single part file into the watched dir with
+    # ordered mtimes (the csv twin of the simhash test can't carry
+    # binary columns)
+    batches = [
+        [(1, bytearray(base), "2024-01-01 10:00:00")],
+        [(2, bytearray(reenc), "2024-01-01 10:05:00"),
+         (3, bytearray(other), "2024-01-01 10:06:00"),
+         (4, None, "2024-01-01 10:07:00")],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, payload binary, event_ts string",
+        ).coalesce(1).write.parquet(str(stage))
+        [part] = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{chr(97 + i)}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream
+        .schema("doc_id long, payload binary, event_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    )
+    q = (
+        stream_image_neardup(stream, max_hamming=6)
+        .writeStream.format("memory").queryName("image_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination()
+    pairs = (
+        spark.sql("SELECT * FROM image_stream")
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, 0)
+    ]
+    # the batch join over the same corpus finds the same (only) pair
+    docs = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(reenc)),
+         (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    assert {(r["id_a"], r["id_b"]) for r in
+            image_neardup_pairs(docs, max_hamming=6).collect()} == {(1, 2)}

@@ -161,6 +161,30 @@ _DHASH_ROWS = 8
 _DHASH_COLS = 9
 
 
+def dhash_bytes(raw: "bytes | None") -> int:
+    """The ONE dHash definition (bytes -> signed int64) shared by the
+    batch :func:`dhash_images`, the streaming
+    ``streaming.neardup.stream_image_neardup`` fingerprints, and any
+    driver-side oracle — so the stored corpus index, the batch pairs,
+    and the stream bucket identically. NULL/empty input hashes the
+    zero grid (0)."""
+    n = _DHASH_ROWS * _DHASH_COLS
+    raw = bytes(raw or b"")
+    step = max(1, len(raw) // n)
+    g = raw[::step][:n].ljust(n, b"\x00")
+    h = 0
+    bit = 0
+    for r in range(_DHASH_ROWS):
+        row = g[r * _DHASH_COLS:(r + 1) * _DHASH_COLS]
+        for c in range(_DHASH_COLS - 1):
+            if row[c] < row[c + 1]:
+                h |= 1 << bit
+            bit += 1
+    if h >= 2 ** 63:          # wrap to signed int64
+        h -= 2 ** 64
+    return h
+
+
 def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual difference-hash fingerprint per image payload — the
     image twin of :func:`~weatherdb_spark.llm.dedup.simhash`: a 64-bit
@@ -177,29 +201,15 @@ def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     consumers must extract block keys unsigned
     (:func:`~weatherdb_spark.llm.dedup.hamming_pairs_exact` does).
     NULL/empty payloads hash the zero grid (hash 0) rather than failing
-    the task, mirroring :func:`_fake_decode`."""
-    n = _DHASH_ROWS * _DHASH_COLS
+    the task, mirroring :func:`_fake_decode`. The hash itself is
+    :func:`dhash_bytes` — the single definition the streaming twin and
+    the corpus index share."""
 
     def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for b in pdf["payload"]:
-                raw = bytes(b or b"")
-                step = max(1, len(raw) // n)
-                g = raw[::step][:n].ljust(n, b"\x00")
-                h = 0
-                bit = 0
-                for r in range(_DHASH_ROWS):
-                    row = g[r * _DHASH_COLS:(r + 1) * _DHASH_COLS]
-                    for c in range(_DHASH_COLS - 1):
-                        if row[c] < row[c + 1]:
-                            h |= 1 << bit
-                        bit += 1
-                if h >= 2 ** 63:      # wrap to signed int64
-                    h -= 2 ** 64
-                out.append(h)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"), "dhash": out,
+                "doc_id": pdf[id_col].astype("int64"),
+                "dhash": [dhash_bytes(b) for b in pdf["payload"]],
             })
 
     return df.mapInPandas(_dh, DHASH_SCHEMA)

@@ -426,40 +426,110 @@ def stream_simhash_neardup(
     are silently dropped. For high-rate streams use ``bits=63`` (or
     raise ``max_bucket_docs``); a warning is logged whenever the
     narrowest block key is under 8 bits."""
-    import pandas as pd
-
-    from weatherdb_spark.llm.dedup import simhash_blocks
-    from weatherdb_spark.operators.timeline import _interval_seconds
-
     if not 0 < bits <= 63:
-        # bit 63 would flip the sign of the bigint fingerprint and break
-        # the Python-side xor/popcount below
+        # row_simhash_fingerprint builds at most 63 bits (bit 63 would
+        # flip the bigint's sign); the generic core below handles full
+        # 64-bit fingerprints for the image stream
         raise ValueError(f"bits ({bits}) must be in 1..63")
-    ttl_ms = _interval_seconds(ttl) * 1000
-    blocks = simhash_blocks(bits, max_hamming)
-    min_width = min(width for _, _, width in blocks)
-    if min_width < 8:
-        logger.warning(
-            "stream_simhash_neardup: narrowest pigeonhole block key is "
-            "%d bits (%d buckets), so each block saturates at ~%d "
-            "residents per TTL window and further pairs the batch join "
-            "would find are dropped. For high-rate streams pass bits=63 "
-            "or a larger max_bucket_docs.",
-            min_width, 2 ** min_width, (2 ** min_width) * max_bucket_docs,
-        )
     fp = stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(ts_col).alias("event_ts"),
         row_simhash_fingerprint(F.col(text_col), bits).alias("fp"),
     ).filter(F.col("fp").isNotNull())
+    return _stream_fp_neardup(
+        fp, max_hamming, bits, ttl, max_bucket_docs,
+        caller="stream_simhash_neardup",
+    )
+
+
+def stream_image_neardup(
+    stream: DataFrame,
+    max_hamming: int = 6,
+    ttl: str = "1 hour",
+    max_bucket_docs: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming IMAGE near-duplicate pairs — the multimodal member of
+    the streaming dedup family, the stateless twin of
+    ``llm.multimodal.image_neardup_pairs``: each arriving binary
+    payload dHash-fingerprints per row (``llm.multimodal.dhash_bytes``
+    — the single definition the batch pairs and the CorpusStore image
+    index share, so all three bucket identically), explodes into the
+    same ``max_hamming + 1`` pigeonhole block keys, and verifies
+    against the per-(block, key) resident set by exact popcount.
+    Re-encoded/rescaled copies of an image arriving in different
+    micro-batches pair up; NULL payloads are dropped (no image, no
+    check — matching the store's append semantics). State per resident
+    is one long; the saturation caveat of the SimHash stream applies,
+    though at 64 fingerprint bits each block key is ~9 bits wide, so
+    blocks saturate far later than the 32-bit text default."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from weatherdb_spark.llm.multimodal import dhash_bytes
+
+    @pandas_udf(T.LongType())
+    def _row_dhash(payloads):
+        return payloads.map(
+            lambda b: None if b is None else dhash_bytes(bytes(b)))
+
+    fp = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).alias("event_ts"),
+        _row_dhash(F.col(payload_col)).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    return _stream_fp_neardup(
+        fp, max_hamming, 64, ttl, max_bucket_docs,
+        caller="stream_image_neardup",
+    )
+
+
+def _stream_fp_neardup(
+    fp: DataFrame,
+    max_hamming: int,
+    bits: int,
+    ttl: str,
+    max_bucket_docs: int,
+    caller: str,
+) -> DataFrame:
+    """The shared stateful core of the fingerprint streams: ``fp`` is a
+    streaming (doc_id long, event_ts, fp long) frame; block keys
+    extract sign-safely (unsigned shift + mask — bit-identical to the
+    old arithmetic form for the non-negative simhash fingerprints,
+    required for the image stream's full-64-bit dHashes), residents
+    verify by popcount over the xor masked to ``bits``."""
+    import pandas as pd
+
+    from weatherdb_spark.llm.dedup import simhash_blocks
+    from weatherdb_spark.operators.timeline import _interval_seconds
+
+    ttl_ms = _interval_seconds(ttl) * 1000
+    blocks = simhash_blocks(bits, max_hamming)
+    min_width = min(width for _, _, width in blocks)
+    if min_width < 8:
+        logger.warning(
+            "%s: narrowest pigeonhole block key is "
+            "%d bits (%d buckets), so each block saturates at ~%d "
+            "residents per TTL window and further pairs the batch join "
+            "would find are dropped. For high-rate streams pass more "
+            "fingerprint bits or a larger max_bucket_docs.",
+            caller, min_width, 2 ** min_width,
+            (2 ** min_width) * max_bucket_docs,
+        )
+    pop_mask = (1 << bits) - 1
+
+    def _key(lo: int, width: int):
+        shifted = F.shiftrightunsigned(F.col("fp"), lo)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     banded = fp.select(
         "doc_id", "event_ts", "fp",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("block"),
-                (F.shiftright(F.col("fp"), lo) % F.lit(2 ** width))
-                .alias("key"),
-            )
+            F.struct(F.lit(i).alias("block"), _key(lo, width).alias("key"))
             for i, lo, width in blocks
         ])).alias("bk"),
     ).select("doc_id", "event_ts", "fp", "bk.block", "bk.key")
@@ -490,7 +560,7 @@ def stream_simhash_neardup(
                 continue  # micro-batch replay of a known resident
             doc_fp = int(doc_fp)
             for i, resident in enumerate(doc_ids):
-                ham = bin(fps[i] ^ doc_fp).count("1")
+                ham = bin((fps[i] ^ doc_fp) & pop_mask).count("1")
                 if ham <= max_hamming:
                     out.append((resident, doc_id, block, ham))
             if len(doc_ids) < max_bucket_docs:

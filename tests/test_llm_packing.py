@@ -1186,7 +1186,7 @@ def test_corpus_semantic_dedup_at_append(spark, tmp_path):
     # a DIFFERENT column name later is refused: the stored bucket keys
     # are one vector space
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="vector spaces"):
+    with _pytest.raises(ValueError, match="semantic spaces"):
         store.append(b4, embedding_col="other")
 
 

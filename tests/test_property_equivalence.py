@@ -381,6 +381,22 @@ def _spark_round(x: float, digits: int = 2) -> float:
     )
 
 
+def _spark_bround(x: float, digits: int = 2) -> float:
+    """Spark's F.bround semantics: HALF_EVEN on the double's shortest
+    decimal representation — what daily_adjust_p uses (the reference's
+    implicit float->int cast rounds ties to even, fillup.py's bround
+    comment). Distinct from :func:`_spark_round` (HALF_UP) on exact
+    .xx5 ties: hypothesis drew coef 1/8 where 1.0 * 0.125 must give
+    0.12 (even), not 0.13."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_EVEN
+        )
+    )
+
+
 def _naive_daily_adjust(vals, daily_raw, peak=5.0, add=10.0, hard=50.0):
     """Literal Python transcription of the reference CASE expression
     (StationP.py:701-740): coef per shifted day where daily raw present,
@@ -402,7 +418,7 @@ def _naive_daily_adjust(vals, daily_raw, peak=5.0, add=10.0, hard=50.0):
             adj = min(v * coef, hard)
         else:
             adj = min(v + add, hard)
-        out.append(_spark_round(adj, 2))
+        out.append(_spark_bround(adj, 2))
     return out
 
 

@@ -216,14 +216,20 @@ class CorpusStore:
         """(id, dhash) perceptual fingerprints of the binary payload
         column — the exact hashes ``llm.multimodal.dhash_images``
         computes, so the stored index and an ad-hoc whole-corpus
-        ``image_neardup_pairs`` cannot disagree. NULL payloads are
-        SKIPPED (no image -> no image check — hashing them would make
-        every imageless doc a hamming-0 'duplicate' of the first)."""
+        ``image_neardup_pairs`` cannot disagree. NULL and EMPTY
+        payloads are SKIPPED (no image -> no image check — hashing the
+        zero grid would make every imageless doc a hamming-0
+        'duplicate' of the first, whether the pipeline encodes
+        'no image' as NULL or as ``b""``). A genuinely degenerate
+        image whose gradients are all non-rising also hashes 0 — an
+        inherent dHash collision class, not an imageless doc; dHash is
+        a NEAR-dup signal, not an identity."""
         from weatherdb_spark.functions.partitioning import spread
         from weatherdb_spark.llm.multimodal import dhash_images
 
         with_img = spread(
-            docs.filter(F.col(payload_col).isNotNull()), id_col
+            docs.filter(F.col(payload_col).isNotNull()
+                        & (F.length(payload_col) > 0)), id_col
         ).select(
             F.col(id_col).alias("doc_id"),
             F.col(payload_col).alias("payload"),
@@ -441,10 +447,14 @@ class CorpusStore:
         rejected ``archive_image`` — re-encoded/rescaled copies that
         byte-level text dedup cannot see. Same sticky opt-in
         (:data:`IMG_COL_SETTING`), same self-healing epoch side table,
-        same :meth:`compact_epochs` fold; NULL payloads skip the check.
-        Unlike the text/semantic verifies, no second archive read is
-        needed — the stored fingerprints themselves decide (exact
-        popcount).
+        same :meth:`compact_epochs` fold; NULL and empty payloads skip
+        the check. Unlike the text/semantic verifies, no second archive
+        read is needed — the stored fingerprints themselves decide
+        (exact popcount). Like the semantic check, within-batch image
+        collapse is deliberately not performed — run
+        :func:`~weatherdb_spark.llm.multimodal.image_neardup_pairs`
+        over the batch first if one batch may carry an image and its
+        re-encode.
 
         Runs under the warehouse mutex like every Broker stage: the
         write is a snapshot flip, so readers planned against the old
@@ -752,6 +762,25 @@ class CorpusStore:
                     cur_emb = scoped_persist(
                         batch_emb.join(batch.select(id_col), id_col)
                     )
+                    # same epoch-pruned verify shape as the band check
+                    # above: colliding epochs from the INDEX before the
+                    # candidate join (superset, one projected scan),
+                    # gated on epoch count — an eager persist of the
+                    # candidate frame to carry epochs is the +9 s shape
+                    # the A/B killed on the text path
+                    if e_epoch and len(docs_epochs) > EPOCH_PRUNE_MIN:
+                        e_epochs = sorted(
+                            r[0] for r in arch_e.join(
+                                cur_emb.select("table", "bucket")
+                                .distinct(),
+                                ["table", "bucket"], "left_semi",
+                            ).select("ingest_epoch").distinct().collect()
+                        )
+                        arch_vec_src = self.read_epochs(e_epochs)
+                    else:
+                        arch_vec_src = self.read()
+                    if e_epoch:
+                        arch_e = arch_e.drop("ingest_epoch")
                     arch_e = arch_e.join(
                         cur_emb.select("table", "bucket").distinct(),
                         ["table", "bucket"], "left_semi",
@@ -760,24 +789,12 @@ class CorpusStore:
                         arch_e.withColumnRenamed(id_col, "ref_id"),
                         ["table", "bucket"], "ref_id", self.max_bucket_docs,
                     )
-                    ecand = scoped_persist(
+                    ecand = (
                         cur_emb
                         .join(arch_e, ["table", "bucket"])
-                        .select(
-                            id_col, "ref_id",
-                            *(["ingest_epoch"] if e_epoch else []),
-                        )
+                        .select(id_col, "ref_id")
                         .distinct()
                     )
-                    if e_epoch and self.broker._is_partitioned_by(
-                            DOCS_TABLE, "ingest_epoch"):
-                        e_epochs = sorted(
-                            r[0] for r in
-                            ecand.select("ingest_epoch").distinct().collect()
-                        )
-                        arch_vec_src = self.read_epochs(e_epochs)
-                    else:
-                        arch_vec_src = self.read()
                     ref_vecs = arch_vec_src.join(
                         ecand.select(
                             F.col("ref_id").alias(id_col)).distinct(),

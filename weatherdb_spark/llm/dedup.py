@@ -425,12 +425,18 @@ def banded_fingerprint_keys(
     max_hamming: int,
     bits: int,
     id_col: str = "doc_id",
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id, fp, block, key) — the multi-index pigeonhole block-key
-    explosion shared by :func:`hamming_pairs_exact`'s self-join and the
-    asymmetric archive checks (``CorpusStore``'s image index): one row
-    per (doc, block), keys extracted sign-safely (unsigned shift +
-    bitwise-AND mask; the whole fingerprint for a full 64-bit block)."""
+    """(id, [extra...], fp, block, key) — THE multi-index pigeonhole
+    block-key explosion, shared by :func:`hamming_pairs_exact`'s
+    self-join, the asymmetric archive checks (``CorpusStore``'s image
+    index), and the streaming fingerprint states
+    (``streaming.neardup._stream_fp_neardup``, which passes
+    ``extra_cols=("event_ts",)``): one row per (doc, block), keys
+    extracted sign-safely (unsigned shift + bitwise-AND mask; the whole
+    fingerprint for a full 64-bit block). One definition — a change to
+    the key encoding cannot de-synchronize the batch, store, and stream
+    buckets."""
     def _key(lo: int, width: int):
         shifted = F.shiftrightunsigned(F.col(fp_col), lo)
         if width >= 64:
@@ -440,6 +446,7 @@ def banded_fingerprint_keys(
     blocks = simhash_blocks(bits, max_hamming)
     return fp.select(
         id_col,
+        *extra_cols,
         fp_col,
         F.explode(
             F.array(
@@ -452,7 +459,7 @@ def banded_fingerprint_keys(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, fp_col, "bk.block", "bk.key")
+    ).select(id_col, *extra_cols, fp_col, "bk.block", "bk.key")
 
 
 def hamming_pairs_exact(

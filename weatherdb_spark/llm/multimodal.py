@@ -230,9 +230,18 @@ def image_neardup_pairs(
     every shuffle is keyed. The standard image-dedup shape for a
     training pipeline: re-encoded/resized copies of one image share
     most gradient bits and surface here while text dedup sees only
-    opaque bytes."""
+    opaque bytes.
+
+    NULL and EMPTY payloads participate in NO pairs (no image, no
+    comparison) — the same convention as the CorpusStore image index
+    and the streaming twin, so all three produce the same pair set
+    over the same rows; :func:`dhash_images` itself stays total
+    (hashes the zero grid) for callers that want raw fingerprints."""
     from weatherdb_spark.llm.dedup import hamming_pairs_exact
 
-    fp = dhash_images(df.select(F.col(id_col).alias("doc_id"), "payload"))
+    fp = dhash_images(
+        df.filter(F.col("payload").isNotNull() & (F.length("payload") > 0))
+        .select(F.col(id_col).alias("doc_id"), "payload")
+    )
     return hamming_pairs_exact(fp, "dhash", max_hamming, bits=64,
                                id_col="doc_id")

@@ -1643,7 +1643,8 @@ def prepare_training_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame
 # the oracle recomputes the dHash grid per document in SQL (byte value
 # via ascii(substr(..)) — the documents fixture is pure ASCII, so
 # char indexing == byte indexing; pinned by the pytest fixture check)
-# and brute-forces ALL pairs with a per-bit hamming sum, so the banded
+# and brute-forces ALL pairs with a per-bit hamming sum (NULL/empty
+# payloads excluded like the operator — no image, no pairs), so the banded
 # Spark path is value-checked against an O(n^2) ground truth: recall 1
 # is part of the contract, not just determinism.
 _DHASH_ORACLE = """
@@ -1652,6 +1653,7 @@ _DHASH_ORACLE = """
                octet_length(encode(text)) AS n,
                greatest(1, octet_length(encode(text)) // 72) AS st
         FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     ),
     g AS (
         SELECT doc_id,

@@ -460,8 +460,10 @@ def stream_image_neardup(
     same ``max_hamming + 1`` pigeonhole block keys, and verifies
     against the per-(block, key) resident set by exact popcount.
     Re-encoded/rescaled copies of an image arriving in different
-    micro-batches pair up; NULL payloads are dropped (no image, no
-    check — matching the store's append semantics). State per resident
+    micro-batches pair up; NULL and EMPTY payloads are dropped (no
+    image, no comparison — the convention shared with
+    ``image_neardup_pairs`` and the CorpusStore index, so all three
+    produce the same pair set over the same rows). State per resident
     is one long; the saturation caveat of the SimHash stream applies,
     though at 64 fingerprint bits each block key is ~9 bits wide, so
     blocks saturate far later than the 32-bit text default."""
@@ -473,7 +475,8 @@ def stream_image_neardup(
     @pandas_udf(T.LongType())
     def _row_dhash(payloads):
         return payloads.map(
-            lambda b: None if b is None else dhash_bytes(bytes(b)))
+            lambda b: None if b is None or len(b) == 0
+            else dhash_bytes(bytes(b)))
 
     fp = stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -502,7 +505,10 @@ def _stream_fp_neardup(
     verify by popcount over the xor masked to ``bits``."""
     import pandas as pd
 
-    from weatherdb_spark.llm.dedup import simhash_blocks
+    from weatherdb_spark.llm.dedup import (
+        banded_fingerprint_keys,
+        simhash_blocks,
+    )
     from weatherdb_spark.operators.timeline import _interval_seconds
 
     ttl_ms = _interval_seconds(ttl) * 1000
@@ -520,19 +526,11 @@ def _stream_fp_neardup(
         )
     pop_mask = (1 << bits) - 1
 
-    def _key(lo: int, width: int):
-        shifted = F.shiftrightunsigned(F.col("fp"), lo)
-        if width >= 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
-
-    banded = fp.select(
-        "doc_id", "event_ts", "fp",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("block"), _key(lo, width).alias("key"))
-            for i, lo, width in blocks
-        ])).alias("bk"),
-    ).select("doc_id", "event_ts", "fp", "bk.block", "bk.key")
+    # THE shared block-key builder (llm.dedup) — the stream's buckets
+    # cannot drift from the batch join's or the corpus index's
+    banded = banded_fingerprint_keys(
+        fp, "fp", max_hamming, bits, "doc_id", extra_cols=("event_ts",)
+    )
 
     def fn(key, pdf_iter, state) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:

@@ -81,12 +81,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # stateful bench entries (corpus_append_bench) stamp what each
+    # iteration measured into this side-channel — recorded so a
+    # round-over-round diff of a non-stationary series compares
+    # like with like
+    from weatherdb_spark.plans.llm_queries import BENCH_NOTES
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "iterations": iterations,
+        **({"notes": BENCH_NOTES} if BENCH_NOTES else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # this sandbox shares hardware; wall times drift up to ~3x with
         # neighbor load, so the record carries the host 1-min load for

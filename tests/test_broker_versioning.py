@@ -36,7 +36,9 @@ def _versions(b: Broker, table: str) -> list[str]:
 
 
 def test_write_creates_snapshot_and_keeps_previous(spark, tmp_path):
-    b = Broker(spark, str(tmp_path / "wh"))
+    # retention 0 = the bare rotation mechanics; the default time-based
+    # retention is pinned by test_snapshot_retention_protects_slow_readers
+    b = Broker(spark, str(tmp_path / "wh"), snapshot_retention=0)
     b.write("ts_p", _fact(spark, 50, 1.0), bucket_by_station=True)
     assert b.table_version("ts_p") == 1
     assert _versions(b, "ts_p") == ["_v00001"]
@@ -49,6 +51,33 @@ def test_write_creates_snapshot_and_keeps_previous(spark, tmp_path):
     # only current + previous are retained by the write path
     assert _versions(b, "ts_p") == ["_v00002", "_v00003"]
     assert b.read("ts_p").count() == 70
+
+
+def test_snapshot_retention_protects_slow_readers(spark, tmp_path):
+    """DEFAULT brokers apply time-based snapshot retention (the Delta
+    VACUUM model): a superseded snapshot is reclaimed only once its
+    SUPERSEDER is older than the retention window, because a reader's
+    file listing can outlive any number of later writes — keep-previous
+    alone protects exactly one write of history (the r9 concurrency
+    stress lost a probe's files to append+compact+vacuum). Backdating
+    the superseder dirs proves it is the age check, not the floor, that
+    releases them."""
+    b = Broker(spark, str(tmp_path / "wh"))  # default retention
+    for n in (1, 2, 3):
+        b.write("meta", spark.createDataFrame(
+            [(s, "p") for s in range(n)], "station_id int, parameter string"))
+    # v1 is below the write-path floor but its superseder (v2) is
+    # seconds old: retained for in-flight readers
+    assert _versions(b, "meta") == ["_v00001", "_v00002", "_v00003"]
+    b.vacuum()
+    assert _versions(b, "meta") == ["_v00001", "_v00002", "_v00003"]
+    # age the superseders past the window -> vacuum reclaims v1 and v2
+    old = time.time() - b.snapshot_retention - 60
+    for v in ("_v00002", "_v00003"):
+        os.utime(os.path.join(b.path("meta"), v), (old, old))
+    b.vacuum()
+    assert _versions(b, "meta") == ["_v00003"]
+    assert b.read("meta").count() == 3
 
 
 def test_concurrent_reader_survives_rewrite(spark, tmp_path):
@@ -89,7 +118,7 @@ def test_legacy_flat_layout_migrates(spark, tmp_path):
     """A warehouse written before versioning (flat parquet in the table
     root) reads as-is, counts as snapshot 0 on the first versioned
     write, and is reclaimed once superseded twice."""
-    b = Broker(spark, str(tmp_path / "wh"))
+    b = Broker(spark, str(tmp_path / "wh"), snapshot_retention=0)
     flat = b.path("ts_p")
     _fact(spark, 40, 1.0).write.parquet(flat)  # pre-versioning layout
     assert b.table_version("ts_p") is None
@@ -107,7 +136,7 @@ def test_legacy_flat_layout_migrates(spark, tmp_path):
 
 
 def test_vacuum_reclaims_superseded_snapshots(spark, tmp_path):
-    b = Broker(spark, str(tmp_path / "wh"))
+    b = Broker(spark, str(tmp_path / "wh"), snapshot_retention=0)
     b.write("meta", spark.createDataFrame(
         [(1, "p")], "station_id int, parameter string"))
     b.write("meta", spark.createDataFrame(

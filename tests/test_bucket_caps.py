@@ -86,6 +86,30 @@ def test_lsh_topk_cap_restricts_neighbors_to_residents(spark):
         assert len(rs) <= CAP
 
 
+def test_hamming_cap_bounds_degenerate_fingerprints(spark):
+    """hamming_pairs_exact carries the same opt-in resident cap (round
+    9): a degenerate fingerprint population (every payload hashing to
+    ONE value — e.g. all-empty images on the dHash path) collapses
+    into one (block, key) bucket per block and the pigeonhole join
+    inside it goes quadratic; the cap bounds it with the standard
+    smaller-id-resident rule, and the default stays uncapped/recall-1."""
+    from weatherdb_spark.llm.dedup import hamming_pairs_exact
+
+    # a negative (bit-63) int64 — the image-family shape, exercising
+    # the unsigned-mask block keys under the cap
+    fp = spark.createDataFrame(
+        [(i, -(2 ** 63) + 12345) for i in range(N_DEGEN)],
+        "doc_id long, dhash long",
+    )
+    uncapped = hamming_pairs_exact(fp, "dhash", 6, bits=64)
+    assert uncapped.count() == EXPECTED_UNCAPPED
+    rows = hamming_pairs_exact(
+        fp, "dhash", 6, bits=64, max_bucket_docs=CAP
+    ).collect()
+    assert len(rows) == EXPECTED_CAPPED
+    assert all(r.id_a < CAP and r.hamming == 0 for r in rows)
+
+
 def test_large_cap_never_engages_results_identical(spark):
     """A cap above every bucket population must leave both pipelines
     bit-identical to the uncapped plan — the default-path safety gate."""

@@ -467,3 +467,75 @@ def test_check_ivf_index_flags_drifted_append(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert _json.loads(out)["rebuild_recommended"] is True
     assert main(["compact-ivf-index", "--index-path", idx]) == 0
+
+
+def test_ivf_rebuild_torn_window_never_mixes_tables(spark, tmp_path,
+                                                    monkeypatch):
+    """A rebuild (build_ivf_index over a live index) flips TWO tables;
+    probes resolve the index-level pair manifest in one read, so a probe
+    at any point during the rebuild sees either the full old index or
+    the full new one — never the new centroids with the old inverted
+    file — and a crash between the table flips, or after both but
+    before the pair flip, leaves the old index authoritative. The retry
+    converges on the fresh-build result."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.broker import Broker
+    from weatherdb_spark.llm import similarity as sim
+
+    emb = load(spark, SF_DIR, "embeddings")
+    part1 = emb.filter(F.col("vec_id") % 2 == 0)
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+
+    def probe():
+        return {tuple(r) for r in
+                sim.ivf_topk_indexed(spark, idx, q, k=5, n_probe=7).collect()}
+
+    sim.build_ivf_index(part1, idx, n_cells=16, seed=42)
+    before = probe()
+
+    # the rebuild moves BOTH tables: full corpus, new seed (new centroids)
+    real_flip = Broker._flip_manifest
+    mid_window: list[set] = []
+
+    def torn_flip(self, table, version, **kw):
+        if table == sim.IVF_INVERTED_TABLE and not mid_window:
+            # the exact torn window: the centroids table manifest
+            # already points at the NEW centroids, the inverted table
+            # (and the pair manifest) still at the old index
+            mid_window.append(probe())
+            raise RuntimeError("simulated crash between the table flips")
+        return real_flip(self, table, version, **kw)
+
+    monkeypatch.setattr(Broker, "_flip_manifest", torn_flip)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        sim.build_ivf_index(emb, idx, n_cells=16, seed=7)
+    monkeypatch.setattr(Broker, "_flip_manifest", real_flip)
+
+    assert mid_window[0] == before, \
+        "probe during the rebuild mixed new centroids with the old inverted"
+    assert probe() == before, "crashed rebuild leaked a partial index"
+
+    # second crash shape: BOTH table snapshots flipped, pair flip lost —
+    # the pair manifest is the sole commit point, so probes still see
+    # the full old index (and the pinned old snapshots survive cleanup)
+    def no_pair_flip(broker, index_path):
+        raise RuntimeError("simulated crash before the pair flip")
+
+    monkeypatch.setattr(sim, "_flip_ivf_manifest", no_pair_flip)
+    with _pytest.raises(RuntimeError, match="pair flip"):
+        sim.build_ivf_index(emb, idx, n_cells=16, seed=7)
+    monkeypatch.undo()
+    assert probe() == before, \
+        "probe saw an unpublished rebuild (pair flip is the commit point)"
+
+    # the retry publishes: identical to a fresh build at the same params
+    sim.build_ivf_index(emb, idx, n_cells=16, seed=7)
+    fresh = str(tmp_path / "fresh")
+    sim.build_ivf_index(emb, fresh, n_cells=16, seed=7)
+    expect = {tuple(r) for r in
+              sim.ivf_topk_indexed(spark, fresh, q, k=5, n_probe=7).collect()}
+    assert probe() == expect
+    assert probe() != before  # the rebuild genuinely changed the index

@@ -51,8 +51,12 @@ WEIGHTS = {
     "test_bucket_caps.py": 50,
     "test_weather_ops.py": 30,
     "test_review_fixes.py": 60,
-    "test_llm_packing.py": 350,
-    "test_llm_similarity.py": 160,
+    # round 9: the corpus-store tests split out of test_llm_packing
+    # (the 18:50 shard-0 critical path of the round-8 judge run was
+    # that ONE file); the two halves now shard independently
+    "test_llm_packing.py": 160,
+    "test_corpus_store.py": 200,
+    "test_llm_similarity.py": 200,
     "test_multimodal.py": 30,
     "test_advice_r8.py": 40,
 }

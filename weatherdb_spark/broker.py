@@ -136,7 +136,8 @@ def _snapshots_downgrade(broker: "Broker") -> None:
         # write path for in-flight readers) are superseded —
         # clear them first, or the flatten would collide on
         # bucket dirs / union duplicate part-files into the root
-        broker._cleanup_versions(table, v, keep_previous=False)
+        broker._cleanup_versions(table, v, keep_previous=False,
+                                 retention=0)
         for e in os.listdir(vdir):
             os.rename(os.path.join(vdir, e), os.path.join(root, e))
         for e in os.listdir(root):
@@ -383,11 +384,26 @@ def _with_mutex(fn):
 class Broker:
     """Stage-ordered pipeline over a parquet warehouse."""
 
+    #: Time-based snapshot retention (the Delta-Lake VACUUM model, at a
+    #: local-filesystem scale): a superseded table snapshot is reclaimed
+    #: only once the snapshot that REPLACED it is at least this many
+    #: seconds old, because a reader plans a file listing against the
+    #: then-current snapshot and may scan it long after several further
+    #: writes land — keep-previous alone protects exactly one write of
+    #: history, and the r9 concurrency stress showed a probe losing its
+    #: files to a rapid append+compact+vacuum sequence. 300 s covers any
+    #: in-flight scan on this box (the heaviest sf0.1 query is < 60 s);
+    #: a cluster deployment would raise it to hours the same way Delta
+    #: defaults to 7 days. Reclamation-mechanics tests pass
+    #: ``snapshot_retention=0`` to get the old eager behavior.
+    DEFAULT_SNAPSHOT_RETENTION = 300.0
+
     def __init__(
         self,
         spark: SparkSession,
         warehouse_dir: str | None = None,
         lock_backend=None,
+        snapshot_retention: float | None = None,
     ):
         if warehouse_dir is None:
             # user-config default (reference connects via the configured
@@ -397,6 +413,10 @@ class Broker:
             warehouse_dir = get_config().get("engine", "warehouse_dir")
         self.spark = spark
         self.dir = warehouse_dir
+        self.snapshot_retention = (
+            self.DEFAULT_SNAPSHOT_RETENTION if snapshot_retention is None
+            else float(snapshot_retention)
+        )
         os.makedirs(warehouse_dir, exist_ok=True)
         self._active = False
         self._lock_backend = lock_backend
@@ -900,22 +920,67 @@ class Broker:
             )
         os.replace(tmp, mp)  # atomic pointer flip
 
-    def _cleanup_versions(self, table: str, current: int,
-                          keep_previous: bool = True) -> None:
-        """Reclaim superseded snapshots. The write path keeps the
-        immediately previous snapshot (in-flight readers may hold it);
-        vacuum passes keep_previous=False to reclaim everything below
-        current. Legacy flat-layout files count as snapshot 0."""
-        import shutil
+    def _pinned_snapshot_versions(self, table: str) -> "set[int]":
+        """Versions a live-reader contract pins beyond the floor/
+        retention rules — never reclaimed while pinned. Base broker
+        pins nothing; the IVF index broker pins the pair-manifest
+        versions (``llm/similarity.py``)."""
+        return set()
 
+    def _cleanup_versions(self, table: str, current: int,
+                          keep_previous: bool = True,
+                          retention: float | None = None) -> None:
+        """Reclaim superseded snapshots, subject to the broker's
+        time-based retention: a snapshot below the floor is removed
+        only once the snapshot that SUPERSEDED it (the next-higher
+        version still on disk) is older than ``snapshot_retention``
+        seconds — a reader's file listing can outlive any number of
+        subsequent writes, and age of the superseder bounds how long
+        ago the candidate stopped being readable-current. The write
+        path additionally keeps the immediately previous snapshot
+        regardless of age; vacuum passes keep_previous=False. Legacy
+        flat-layout files count as snapshot 0. ``retention`` overrides
+        the broker default for callers that must clear the floor NOW
+        (the layout downgrade, which moves files into the table
+        root)."""
+        import shutil
+        import time as _time
+
+        if retention is None:
+            retention = self.snapshot_retention
+        pinned = self._pinned_snapshot_versions(table)
         root = self.path(table)
         floor = current - 1 if keep_previous else current
-        for entry in os.listdir(root):
+        entries = os.listdir(root)
+        versions = sorted(
+            int(e[2:]) for e in entries
+            if e.startswith("_v") and e[2:].isdigit()
+        )
+        now = _time.time()
+
+        def released(n: int) -> bool:
+            if retention <= 0:
+                return True
+            # age check against the superseder; no successor dir on
+            # disk means the supersession is the in-flight write
+            # itself — just happened, keep
+            succ = next((v for v in versions if v > n), None)
+            if succ is None:
+                return False
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(root, self._version_dirname(succ)))
+            except OSError:
+                return False
+            return now - mt > retention
+
+        for entry in entries:
             p = os.path.join(root, entry)
             if entry.startswith("_v") and entry[2:].isdigit():
-                if int(entry[2:]) < floor:
+                n = int(entry[2:])
+                if n < floor and n not in pinned and released(n):
                     shutil.rmtree(p, ignore_errors=True)
-            elif entry != self._MANIFEST and 0 < floor:
+            elif entry != self._MANIFEST and 0 < floor and released(0):
                 # pre-versioning flat layout ("snapshot 0"), superseded
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
@@ -1115,9 +1180,11 @@ class Broker:
         ``max_files_per_bucket`` files (or a dim table exceeds a few
         files), rewrite the table to one file per leaf.
         Content-preserving — only the file layout changes. Also reclaims
-        every superseded table snapshot — the write path keeps the
-        immediately previous one for in-flight readers; vacuum is the
-        declared safe point where those are dropped.
+        superseded table snapshots that have aged past the broker's
+        ``snapshot_retention`` window (the Delta VACUUM model — see
+        :attr:`DEFAULT_SNAPSHOT_RETENTION`); recently superseded
+        snapshots stay for in-flight readers whose file listings
+        predate the newer writes.
         Returns {table: (files_before, files_after)}."""
         compacted: dict[str, tuple[int, int]] = {}
         with self.activate():

@@ -27,7 +27,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "bag_fingerprint",
     "winnow_fingerprints", "repetition_stats", "unigram_logprob",
     "scrub_pii", "tokens_expr", "arrow_regex_tokens",
-    "wordpiece_tokens", "compression_ratio",
+    "wordpiece_tokens", "bpe_tokens", "compression_ratio",
     # end-to-end composition + corpus management
     "prepare_training_corpus", "CorpusStore", "stream_into_corpus",
 ]
@@ -55,6 +55,7 @@ _HOMES = {
     "repetition_stats": "text", "unigram_logprob": "text",
     "scrub_pii": "text", "tokens_expr": "text",
     "arrow_regex_tokens": "text", "wordpiece_tokens": "text",
+    "bpe_tokens": "text",
     "compression_ratio": "text",
     "prepare_training_corpus": "pipeline",
     "CorpusStore": "corpus",

@@ -411,7 +411,8 @@ class CorpusStore:
     def append(self, new_docs: DataFrame,
                id_col: str = "doc_id", text_col: str = "text",
                embedding_col: str | None = None,
-               image_col: str | None = None) -> dict:
+               image_col: str | None = None,
+               collapse_batch: bool = False) -> dict:
         """Admit ``new_docs`` into the corpus; returns
         ``{"admitted": n, "rejected": n, "version": v}``.
 
@@ -432,11 +433,21 @@ class CorpusStore:
         otherwise embedding-less appends would leave permanent index
         gaps that stall epoch compaction and admit paraphrases
         silently. Passing a DIFFERENT column name later raises (the
-        stored keys would mix two vector spaces). Within-batch
-        semantic collapse is deliberately not performed — run
-        :func:`~weatherdb_spark.llm.similarity.semantic_dedup` over
-        the batch first if the batch itself may contain paraphrase
-        groups.
+        stored keys would mix two vector spaces).
+
+        ``collapse_batch=True`` ALSO collapses semantic/image near-dup
+        groups WITHIN the batch (reasons ``batch_semantic`` /
+        ``batch_image``), before the archive joins — one batch
+        carrying both members of a paraphrase pair (or an image and
+        its re-encode) then admits only the smaller id, mirroring the
+        text layers' ``batch_exact``/``batch_near`` pairwise semantics
+        (the larger id of each colliding pair is blocked by the
+        smallest colliding smaller id). The pair generation reuses
+        the SAME bucket-key / fingerprint frames the archive checks
+        compute — a batch-sized self-join, no extra signature pass.
+        Default off: the checks engage only for stores already opted
+        into their columns, and existing admission counts are
+        unchanged unless the flag is passed.
 
         ``image_col`` is the multimodal twin: the batch's binary
         payloads dHash-fingerprint (``llm.multimodal.dhash_images``)
@@ -451,10 +462,7 @@ class CorpusStore:
         the check. Unlike the text/semantic verifies, no second archive
         read is needed — the stored fingerprints themselves decide
         (exact popcount). Like the semantic check, within-batch image
-        collapse is deliberately not performed — run
-        :func:`~weatherdb_spark.llm.multimodal.image_neardup_pairs`
-        over the batch first if one batch may carry an image and its
-        re-encode.
+        collapse is ``collapse_batch``-gated (see above).
 
         Runs under the warehouse mutex like every Broker stage: the
         write is a snapshot flip, so readers planned against the old
@@ -618,6 +626,100 @@ class CorpusStore:
             )
             near = _reject(near, "batch_near")
             batch = batch.join(near.select(id_col), id_col, "left_anti")
+
+            # 2b) within-batch SEMANTIC collapse (collapse_batch +
+            # embedding opt-in): pairs from the SAME bucket-key frame
+            # the archive check uses — batch-sized self-join on
+            # (table, bucket), exact-cosine verify, larger id of each
+            # verified pair blocked by its smallest partner (the
+            # batch_near pairwise semantics). The store's hot-bucket
+            # cap bounds the self-join's per-bucket quadratic like
+            # every other leg (smaller-id residents, the
+            # verified_pairs_from_banded convention)
+            if collapse_batch and batch_emb is not None:
+                from weatherdb_spark.llm.similarity import cosine
+
+                live = batch_emb.join(batch.select(id_col), id_col)
+                lhs = cap_bucket_residents(
+                    live.select(F.col(id_col).alias("_ia"),
+                                "table", "bucket"),
+                    ["table", "bucket"], "_ia", self.max_bucket_docs,
+                )
+                rhs = live.select(F.col(id_col).alias("_ib"),
+                                  "table", "bucket")
+                epairs = (
+                    lhs.join(rhs, ["table", "bucket"])
+                    .filter(F.col("_ia") < F.col("_ib"))
+                    .select("_ia", "_ib").distinct()
+                )
+                vecs = batch.select(F.col(id_col),
+                                    F.col(embedding_col).alias("_v"))
+                semdup = (
+                    epairs
+                    .join(vecs.select(F.col(id_col).alias("_ia"),
+                                      F.col("_v").alias("_va")), "_ia")
+                    .join(vecs.select(F.col(id_col).alias("_ib"),
+                                      F.col("_v").alias("_vb")), "_ib")
+                    .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                            >= self.semantic_threshold)
+                    .groupBy(F.col("_ib").alias(id_col))
+                    .agg(F.min("_ia").alias("blocked_by"))
+                )
+                semdup = _reject(semdup, "batch_semantic")
+                batch = batch.join(semdup.select(id_col), id_col,
+                                   "left_anti")
+
+            # 2c) within-batch IMAGE collapse: exact pigeonhole hamming
+            # pairs over the SAME dHash frame the archive check uses;
+            # the store's hot-bucket cap passes through (bounds a
+            # degenerate same-fingerprint batch, like the archive leg)
+            if collapse_batch and batch_img is not None:
+                from weatherdb_spark.llm.dedup import hamming_pairs_exact
+
+                live_img = batch_img.join(batch.select(id_col), id_col)
+                imgdup = (
+                    hamming_pairs_exact(
+                        live_img, "dhash", IMG_MAX_HAMMING, bits=64,
+                        id_col=id_col,
+                        max_bucket_docs=self.max_bucket_docs,
+                    )
+                    .groupBy(F.col("id_b").alias(id_col))
+                    .agg(F.min("id_a").alias("blocked_by"))
+                )
+                imgdup = _reject(imgdup, "batch_image")
+                batch = batch.join(imgdup.select(id_col), id_col,
+                                   "left_anti")
+
+            # cut the anti-join spine here: each batch stage above
+            # references `batch` twice (the collision frame + the
+            # anti-join), so the LOGICAL plan doubles per stage, and
+            # the archive legs below double it again — Catalyst's
+            # analyzed tree grows 2^stages, and with the two collapse
+            # stages the r9 suite OOMed the driver mid-plan (even the
+            # plan's diagnostic string rendering is exponential in the
+            # spine). persist() does NOT truncate the analyzed lineage
+            # of derived frames, so the cut is a parquet scratch
+            # roundtrip: downstream plans re-root on a plain scan. (A
+            # localCheckpoint would also cut, but pins its RDD in the
+            # cache past the scope — see _reject's hygiene note.) The
+            # scratch lives under the warehouse's _tmp_ namespace —
+            # vacuum and the table walk ignore it — and is removed
+            # before return; a crashed append's leftover is swept by
+            # the next append, under the same mutex.
+            import os as _os
+            import shutil as _shutil
+            import uuid as _uuid
+
+            for stale in _os.listdir(self.broker.dir):
+                if stale.startswith("_tmp_append_cut_"):
+                    _shutil.rmtree(_os.path.join(self.broker.dir, stale),
+                                   ignore_errors=True)
+            scratch = _os.path.join(
+                self.broker.dir, f"_tmp_append_cut_{_uuid.uuid4().hex}")
+            batch_schema = batch.schema
+            batch.write.parquet(scratch)
+            batch = self.broker.spark.read.schema(batch_schema).parquet(
+                scratch)
 
             if self.broker.exists(DOCS_TABLE):
                 # 3) exact vs archive: batch md5 against the STORED hash
@@ -875,54 +977,85 @@ class CorpusStore:
             # contract, just wasteful)
             batch = scoped_persist(batch)
             admitted = batch.count()
+
+            def _sized(df: DataFrame, rows: int) -> DataFrame:
+                # right-size the epoch leaf: a small batch written from
+                # a 32-partition cached plan would land 32 near-empty
+                # files — slower to write, and every LATER append
+                # hard-links (and every probe lists) them forever
+                return df.coalesce(max(1, min(32, int(rows) // 250_000 + 1)))
+
             # O(batch) write: ONLY the new epoch leaf is materialized
             # (epoch = the snapshot number this append lands in); every
             # archived epoch hard-links from the previous snapshot —
-            # the corpus is never rewritten on append
+            # the corpus is never rewritten on append. The CORPUS flip
+            # lands first (alone): a crash after it leaves side-table
+            # gaps on the cheap heal path (docs epoch missing from a
+            # side table -> partition-pruned backfill), never ghost
+            # side epochs (the expensive full-rebuild direction).
             epoch = (self.broker.table_version(DOCS_TABLE) or 0) + 1
             self.broker.write_partition_append(
-                DOCS_TABLE, batch, "ingest_epoch", epoch
+                DOCS_TABLE, _sized(batch, admitted), "ingest_epoch", epoch
             )
-            # the admitted slice's keys extend the signature index —
-            # same epoch, same O(batch) leaf-plus-links write. (A crash
-            # between the corpus flip above and these flips is healed
-            # by the next append's _sync_side_tables.)
-            adm_ids = batch.select(id_col)
-            self.broker.write_partition_append(
-                HASH_TABLE, batch_hash.join(adm_ids, id_col),
-                "ingest_epoch", epoch,
-            )
-            self.broker.write_partition_append(
-                BANDS_TABLE, batch_bands.join(adm_ids, id_col),
-                "ingest_epoch", epoch,
-            )
-            if batch_emb is not None:
-                self.broker.write_partition_append(
-                    EMB_TABLE, batch_emb.join(adm_ids, id_col),
-                    "ingest_epoch", epoch,
-                )
-            if batch_img is not None:
-                self.broker.write_partition_append(
-                    IMG_TABLE, batch_img.join(adm_ids, id_col),
-                    "ingest_epoch", epoch,
-                )
+            # the admitted slice's keys extend the signature indexes —
+            # same epoch, same O(batch) leaf-plus-links writes. The
+            # remaining snapshot writes (+ the rejection count) target
+            # DISJOINT tables, so they run as CONCURRENT Spark jobs:
+            # serial they are per-job fixed overhead stacked four-to-
+            # five deep — the dominant cost of a small append (profiled
+            # 11.4 s of a 25 s 5k-doc append; the r8 verdict's ask #2).
+            # Crash-ordering is unchanged: any subset of side flips
+            # landing before a crash is healed by the next append's
+            # _sync_side_tables directory diff.
+            from concurrent.futures import ThreadPoolExecutor
 
-            rejected = rej[0]
-            for r in rej[1:]:
-                rejected = rejected.unionByName(r)
-            n_rejected = rejected.count()
-            # the rejection log appends the same way, keyed by the
-            # corpus version the drops were decided against. A CLEAN
-            # append skips the write (an empty leaf carries no audit
-            # information and the snapshot flip is pure fixed overhead
-            # — the round-7 stress showed small appends dominated by
-            # such per-append jobs); the FIRST append always writes so
-            # rejections() exists from version 1, per its contract.
-            if n_rejected or not self.broker.exists(REJ_TABLE):
+            adm_ids = batch.select(id_col)
+            side_writes = [
+                (HASH_TABLE, batch_hash.join(adm_ids, id_col), admitted),
+                (BANDS_TABLE, batch_bands.join(adm_ids, id_col),
+                 admitted * N_BANDS),
+            ]
+            if batch_emb is not None:
+                side_writes.append(
+                    (EMB_TABLE, batch_emb.join(adm_ids, id_col),
+                     admitted * SEM_N_TABLES))
+            if batch_img is not None:
+                side_writes.append(
+                    (IMG_TABLE, batch_img.join(adm_ids, id_col), admitted))
+
+            def _write_side(table: str, df: DataFrame, rows: int) -> None:
                 self.broker.write_partition_append(
-                    REJ_TABLE, rejected, "corpus_version",
-                    self.broker.table_version(DOCS_TABLE),
-                )
+                    table, _sized(df, rows), "ingest_epoch", epoch)
+
+            def _write_rejections() -> int:
+                rejected = rej[0]
+                for r in rej[1:]:
+                    rejected = rejected.unionByName(r)
+                n_rejected = rejected.count()
+                # the rejection log appends the same way, keyed by the
+                # corpus version the drops were decided against. A
+                # CLEAN append skips the write (an empty leaf carries
+                # no audit information and the snapshot flip is pure
+                # fixed overhead); the FIRST append always writes so
+                # rejections() exists from version 1, per its contract.
+                if n_rejected or not self.broker.exists(REJ_TABLE):
+                    self.broker.write_partition_append(
+                        REJ_TABLE, _sized(rejected, n_rejected),
+                        "corpus_version",
+                        self.broker.table_version(DOCS_TABLE),
+                    )
+                return n_rejected
+
+            with ThreadPoolExecutor(max_workers=len(side_writes) + 1) \
+                    as pool:
+                futures = [pool.submit(_write_side, *sw)
+                           for sw in side_writes]
+                rej_future = pool.submit(_write_rejections)
+                for f in futures:
+                    f.result()
+                n_rejected = rej_future.result()
+            # every job that read the scratch cut has completed
+            _shutil.rmtree(scratch, ignore_errors=True)
             return {
                 "admitted": admitted,
                 "rejected": n_rejected,
@@ -938,6 +1071,7 @@ def stream_into_corpus(
     text_col: str = "text",
     embedding_col: str | None = None,
     image_col: str | None = None,
+    collapse_batch: bool = False,
     await_termination: bool = True,
 ):
     """Tail a document stream into the :class:`CorpusStore`: each
@@ -958,7 +1092,8 @@ def stream_into_corpus(
         if batch_df.isEmpty():
             return
         store.append(batch_df, id_col=id_col, text_col=text_col,
-                     embedding_col=embedding_col, image_col=image_col)
+                     embedding_col=embedding_col, image_col=image_col,
+                     collapse_batch=collapse_batch)
 
     q = (
         stream.writeStream.foreachBatch(_sink)

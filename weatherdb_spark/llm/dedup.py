@@ -468,6 +468,7 @@ def hamming_pairs_exact(
     max_hamming: int = 6,
     bits: int = 32,
     id_col: str = "doc_id",
+    max_bucket_docs: "int | None" = None,
 ) -> DataFrame:
     """ALL (id_a, id_b, hamming) pairs whose ``fp_col`` int64
     fingerprints differ in at most ``max_hamming`` bits — the generic
@@ -488,10 +489,28 @@ def hamming_pairs_exact(
     bit-identical to the modulo form for the non-negative fps (simhash
     at bits<=32) the streaming twin and the mirrored oracles share the
     layout with; a full-width block (bits=64, max_hamming=0) keys on
-    the fingerprint itself — ``2**64`` fits no JVM long."""
+    the fingerprint itself — ``2**64`` fits no JVM long.
+
+    ``max_bucket_docs`` (default None = uncapped, recall 1 preserved)
+    opts into the standard hot-bucket resident cap
+    (:func:`~weatherdb_spark.llm.bucketing.cap_bucket_residents`) on
+    the smaller-id side per (block, key) — a degenerate fingerprint
+    population (e.g. thousands of all-zero dHashes from empty payloads)
+    collapses into one bucket and the join inside it goes O(B^2); the
+    cap trades the pairs whose smaller id is not a resident for a
+    linear bound, the same knob and semantics as the LSH generators.
+    Quantify engaged caps with
+    :func:`~weatherdb_spark.llm.bucketing.bucket_overflow` over the
+    same :func:`banded_fingerprint_keys` frame."""
+    from weatherdb_spark.llm.bucketing import cap_bucket_residents
+
     banded = banded_fingerprint_keys(fp, fp_col, max_hamming, bits, id_col)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"), "block", "key"
+    a = cap_bucket_residents(
+        banded.select(
+            F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"),
+            "block", "key",
+        ),
+        ["block", "key"], "id_a", max_bucket_docs,
     )
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col(fp_col).alias("_fb"), "block", "key"

@@ -161,23 +161,20 @@ _DHASH_ROWS = 8
 _DHASH_COLS = 9
 
 
-def dhash_bytes(raw: "bytes | None") -> int:
-    """The ONE dHash definition (bytes -> signed int64) shared by the
-    batch :func:`dhash_images`, the streaming
-    ``streaming.neardup.stream_image_neardup`` fingerprints, and any
-    driver-side oracle — so the stored corpus index, the batch pairs,
-    and the stream bucket identically. NULL/empty input hashes the
-    zero grid (0)."""
-    n = _DHASH_ROWS * _DHASH_COLS
-    raw = bytes(raw or b"")
-    step = max(1, len(raw) // n)
-    g = raw[::step][:n].ljust(n, b"\x00")
+def dhash_grid(grid) -> int:
+    """Hash a row-major 9x8 luminance grid (72 values, any ordered
+    numeric sequence) to the signed-int64 dHash: bit r*8+c is 1 iff
+    grid[r][c] < grid[r][c+1]. The gradient-compare half of the
+    algorithm, factored out so EVERY decoder — the byte-subsample fake
+    (:func:`dhash_bytes`) and a real grayscale-resize
+    (:func:`pil_grayscale_grid`) — produces fingerprints through one
+    definition (Krawetz 2013)."""
     h = 0
     bit = 0
     for r in range(_DHASH_ROWS):
-        row = g[r * _DHASH_COLS:(r + 1) * _DHASH_COLS]
+        base = r * _DHASH_COLS
         for c in range(_DHASH_COLS - 1):
-            if row[c] < row[c + 1]:
+            if grid[base + c] < grid[base + c + 1]:
                 h |= 1 << bit
             bit += 1
     if h >= 2 ** 63:          # wrap to signed int64
@@ -185,7 +182,54 @@ def dhash_bytes(raw: "bytes | None") -> int:
     return h
 
 
-def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dhash_bytes(raw: "bytes | None") -> int:
+    """The DEFAULT dHash definition (bytes -> signed int64) shared by
+    the batch :func:`dhash_images`, the streaming
+    ``streaming.neardup.stream_image_neardup`` fingerprints, the
+    CorpusStore image index, and any driver-side oracle — so all of
+    them bucket identically. The 'decode' is the deterministic byte
+    subsample (no image libraries in this container); the gradient
+    hash itself is :func:`dhash_grid`. NULL/empty input hashes the
+    zero grid (0)."""
+    n = _DHASH_ROWS * _DHASH_COLS
+    raw = bytes(raw or b"")
+    step = max(1, len(raw) // n)
+    g = raw[::step][:n].ljust(n, b"\x00")
+    return dhash_grid(g)
+
+
+def pil_grayscale_grid():
+    """REAL image decoder for the ``decode=`` seam of
+    :func:`dhash_images`: returns a ``bytes -> 72-value luminance
+    grid`` callable backed by PIL (grayscale convert + 9x8 resize —
+    the published dHash preprocessing), or raises ImportError where
+    PIL is not installed (this container ships no image libraries; the
+    byte-subsample default stays the deterministic fake). Undecodable
+    payloads map to the zero grid rather than failing the Spark task —
+    the same total-function convention as :func:`dhash_bytes`."""
+    import io
+
+    from PIL import Image  # gated: raises where PIL is absent
+
+    zero = [0] * (_DHASH_ROWS * _DHASH_COLS)
+
+    def decode(raw: "bytes | None"):
+        if not raw:
+            return zero
+        try:
+            img = Image.open(io.BytesIO(bytes(raw)))
+            img = img.convert("L").resize(
+                (_DHASH_COLS, _DHASH_ROWS), Image.BILINEAR
+            )
+        except Exception:
+            return zero
+        return list(img.getdata())  # row-major, 72 values
+
+    return decode
+
+
+def dhash_images(df: DataFrame, id_col: str = "doc_id",
+                 decode=None) -> DataFrame:
     """Perceptual difference-hash fingerprint per image payload — the
     image twin of :func:`~weatherdb_spark.llm.dedup.simhash`: a 64-bit
     gradient signature that is STABLE under re-encoding, scaling, and
@@ -203,13 +247,28 @@ def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     NULL/empty payloads hash the zero grid (hash 0) rather than failing
     the task, mirroring :func:`_fake_decode`. The hash itself is
     :func:`dhash_bytes` — the single definition the streaming twin and
-    the corpus index share."""
+    the corpus index share.
+
+    ``decode`` swaps the fake byte-subsample decode for a REAL one: a
+    ``bytes -> 72-value row-major luminance grid`` callable
+    (:func:`pil_grayscale_grid` is the PIL-backed instance), hashed
+    through the SAME :func:`dhash_grid` gradient compare — the
+    declared swap-in point, now a parameter instead of a code edit.
+    The callable ships in the mapInPandas closure (a task-binary
+    constant, like the tokenizer vocabs). Default None keeps every
+    fingerprint byte-identical to the stored indexes; mixing decoders
+    against one persisted index would bucket two hash spaces together
+    — rebuild the index when switching."""
 
     def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decode is None:
+                hashes = [dhash_bytes(b) for b in pdf["payload"]]
+            else:
+                hashes = [dhash_grid(decode(b)) for b in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "dhash": [dhash_bytes(b) for b in pdf["payload"]],
+                "dhash": hashes,
             })
 
     return df.mapInPandas(_dh, DHASH_SCHEMA)
@@ -219,6 +278,7 @@ def image_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 6,
     id_col: str = "doc_id",
+    decode=None,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash fingerprints + the EXACT
     multi-index pigeonhole hamming join
@@ -236,12 +296,16 @@ def image_neardup_pairs(
     comparison) — the same convention as the CorpusStore image index
     and the streaming twin, so all three produce the same pair set
     over the same rows; :func:`dhash_images` itself stays total
-    (hashes the zero grid) for callers that want raw fingerprints."""
+    (hashes the zero grid) for callers that want raw fingerprints.
+    ``decode`` passes through to :func:`dhash_images` — with a real
+    decoder (:func:`pil_grayscale_grid`) a JPEG and its re-encode land
+    within the radius through this same join."""
     from weatherdb_spark.llm.dedup import hamming_pairs_exact
 
     fp = dhash_images(
         df.filter(F.col("payload").isNotNull() & (F.length("payload") > 0))
-        .select(F.col(id_col).alias("doc_id"), "payload")
+        .select(F.col(id_col).alias("doc_id"), "payload"),
+        decode=decode,
     )
     return hamming_pairs_exact(fp, "dhash", max_hamming, bits=64,
                                id_col="doc_id")

@@ -402,22 +402,117 @@ def _nearest_cell(vec: Column, centroids: "np.ndarray") -> Column:
 IVF_CENTROIDS_TABLE = "ivf_centroids"
 IVF_INVERTED_TABLE = "ivf_inverted"
 
+#: Index-level manifest: ONE json file pinning the
+#: (centroids_version, inverted_version) snapshot PAIR. Each table's own
+#: manifest flip is atomic, but a rebuild flips TWO tables — a probe
+#: that resolved the two per-table manifests between the flips would
+#: read the new centroids with the old inverted file (cell ids computed
+#: against different centroid sets: silently wrong neighbors). Probes
+#: resolve this pair in one read instead, and every write path refreshes
+#: it as its LAST step (one os.replace), so a concurrent probe sees
+#: either the full old index or the full new one, never a mix — and a
+#: crash anywhere before the pair flip leaves the old pair authoritative.
+IVF_INDEX_MANIFEST = "_IVF_INDEX.json"
+
 
 def _ivf_broker(spark, index_path: str):
     from weatherdb_spark.broker import Broker
 
-    return Broker(spark, index_path)
+    class _IvfBroker(Broker):
+        """Broker whose snapshot cleanup honors the index-level pair
+        manifest: a version pinned by :data:`IVF_INDEX_MANIFEST` is
+        never reclaimed even when table writes have moved past it
+        (repeated crashed rebuilds leave the pin more than one version
+        behind) — the pin is a live reader contract, and reclaiming it
+        would force probes onto the current-version fallback, which
+        during a rebuild IS the torn mix this manifest exists to
+        prevent. (The base broker's time-based retention additionally
+        protects UNPINNED superseded snapshots that in-flight probes
+        may still hold.)"""
+
+        _IVF_PIN_KEYS = {
+            IVF_CENTROIDS_TABLE: "centroids_version",
+            IVF_INVERTED_TABLE: "inverted_version",
+        }
+
+        def _pinned_snapshot_versions(self, table):
+            key = self._IVF_PIN_KEYS.get(table)
+            if key is None:
+                return set()
+            pin = (_read_ivf_manifest(self.dir) or {}).get(key)
+            return set() if pin is None else {pin}
+
+    return _IvfBroker(spark, index_path)
+
+
+def _read_ivf_manifest(index_path: str) -> "dict | None":
+    import json
+    import os
+
+    try:
+        with open(os.path.join(index_path, IVF_INDEX_MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def _flip_ivf_manifest(broker, index_path: str) -> None:
+    """Atomically re-pin the index pair at the tables' CURRENT snapshot
+    versions — the single commit point of every index write path (build/
+    rebuild, append, compaction, migration). Runs while the writer holds
+    the warehouse mutex, after all table snapshots are on disk."""
+    import json
+    import os
+    from datetime import datetime, timezone
+
+    mp = os.path.join(index_path, IVF_INDEX_MANIFEST)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "centroids_version": broker.table_version(IVF_CENTROIDS_TABLE),
+                "inverted_version": broker.table_version(IVF_INVERTED_TABLE),
+                "written_at": datetime.now(timezone.utc).isoformat(),
+            },
+            fh,
+        )
+    os.replace(tmp, mp)  # atomic pair flip
+
+
+def _pinned_version(broker, table: str, pinned: "int | None") -> "int | None":
+    """The pinned snapshot if it is still on disk, else None (= current).
+    The fallback covers the one benign race: vacuum reclaims superseded
+    snapshots before refreshing the pair manifest, and compaction is
+    content-preserving — reading current there is row-identical."""
+    import os
+
+    if pinned is None:
+        return None
+    vdir = os.path.join(broker.path(table), broker._version_dirname(pinned))
+    return pinned if os.path.isdir(vdir) else None
 
 
 def _ivf_frames(spark, index_path: str) -> "tuple[DataFrame, DataFrame]":
-    """(centroids, inverted) of the index at ``index_path`` — the MVCC
-    broker layout first (manifest-pinned snapshot dirs), falling back
-    to the pre-r8 raw-parquet layout (``centroids/`` + ``inverted/``
-    directly under the path; read-only — the first append migrates
-    it)."""
+    """(centroids, inverted) of the index at ``index_path`` — resolved
+    through the index-level pair manifest when present (one read pins a
+    CONSISTENT snapshot pair even while a rebuild is mid-flip), else the
+    per-table MVCC manifests (pre-r9 index; the first write refreshes
+    the pair), else the pre-r8 raw-parquet layout (``centroids/`` +
+    ``inverted/`` directly under the path; read-only — the first append
+    migrates it)."""
     import os
 
     b = _ivf_broker(spark, index_path)
+    pair = _read_ivf_manifest(index_path)
+    if pair is not None:
+        cv = _pinned_version(b, IVF_CENTROIDS_TABLE,
+                             pair.get("centroids_version"))
+        iv = _pinned_version(b, IVF_INVERTED_TABLE,
+                             pair.get("inverted_version"))
+        return (
+            b.read(IVF_CENTROIDS_TABLE, version=cv),
+            b.read(IVF_INVERTED_TABLE, version=iv),
+        )
     if b.exists(IVF_INVERTED_TABLE):
         return b.read(IVF_CENTROIDS_TABLE), b.read(IVF_INVERTED_TABLE)
     legacy = os.path.join(index_path, "inverted")
@@ -441,6 +536,7 @@ def _migrate_legacy_ivf(spark, broker, index_path: str) -> None:
     inv = spark.read.parquet(os.path.join(index_path, "inverted"))
     broker.write(IVF_CENTROIDS_TABLE, cent)
     broker.write(IVF_INVERTED_TABLE, inv, partition_cols=("cell",))
+    _flip_ivf_manifest(broker, index_path)
     for d in ("centroids", "inverted"):
         shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
 
@@ -475,6 +571,17 @@ def build_ivf_index(
     (n_cells, dim) array — the rebuild path (re-layout a fragmented
     index without moving its cell boundaries) and the reference frame
     for :func:`append_to_ivf_index`'s identity contract.
+
+    REBUILD over a live index is cross-table atomic: the two table
+    snapshots land first (each its own MVCC flip), and the index-level
+    pair manifest (:data:`IVF_INDEX_MANIFEST`) re-pins
+    (centroids_version, inverted_version) as the LAST step — one
+    ``os.replace``. A probe concurrent with the rebuild resolves the
+    pair in one read and sees either the full old index or the full new
+    one, never new centroids with the old inverted file; a crash
+    anywhere before the pair flip leaves the old index authoritative
+    (the superseded-but-unpinned table snapshots are re-written on the
+    retry). Rebuilds serialize with appends under the warehouse mutex.
     """
     from weatherdb_spark.functions.caching import scoped_persist
 
@@ -499,6 +606,7 @@ def build_ivf_index(
             corp.withColumn("cell", _nearest_cell(F.col("_cv"), centroids)),
             partition_cols=("cell",),
         )
+        _flip_ivf_manifest(b, path)
 
 
 def append_to_ivf_index(
@@ -553,6 +661,7 @@ def append_to_ivf_index(
             new.withColumn("cell", _nearest_cell(F.col("_cv"), centroids)),
             "cell",
         )
+        _flip_ivf_manifest(b, index_path)
 
 
 def compact_ivf_index(spark, index_path: str) -> dict:
@@ -577,7 +686,13 @@ def compact_ivf_index(spark, index_path: str) -> dict:
         if not b.exists(IVF_INVERTED_TABLE) and os.path.isdir(
                 os.path.join(index_path, "inverted")):
             _migrate_legacy_ivf(spark, b, index_path)
-    return b.vacuum()
+        # vacuum compacts into fresh snapshots (the pinned pair and any
+        # reader-retained superseded versions survive cleanup: the pin
+        # + the broker's time-based retention), then the flip re-pins
+        # the compacted — content-identical — pair
+        res = b.vacuum()  # reentrant under the held mutex
+        _flip_ivf_manifest(b, index_path)
+    return res
 
 
 def check_ivf_index(

@@ -154,6 +154,108 @@ def wordpiece_tokens(
     return tokens
 
 
+def bpe_tokens(
+    merges,
+    end_of_word: str = "",
+    max_word_chars: int = 100,
+    pre_pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]",
+):
+    """Merges-file SUBWORD tokenizer for the ``tokens`` seam —
+    byte-pair encoding (Sennrich et al. 2016; the GPT-family
+    ``merges.txt`` convention): a word starts as its character
+    sequence and adjacent pairs merge in TRAINED RANK order (lowest
+    rank = learned earliest = merged first) until no adjacent pair has
+    a rank. The published algorithm is rank-greedy pairing — a
+    different segmenter from :func:`wordpiece_tokens`' longest-match
+    vocab probe, so pipelines tuned for GPT-style models count tokens
+    the way their model does. Returns the standard col ->
+    ``array<string>`` Column callable, flowing through every
+    token-consuming operator (``chunk_windows``, ``pack_concat_chunk``,
+    ``bm25_topk``, ``unigram_logprob``, ``prepare_training_corpus``).
+
+    ``merges`` is an iterable of ``(left, right)`` pairs in rank order
+    or a path to a merges file (one ``left right`` pair per line; a
+    leading ``#version`` header line is skipped, the published
+    format). Like the WordPiece vocab it is read ONCE driver-side and
+    shipped inside the pandas-UDF closure — a task-binary constant,
+    not a broadcast join.
+
+    ``end_of_word`` is appended to each word's LAST character before
+    merging (Sennrich's ``</w>`` convention; GPT-2 merges instead
+    encode the boundary in the pairs themselves — leave it empty for
+    that style). Unmergeable characters simply remain single-character
+    tokens: BPE has no UNK — open-vocabulary coverage is the point of
+    the algorithm. NULL text maps to a NULL array; words longer than
+    ``max_word_chars`` stay ONE unsplit token (no merge pass), the
+    guard against adversarial megabyte-"words" driving the
+    O(len x merges) pairing loop.
+    """
+    import os
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, (str, os.PathLike)):
+        with open(merges, encoding="utf-8") as fh:
+            lines = [ln.rstrip("\r\n") for ln in fh]
+        pairs = []
+        for i, ln in enumerate(lines):
+            if not ln.strip() or (i == 0 and ln.startswith("#")):
+                continue
+            parts = ln.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"merges line {i + 1} is not 'left right': {ln!r}"
+                )
+            pairs.append((parts[0], parts[1]))
+        merges = pairs
+    ranks = {(str(a), str(b)): r for r, (a, b) in enumerate(merges)}
+    if not ranks:
+        raise ValueError("bpe_tokens needs a non-empty merges list")
+    rx = re.compile(pre_pattern)
+
+    def _bpe_word(word: str) -> list:
+        if len(word) > max_word_chars:
+            return [word]
+        pieces = list(word)
+        if end_of_word and pieces:
+            pieces[-1] += end_of_word
+        while len(pieces) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(pieces) - 1):
+                r = ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            # merge EVERY adjacent occurrence of the best pair,
+            # left-to-right, in one pass (the published behavior)
+            target = (pieces[best_i], pieces[best_i + 1])
+            out, i = [], 0
+            while i < len(pieces):
+                if (i < len(pieces) - 1
+                        and (pieces[i], pieces[i + 1]) == target):
+                    out.append(pieces[i] + pieces[i + 1])
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            pieces = out
+        return pieces
+
+    @pandas_udf("array<string>")
+    def _tok(s):
+        return s.map(
+            lambda t: None if t is None else
+            [p for w in rx.findall(t) for p in _bpe_word(w)]
+        )
+
+    def tokens(col) -> "F.Column":
+        return _tok(col if not isinstance(col, str) else F.col(col))
+
+    return tokens
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
     (words / numbers / single punctuation)."""

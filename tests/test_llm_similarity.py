@@ -539,3 +539,38 @@ def test_ivf_rebuild_torn_window_never_mixes_tables(spark, tmp_path,
               sim.ivf_topk_indexed(spark, fresh, q, k=5, n_probe=7).collect()}
     assert probe() == expect
     assert probe() != before  # the rebuild genuinely changed the index
+
+
+def test_compact_on_missing_index_leaves_no_ghost_pair_manifest(
+        spark, tmp_path):
+    """compact_ivf_index against a path with no index must stay a no-op:
+    the pair-manifest flip skips when there is nothing to pin (a null
+    pair on disk would make every later probe take the manifest branch
+    and die on the missing tables instead of the designed error), and a
+    stale/foreign pair file next to no tables is likewise ignored."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import (
+        IVF_INDEX_MANIFEST,
+        compact_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    q = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 3)
+    empty = str(tmp_path / "nothing")
+    assert compact_ivf_index(spark, empty) == {}
+    assert not os.path.exists(os.path.join(empty, IVF_INDEX_MANIFEST))
+    with _pytest.raises(ValueError, match="no IVF index"):
+        ivf_topk_indexed(spark, empty, q, k=3)
+
+    # a stale pair file with no tables behind it: same designed error
+    stale = str(tmp_path / "stale")
+    os.makedirs(stale)
+    with open(os.path.join(stale, IVF_INDEX_MANIFEST), "w") as fh:
+        _json.dump({"centroids_version": 1, "inverted_version": 1}, fh)
+    with _pytest.raises(ValueError, match="no IVF index"):
+        ivf_topk_indexed(spark, stale, q, k=3)

@@ -57,6 +57,7 @@ WEIGHTS = {
     "test_llm_packing.py": 160,
     "test_corpus_store.py": 200,
     "test_llm_similarity.py": 200,
+    "test_mvcc_concurrency.py": 120,
     "test_multimodal.py": 30,
     "test_advice_r8.py": 40,
 }

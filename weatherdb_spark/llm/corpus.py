@@ -106,6 +106,14 @@ IMG_MAX_HAMMING = 6
 #: overhead. The count comes from a directory listing (free).
 EPOCH_PRUNE_MIN = 4
 
+#: A/B seam for the append plan cut (tools/ab_append_cut.py toggles it
+#: in one process to measure both arms). The cut — a parquet scratch
+#: roundtrip of the batch after the within-batch dedup stages — is
+#: load-bearing with collapse_batch=True (the analyzed plan grows
+#: 2^stages and OOMs the driver) and A/B-measured faster on the
+#: default path too; leave it True outside the A/B harness.
+_APPEND_PLAN_CUT = True
+
 
 class CorpusStore:
     """See module docstring. ``warehouse_dir`` may be shared with a
@@ -705,21 +713,32 @@ class CorpusStore:
             # scratch lives under the warehouse's _tmp_ namespace —
             # vacuum and the table walk ignore it — and is removed
             # before return; a crashed append's leftover is swept by
-            # the next append, under the same mutex.
+            # the next append, under the same mutex. The extra
+            # batch-linear write+read is a net WIN even on the default
+            # (no-collapse) path — the archive legs stop re-analyzing
+            # and re-executing the spine per consumer job (interleaved
+            # A/B: tools/ab_append_cut.py, record in the README) —
+            # so the cut is unconditional; _APPEND_PLAN_CUT is the
+            # A/B seam, not a supported config (disabling it with
+            # collapse_batch=True re-opens the OOM).
             import os as _os
             import shutil as _shutil
             import uuid as _uuid
 
-            for stale in _os.listdir(self.broker.dir):
-                if stale.startswith("_tmp_append_cut_"):
-                    _shutil.rmtree(_os.path.join(self.broker.dir, stale),
-                                   ignore_errors=True)
-            scratch = _os.path.join(
-                self.broker.dir, f"_tmp_append_cut_{_uuid.uuid4().hex}")
-            batch_schema = batch.schema
-            batch.write.parquet(scratch)
-            batch = self.broker.spark.read.schema(batch_schema).parquet(
-                scratch)
+            scratch = None
+            if _APPEND_PLAN_CUT:
+                for stale in _os.listdir(self.broker.dir):
+                    if stale.startswith("_tmp_append_cut_"):
+                        _shutil.rmtree(
+                            _os.path.join(self.broker.dir, stale),
+                            ignore_errors=True)
+                scratch = _os.path.join(
+                    self.broker.dir,
+                    f"_tmp_append_cut_{_uuid.uuid4().hex}")
+                batch_schema = batch.schema
+                batch.write.parquet(scratch)
+                batch = self.broker.spark.read.schema(
+                    batch_schema).parquet(scratch)
 
             if self.broker.exists(DOCS_TABLE):
                 # 3) exact vs archive: batch md5 against the STORED hash
@@ -1055,7 +1074,8 @@ class CorpusStore:
                     f.result()
                 n_rejected = rej_future.result()
             # every job that read the scratch cut has completed
-            _shutil.rmtree(scratch, ignore_errors=True)
+            if scratch is not None:
+                _shutil.rmtree(scratch, ignore_errors=True)
             return {
                 "admitted": admitted,
                 "rejected": n_rejected,

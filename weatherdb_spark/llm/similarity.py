@@ -460,20 +460,27 @@ def _flip_ivf_manifest(broker, index_path: str) -> None:
     """Atomically re-pin the index pair at the tables' CURRENT snapshot
     versions — the single commit point of every index write path (build/
     rebuild, append, compaction, migration). Runs while the writer holds
-    the warehouse mutex, after all table snapshots are on disk."""
+    the warehouse mutex, after all table snapshots are on disk. A no-op
+    when there is no index to pin (e.g. compact_ivf_index pointed at an
+    empty path): a null pair on disk would make every later probe take
+    the manifest branch and die on the missing tables instead of the
+    designed 'no IVF index' error."""
     import json
     import os
     from datetime import datetime, timezone
 
+    pair = {
+        "centroids_version": broker.table_version(IVF_CENTROIDS_TABLE),
+        "inverted_version": broker.table_version(IVF_INVERTED_TABLE),
+    }
+    if pair["centroids_version"] is None or pair["inverted_version"] is None:
+        return
     mp = os.path.join(index_path, IVF_INDEX_MANIFEST)
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {
-                "centroids_version": broker.table_version(IVF_CENTROIDS_TABLE),
-                "inverted_version": broker.table_version(IVF_INVERTED_TABLE),
-                "written_at": datetime.now(timezone.utc).isoformat(),
-            },
+            {**pair,
+             "written_at": datetime.now(timezone.utc).isoformat()},
             fh,
         )
     os.replace(tmp, mp)  # atomic pair flip
@@ -504,7 +511,9 @@ def _ivf_frames(spark, index_path: str) -> "tuple[DataFrame, DataFrame]":
 
     b = _ivf_broker(spark, index_path)
     pair = _read_ivf_manifest(index_path)
-    if pair is not None:
+    # the existence check guards against a stale/foreign pair file next
+    # to no actual tables — fall through to the 'no IVF index' error
+    if pair is not None and b.exists(IVF_INVERTED_TABLE):
         cv = _pinned_version(b, IVF_CENTROIDS_TABLE,
                              pair.get("centroids_version"))
         iv = _pinned_version(b, IVF_INVERTED_TABLE,

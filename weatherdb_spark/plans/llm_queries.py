@@ -1789,7 +1789,6 @@ def corpus_append_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs_before = len(store._epoch_values(DOCS_TABLE) or ())
     rows_before = st.get("rows", None)
     res = store.append(batch)
-    rows_after = (rows_before if rows_before is not None else 0)
     if rows_before is None:
         # first measured iteration: one archive count to anchor the note
         rows_after = store.read().count()

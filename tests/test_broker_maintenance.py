@@ -209,6 +209,18 @@ def test_cli_maintenance_commands(spark, tmp_path):
     assert main(["vacuum", "--warehouse", wh]) == 0
     assert b._n_parquet_files("ts_p_d") <= N_STATION_BUCKETS
 
+    # --retention 0 forces reclamation of the just-superseded snapshot
+    # (the default window would retain it for in-flight readers)
+    import os as _os
+
+    def _versions():
+        return sorted(e for e in _os.listdir(b.path("ts_p_d"))
+                      if e.startswith("_v"))
+
+    assert len(_versions()) > 1  # the compaction left its predecessor
+    assert main(["vacuum", "--warehouse", wh, "--retention", "0"]) == 0
+    assert len(_versions()) == 1
+
     assert main(["set-db-version", "--warehouse", wh]) == 0
     assert Broker(spark, wh).get_db_version() == __version__
 

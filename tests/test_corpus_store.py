@@ -746,6 +746,50 @@ def test_corpus_image_dedup_at_append(spark, tmp_path):
         store.append(b2, image_col="text")
 
 
+def test_corpus_image_decode_seam_reaches_the_archive_check(
+        spark, tmp_path):
+    """CorpusStore(image_decode=...) threads the dhash_images decode
+    seam into the stored index and the append-time checks — the place a
+    REAL decoder matters most: two byte-DIFFERENT payloads that the
+    injected decoder maps to the same luminance grid must collide
+    archive_image, while the default byte-subsample decoder admits
+    both (their raw bytes differ everywhere)."""
+    from pyspark.sql import types as T
+
+    from weatherdb_spark.llm.corpus import CorpusStore
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("image", T.BinaryType()),
+    ])
+    grid = [(i * 37) % 251 for i in range(72)]
+
+    def const_decode(raw):
+        # stand-in for a real decoder: every payload "decodes" to one
+        # gradient image (a re-encode pair decodes alike by definition)
+        return grid
+
+    b1 = [(1, "first caption entirely its own words",
+           bytearray(b"jpeg-bytes-one" * 20))]
+    b2 = [(10, "second caption sharing zero vocabulary",
+           bytearray(b"png-bytes-two!" * 23))]
+
+    plain = CorpusStore(spark, str(tmp_path / "plain"))
+    plain.append(spark.createDataFrame(b1, schema), image_col="image")
+    assert plain.append(spark.createDataFrame(b2, schema)) == {
+        "admitted": 1, "rejected": 0, "version": 2}
+
+    real = CorpusStore(spark, str(tmp_path / "real"),
+                       image_decode=const_decode)
+    real.append(spark.createDataFrame(b1, schema), image_col="image")
+    res = real.append(spark.createDataFrame(b2, schema))
+    assert res == {"admitted": 0, "rejected": 1, "version": 2}
+    assert {(r.doc_id, r.reason, r.blocked_by)
+            for r in real.rejections().collect()} \
+        == {(10, "archive_image", 1)}
+
+
 def test_corpus_image_side_table_self_heals_and_folds(spark, tmp_path):
     import shutil
 

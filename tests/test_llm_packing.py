@@ -722,6 +722,15 @@ def test_bpe_merges_file_and_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="left right"):
         bpe_tokens(str(bad))
 
+    # a duplicated pair keeps its FIRST (earliest-learned) rank: a
+    # hand-concatenated merges file repeating ('t','h') at the end must
+    # not demote it below ('h','e') — last-wins would segment "the" as
+    # t + he
+    dup = bpe_tokens([("t", "h"), ("h", "e"), ("th", "e"), ("t", "h")])
+    [rd] = spark.createDataFrame([(1, "the")], "doc_id long, text string") \
+        .select(dup("text").alias("t")).collect()
+    assert rd.t == ["the"]
+
     # adversarial megaword stays ONE unsplit token (no merge pass)
     tok2 = bpe_tokens([("x", "x")], max_word_chars=100)
     longword = "x" * 500

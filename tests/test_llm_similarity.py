@@ -574,3 +574,28 @@ def test_compact_on_missing_index_leaves_no_ghost_pair_manifest(
         _json.dump({"centroids_version": 1, "inverted_version": 1}, fh)
     with _pytest.raises(ValueError, match="no IVF index"):
         ivf_topk_indexed(spark, stale, q, k=3)
+
+    # a CORRUPT pair file (truncated copy, disk-full) degrades to the
+    # per-table-manifest fallback instead of JSONDecodeError-ing every
+    # probe: a live index stays probeable, and the next write repairs
+    # the manifest
+    from weatherdb_spark.llm.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    live = str(tmp_path / "live")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), live,
+                    n_cells=8, seed=42)
+    expect = {tuple(r) for r in
+              ivf_topk_indexed(spark, live, q, k=3, n_probe=3).collect()}
+    with open(os.path.join(live, IVF_INDEX_MANIFEST), "w") as fh:
+        fh.write("{not json")
+    got = {tuple(r) for r in
+           ivf_topk_indexed(spark, live, q, k=3, n_probe=3).collect()}
+    assert got == expect
+    append_to_ivf_index(spark, live, emb.filter(F.col("vec_id") % 2 == 1))
+    with open(os.path.join(live, IVF_INDEX_MANIFEST)) as fh:
+        repaired = _json.load(fh)
+    assert repaired["inverted_version"] is not None

@@ -34,12 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iters = int(args[0]) if args else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for i, a in enumerate(sys.argv):
-        if a == "--sf-dir":
-            sf_dir = sys.argv[i + 1]
+    pos = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf-dir":
+            sf_dir = argv[i + 1]
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    iters = int(pos[0]) if pos else 3
 
     from pyspark.sql import functions as F
 
@@ -57,6 +63,21 @@ def main() -> None:
     store.append(base)  # the archive every measured append dedups against
     span = (base.agg(F.max("doc_id")).first()[0] or 0) + 1
 
+    # seed the archive past the EPOCH_PRUNE_MIN gate with tiny unique
+    # batches (the corpus_append_bench recipe) so EVERY measured append
+    # runs the same epoch-pruned verify plan — otherwise the gate flips
+    # mid-run and lands on one arm first
+    from weatherdb_spark.llm.corpus import DOCS_TABLE, EPOCH_PRUNE_MIN
+
+    seed = 0
+    while len(store._epoch_values(DOCS_TABLE) or ()) <= EPOCH_PRUNE_MIN:
+        seed += 1
+        store.append(base.filter(F.col("doc_id") < 200).select(
+            (F.col("doc_id") - F.lit(seed * 1000 + 1000)).alias("doc_id"),
+            F.concat_ws(f" seed{seed} ",
+                        F.split(F.col("text"), " ")).alias("text"),
+        ))
+
     def batch(k: int):
         return base.select(
             (F.col("doc_id") + F.lit(k * span)).alias("doc_id"),
@@ -64,23 +85,35 @@ def main() -> None:
             .alias("text"),
         )
 
+    # ABBA order: plain ABAB would hand the SECOND arm a systematically
+    # larger archive every iteration (each append grows it by a batch),
+    # biasing the comparison; alternating which arm goes first cancels
+    # the growth to first order, and the per-iteration deltas (same
+    # adjacent archive sizes) are reported alongside the aggregates.
     walls: dict[str, list[float]] = {"cut": [], "nocut": []}
     k = 0
-    for _ in range(iters):
-        for arm in ("cut", "nocut"):
-            k += 1
-            corpus_mod._APPEND_PLAN_CUT = arm == "cut"
-            t0 = time.monotonic()
-            res = store.append(batch(k))
-            walls[arm].append(round(time.monotonic() - t0, 3))
-            assert res["admitted"] > 0, res
-    corpus_mod._APPEND_PLAN_CUT = True  # restore the shipped default
+    try:
+        for it in range(iters):
+            order = ("cut", "nocut") if it % 2 == 0 else ("nocut", "cut")
+            for arm in order:
+                k += 1
+                corpus_mod._APPEND_PLAN_CUT = arm == "cut"
+                t0 = time.monotonic()
+                res = store.append(batch(k))
+                walls[arm].append(round(time.monotonic() - t0, 3))
+                assert res["admitted"] > 0, res
+    finally:
+        corpus_mod._APPEND_PLAN_CUT = True  # restore the shipped default
 
     print(json.dumps({
         "metric": "ab_append_plan_cut",
         "iters_per_arm": iters,
         "sf_dir": sf_dir,
         "walls": walls,
+        "per_iteration_delta_nocut_minus_cut": [
+            round(n - c, 3)
+            for n, c in zip(walls["nocut"], walls["cut"])
+        ],
         "min": {a: min(w) for a, w in walls.items()},
         "median": {a: round(statistics.median(w), 3)
                    for a, w in walls.items()},

@@ -52,9 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                       help="incremental fillup bounded to the last-import window"))
     wh(sub.add_parser("last-imp-corr",
                       help="incremental Richter correction (p) for the last import"))
-    wh(sub.add_parser("vacuum",
-                      help="compact fragmented warehouse tables "
-                           "(reference broker.py vacuum)"))
+    vac = wh(sub.add_parser("vacuum",
+                            help="compact fragmented warehouse tables "
+                                 "(reference broker.py vacuum)"))
+    vac.add_argument(
+        "--retention", type=float, default=None, metavar="SECONDS",
+        help="snapshot retention override for this vacuum: superseded "
+             "table snapshots younger than this stay for in-flight "
+             "readers (broker default 300; 0 reclaims everything "
+             "superseded NOW — only safe with no concurrent readers)",
+    )
     vs = wh(sub.add_parser(
         "versions",
         help="per-table snapshot versions still on disk (time-travel "
@@ -338,6 +345,8 @@ def main(argv: list[str] | None = None) -> int:
             run_stages=args.run_stages,
         )
     elif args.command == "vacuum":
+        if args.retention is not None:
+            broker.snapshot_retention = args.retention
         print(broker.vacuum())
     elif args.command == "force-deactivate":
         broker.force_deactivate_all()

@@ -123,7 +123,8 @@ class CorpusStore:
     def __init__(self, spark: "SparkSession", warehouse_dir: str,
                  near_threshold: float = 0.8,
                  max_bucket_docs: int | None = None,
-                 semantic_threshold: float = 0.9):
+                 semantic_threshold: float = 0.9,
+                 image_decode=None):
         from weatherdb_spark.broker import Broker
 
         self.broker = Broker(spark, warehouse_dir)
@@ -131,6 +132,17 @@ class CorpusStore:
         self.near_threshold = near_threshold
         self.max_bucket_docs = max_bucket_docs
         self.semantic_threshold = semantic_threshold
+        #: the ``decode=`` seam of ``llm.multimodal.dhash_images``,
+        #: threaded through the stored image index and the append-time
+        #: checks — so a store built with a REAL decoder (e.g.
+        #: ``pil_grayscale_grid()``) rejects a re-encode whose BYTES
+        #: differ. Like the thresholds it is a construction-time
+        #: property, not persisted (callables don't serialize): supply
+        #: the SAME decoder on every construction against a warehouse —
+        #: mixing decoders buckets two hash spaces in one index; after
+        #: switching, drop the ``corpus_image_dhash`` table so the next
+        #: append rebuilds it through self-healing.
+        self.image_decode = image_decode
 
     # ------------------------------------------------------------ read
     def read(self, version: int | None = None,
@@ -242,7 +254,9 @@ class CorpusStore:
             F.col(id_col).alias("doc_id"),
             F.col(payload_col).alias("payload"),
         )
-        return dhash_images(with_img).withColumnRenamed("doc_id", id_col)
+        return dhash_images(
+            with_img, decode=self.image_decode
+        ).withColumnRenamed("doc_id", id_col)
 
     def _emb_buckets_frame(self, docs: DataFrame, id_col: str,
                            embedding_col: str) -> DataFrame:

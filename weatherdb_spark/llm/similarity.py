@@ -446,13 +446,27 @@ def _ivf_broker(spark, index_path: str):
 
 
 def _read_ivf_manifest(index_path: str) -> "dict | None":
+    """The pair manifest, or None when absent — or UNREADABLE: a
+    corrupt/truncated file (external copy, disk-full) must degrade to
+    the per-table-manifest fallback (current snapshots, the same
+    row-consistent state single-table readers get), not make every
+    probe, append, and cleanup crash until someone hand-deletes it.
+    The writer's ``os.replace`` never leaves a torn file itself."""
     import json
+    import logging
     import os
 
     try:
         with open(os.path.join(index_path, IVF_INDEX_MANIFEST)) as fh:
             return json.load(fh)
     except (FileNotFoundError, NotADirectoryError):
+        return None
+    except (json.JSONDecodeError, UnicodeDecodeError, OSError):
+        logging.getLogger(__name__).warning(
+            "unreadable IVF pair manifest at %s — falling back to the "
+            "per-table manifests (current snapshots); the next index "
+            "write rewrites it", index_path,
+        )
         return None
 
 

@@ -209,7 +209,13 @@ def bpe_tokens(
                 )
             pairs.append((parts[0], parts[1]))
         merges = pairs
-    ranks = {(str(a), str(b)): r for r, (a, b) in enumerate(merges)}
+    # first occurrence wins: rank = the merge's EARLIEST training
+    # position, so a duplicated pair in a hand-concatenated merges file
+    # cannot demote itself below later merges (a dict comprehension
+    # would keep the LAST, inverting the order for that pair)
+    ranks: dict = {}
+    for r, (a, b) in enumerate(merges):
+        ranks.setdefault((str(a), str(b)), r)
     if not ranks:
         raise ValueError("bpe_tokens needs a non-empty merges list")
     rx = re.compile(pre_pattern)

@@ -63,6 +63,91 @@ from weatherdb_spark.operators.timeline import expand_timeline
 
 N_STATION_BUCKETS = 16  # partition count for fact-table writes
 
+# ---------------------------------------------------------------- schema memo
+# Every schema-less ``spark.read.parquet`` runs a driver-side footer-
+# inference job BEFORE the query proper — over a many-leaf snapshot
+# (epoch-partitioned corpus, bucketed facts) that is a 32-task job per
+# read call, and one append/stage reads the same tables several times
+# (profiled: ~10 inference jobs, up to ~0.9 s each, per corpus append).
+# Snapshot dirs are immutable once their manifest flip lands (writes
+# always create a NEW ``_vNNNNN`` dir), so the schema inferred on a
+# snapshot's FIRST read is (a) memoized in-process and (b) persisted as
+# ``_SPARK_SCHEMA.json`` inside the snapshot dir (underscore-prefixed:
+# Spark's file discovery ignores it). The leaf-append/merge write paths
+# carry the file forward to the snapshot they create — their column
+# contract (enforced upfront) means the inferred schema cannot change —
+# so a store that appends forever pays the inference job once, not once
+# per read per version. Full rewrites (write()) do NOT carry it: their
+# schema may legitimately change, and the next read re-infers once.
+# Only ``_vNNNNN`` dirs get the file; legacy flat roots are mutable and
+# always infer. Partition-column discovery (the ``ingest_epoch=N``
+# dirs) still runs — only the footer read is skipped; the scan plan is
+# otherwise identical.
+_SCHEMA_MEMO: "dict[tuple[str, int], object]" = {}
+_SCHEMA_MEMO_MAX = 512
+_SCHEMA_FILE = "_SPARK_SCHEMA.json"
+
+
+def _memo_put(key, schema) -> None:
+    if len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_MAX:
+        _SCHEMA_MEMO.clear()
+    _SCHEMA_MEMO[key] = schema
+
+
+def _schema_memo_read(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    try:
+        apath = os.path.abspath(path)
+        key = (apath, os.stat(path).st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    is_snapshot = os.path.basename(apath).startswith("_v")
+    sfile = os.path.join(apath, _SCHEMA_FILE)
+    if is_snapshot:
+        try:
+            with open(sfile) as fh:
+                schema = StructType.fromJson(json.load(fh))
+        except (OSError, ValueError, KeyError, TypeError):
+            schema = None
+        if schema is not None:
+            _memo_put(key, schema)
+            return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    schema = df.schema
+    if is_snapshot:
+        # best-effort persist for the next reader/process; the dir's
+        # mtime bump just re-keys the in-process memo entry below
+        try:
+            tmp = sfile + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(schema.jsonValue(), fh)
+            os.replace(tmp, sfile)
+            key = (apath, os.stat(apath).st_mtime_ns)
+        except OSError:
+            pass
+    _memo_put(key, schema)
+    return df
+
+
+def _carry_schema_file(prev_dir: str | None, new_dir: str) -> None:
+    """Copy a snapshot's persisted schema into the snapshot that a
+    leaf-append/merge derived from it (same columns by contract)."""
+    if prev_dir is None:
+        return
+    src = os.path.join(prev_dir, _SCHEMA_FILE)
+    dst = os.path.join(new_dir, _SCHEMA_FILE)
+    try:
+        if os.path.isfile(src) and not os.path.exists(dst):
+            import shutil
+
+            shutil.copyfile(src, dst)
+    except OSError:
+        pass
+
 
 class LayoutMigration:
     """One rung of the warehouse layout ladder — the engine twin of an
@@ -1050,7 +1135,7 @@ class Broker:
         The ``ts_year`` partition column itself is derived (it equals
         year(timestamp)) and is dropped from the returned frame; legacy
         snapshots written before the year split ignore ``years``."""
-        df = self.spark.read.parquet(self.data_path(table, version))
+        df = _schema_memo_read(self.spark, self.data_path(table, version))
         if "ts_year" in df.columns:
             if years is not None:
                 df = df.filter(F.col("ts_year").isin([int(y) for y in years]))
@@ -2409,6 +2494,9 @@ class Broker:
                 if int(year_entry.split("=", 1)[1]) in year_set:
                     continue  # recomputed above
                 self._link_tree(ysrc, os.path.join(vdir, bucket_entry, year_entry))
+        # partial year writes preserve columns (the missing-column case
+        # forces a full rewrite upstream): the read schema carries over
+        _carry_schema_file(prev, vdir)
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
@@ -2477,6 +2565,9 @@ class Broker:
                     if entry in replace or entry == leaf:
                         continue  # consolidated into the new leaf
                     self._link_tree(src, os.path.join(vdir, entry))
+                # same columns by the leaf-append contract: the previous
+                # snapshot's persisted read schema stays valid
+                _carry_schema_file(prev, vdir)
             elif self._n_parquet_files(table) > 0:
                 # one-time layout migration of the legacy flat snapshot.
                 # A zero-file snapshot (a vacuumed all-empty log: dynamic
@@ -2572,7 +2663,11 @@ class Broker:
         # Spark task-UUID file names keep the two file sets disjoint
         df.write.mode("overwrite").partitionBy(part_col).parquet(vdir)
         if had:
-            self._link_tree(self.data_path(table, cur_v), vdir)
+            prev = self.data_path(table, cur_v)
+            self._link_tree(prev, vdir)
+            # merged batches carry the same columns (the leaf layout is
+            # checked above): the previous read schema stays valid
+            _carry_schema_file(prev, vdir)
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 
@@ -2716,6 +2811,9 @@ class Broker:
             # untouched buckets hard-link wholesale (incl. their nested
             # ts_year leaves)
             self._link_tree(os.path.join(prev, entry), os.path.join(vdir, entry))
+        # the schema-change case took the full-rewrite branch above:
+        # this snapshot's columns match the previous one's
+        _carry_schema_file(prev, vdir)
         self._flip_manifest(table, new)
         self._cleanup_versions(table, new)
 

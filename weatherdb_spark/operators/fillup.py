@@ -551,7 +551,13 @@ def median_fill(
             best_near.select("station_id", ts_col).hint("shuffle_hash"),
             ["station_id", ts_col], "left_anti",
         ))
-        if targets.isEmpty():
+        # count, not isEmpty: take(1) on an (often) empty shuffled frame
+        # escalates through up to log4(partitions) probe jobs, each
+        # re-running the anti-join's reduce side (measured: 5 jobs for
+        # one probe at 32 shuffle partitions); count() is ONE job, and
+        # it fully materializes the scoped_persist cache that the far
+        # branch consumes anyway when targets is non-empty
+        if targets.count() == 0:
             # every hole has at least one near donor (common: near_dist
             # is generous, e.g. T's 100 km) — the far machinery would
             # broadcast the big far-pair dim for nothing

@@ -54,13 +54,21 @@ def prepare_training_corpus(
     filters, not length accounting).
     """
     from weatherdb_spark.functions.caching import scoped_persist
+    from weatherdb_spark.functions.partitioning import spread
     from weatherdb_spark.llm.dedup import exact_dedup
     from weatherdb_spark.llm.packing import pack_concat_chunk
     from weatherdb_spark.llm.sampling import source_quota_cap
     from weatherdb_spark.llm.text import lang_id, quality_score, scrub_pii
 
+    # spread BEFORE the scoring/scrub chain: a small corpus file scans
+    # as ONE partition, so the per-row regex work (quality + lang + the
+    # 3-pass PII scrub) would run on one core — and the persisted frame
+    # below is materialized CONCURRENTLY by several AQE query stages
+    # (cache misses race, each recomputing the chain: profiled as six
+    # parallel 2.3 s single-task jobs, the bulk of the bench entry).
+    # spread() is a no-op when the scan already has enough splits.
     gated = (
-        lang_id(quality_score(docs, text_col), text_col)
+        lang_id(quality_score(spread(docs, id_col), text_col), text_col)
         .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
     )
     # scoped_persist: the dedup / quota / packing stages each branch off

@@ -91,11 +91,16 @@ def bm25_topk(
     words = tok(text_col)
     toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
                        F.size(words).alias("_dl"))
-    # two corpus scalars (one tiny job's worth of agg, broadcast on)
-    stats = docs.agg(
+    # two corpus scalars (one tiny job's worth of agg, broadcast on);
+    # persisted — the 1-row frame is broadcast-joined by up to three
+    # consumers (df guard, idf, scoring), each of which would otherwise
+    # re-run the corpus scan + tokenize + aggregate behind it
+    from weatherdb_spark.functions.caching import scoped_persist
+
+    stats = scoped_persist(docs.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.size(words)).alias("_sumdl"),
-    )
+    ))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(
@@ -113,6 +118,12 @@ def bm25_topk(
         .groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
     )
+    # persisted: BOTH consumers below (the per-word document-frequency
+    # dim and the scoring join) otherwise re-run the corpus tokenize +
+    # explode + semi-join + tf aggregate — a full corpus-token pass
+    # each. The frame is postings-of-query-terms sized (bounded by the
+    # query vocabulary), never corpus-vocabulary x docs.
+    tf = scoped_persist(tf)
     postings = tf
     dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_share is not None:

@@ -1010,13 +1010,22 @@ def cosine_pairs_lsh(
     # three — and since the division pairs the identical
     # sqrt(dot(v, v)) factors, the cos values are bit-identical to the
     # inline form.
-    bucketed = (
+    # persisted pre-explode: the self-join's two sides are DIFFERENT
+    # projections (one streams, one broadcasts), so exchange reuse
+    # cannot collapse them and each would re-run the whole signature
+    # chain — the 48 interpreted plane projections + norm per corpus
+    # row, i.e. a second full corpus pass at scale. The cached base is
+    # corpus-sized (vector + n_tables ints + one double per row); the
+    # x n_tables explode stays lazy on top of it.
+    from weatherdb_spark.functions.caching import scoped_persist
+
+    base = scoped_persist(
         _with_bucket_signature(b, "_v", planes, n_tables, dim)
         .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
-        .select(
-            "_id", "_v", "_sig", "_norm",
-            F.posexplode(F.col("_sig")).alias("_table", "_bucket"),
-        )
+    )
+    bucketed = base.select(
+        "_id", "_v", "_sig", "_norm",
+        F.posexplode(F.col("_sig")).alias("_table", "_bucket"),
     )
     lhs = bucketed.select(
         "_table", "_bucket", F.col("_id").alias("id_a"),

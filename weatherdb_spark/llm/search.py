@@ -35,6 +35,16 @@ logger = logging.getLogger(__name__)
 #: otherwise pull a corpus-sized posting list into one query's window.
 MAX_DF_SHARE = 0.5
 
+#: persist the shared tf/stats frames only when the corpus scan has at
+#: least this many input splits (~0.5 GB at the default 128 MB split):
+#: below it the cache materialization barrier costs more than the
+#: corpus-token pass it saves (interleaved sf0.1 A/B: 2.61 s vs 1.72 s
+#: min), above it each avoided re-pass saves a full corpus scan. A
+#: derived (already-shuffled) docs frame probes as adaptive -> treated
+#: as small; callers feeding a large derived corpus should persist it
+#: themselves.
+BM25_PERSIST_MIN_PARTS = 4
+
 # the activation warning fires once per process, not once per call: a
 # serving path scoring one query per call would otherwise flood the log
 # with an unchanged message (real drops are quantified on demand with
@@ -91,13 +101,23 @@ def bm25_topk(
     words = tok(text_col)
     toks = docs.select(F.col(id_col), F.explode(words).alias("_w"),
                        F.size(words).alias("_dl"))
-    # two corpus scalars (one tiny job's worth of agg, broadcast on);
-    # persisted — the 1-row frame is broadcast-joined by up to three
-    # consumers (df guard, idf, scoring), each of which would otherwise
-    # re-run the corpus scan + tokenize + aggregate behind it
+    # The tf and stats frames below each feed 2-3 consumers; without a
+    # persist every consumer re-runs the corpus scan + tokenize +
+    # aggregate behind them — 2-3 full corpus-token passes per query at
+    # scale. At sf0.1 the persist itself LOSES (interleaved A/B:
+    # 2.61 s vs 1.72 s min — cache materialization barriers cost more
+    # than the ~0.1 s corpus pass they save), so it is gated on the
+    # scan's split count: a corpus wide enough to have
+    # BM25_PERSIST_MIN_PARTS input splits (~0.5 GB at default split
+    # size) pays for one cached pass many times over, a toy corpus
+    # recomputes. Free probe (no job — reads the cached physical plan).
     from weatherdb_spark.functions.caching import scoped_persist
+    from weatherdb_spark.functions.partitioning import _plan_num_partitions
 
-    stats = scoped_persist(docs.agg(
+    big_corpus = (_plan_num_partitions(docs) or 0) >= BM25_PERSIST_MIN_PARTS
+    maybe_persist = scoped_persist if big_corpus else (lambda df: df)
+
+    stats = maybe_persist(docs.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.size(words)).alias("_sumdl"),
     ))
@@ -118,12 +138,13 @@ def bm25_topk(
         .groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
     )
-    # persisted: BOTH consumers below (the per-word document-frequency
-    # dim and the scoring join) otherwise re-run the corpus tokenize +
-    # explode + semi-join + tf aggregate — a full corpus-token pass
-    # each. The frame is postings-of-query-terms sized (bounded by the
-    # query vocabulary), never corpus-vocabulary x docs.
-    tf = scoped_persist(tf)
+    # persisted (big corpora only — see the gate above): BOTH consumers
+    # below (the per-word document-frequency dim and the scoring join)
+    # otherwise re-run the corpus tokenize + explode + semi-join + tf
+    # aggregate — a full corpus-token pass each. The frame is
+    # postings-of-query-terms sized (bounded by the query vocabulary),
+    # never corpus-vocabulary x docs.
+    tf = maybe_persist(tf)
     postings = tf
     dfreq = postings.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_share is not None:

@@ -282,7 +282,12 @@ def test_interpolate_gaps_has_no_unbounded_following_frame(spark):
         # round-6 training-pipeline family (measured stable x2 at
         # 14/11/6/2/4/7/5/6/3; pins leave AQE headroom only)
         ("search_bm25_topk", 16),
-        ("semantic_dedup", 13),
+        # re-pinned r9: the LSH signature-base scoped_persist (its pair
+        # stage computed once instead of per self-join side; interleaved
+        # A/B -23% on the pair stage) materializes through 2-3 extra AQE
+        # jobs — measured 15-16 across fresh/warm sessions, still ONE
+        # action plus persists
+        ("semantic_dedup", 18),
         ("pack_concat_chunk", 8),
         ("text_chunk_windows", 3),
         ("sample_source_quota", 6),
@@ -320,7 +325,11 @@ def test_query_job_count_pinned(spark, name, max_jobs):
         sc.setJobGroup("", "")
         spark.catalog.clearCache()
     n = len(sc.statusTracker().getJobIdsForGroup(group))
-    assert 2 <= n <= max_jobs, (
+    # lower bound 1, not 2: the r9 schema memo (broker/testdata) removed
+    # the per-read footer-inference job, so a single-stage query in a
+    # warm session legitimately runs as ONE job (text_chunk_windows);
+    # 0 would mean the query never executed
+    assert 1 <= n <= max_jobs, (
         f"{name} launched {n} jobs (pin {max_jobs}): an extra action "
         "(probe/isEmpty/persist/collect) crept into the query path"
     )

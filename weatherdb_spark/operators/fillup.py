@@ -557,6 +557,8 @@ def median_fill(
         # one probe at 32 shuffle partitions); count() is ONE job, and
         # it fully materializes the scoped_persist cache that the far
         # branch consumes anyway when targets is non-empty
+        # (r9 interleaved A/B of the two forms on fillup_median_deep:
+        # neutral — 14.48 vs 14.61 s min — so the one-job form stays)
         if targets.count() == 0:
             # every hole has at least one near donor (common: near_dist
             # is generous, e.g. T's 100 km) — the far machinery would

@@ -1002,10 +1002,17 @@ def cosine_pairs_lsh(
     # The vectors deliberately RIDE THROUGH the bucket join: an
     # ids-only candidate stream with a post-dedup join-back to fetch
     # vectors measured 2x SLOWER at sf0.1 (two extra 1.5M-row joins
-    # cost more than the wider exchange, which compresses well). At a
-    # corpus where the per-pair vector payload dominates the exchange,
-    # revisit with an id-partitioned fetch — keep measuring, not
-    # guessing. The vector NORM rides too: computed once per corpus
+    # cost more than the wider exchange, which compresses well).
+    # r9 re-decided this at REAL scale (tools/ab_lsh_fetch.py: 2M
+    # vectors, the corpus_stress semantic_dedup parameters, outputs
+    # hash-verified identical): ship 266/299 s vs id-fetch 303/548 s
+    # across both arm orders — the fetch-back loses HARDER at scale
+    # because the deduped pair stream (142M rows there) outnumbers the
+    # exploded corpus stream (16M rows), so the two payload joins
+    # shuffle far more rows than the explode ever carries. The regime
+    # that would flip it (pairs << corpus x tables AND a payload that
+    # dwarfs the signature) is the opposite of what near-dup corpora
+    # look like at threshold. The vector NORM rides too: computed once per corpus
     # row, so the per-pair verify does ONE dot product instead of
     # three — and since the division pairs the identical
     # sqrt(dot(v, v)) factors, the cos values are bit-identical to the

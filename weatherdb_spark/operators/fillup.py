@@ -521,6 +521,14 @@ def median_fill(
             best_near = scoped_persist(
                 _topn_best(_cand(near_pairs), n_donors)
             )
+            # r9 negative A/B: eagerly materializing this cache with a
+            # count() before `targets` references it (to stop the
+            # count-job/AQE-future pair racing the cold cache — event
+            # log shows both computing the near-agg reduce concurrently)
+            # measured NEUTRAL-to-worse interleaved (lazy 10.5/12.9
+            # min/median vs eager 11.6/12.4): the racing stages share
+            # the cores, so serializing them trades duplicate CPU for
+            # an extra action's latency. Not adopted.
         else:
             # Near-side cascade for DENSE near sets (T's 100 km radius
             # can hold ~30 donors per station where only the first

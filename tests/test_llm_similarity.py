@@ -599,3 +599,41 @@ def test_compact_on_missing_index_leaves_no_ghost_pair_manifest(
     with open(os.path.join(live, IVF_INDEX_MANIFEST)) as fh:
         repaired = _json.load(fh)
     assert repaired["inverted_version"] is not None
+
+
+def test_semantic_dedup_dim_passthrough(spark):
+    """semantic_dedup(dim=) must reach the pair stage's hyperplane
+    signatures. The projection is aggregate(zip_with(vec, signs)) and
+    zip_with NULL-pads the shorter array, so hashing d-dim vectors
+    against longer sign arrays NULLs every bucket key and recall
+    silently collapses to zero (no error, no pairs) — exactly what the
+    2M-vector stress lap measured for two rounds before r9 matched the
+    dims. Pins both directions so neither can regress silently."""
+    from pyspark.sql import functions as F
+
+    from weatherdb_spark.llm.similarity import semantic_dedup
+
+    dim = 16
+    # 3 exact-duplicate pairs + isolated fillers, all unit-ish vectors
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.floor(F.col("id") / 2) * 37 + i * 11) % 13
+            / 13.0 + 0.1,
+        ).alias("embedding"),
+    )
+    matched = semantic_dedup(
+        emb, threshold=0.99, planes=4, n_tables=4, dim=dim
+    ).collect()
+    # every id shares its floor(id/2) twin: 6 groups of 2, all kept ids
+    # are the even (smaller) member
+    assert {(r.vec_id, r.component_id) for r in matched} == {
+        (i, i - i % 2) for i in range(12)
+    }
+    # the footgun direction: a longer sign array (the default dim=64)
+    # NULL-pads every projection -> zero pairs, zero rows, NO error
+    mismatched = semantic_dedup(
+        emb, threshold=0.99, planes=4, n_tables=4
+    ).collect()
+    assert mismatched == []

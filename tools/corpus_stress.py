@@ -104,14 +104,25 @@ def _docs(spark, n):
 
 def _embeddings(spark, n, dim):
     """Deterministic clustered embeddings: groups of 4 near-identical
-    vectors (the semantic-dup shape), (vec_id, embedding)."""
+    vectors (the semantic-dup shape), (vec_id, embedding).
+
+    Components mix with xxhash64(group, i) — the SAME lesson _docs
+    already records: a linear mix ((group*a + i*b) % M) aliases every
+    group pair congruent mod M/stride into near-identical vectors. The
+    first form of this generator did exactly that, which stayed
+    invisible while the semantic_dedup lap hashed these 32-dim vectors
+    with 64-dim hyperplanes (NULL buckets, zero candidates — the r9 dim
+    fix) and then surfaced as a 142M-pair / avg-degree-142 graph, 47x
+    the clustered shape this generator documents. With the hash mix,
+    cross-group cosines concentrate near 0 (|cos| ~ 1/sqrt(dim)) and
+    the pair set is the intended ~6 pairs per 4-vector group."""
     base = spark.range(n).select(F.col("id").alias("vec_id"))
     g = F.col("vec_id") / 4  # floor via integer division below
     group = F.floor(g).cast("long")
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
-            (((group * 2654435761 + i * 97) % 2000) / 1000.0 - 1.0)
+            (F.pmod(F.xxhash64(group, i), F.lit(2000)) / 1000.0 - 1.0)
             + ((F.col("vec_id") * 31 + i * 7) % 100) / 5000.0
         ).cast("float"),
     )
@@ -171,9 +182,18 @@ def main() -> None:
         # ---- semantic_dedup at scale-appropriate LSH parameters
         def _semdedup():
             with cache_scope():
+                # dim MUST match the generated vectors: before r9 this
+                # lap omitted it, the (then implicit) dim=64 hyperplanes
+                # NULLed every bucket key of the 32-dim vectors, and the
+                # stage benched a ZERO-candidate pipeline (the signature
+                # pass ran, the verify/components ran on empty frames).
+                # With dim matched the same vectors yield 142.3M
+                # verified pairs — the numbers before/after this fix
+                # are not comparable.
                 semantic_dedup(
                     emb, threshold=0.85, planes=args.planes,
                     n_tables=args.tables, max_bucket_docs=64,
+                    dim=args.dim,
                 ).write.format("noop").mode("overwrite").save()
 
         lap("semantic_dedup", _semdedup)

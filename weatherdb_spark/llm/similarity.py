@@ -1005,14 +1005,19 @@ def cosine_pairs_lsh(
     # cost more than the wider exchange, which compresses well).
     # r9 re-decided this at REAL scale (tools/ab_lsh_fetch.py: 2M
     # vectors, the corpus_stress semantic_dedup parameters, outputs
-    # hash-verified identical): ship 266/299 s vs id-fetch 303/548 s
-    # across both arm orders — the fetch-back loses HARDER at scale
-    # because the deduped pair stream (142M rows there) outnumbers the
-    # exploded corpus stream (16M rows), so the two payload joins
-    # shuffle far more rows than the explode ever carries. The regime
-    # that would flip it (pairs << corpus x tables AND a payload that
-    # dwarfs the signature) is the opposite of what near-dup corpora
-    # look like at threshold. The vector NORM rides too: computed once per corpus
+    # hash-verified identical, both arm orders, two graph shapes):
+    # dense graph (142M pairs) ship 266/299 s vs id-fetch 303/548 s;
+    # clustered graph (241k pairs) ship 300/349 s vs id-fetch
+    # 517/517 s. The structural reason the fetch-back cannot win here:
+    # the heavy stream is the CANDIDATE verify stream (every bucket
+    # cohabitation, pre-cos), not the verified-pair output, and every
+    # candidate needs both vectors for the exact verify — so vectors
+    # reach candidates either via the one exploded exchange (corpus x
+    # n_tables rows) or via two join-backs onto the candidate stream,
+    # which at LSH bucket widths is 10-30x LARGER than the explode.
+    # Guide-8 "move payloads once" applies only when the decision
+    # stream is smaller than the payload stream; verified-LSH pair
+    # generation is the opposite. The vector NORM rides too: computed once per corpus
     # row, so the per-pair verify does ONE dot product instead of
     # three — and since the division pairs the identical
     # sqrt(dot(v, v)) factors, the cos values are bit-identical to the
@@ -1071,6 +1076,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_bucket_docs: int | None = None,
     keep_by: str | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cosine near-dup pairs (LSH-bucketed, exact-verified — precision 1)
@@ -1100,6 +1106,15 @@ def semantic_dedup(
     """
     from weatherdb_spark.llm.dedup import connected_components
 
+    # dim passes straight through to the pair stage's hyperplane
+    # signatures and MUST match the vector length: the sign projection
+    # is an aggregate over zip_with(vec, signs), and zip_with pads the
+    # shorter array with NULLs, so a longer sign array NULLs every
+    # projection, every bucket key, and (NULL keys never equi-join)
+    # every candidate — recall silently collapses to ZERO with no
+    # error. Found in r9 when the 2M-vector stress lap (32-dim vectors,
+    # the old implicit dim=64) benched a zero-pair pipeline for two
+    # rounds; tests/test_llm_similarity.py pins both directions.
     pairs = cosine_pairs_lsh(
         embeddings,
         threshold=threshold,
@@ -1108,6 +1123,7 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         max_bucket_docs=max_bucket_docs,
+        dim=dim,
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(

@@ -614,7 +614,8 @@ def test_semantic_dedup_dim_passthrough(spark):
     from weatherdb_spark.llm.similarity import semantic_dedup
 
     dim = 16
-    # 3 exact-duplicate pairs + isolated fillers, all unit-ish vectors
+    # 6 exact-duplicate twin pairs (floor(id/2) groups) covering all 12
+    # ids, all unit-ish vectors
     emb = spark.range(12).select(
         F.col("id").alias("vec_id"),
         F.transform(
@@ -632,8 +633,11 @@ def test_semantic_dedup_dim_passthrough(spark):
         (i, i - i % 2) for i in range(12)
     }
     # the footgun direction: a longer sign array (the default dim=64)
-    # NULL-pads every projection -> zero pairs, zero rows, NO error
-    mismatched = semantic_dedup(
-        emb, threshold=0.99, planes=4, n_tables=4
-    ).collect()
-    assert mismatched == []
+    # used to NULL-pad every projection -> zero pairs, zero rows, NO
+    # error; since r10 _with_bucket_signature raises on the mismatch
+    import pytest
+
+    with pytest.raises(Exception, match="dim mismatch"):
+        semantic_dedup(
+            emb, threshold=0.99, planes=4, n_tables=4
+        ).collect()

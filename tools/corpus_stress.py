@@ -186,10 +186,13 @@ def main() -> None:
                 # lap omitted it, the (then implicit) dim=64 hyperplanes
                 # NULLed every bucket key of the 32-dim vectors, and the
                 # stage benched a ZERO-candidate pipeline (the signature
-                # pass ran, the verify/components ran on empty frames).
-                # With dim matched the same vectors yield 142.3M
-                # verified pairs — the numbers before/after this fix
-                # are not comparable.
+                # pass ran, the verify/components ran on empty frames;
+                # since r10 that mismatch raises instead). With dims
+                # matched, the PRE-fix aliased linear-mix generator
+                # yielded a 142.3M-pair graph; the fixed _embeddings in
+                # this file yields 240,968 verified pairs at these
+                # parameters (see its docstring) — numbers before/after
+                # either fix are not comparable.
                 semantic_dedup(
                     emb, threshold=0.85, planes=args.planes,
                     n_tables=args.tables, max_bucket_docs=64,

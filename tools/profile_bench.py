@@ -32,6 +32,8 @@ def main() -> None:
                     help="write plans/r09/<name>_<suffix>.txt explains")
     ap.add_argument("--iters", type=int, default=2,
                     help="timed iterations per query (min is reported)")
+    ap.add_argument("--plandir", default="r10",
+                    help="plans/<plandir>/ subdir for --suffix explains")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,7 +53,7 @@ def main() -> None:
     # job ids before and after each run
     out = {}
     plandir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                           "plans", "r09")
+                           "plans", args.plandir)
     os.makedirs(plandir, exist_ok=True)
     tracker = sc.statusTracker()
 

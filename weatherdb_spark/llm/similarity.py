@@ -192,6 +192,26 @@ def _with_bucket_signature(
         )
         for t in range(n_tables)
     ])
+    # Fail LOUDLY on a vector/dim mismatch instead of the silent
+    # zero-recall failure mode: zip_with NULL-pads the shorter array, so
+    # a wrong ``dim`` NULLs every projection and every bucket key, and
+    # NULL keys never equi-join — candidates collapse to zero with no
+    # error (the 2M-vector stress lap benched exactly that for two
+    # rounds). NULL vectors keep their prior behavior (NULL signature,
+    # row never joins); only a PRESENT vector of the wrong length
+    # raises. One O(1) array-length check per row, folded into the
+    # signature expression so the optimizer cannot prune it.
+    ok = F.col(vec).isNull() | (F.size(F.col(vec)) == F.lit(dim))
+    chk = F.assert_true(
+        ok,
+        F.concat(
+            F.lit(f"LSH dim mismatch: expected {dim}-dim vectors in "
+                  f"column {vec!r}, got length "),
+            F.size(F.col(vec)).cast("string"),
+            F.lit("; pass dim=<embedding length>"),
+        ),
+    )
+    sig = F.when(chk.isNull(), sig)
     return df.withColumn("_bits", bits).withColumn(out, sig).drop("_bits")
 
 
@@ -1096,6 +1116,11 @@ def semantic_dedup(
     clump never lands in one task; the keeper dim is component-count-
     sized and broadcasts.
 
+    ``dim`` MUST equal the embedding array length: it sizes the LSH
+    hyperplanes the pair stage hashes with, and a mismatch raises at
+    run time (``_with_bucket_signature``'s guard; before r10 a
+    mismatch silently produced zero pairs).
+
     Pure composition of two scale-audited stages: the pair generation
     is :func:`cosine_pairs_lsh` (one (table, bucket) shuffle, hot
     buckets boundable via ``max_bucket_docs``), the grouping is
@@ -1107,14 +1132,11 @@ def semantic_dedup(
     from weatherdb_spark.llm.dedup import connected_components
 
     # dim passes straight through to the pair stage's hyperplane
-    # signatures and MUST match the vector length: the sign projection
-    # is an aggregate over zip_with(vec, signs), and zip_with pads the
-    # shorter array with NULLs, so a longer sign array NULLs every
-    # projection, every bucket key, and (NULL keys never equi-join)
-    # every candidate — recall silently collapses to ZERO with no
-    # error. Found in r9 when the 2M-vector stress lap (32-dim vectors,
-    # the old implicit dim=64) benched a zero-pair pipeline for two
-    # rounds; tests/test_llm_similarity.py pins both directions.
+    # signatures and MUST match the vector length. Found in r9 when the
+    # 2M-vector stress lap (32-dim vectors, the old implicit dim=64)
+    # silently benched a zero-pair pipeline for two rounds; since r10 a
+    # mismatch raises at run time (_with_bucket_signature's guard) —
+    # tests/test_llm_similarity.py pins both directions.
     pairs = cosine_pairs_lsh(
         embeddings,
         threshold=threshold,

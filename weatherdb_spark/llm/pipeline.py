@@ -67,9 +67,25 @@ def prepare_training_corpus(
     # (cache misses race, each recomputing the chain: profiled as six
     # parallel 2.3 s single-task jobs, the bulk of the bench entry).
     # spread() is a no-op when the scan already has enough splits.
+    #
+    # The quality taint below (+ 0.0 * rand) is load-bearing: predicate
+    # pushdown substitutes the computed quality/lang_pred into the gate
+    # filter and pushes the WHOLE scoring expression through spread's
+    # exchange, back onto the single-task scan stage the spread exists
+    # to escape (r10 plan audit: the gate sat under the Exchange as a
+    # 1-task stage worth ~half the bench entry). A nondeterministic
+    # no-op term in the quality projection trips the optimizer's
+    # fields.forall(_.deterministic) pushdown guard while leaving every
+    # value bit-identical: rand(seed) is in [0, 1), the product is
+    # exactly +0.0, and x + 0.0 == x for every non-negative quality.
+    # The term is pipeline-local — quality_score itself stays pushdown-
+    # transparent for callers that WANT the gate at the scan.
     gated = (
         lang_id(quality_score(spread(docs, id_col), text_col), text_col)
-        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+        .withColumn("quality", F.col("quality") + F.lit(0.0) * F.rand(42))
+        .filter(
+            (F.col("quality") >= min_quality) & (F.col("lang_pred") == lang)
+        )
     )
     # scoped_persist: the dedup / quota / packing stages each branch off
     # this frame from NON-identical subtrees, so exchange reuse cannot

@@ -9,6 +9,8 @@ LSH shuffles on (band, band-signature), SimHash on hash prefix buckets.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -139,18 +141,36 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+@lru_cache(maxsize=64)
+def _min_perm_aggs(num_perm: int) -> tuple:
+    """The ``num_perm`` MinHash min-aggregate Columns over ``_h``,
+    built ONCE per process: Column objects are immutable, plan-
+    independent expression templates, but constructing them costs one
+    py4j round trip per operator — profiled at ~1.0 s of pure driver
+    time per CorpusStore append (32 perms x ~8 JVM calls each, plus
+    the band-key encode below) before this memo. Cached expressions
+    resolve per-plan exactly like freshly built ones."""
+    return tuple(
+        F.min(minhash_perm(F.col("_h"), k)).alias(f"_m{k}")
+        for k in range(num_perm)
+    )
+
+
+@lru_cache(maxsize=64)
+def _signature_array(num_perm: int):
+    """array(_m0.._mN) Column — see :func:`_min_perm_aggs`."""
+    return F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias(
+        "signature"
+    )
+
+
 def _signatures_from_exploded(
     sh: DataFrame, num_perm: int, id_col: str
 ) -> DataFrame:
     """MinHash signatures from pre-exploded (id, _s) shingle rows."""
     hashed = sh.withColumn("_h", md5_int64(F.col("_s"))).drop("_s")
-    mins = hashed.groupBy(id_col).agg(
-        *[F.min(minhash_perm(F.col("_h"), k)).alias(f"_m{k}") for k in range(num_perm)]
-    )
-    return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("signature"),
-    )
+    mins = hashed.groupBy(id_col).agg(*_min_perm_aggs(num_perm))
+    return mins.select(F.col(id_col), _signature_array(num_perm))
 
 
 def minhash_signatures(
@@ -194,22 +214,29 @@ def band_key_exprs(sig, bands: int, rows: int) -> list:
     ]
 
 
+@lru_cache(maxsize=64)
+def _banded_keys_explode(bands: int, rows: int):
+    """The exploded (band, key) struct Column over ``signature`` —
+    memoized per process like :func:`_min_perm_aggs` (bands x rows
+    element accessors + casts + concats are py4j round trips)."""
+    keys = band_key_exprs(F.col("signature"), bands, rows)
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
+
+
 def _banded_keys(sig: DataFrame, bands: int, rows: int, id_col: str) -> DataFrame:
     """LSH band keys from MinHash signatures: one (id, band, key) row per
     band, key = the band's ``rows`` signature slots joined. Shared by the
     pair join and :func:`minhash_bucket_overflow` so the overflow report
     sees exactly the buckets the join shuffles on."""
-    keys = band_key_exprs(F.col("signature"), bands, rows)
     return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        id_col, _banded_keys_explode(bands, rows)
     ).select(id_col, "bk.band", "bk.key")
 
 

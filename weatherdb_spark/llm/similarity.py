@@ -8,6 +8,8 @@ All JVM-side higher-order functions; no UDF.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -168,7 +170,20 @@ def _with_bucket_signature(
     expression tree over py4j (measured at 48 planes). The matrix rows
     are numpy literals because classic PySpark expands lit(list) into
     per-element lit() round-trips while lit(ndarray) converts in one
-    call (3.4 s -> 0.9 s for the 48 x 64 matrix)."""
+    call (3.4 s -> 0.9 s for the 48 x 64 matrix). The remaining ~0.9 s
+    build is memoized per (vec, planes, n_tables, dim, out): Column
+    objects are immutable, plan-independent expression templates, so
+    repeated callers (every CorpusStore append, every bench iteration)
+    reuse one tree instead of re-assembling it over py4j."""
+    bits, sig = _bucket_signature_exprs(vec, planes, n_tables, dim)
+    return df.withColumn("_bits", bits).withColumn(out, sig).drop("_bits")
+
+
+@lru_cache(maxsize=64)
+def _bucket_signature_exprs(vec: str, planes: int, n_tables: int,
+                            dim: int):
+    """(bits, guarded signature) Columns — see
+    :func:`_with_bucket_signature`; memoized per process."""
     sign_matrix = F.array(*[
         F.lit(np.array(_plane_signs(pl, dim)))
         for pl in range(n_tables * planes)
@@ -212,7 +227,7 @@ def _with_bucket_signature(
         ),
     )
     sig = F.when(chk.isNull(), sig)
-    return df.withColumn("_bits", bits).withColumn(out, sig).drop("_bits")
+    return bits, sig
 
 
 #: k-means coarse-quantizer training cap: above this corpus size the fit

@@ -28,9 +28,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from functools import lru_cache
+
 from weatherdb_spark.functions.caching import scoped_persist
 from weatherdb_spark.functions.partitioning import year_chunked
 from weatherdb_spark.functions.temporal import is_winter, shifted_date
+
+
+@lru_cache(maxsize=64)
+def _topn_exprs(value_cols: tuple, n: int):
+    """The top-n-by-rank aggregate and its derived median / donor-list
+    / candidate-count Columns, memoized per (value_cols, n): Column
+    objects are immutable plan-independent templates, and the deep-fill
+    path builds this shape three times per query (near, far head, far
+    tail) — ~0.2 s of py4j round trips each when rebuilt."""
+    struct_fields = [F.col("rank")] + [
+        F.col(f"_reg_{c}").alias(f"r_{c}") for c in value_cols
+    ] + [F.col("nb_station_id").cast("short").alias("nb")]
+    top = F.slice(
+        F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, n
+    ).alias("_top")
+    meds = {}
+    for c in value_cols:
+        vals = F.array_sort(F.filter(
+            F.transform(F.col("_top"), lambda s: s[f"r_{c}"]),
+            lambda v: v.isNotNull(),
+        ))
+        nsz = F.size(vals)
+        odd = F.element_at(vals, ((nsz + 1) / 2).cast("int"))
+        even = (
+            F.element_at(vals, (nsz / 2).cast("int"))
+            + F.element_at(vals, (nsz / 2 + 1).cast("int"))
+        ) / 2
+        meds[c] = (
+            F.when(nsz == 0, F.lit(None).cast("double"))
+            .when(nsz % 2 == 1, odd)
+            .otherwise(even)
+        )
+    donors = F.transform(F.col("_top"), lambda s: s["nb"])
+    ncand = F.size(F.col("_top"))
+    return top, meds, donors, ncand
 
 
 def _regionalize(coef_sign: str, val, ma_self, ma_nb, round_digits):
@@ -394,25 +431,36 @@ def median_fill(
             .withColumn("_near", F.lit(True))
         )
 
-    aggs = []
-    for c in value_cols:
-        reg = _regionalize(
-            "add", F.col(f"_nbv_{c}"), F.col("_ma_self"), F.col("_ma_nb"), round_digits
+    def _plain_aggs():
+        # built lazily: the near_dist_m path below has its own
+        # _topn_best aggregation and never uses these — constructing
+        # them anyway cost ~0.2 s of py4j per call on the deep-fill
+        # bench path (guide §1: the driver's plan-build time is part
+        # of the query wall at interactive scale)
+        aggs = []
+        for c in value_cols:
+            reg = _regionalize(
+                "add", F.col(f"_nbv_{c}"), F.col("_ma_self"),
+                F.col("_ma_nb"), round_digits
+            )
+            aggs.append(F.percentile(reg, F.lit(0.5)).alias(f"_med_{c}"))
+        # donor ids in neighbor-rank order (reference slot order:
+        # [0] = nearest)
+        aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rank"),
+                                 F.col("nb_station_id").cast("short").alias("nb"))
+                    )
+                ),
+                lambda s: s["nb"],
+            ).alias("_donors")
         )
-        aggs.append(F.percentile(reg, F.lit(0.5)).alias(f"_med_{c}"))
-    # donor ids in neighbor-rank order (reference slot order: [0] = nearest)
-    aggs.append(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("rank"), F.col("nb_station_id").cast("short").alias("nb"))
-                )
-            ),
-            lambda s: s["nb"],
-        ).alias("_donors")
-    )
-    # near-donor count decides whether a cascade phase-1 result is final
-    aggs.append(F.sum(F.col("_near").cast("int")).alias("_n_near"))
+        # near-donor count decides whether a cascade phase-1 result is
+        # final
+        aggs.append(F.sum(F.col("_near").cast("int")).alias("_n_near"))
+        return aggs
 
     if near_dist_m is not None:
         # The near candidates (dist <= near_dist_m) are a DISTANCE-bounded
@@ -462,7 +510,10 @@ def median_fill(
         # forces a total sort of it; collect_list + array_sort + slice
         # computes the same top-n per (station, ts) group with partial
         # aggregation and no global sort. Median/donor-list then come
-        # from the sliced array with JVM collection expressions.
+        # from the sliced array with JVM collection expressions (built
+        # once per (value_cols, n) via the _topn_exprs memo — the three
+        # _topn_best calls on the deep-fill path were rebuilding ~0.2 s
+        # of py4j expression tree each).
         def _reg_cand(cand: DataFrame) -> DataFrame:
             for c in value_cols:
                 cand = cand.withColumn(
@@ -482,37 +533,16 @@ def median_fill(
         all_holes = hole_keys
 
         def _topn_best(cand: DataFrame, n: int) -> DataFrame:
-            struct_fields = [F.col("rank")] + [
-                F.col(f"_reg_{c}").alias(f"r_{c}") for c in value_cols
-            ] + [F.col("nb_station_id").cast("short").alias("nb")]
-            top = F.slice(
-                F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, n
-            )
+            top, meds, donors, ncand = _topn_exprs(value_cols, n)
             out = (
                 _reg_cand(cand)
                 .groupBy("station_id", ts_col)
-                .agg(top.alias("_top"))
+                .agg(top)
             )
             for c in value_cols:
-                vals = F.array_sort(F.filter(
-                    F.transform(F.col("_top"), lambda s: s[f"r_{c}"]),
-                    lambda v: v.isNotNull(),
-                ))
-                nsz = F.size(vals)
-                odd = F.element_at(vals, ((nsz + 1) / 2).cast("int"))
-                even = (
-                    F.element_at(vals, (nsz / 2).cast("int"))
-                    + F.element_at(vals, (nsz / 2 + 1).cast("int"))
-                ) / 2
-                med = (
-                    F.when(nsz == 0, F.lit(None).cast("double"))
-                    .when(nsz % 2 == 1, odd)
-                    .otherwise(even)
-                )
-                out = out.withColumn(f"_med_{c}", med)
-            return out.withColumn(
-                "_donors", F.transform(F.col("_top"), lambda s: s["nb"])
-            ).withColumn("_n_cand", F.size(F.col("_top"))).drop("_top")
+                out = out.withColumn(f"_med_{c}", meds[c])
+            return out.withColumn("_donors", donors).withColumn(
+                "_n_cand", ncand).drop("_top")
 
         # persisted: the union result AND the hole anti-join both consume
         # it — without the cache the whole near aggregation re-runs for
@@ -617,12 +647,13 @@ def median_fill(
         best = (
             _select(_cand(pairs))
             .groupBy("station_id", ts_col)
-            .agg(*aggs)
+            .agg(*_plain_aggs())
         )
     else:
         # see rank_fill: the pair dim feeds three joins; build it once
         pairs = scoped_persist(pairs)
         near_pairs = pairs.filter(F.col("rank") <= cascade_k)
+        aggs = _plain_aggs()
         best1 = (
             _select(_cand(near_pairs))
             .groupBy("station_id", ts_col)

@@ -222,7 +222,10 @@ def j9_fill_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                            min_date=None)
     knn = knn_stations(supplier_coords(spark, sf_dir), k=5, elevation_weighted=True)
     filled = rank_fill(grid, knn, _ma_df(spark, sf_dir), coef_sign="mult",
-                       base_col="qty", ts_col="timestamp", round_digits=None)
+                       base_col="qty", ts_col="timestamp", round_digits=None,
+                       # known fixture regime — 78.6% holes at every SF,
+                       # see fillup_rank_fill's binding
+                       hole_semi=False)
     dist = knn.select(
         "station_id",
         F.col("nb_station_id").alias("filled_by"),

@@ -197,6 +197,13 @@ def fillup_rank_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rank_fill(
         grid, knn, ma, coef_sign="mult", base_col="qty", ts_col="timestamp",
         round_digits=None,
+        # known fixture regime (the deep variants' convention): the
+        # expanded grid measures 78.6% holes at every SF (sf0.001/
+        # 0.01/0.1), far above HOLE_SEMI_MAX_FRACTION=0.35, so the
+        # auto-probe always resolved False anyway — stating it skips
+        # the probe's aggregate job (~1.6 s of the builder per bench
+        # iteration) with a byte-identical plan
+        hole_semi=False,
     )
     return out.select(
         F.col("station_id").cast("long").alias("station_id"),
